@@ -1,38 +1,697 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SURVEY.md §2 operator that is expressible over
+the driver's testdata tables, plus the training-data-pipeline operators
+(dedup / similarity / text analysis). ``oracle_sql()`` carries the DuckDB
+twin of each — the SQL mirrors the Spark column math exactly (same hash
+functions — md5; same double-precision order of operations; FLOOR instead
+of engine-specific casts) so the value-hash comparison is meaningful.
+
+Rows-only entries (no oracle): the stateful crawl wave, Bloom-filter probe,
+image decode plumbing, SimHash, and LSH-approximate ANN (their exactness is
+asserted against in-repo oracles in tests/ instead).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+STOP_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+STOP_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht")
+STOP_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# entry — flagship smoke: one declarative rank-report wave (SURVEY §3.1)
+# =====================================================================
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the getRank-style keyword rank report as one DataFrame DAG
+    (fetch → parse → broadcast-classify → rank-encode → first-per-group →
+    golden-string synthesis). Reads sf0.001 documents to derive extra
+    deterministic keyword seeds, proving the pipeline is input-driven."""
+    from amazonwebcrawler_spark.plans.flagship import rank_wave
+
+    docs = _t(spark, SF_DEFAULT, "documents")
+    extra = [
+        (f"kw {r.doc_id % 7} synth", "yogamat")
+        for r in docs.select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    keywords = [("tpe yoga mat", "yogamat"), ("fitted sheet queen", "fscl"),
+                ("lined notebook a5", "jmcl")] + extra
+    return rank_wave(spark, keywords, pages=2)
 
 
+# =====================================================================
+# queries — one entry per implemented operator
+# =====================================================================
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from amazonwebcrawler_spark.functions.rank import (
+        best_seller_rank_extract,
+        is_sponsored,
+        pick_non_top100_rank,
+        rank_encode,
+        strip_sponsored_tag,
+    )
+    from amazonwebcrawler_spark.functions.text import (
+        fingerprint,
+        lang_id,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        token_count,
+        word_tokens,
+    )
+    from amazonwebcrawler_spark.functions.urls import canonicalize_url
+    from amazonwebcrawler_spark.operators import dedup, similarity
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ----------------------------------------------------- W1/W2/W3
+    def q_rank_encode(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        layout = (
+            F.when(F.col("l_orderkey") % 3 == 0, "grid3")
+            .when(F.col("l_orderkey") % 3 == 1, "list_plain")
+            .otherwise("weird")
+        )
+        page = (F.col("l_orderkey") % 7 + 1).cast("int")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            rank_encode(layout, page, F.col("l_linenumber")).alias("rank_str"),
+        )
+
+    # ----------------------------------------------------- W5/P13
+    def q_bsr_extract(spark, sf):
+        p = _t(spark, sf, "part")
+        rank1 = F.concat(
+            F.lit("#"), F.col("p_partkey").cast("string"), F.lit(" in "), F.col("p_type"),
+            F.when(F.col("p_size") % 3 == 0,
+                   F.concat(F.lit(" (See Top 100 in "), F.col("p_type"), F.lit(")"))
+                   ).otherwise(F.lit("")),
+        )
+        rank2 = F.concat(F.lit("#"), F.col("p_size").cast("string"), F.lit(" in Office Products"))
+        return p.select(
+            "p_partkey",
+            best_seller_rank_extract(rank1).alias("bsr_raw"),
+            pick_non_top100_rank(rank1, rank2).alias("bsr_picked"),
+        )
+
+    # ----------------------------------------------------- A2
+    def q_first_per_group(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        # l_linenumber is not unique per order in this synthetic data —
+        # extend the ordering until it is total (determinism requirement)
+        w = Window.partitionBy("l_orderkey", "l_returnflag").orderBy(
+            "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        return (
+            li.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("l_orderkey", "l_returnflag", "l_linenumber", "l_partkey")
+        )
+
+    # ----------------------------------------------------- A4
+    def q_concat_rollup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_orderkey").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("l_linenumber").alias("ln"),
+                                F.col("l_partkey").alias("pk"),
+                                F.col("l_suppkey").alias("sk"),
+                                F.floor("l_quantity").cast("long").alias("q"),
+                            )
+                        )
+                    ),
+                    lambda s: s["q"].cast("string"),
+                ),
+                "|",
+            ).alias("qty_report")
+        )
+
+    # ----------------------------------------------------- J1
+    def q_dim_join(spark, sf):
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+            )
+        )
+
+    # ----------------------------------------------------- J2/P4 (theta join, first match wins)
+    def q_theta_join_first_match(spark, sf):
+        p = _t(spark, sf, "part")
+        dims = spark.createDataFrame(
+            [("widget", "W", 0), ("bolt", "B", 1), ("rod", "R", 2), ("large", "L", 3)],
+            "match_word string, attr string, dict_pos int",
+        )
+        joined = p.join(F.broadcast(dims), F.instr(p.p_name, dims.match_word) > 0, "left")
+        w = Window.partitionBy("p_partkey").orderBy(F.coalesce("dict_pos", F.lit(1 << 30)))
+        return (
+            joined.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("p_partkey", "p_name", F.coalesce("attr", F.lit("NONE")).alias("attr"))
+        )
+
+    # ----------------------------------------------------- J6
+    def q_anti_join_new(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+    # ----------------------------------------------------- P14
+    def q_url_canonicalize(spark, sf):
+        o = _t(spark, sf, "orders")
+        url = F.concat(
+            F.lit("https://WWW.Amazon.com/dp/B"), F.col("o_orderkey").cast("string"),
+            F.lit("/ref=sr_1_"), (F.col("o_orderkey") % 10).cast("string"),
+            F.lit("?qid=15&b="), (F.col("o_orderkey") % 7).cast("string"),
+            F.lit("&ref=x&a=1&ie=UTF8#frag"),
+        )
+        return o.select("o_orderkey", canonicalize_url(url).alias("canonical_url"))
+
+    # ----------------------------------------------------- P5/P6
+    def q_sponsored_classify(spark, sf):
+        p = _t(spark, sf, "part")
+        title = F.when(
+            F.col("p_partkey") % 5 == 0, F.concat(F.lit(" [Sponsored] "), F.col("p_name"))
+        ).otherwise(F.col("p_name"))
+        return p.select(
+            "p_partkey",
+            strip_sponsored_tag(title).alias("clean_title"),
+            is_sponsored(title).alias("is_ad"),
+        )
+
+    # ----------------------------------------------------- C2/W4
+    def q_politeness_batch(spark, sf):
+        o = _t(spark, sf, "orders")
+        shard = (F.col("o_orderkey") % 8).cast("int")
+        w = Window.partitionBy(shard).orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        return (
+            o.withColumn("host_shard", shard)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("host_shard", "rn", "o_orderkey")
+        )
+
+    # ----------------------------------------------------- P8/P9/A1
+    def q_anomaly_counts(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                "n_events",
+                F.when(F.col("n_events") > 45, "anomaly").otherwise("ok").alias("flag"),
+            )
+        )
+
+    # ----------------------------------------------------- J4 (fan-out explode)
+    def q_sku_fanout(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(1), (F.col("o_orderkey") % 4 + 1).cast("int"))).alias("sku_idx"),
+        )
+
+    # ----------------------------------------------------- F9 (json)
+    def q_json_extract(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.select(
+            "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_value")
+        )
+
+    # ----------------------------------------------------- C8 analogue (windowed agg)
+    def q_windowed_counts(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+
+    # ----------------------------------------------------- dedup: exact
+    def q_dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedup.exact_dedup(d, "text", "doc_id")
+
+    # ----------------------------------------------------- dedup: minhash LSH
+    def q_dedup_minhash_lsh(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
+        )
+
+    # ----------------------------------------------------- dedup: exact n-gram jaccard
+    def q_dedup_ngram_jaccard(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedup.ngram_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.3, shingle_n=3)
+
+    # ----------------------------------------------------- dedup: simhash (rows-only)
+    def q_dedup_simhash(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+    # ----------------------------------------------------- embedding near-dup (exact, blocked)
+    def q_embedding_neardup(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= 0.8)
+        )
+
+    # ----------------------------------------------------- ANN: brute-force top-k
+    def q_ann_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.brute_force_topk(e, qs, "vec_id", "embedding", k=10)
+
+    # ----------------------------------------------------- ANN: LSH (rows-only; recall tested in pytest)
+    def q_ann_lsh(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.lsh_topk(e, qs, "vec_id", "embedding", k=10, dim=64)
+
+    # ----------------------------------------------------- text stats
+    def q_text_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        t = F.col("text")
+        return d.select(
+            "doc_id",
+            token_count(t).alias("n_tokens"),
+            F.size(word_tokens(t)).alias("n_word_tokens"),
+            F.round(punct_ratio(t), 6).alias("punct_ratio"),
+            F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+            quality_score(t).alias("quality"),
+        )
+
+    # ----------------------------------------------------- lang id
+    def q_lang_id(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", lang_id(F.col("text")).alias("lang_detected"))
+
+    # ----------------------------------------------------- fingerprint
+    def q_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+    # ----------------------------------------------------- crawl flagship (rows-only)
+    def q_crawl_rank_wave(spark, sf):
+        from amazonwebcrawler_spark.plans.flagship import rank_wave
+
+        return rank_wave(
+            spark,
+            [("tpe yoga mat", "yogamat"), ("fitted sheet queen", "fscl"), ("lined notebook a5", "jmcl")],
+            pages=2,
+        )
+
+    # ----------------------------------------------------- image plumbing (rows-only)
+    def q_images_decode(spark, sf):
+        import pandas as pd
+
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        asins = [world.asin_for("tpe yoga mat", 1, i) for i in range(1, 33)]
+        df = spark.createDataFrame([(a,) for a in asins], "asin string")
+
+        def gen(batches):
+            from amazonwebcrawler_spark.functions.images import decode_image, phash64
+
+            for pdf in batches:
+                rows = []
+                for a in pdf["asin"]:
+                    rec = world.image_record(a)
+                    px = decode_image(rec["bytes"])
+                    rows.append(
+                        {
+                            "image_id": rec["image_id"], "w": int(px.shape[1]), "h": int(px.shape[0]),
+                            "fmt": rec["fmt"], "caption": rec["caption"],
+                            "phash": phash64(px), "n_bytes": len(rec["bytes"]),
+                        }
+                    )
+                yield pd.DataFrame(rows)
+
+        return df.repartition(8).mapInPandas(
+            gen, "image_id string, w int, h int, fmt string, caption string, phash long, n_bytes long"
+        )
+
+    return {
+        "rank_encode": q_rank_encode,
+        "bsr_extract": q_bsr_extract,
+        "first_per_group": q_first_per_group,
+        "concat_rollup": q_concat_rollup,
+        "dim_join": q_dim_join,
+        "theta_join_first_match": q_theta_join_first_match,
+        "anti_join_new": q_anti_join_new,
+        "url_canonicalize": q_url_canonicalize,
+        "sponsored_classify": q_sponsored_classify,
+        "politeness_batch": q_politeness_batch,
+        "anomaly_counts": q_anomaly_counts,
+        "sku_fanout": q_sku_fanout,
+        "json_extract": q_json_extract,
+        "windowed_counts": q_windowed_counts,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "crawl_rank_wave": q_crawl_rank_wave,
+        "images_decode": q_images_decode,
+    }
 
 
+# =====================================================================
+# oracle_sql — DuckDB twins (tables pre-registered as views)
+# =====================================================================
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_en = ", ".join(f"'{w}'" for w in STOP_EN)
+    stop_de = ", ".join(f"'{w}'" for w in STOP_DE)
+    stop_fr = ", ".join(f"'{w}'" for w in STOP_FR)
+
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+    # shared shingle/minhash CTE text (documents, 3-gram, k=16, 4 bands)
+    shingle_cte = rf"""
+norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+)"""
+
+    return {
+        "rank_encode": """
+SELECT l_orderkey, l_linenumber,
+  CASE
+    WHEN l_orderkey % 3 = 0 THEN
+      (l_orderkey % 7 + 1)::VARCHAR || '.' ||
+      CAST(CEIL(l_linenumber / 3.0) AS INT)::VARCHAR || '.' ||
+      (((l_linenumber - 1) % 3) + 1)::VARCHAR
+    WHEN l_orderkey % 3 = 1 THEN
+      (l_orderkey % 7 + 1)::VARCHAR || '.' || l_linenumber::VARCHAR
+    ELSE 'Other mode'
+  END AS rank_str
+FROM lineitem
+""",
+        "bsr_extract": r"""
+WITH r AS (
+  SELECT p_partkey,
+    '#' || p_partkey::VARCHAR || ' in ' || p_type ||
+      CASE WHEN p_size % 3 = 0 THEN ' (See Top 100 in ' || p_type || ')' ELSE '' END AS rank1,
+    '#' || p_size::VARCHAR || ' in Office Products' AS rank2
+  FROM part
+)
+SELECT p_partkey,
+  regexp_extract(rank1, '#\s*([\d,]+)\s+in', 1) AS bsr_raw,
+  CASE
+    WHEN strpos(rank1, 'Top 100') > 0 THEN regexp_extract(rank2, '#\s*([\d,]+)\s+in', 1)
+    WHEN strpos(rank2, 'Top 100') > 0 THEN regexp_extract(rank1, '#\s*([\d,]+)\s+in', 1)
+    ELSE regexp_extract(rank1, '#\s*([\d,]+)\s+in', 1)
+  END AS bsr_picked
+FROM r
+""",
+        "first_per_group": """
+SELECT l_orderkey, l_returnflag, l_linenumber, l_partkey
+FROM lineitem
+QUALIFY row_number() OVER (
+  PARTITION BY l_orderkey, l_returnflag
+  ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) = 1
+""",
+        "concat_rollup": """
+SELECT l_orderkey,
+  string_agg(CAST(FLOOR(l_quantity) AS BIGINT)::VARCHAR, '|'
+             ORDER BY l_linenumber, l_partkey, l_suppkey, FLOOR(l_quantity)) AS qty_report
+FROM lineitem GROUP BY l_orderkey
+""",
+        "dim_join": """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "theta_join_first_match": """
+WITH dims AS (
+  SELECT * FROM (VALUES ('widget','W',0), ('bolt','B',1), ('rod','R',2), ('large','L',3))
+  AS t(match_word, attr, dict_pos)
+),
+j AS (
+  SELECT p_partkey, p_name, d.attr, d.dict_pos
+  FROM part p LEFT JOIN dims d ON strpos(p.p_name, d.match_word) > 0
+)
+SELECT p_partkey, p_name, COALESCE(attr, 'NONE') AS attr
+FROM j
+QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY COALESCE(dict_pos, 1 << 30)) = 1
+""",
+        "anti_join_new": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+        "url_canonicalize": r"""
+WITH raw AS (
+  SELECT o_orderkey,
+    'https://WWW.Amazon.com/dp/B' || o_orderkey::VARCHAR || '/ref=sr_1_' ||
+    (o_orderkey % 10)::VARCHAR || '?qid=15&b=' || (o_orderkey % 7)::VARCHAR ||
+    '&ref=x&a=1&ie=UTF8#frag' AS url
+  FROM orders
+),
+s1 AS (SELECT o_orderkey, regexp_replace(url, '#.*$', '') AS u FROM raw),
+sp AS (
+  SELECT o_orderkey,
+    CASE WHEN strpos(u, '?') > 0 THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base,
+    CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) ELSE '' END AS q
+  FROM s1
+),
+p AS (
+  SELECT o_orderkey,
+    lower(regexp_extract(base, '^(https?://[^/]*)', 1)) AS sh,
+    regexp_replace(regexp_replace(regexp_replace(base, '^https?://[^/]*', ''), '/+$', ''), '/ref=[^/]*$', '') AS path,
+    array_to_string(
+      list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT list_contains(['ref','qid','ie','sr','tag','psc','spIA','rnid'], string_split(x, '=')[1]))),
+      '&') AS qs
+  FROM sp
+)
+SELECT o_orderkey, sh || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+FROM p
+""",
+        "sponsored_classify": """
+WITH t AS (
+  SELECT p_partkey,
+    CASE WHEN p_partkey % 5 = 0 THEN ' [Sponsored] ' || p_name ELSE p_name END AS title
+  FROM part
+)
+SELECT p_partkey,
+  trim(replace(trim(title), '[Sponsored]', '')) AS clean_title,
+  strpos(title, 'Sponsored') > 0 AS is_ad
+FROM t
+""",
+        "politeness_batch": """
+SELECT (o_orderkey % 8)::INT AS host_shard,
+  row_number() OVER (PARTITION BY o_orderkey % 8 ORDER BY o_orderdate, o_orderkey) AS rn,
+  o_orderkey
+FROM orders
+QUALIFY rn <= 5
+""",
+        "anomaly_counts": """
+SELECT user_id, COUNT(*) AS n_events,
+  CASE WHEN COUNT(*) > 45 THEN 'anomaly' ELSE 'ok' END AS flag
+FROM events GROUP BY user_id
+""",
+        "sku_fanout": """
+SELECT o_orderkey, UNNEST(generate_series(1, (o_orderkey % 4 + 1)::INT)) AS sku_idx
+FROM orders
+""",
+        "json_extract": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value FROM events
+""",
+        "windowed_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+  COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+        "dedup_exact": rf"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM (SELECT doc_id, md5({norm}) AS d FROM documents)
+GROUP BY d
+""",
+        "dedup_minhash_lsh": rf"""
+WITH {shingle_cte},
+sig AS (
+  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || s)) AS mh
+  FROM sh, UNNEST(generate_series(0, 15)) AS g(j)
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+  FROM sig GROUP BY doc_id, j // 4
+),
+bsz AS (SELECT band, bh, COUNT(*) AS c FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  JOIN bsz ON bsz.band = a.band AND bsz.bh = a.bh
+  WHERE bsz.c BETWEEN 2 AND 200
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+  COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard_sim
+FROM cand c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+""",
+        "dedup_ngram_jaccard": rf"""
+WITH {shingle_cte},
+docs AS (SELECT doc_id, lang FROM documents),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a
+  JOIN docs da ON da.doc_id = a.doc_id
+  JOIN sh b ON b.s = a.s AND b.doc_id > a.doc_id
+  JOIN docs db ON db.doc_id = b.doc_id AND db.lang = da.lang
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+  i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) AS jaccard_sim
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.3
+""",
+        "embedding_neardup": """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+    4) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.8
+""",
+        "ann_topk": """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+    6) AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id, cos_sim,
+  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+        "text_stats": rf"""
+WITH base AS (
+  SELECT doc_id, text, {norm} AS t FROM documents
+),
+tk AS (
+  SELECT doc_id, text, t,
+    CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS toks
+  FROM base
+),
+m AS (
+  SELECT doc_id, text, toks,
+    len(toks) AS n_tokens,
+    len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+    len(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+    len(list_filter(toks, x -> list_contains([{stop_en}], x))) AS n_stop
+  FROM tk
+),
+r AS (
+  SELECT doc_id, n_tokens,
+    len(regexp_extract_all(lower(text), '(\w+|[^\w\s])', 1)) AS n_word_tokens,
+    CASE WHEN n_nonspace > 0 THEN n_punct::DOUBLE / n_nonspace ELSE 0.0 END AS pr,
+    CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS sr
+  FROM m
+)
+SELECT doc_id, n_tokens, n_word_tokens,
+  round(pr, 6) AS punct_ratio,
+  round(sr, 6) AS stopword_ratio,
+  round(
+    least(n_tokens / 100.0, 1.0) * 0.4
+    + greatest(0.0, 1.0 - pr * 4) * 0.3
+    + least(sr * 5, 1.0) * 0.3,
+  6) AS quality
+FROM r
+""",
+        "lang_id": rf"""
+WITH base AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (
+  SELECT doc_id, CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS toks
+  FROM base
+),
+c AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains([{stop_en}], x))) AS en,
+    len(list_filter(toks, x -> list_contains([{stop_de}], x))) AS de,
+    len(list_filter(toks, x -> list_contains([{stop_fr}], x))) AS fr
+  FROM tk
+)
+SELECT doc_id,
+  CASE
+    WHEN greatest(en, de, fr) < 2 THEN 'unknown'
+    WHEN en = greatest(en, de, fr) THEN 'en'
+    WHEN de = greatest(en, de, fr) THEN 'de'
+    ELSE 'fr'
+  END AS lang_detected
+FROM c
+""",
+        "fingerprint": rf"""
+SELECT doc_id, md5({norm}) AS fp FROM documents
+""",
+    }

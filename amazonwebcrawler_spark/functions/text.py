@@ -1,0 +1,92 @@
+"""Text-analysis kernels for training-data pipelines over ``documents``.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — each a pure column expression so Catalyst keeps it
+inside whole-stage codegen, and each mirrored 1:1 by ANSI SQL in
+``__spark_entry__.oracle_sql`` (DuckDB cross-check).
+
+The reference repo has no text pipeline — these are the ⊕ operators the
+north star adds for 100 TB training-data curation (brief: 'the operations a
+large-scale training-data pipeline would need').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny public stopword lists — enough for a deterministic heuristic
+STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
+
+
+def normalize_text(text: Column) -> Column:
+    """lowercase + collapse whitespace — the canonical text form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of the normalized text (empty → empty array)."""
+    t = normalize_text(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish word/punct split: runs of word chars OR single non-space
+    non-word chars — a closer proxy for subword tokenizers than whitespace."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"(\w+|[^\w\s])"), 1)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-space characters that are punctuation."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+
+def stopword_ratio(text: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    n = token_count(text)
+    return F.when(n > 0, _stopword_hits(tokens(text), words) / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: rewards mid-length docs with
+    normal punctuation and some stopwords (boilerplate/code/gibberish score
+    low). Weights are fixed so the DuckDB oracle reproduces it exactly."""
+    n = token_count(text)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    stop_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
+    return F.round(len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-vote language ID over {en, de, fr}; 'unknown' when no list
+    scores ≥ 2 hits. Ties break en > de > fr (the when-chain order)."""
+    toks = tokens(text)
+    en = _stopword_hits(toks, STOPWORDS_EN)
+    de = _stopword_hits(toks, STOPWORDS_DE)
+    fr = _stopword_hits(toks, STOPWORDS_FR)
+    best = F.greatest(en, de, fr)
+    return (
+        F.when(best < 2, "unknown")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .otherwise("fr")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text. md5 (not xxhash64)
+    so DuckDB computes the identical value for the oracle check."""
+    return F.md5(normalize_text(text))

@@ -1,0 +1,83 @@
+"""URL canonicalization + hashing (SURVEY.md P14/P15).
+
+The reference concatenates raw hrefs and keeps tracking params
+(getStockNumber.py:67 builds ``'https://www.amazon.com' + item.a['href']``;
+its seed URL getRank.py:507 carries ``ref=``/``qid=`` params), so the same
+logical page can be fetched many times under different spellings. The
+canonical form below is the dedup key for the URL-seen filter.
+
+Canonicalization rule (applied identically by the engine and the DuckDB
+oracle SQL, so it must stay expressible in portable SQL built-ins):
+
+1. drop the ``#fragment``
+2. lowercase the ``scheme://host`` part (path and query stay case-sensitive)
+3. strip an Amazon-style ``/ref=...`` suffix from the path
+4. strip trailing ``/`` from the path
+5. drop tracking query params: ``ref qid ie sr tag psc spIA rnid``
+6. sort surviving ``k=v`` query params lexicographically and rejoin
+
+Everything is built from `pyspark.sql.functions` column expressions —
+no UDF, fully inside whole-stage codegen, pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: query parameters that never change page identity (P14)
+TRACKING_PARAMS = ("ref", "qid", "ie", "sr", "tag", "psc", "spIA", "rnid")
+
+
+def _strip_fragment(url: Column) -> Column:
+    return F.regexp_replace(url, "#.*$", "")
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical spelling of ``url`` per the rule above. Pure column math."""
+    u = _strip_fragment(url)
+    base = F.substring_index(u, "?", 1)
+    # query string: everything after the first '?' ('' when absent)
+    query = F.when(
+        F.instr(u, "?") > 0,
+        F.substring(u, F.instr(u, "?") + F.lit(1), F.length(u)),
+    ).otherwise(F.lit(""))
+
+    scheme_host = F.lower(F.regexp_extract(base, r"^(https?://[^/]*)", 1))
+    path = F.regexp_replace(base, r"^https?://[^/]*", "")
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.regexp_replace(path, r"/ref=[^/]*$", "")  # Amazon path-embedded ref
+
+    tracking = F.array(*[F.lit(p) for p in TRACKING_PARAMS])
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~F.array_contains(tracking, F.split(p, "=")[0]),
+    )
+    sorted_q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        scheme_host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of ``url``."""
+    return F.lower(F.regexp_extract(url, r"^https?://([^/?#]*)", 1))
+
+
+def url_hash(canonical_url: Column) -> Column:
+    """64-bit stable hash of the canonical URL — the URL-seen key (P15/J6)."""
+    return F.xxhash64(canonical_url)
+
+
+def host_shard(host: Column, canonical_url: Column, n_shards: int = 32, salt_bits: int = 4) -> Column:
+    """Skew-aware host shard (SURVEY.md §4 'skew handling').
+
+    All of amazon.com is one logical host — hashing by host alone makes one
+    hot partition. Salting spreads each host over ``2**salt_bits`` shards
+    (deterministically, by URL), and the politeness token bucket divides a
+    host's budget by the same factor, so rate limits still hold globally.
+    """
+    salt = F.pmod(F.xxhash64(canonical_url), F.lit(2**salt_bits))
+    return F.pmod(F.xxhash64(host, salt), F.lit(n_shards)).cast("int")

@@ -1,0 +1,148 @@
+"""Partitioned Bloom-filter URL-seen state (SURVEY.md P15/J6; north_rule).
+
+The reference re-fetches freely (it re-``get``\\ s every SKU page,
+getRank.py:361, and its own TODO laments wasted refetches, getTitle.py:192).
+At 10^10 frontier URLs an exact ``seen`` anti-join would shuffle the full
+seen set every wave — the Bloom filter is the scale path:
+
+* the seen set is sharded into ``n_buckets`` bitsets, partitioned by
+  ``pmod(h1, n_buckets)`` — each candidate URL touches exactly ONE shard;
+* hash positions use Kirsch-Mitzenmacher double hashing
+  ``pos_i = (h1 + i*h2) mod m`` with ``h1 = xxhash64(url)`` and
+  ``h2 = xxhash64(url, 's2')`` computed **JVM-side** as column expressions —
+  the pandas kernels below only ever see int64s, all numpy-vectorized;
+* probe and merge are **cogrouped** ``applyInPandas`` over (candidates ⨝
+  shards) grouped by bucket, so a shard's bytes are materialized once per
+  task, never duplicated per candidate row;
+* the filter admits false positives but never false negatives, so:
+  ``maybe_seen == False`` → definitely new (no exact check needed);
+  ``maybe_seen == True``  → confirmed against the exact ``seen`` table with
+  a ``left_anti`` join — which at scale only touches the tiny
+  TP+FP subset instead of the whole frontier.
+
+Sizing: with the default ``bits_per_item=12, k=5`` the false-positive rate
+is ~0.3%; at 10^10 URLs that is 15 GB of filter split over shards
+(``n_buckets=4096`` → ~3.7 MB/shard), one shard per task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHARD_SCHEMA = "bucket int, bits binary, n_items long, m_bits long, k int"
+
+
+@dataclass(frozen=True)
+class BloomConfig:
+    n_buckets: int = 64
+    m_bits: int = 1 << 20  # bits per shard
+    k: int = 5
+
+    @classmethod
+    def for_capacity(cls, n_items: int, bits_per_item: int = 12, n_buckets: int = 64) -> "BloomConfig":
+        per_shard = max(1 << 14, (n_items * bits_per_item) // n_buckets)
+        return cls(n_buckets=n_buckets, m_bits=int(per_shard), k=5)
+
+
+def with_bloom_keys(df: DataFrame, url_col: str, cfg: BloomConfig) -> DataFrame:
+    """Attach (h1, h2, bucket) — pure JVM column math, no Python."""
+    return (
+        df.withColumn("h1", F.xxhash64(F.col(url_col)))
+        .withColumn("h2", F.xxhash64(F.col(url_col), F.lit("s2")))
+        .withColumn("bucket", F.pmod(F.col("h1"), F.lit(cfg.n_buckets)).cast("int"))
+    )
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n,) int64 pairs → (n, k) bit positions. Vectorized double hashing."""
+    u1 = h1.astype(np.uint64)
+    u2 = h2.astype(np.uint64) | np.uint64(1)  # force odd so strides cycle
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((u1[:, None] + i * u2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def _set_bits(bits: bytearray, pos: np.ndarray) -> None:
+    arr = np.frombuffer(bits, dtype=np.uint8).copy()
+    flat = pos.ravel()
+    np.bitwise_or.at(arr, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+    bits[:] = arr.tobytes()
+
+
+def _test_bits(bits: bytes, pos: np.ndarray) -> np.ndarray:
+    """(n, k) positions → (n,) bool 'all k bits set'."""
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    hit = (arr[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return hit.all(axis=1)
+
+
+def empty_shards(spark: SparkSession, cfg: BloomConfig) -> DataFrame:
+    rows = [(b, bytearray(cfg.m_bits >> 3), 0, cfg.m_bits, cfg.k) for b in range(cfg.n_buckets)]
+    return spark.createDataFrame(rows, SHARD_SCHEMA)
+
+
+def merge_into_shards(new_keys: DataFrame, shards: DataFrame, cfg: BloomConfig) -> DataFrame:
+    """OR the (h1, h2)-keyed new URLs into their shards.
+
+    ``new_keys`` must carry (h1, h2, bucket) from :func:`with_bloom_keys`.
+    Cogrouped per bucket: one task sees one shard + its new keys.
+    """
+    k, m = cfg.k, cfg.m_bits
+
+    def merge(keys: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if shard.empty:
+            bucket = int(keys["bucket"].iloc[0])
+            bits, n_items = bytearray(m >> 3), 0
+        else:
+            bucket = int(shard["bucket"].iloc[0])
+            bits, n_items = bytearray(shard["bits"].iloc[0]), int(shard["n_items"].iloc[0])
+        if not keys.empty:
+            pos = _positions(keys["h1"].to_numpy(), keys["h2"].to_numpy(), k, m)
+            _set_bits(bits, pos)
+            n_items += len(keys)
+        return pd.DataFrame(
+            [{"bucket": bucket, "bits": bytes(bits), "n_items": n_items, "m_bits": m, "k": k}]
+        )
+
+    return (
+        new_keys.select("bucket", "h1", "h2")
+        .groupBy("bucket")
+        .cogroup(shards.groupBy("bucket"))
+        .applyInPandas(merge, SHARD_SCHEMA)
+    )
+
+
+def probe_shards(candidates: DataFrame, shards: DataFrame, cfg: BloomConfig) -> DataFrame:
+    """candidates (+h1,h2,bucket) → same rows + ``maybe_seen:boolean``.
+
+    No false negatives: ``maybe_seen=false`` rows are guaranteed unseen.
+    """
+    k, m = cfg.k, cfg.m_bits
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+    cols = [f.name for f in candidates.schema.fields]
+
+    def probe(cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if cand.empty:
+            return pd.DataFrame(columns=[*cols, "maybe_seen"])
+        if shard.empty:
+            cand = cand.copy()
+            cand["maybe_seen"] = False
+            return cand
+        pos = _positions(cand["h1"].to_numpy(), cand["h2"].to_numpy(), k, m)
+        cand = cand.copy()
+        cand["maybe_seen"] = _test_bits(shard["bits"].iloc[0], pos)
+        return cand
+
+    return (
+        candidates.groupBy("bucket")
+        .cogroup(shards.groupBy("bucket"))
+        .applyInPandas(probe, out_schema)
+    )

@@ -1,0 +1,244 @@
+"""Deduplication family for training-data pipelines over ``documents``.
+
+Five dedup strategies, each chosen for a different scale/recall trade-off:
+
+* exact          — hash-groupBy on md5(normalized text). One shuffle.
+* n-gram Jaccard — shingle sets + array_intersect/union. Exact similarity,
+                   quadratic within blocks; use after LSH blocking.
+* MinHash + LSH  — signature → bands → bucket join. The 100 TB path: the
+                   only shuffle is by (band, band_hash); candidate pairs are
+                   verified with exact Jaccard afterwards, so false positives
+                   cost work but never correctness.
+* SimHash        — 64-bit near-dup fingerprint via token-hash bit voting;
+                   pandas-UDF kernel (bit twiddling), hamming join.
+* embedding cosine — near-dup by vector similarity (see similarity.py).
+
+Cross-engine determinism: every hash here is **md5** (not xxhash64/murmur)
+because DuckDB computes identical md5 strings — the oracle SQL in
+``__spark_entry__`` re-derives MinHash signatures and LSH buckets exactly,
+making even the approximate path value-checkable.
+
+Scale notes: signatures are computed in one projection (no UDF); LSH
+explodes each doc into ``n_bands`` rows — shuffle volume is
+``n_bands × docs``, tunable; band-bucket self-join uses a groupBy-collect
+within buckets rather than a join, so a hot bucket degrades to a local
+quadratic, bounded by ``max_bucket`` guard.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.functions.text import normalize_text
+
+
+# ----------------------------------------------------------------- shingles
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (sorted for
+    determinism). Empty/short docs → empty array."""
+    toks = F.split(normalize_text(text), " ")
+    # guard: sequence(0, negative) would generate a DESCENDING range in Spark
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (already distinct)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# -------------------------------------------------------------- exact dedup
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative of each exact (normalized) duplicate
+    group. One hash-aggregate shuffle on the digest — the cheapest dedup."""
+    return (
+        df.withColumn("_digest", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_digest")
+    )
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
+    """k-element MinHash signature: for hash family j, the minimum md5 of
+    ``'<j>:<shingle>'``. min over md5 *strings* — identical in DuckDB, which
+    is what makes the LSH pipeline oracle-checkable end to end."""
+    sh = shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))))
+            for j in range(k)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Signature → array<struct<band:int, bh:string>> of band hashes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|")).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    Plan shape: project signature (no shuffle) → explode bands (n_bands×
+    rows) → groupBy (band, bh) collecting [id, shingles] → local pair
+    generation inside each bucket → exact-Jaccard filter ≥ threshold →
+    distinct pairs. Buckets above ``max_bucket`` are dropped (logged
+    upstream) — the standard guard against degenerate all-same buckets.
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """
+    rows_per_band = k // n_bands
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+        minhash_signature(F.col(text_col), k, shingle_n).alias("_sig"),
+    ).withColumn("_bands", lsh_bands(F.col("_sig"), n_bands, rows_per_band))
+
+    exploded = keyed.select("_id", "_sh", F.explode("_bands").alias("b")).select(
+        "_id", "_sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("_id", "_sh")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    # local pair generation: explode members twice, keep ordered pairs
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), F.col("members"))
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs within blocks (e.g. same source/lang).
+
+    Blocked self-join — the exactness oracle for the MinHash path. At scale
+    only viable with tight blocks; that is the point of the block_col.
+    """
+    keyed = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash64_udf():
+    """Pandas-UDF SimHash: md5-derived 64-bit token hashes, bitwise ±1 vote,
+    sign → fingerprint. Arrow-batched; the bit voting is numpy over the
+    whole batch's token matrix."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            votes = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in toks:
+                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                votes += 2 * bits - 1
+            fp = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocking: 4 16-bit chunks of the fingerprint — any pair within hamming
+    ≤ 3 shares at least one exact chunk (pigeonhole, 4 > 3), so the join is
+    on (chunk_idx, chunk_value), never a full cross join.
+    """
+    sh = simhash64_udf()
+    keyed = df.select(F.col(id_col).alias("_id"), sh(F.col(text_col)).alias("_fp"))
+    chunks = keyed.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("_fp", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_fp", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                F.col("a._fp").alias("fp_a"), F.col("b._fp").alias("fp_b"))
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)

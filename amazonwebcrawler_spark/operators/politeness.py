@@ -1,0 +1,64 @@
+"""Per-host politeness + priority dequeue (SURVEY.md C2, W4, §4 skew).
+
+The reference paces itself implicitly — one browser, sequential fetches,
+``WebDriverWait(browser, 10)`` between actions (getRank.py:33) and
+``time.sleep(3)`` after cart mutations (getStockNumber.py:122). The engine
+makes that an explicit **token bucket per host shard**:
+
+* every frontier row carries ``host_shard`` (salted — one hot host like
+  amazon.com spreads over 2**salt_bits shards, SURVEY.md §4);
+* a wave may fetch at most ``tokens_per_shard`` URLs per shard — globally a
+  host's budget is ``tokens_per_shard * 2**salt_bits`` per wave, so salting
+  never changes the aggregate rate, only the partition layout;
+* within a shard, rows are taken in **priority order** — the total order
+  ``(depth, discovery_seq, priority_score, canonical_url)`` that makes wave
+  contents independent of parallelism (north_rule crawl-ordering match).
+
+Everything is a window function — no driver loop, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: the deterministic total order of the frontier (W4). ``discovery_seq`` is a
+#: data-defined sequence number assigned at enqueue time, NOT an execution
+#: artifact — identical at local[8] and local[32].
+PRIORITY_ORDER = ("depth", "discovery_seq", "priority_score", "canonical_url")
+
+
+def priority_sort_cols() -> list:
+    return [F.col("depth").asc(), F.col("discovery_seq").asc(),
+            F.col("priority_score").desc(), F.col("canonical_url").asc()]
+
+
+def select_wave_batch(frontier: DataFrame, tokens_per_shard: int) -> tuple[DataFrame, DataFrame]:
+    """Split the frontier into (this wave's batch, deferred remainder).
+
+    One shuffle on ``host_shard``; the window ranks each shard's queue and
+    the token budget cuts it. Deferred rows keep their priority and win the
+    next wave — exactly a token bucket refilled once per wave.
+    """
+    w = Window.partitionBy("host_shard").orderBy(*priority_sort_cols())
+    ranked = frontier.withColumn("_tb_rank", F.row_number().over(w))
+    batch = ranked.filter(F.col("_tb_rank") <= tokens_per_shard).drop("_tb_rank")
+    deferred = ranked.filter(F.col("_tb_rank") > tokens_per_shard).drop("_tb_rank")
+    return batch, deferred
+
+
+def assign_discovery_seq(expanded: DataFrame, base_seq: int) -> DataFrame:
+    """Assign data-defined ``discovery_seq`` to newly discovered URLs.
+
+    Ordering: (parent's discovery_seq, position on the parent page,
+    canonical_url) — the BFS order the reference's sequential loop produces
+    (items iterated in page order, getRank.py:173; pages in ascending order,
+    getRank.py:466). A global ``row_number`` over that order is deterministic
+    under any parallelism because it is a function of data alone.
+    """
+    w = Window.orderBy(
+        F.col("parent_seq").asc(), F.col("parent_pos").asc(), F.col("canonical_url").asc()
+    )
+    return expanded.withColumn(
+        "discovery_seq", (F.lit(base_seq) + F.row_number().over(w)).cast("long")
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same results contract (query_id, neighbor_id, cos_sim, rank):
+
+* ``brute_force_topk`` — broadcast the (small) query set against the corpus,
+  exact cosine via ``zip_with`` + ``aggregate`` (pure JVM column math — no
+  Python in the hot path), window top-k. Exact baseline + correctness oracle.
+* ``lsh_topk`` — random-hyperplane LSH: sign-bit bucket from ``n_planes``
+  deterministic projections (seeded, generated driver-side, shipped as
+  literal arrays → still pure column math), candidate set = same bucket or
+  hamming-1 neighbor buckets (multi-probe), exact cosine re-rank inside
+  buckets. The 100 TB path: the corpus is scanned once, shuffled once by
+  bucket; no cross join ever materializes.
+
+Recall knob: more planes → smaller buckets (faster, lower recall); the test
+suite measures recall@k of lsh vs brute force and asserts a floor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    # cast per-element to double BEFORE multiplying: float32 products would
+    # diverge from the DuckDB oracle's double math in the last ulp
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (excluding self).
+
+    ``queries`` is broadcast — the intended shape is few queries × huge
+    corpus; Catalyst turns this into BroadcastNestedLoopJoin with the scan
+    of ``corpus`` staying partition-parallel.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def bucket_expr(vec, planes: list[list[float]]):
+    """Sign-bit LSH bucket id from literal hyperplanes — pure column math."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    multiprobe: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent hash tables (standard L-tables construction) —
+    a candidate qualifies if it shares the query's bucket in ANY table;
+    ``multiprobe`` additionally probes every hamming-1 neighbor bucket.
+    Candidates are re-ranked by exact cosine. Recall/cost knob:
+    candidate fraction ≈ n_tables * (n_planes+1) / 2**n_planes.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c_buckets, q_probes = [], []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        c_buckets.append(
+            F.struct(F.lit(t).alias("t"), bucket_expr(F.col("_cv"), planes).alias("b"))
+        )
+        b0 = bucket_expr(F.col("_qv"), planes)
+        probe_list = [b0] + (
+            [b0.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)] if multiprobe else []
+        )
+        q_probes.extend(F.struct(F.lit(t).alias("t"), p.alias("b")) for p in probe_list)
+
+    c = c.select("neighbor_id", "_cv", F.explode(F.array(*c_buckets)).alias("bk"))
+    q = q.select("query_id", "_qv", F.explode(F.array(*q_probes)).alias("bk"))
+
+    scored = (
+        c.join(F.broadcast(q), "bk")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    dim: int | None = None, n_planes: int = 6, seed: int = 7
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-blocked.
+
+    Near-identical vectors land in the same sign-bucket with high
+    probability; the exact cosine filter inside buckets keeps precision 1.0
+    (recall measured vs the brute-force oracle in tests).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    keyed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "bucket", bucket_expr(F.col("_v"), planes)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

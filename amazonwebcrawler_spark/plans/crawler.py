@@ -1,0 +1,563 @@
+"""The wave-loop crawl engine (SURVEY.md §3, C1-C8, M2/M3).
+
+The reference is one synchronous loop: fetch page → parse → classify → maybe
+turn page (getRank.py:461-474). Here each *wave* is a declarative DataFrame
+DAG over the whole frontier; the only driver-side control flow is the loop
+predicate (frontier emptiness + early-stop flags — tiny collects, C5/A3):
+
+    while frontier non-empty:
+        batch, deferred = token-bucket dequeue per host shard   (C2, W4)
+        fetched  = batch.mapInPandas(fetch)                      (S4-S6)
+        parsed   = from_json per page kind                       (P1-P13)
+        results |= classify ⨝ broadcast(dims) + rank encode      (J1/J2, W1-W3)
+        images  |= decode/phash pandas-UDF over fetched bytes    (S12, input_hint)
+        expand   = pagination + item/sku/cart fan-out            (J4, L1)
+        new      = canonicalize → robots → in-wave dedup →
+                   bloom probe → exact anti-join confirm         (P14, C7, P15/J6)
+        frontier = deferred ∪ retries ∪ new;  seen |= new        (C3)
+        snapshot commit                                          (C6, S10)
+
+Determinism: wave contents are a pure function of data — the frontier total
+order is (depth, discovery_seq, priority_score, canonical_url) where
+``discovery_seq`` is assigned from (parent_seq, parent_pos, canonical_url)
+at enqueue time. Host shards use CRC32 (reproducible in the pure-Python
+oracle). Nothing depends on partitioning or timing, so local[8] and
+local[32] produce byte-identical crawl orders (tests/test_equivalence.py).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from amazonwebcrawler_spark.functions.rank import (
+    is_sponsored,
+    rank_encode,
+    strip_sponsored_tag,
+)
+from amazonwebcrawler_spark.functions.urls import canonicalize_url, url_host
+from amazonwebcrawler_spark.operators import bloom
+from amazonwebcrawler_spark.operators.politeness import select_wave_batch
+from amazonwebcrawler_spark.sources import synthetic_world as world
+from amazonwebcrawler_spark.sources.seeds import dims_df, seeds_df
+from amazonwebcrawler_spark.sources.state_store import StateStore
+
+# ---------------------------------------------------------------- schemas
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("canonical_url", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("discovery_seq", T.LongType()),
+        T.StructField("priority_score", T.DoubleType()),
+        T.StructField("attempt", T.IntegerType()),
+        T.StructField("parent_seq", T.LongType()),
+        T.StructField("parent_pos", T.IntegerType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("host_shard", T.IntegerType()),
+        T.StructField("product_type", T.StringType()),
+        T.StructField("max_depth", T.IntegerType()),
+        T.StructField("keyword", T.StringType()),
+    ]
+)
+
+FETCHED_EXTRA = "status int, content string, image_bytes binary"
+
+SERP_JSON = (
+    "kind string, keyword string, page int, layout string, has_next boolean, "
+    "items array<struct<pos:int,title:string,href:string,is_sponsored:boolean,has_title_node:boolean>>"
+)
+DETAIL_JSON = (
+    "kind string, asin string, title string, variant_axis string, "
+    "skus array<struct<attr:string,dp_url:string>>, rank_mode string, "
+    "rank1 string, rank2 string, stock int"
+)
+CATEGORY_JSON = (
+    "kind string, category string, "
+    "items array<struct<pos:int,title:string,href:string,asin:string,img_src:string>>"
+)
+CART_JSON = "kind string, asin string, inventory string, alert string"
+
+IMAGES_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+
+
+@dataclass
+class CrawlConfig:
+    checkpoint_dir: str
+    max_waves: int = 64
+    tokens_per_shard: int = 8          # politeness budget per host shard per wave
+    n_shards: int = 16                 # host shards (salted, §4 skew)
+    salt_bits: int = 2
+    max_retries: int = 2
+    follow_items: bool = True          # SERP/category items → detail pages
+    follow_skus: bool = True           # detail → SKU variant pages (J4)
+    probe_inventory: bool = True       # detail → cart probe (S6)
+    early_stop: bool = False           # A3: stop paging once first ad+natural found
+    bloom: bloom.BloomConfig = field(default_factory=lambda: bloom.BloomConfig(n_buckets=16, m_bits=1 << 17))
+
+
+# ---------------------------------------------------------------- fetch UDF
+def _fetch_batches(batches):
+    """mapInPandas kernel: the sandbox 'network' (synthetic_world.fetch).
+
+    Real deployment swaps the body for an async HTTP client; the signature,
+    batching, and schema are the engine contract. Transient failures are
+    deterministic per (url, attempt) → status=-1, retried by the loop (C3).
+    """
+    for pdf in batches:
+        statuses, contents, images = [], [], []
+        for u, attempt in zip(pdf["canonical_url"], pdf["attempt"]):
+            if world.fetch_is_transient_failure(u, int(attempt)):
+                statuses.append(-1)
+                contents.append(None)
+                images.append(None)
+            else:
+                r = world.fetch(u)
+                statuses.append(r["status"])
+                contents.append(r["content"])
+                images.append(r["image_bytes"])
+        out = pdf.copy()
+        out["status"] = pd.Series(statuses, dtype="int32")
+        out["content"] = contents
+        out["image_bytes"] = images
+        yield out
+
+
+def _decode_image_batches(batches):
+    """mapInPandas kernel: decode fetched image bytes → typed metadata + phash
+    (input_hint: decode via vectorized Arrow batches, never per-row Spark)."""
+    from amazonwebcrawler_spark.functions.images import decode_image, phash64
+
+    for pdf in batches:
+        rows = []
+        for url, data, caption in zip(pdf["canonical_url"], pdf["image_bytes"], pdf["caption"]):
+            if data is None:
+                continue
+            px = decode_image(bytes(data))
+            asin = url.rsplit("/dp/", 1)[-1]
+            rows.append(
+                {
+                    "image_id": f"img-{asin}",
+                    "bytes": bytes(data),
+                    "w": px.shape[1],
+                    "h": px.shape[0],
+                    "fmt": "png" if bytes(data)[:8] == b"\x89PNG\r\n\x1a\n" else "jpeg",
+                    "caption": caption,
+                    "phash": phash64(px),
+                }
+            )
+        yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+
+
+# ---------------------------------------------------------------- helpers
+def _with_host_shard(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """CRC32-based salted host shard — CRC32 (not xxhash64) so the pure-Python
+    oracle reproduces shard assignment with zlib.crc32 (SURVEY.md §4)."""
+    salt = F.pmod(F.crc32(F.col("canonical_url")), F.lit(2**cfg.salt_bits))
+    return df.withColumn("host", url_host(F.col("canonical_url"))).withColumn(
+        "host_shard",
+        F.pmod(F.crc32(F.concat(F.col("host"), F.lit("#"), salt.cast("string"))), F.lit(cfg.n_shards)).cast("int"),
+    )
+
+
+def _robots_df(spark: SparkSession) -> DataFrame:
+    rows = [(h, d, cd) for h, (d, cd) in world.ROBOTS.items()]
+    return spark.createDataFrame(rows, "host string, disallow array<string>, crawl_delay double")
+
+
+def _robots_filter(df: DataFrame, robots: DataFrame) -> DataFrame:
+    """C7: drop disallowed URLs before enqueue — broadcast join + exists()."""
+    path = F.regexp_replace(F.col("canonical_url"), r"^https?://[^/]*", "")
+    return (
+        df.withColumn("_path", path)
+        .join(F.broadcast(robots.select("host", "disallow")), "host", "left")
+        .filter(
+            F.col("disallow").isNull()
+            | ~F.exists("disallow", lambda d: F.col("_path").startswith(d))
+        )
+        .drop("_path", "disallow")
+    )
+
+
+def _classify_kind(url: F.Column) -> F.Column:
+    return (
+        F.when(url.startswith(f"{world.HOST}/s?"), "serp")
+        .when(url.startswith(f"{world.HOST}/dp/"), "detail")
+        .when(url.startswith(f"{world.HOST}/gp/new-releases/"), "category")
+        .when(url.startswith(f"{world.HOST}/gp/cart/view.html?"), "cart")
+        .otherwise("404")
+    )
+
+
+class CrawlEngine:
+    """Drives the wave loop over a StateStore; resumable via ``resume=True``."""
+
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, seeds: DataFrame | None = None):
+        self.spark = spark
+        self.cfg = cfg
+        self.seeds = seeds if seeds is not None else seeds_df(spark)
+        self.dims = dims_df(spark)
+        self.robots = _robots_df(spark)
+        self.store = StateStore(spark, cfg.checkpoint_dir)
+
+    # ------------------------------------------------------------ init
+    def _initial_frontier(self) -> DataFrame:
+        f = (
+            self.seeds.withColumn("canonical_url", canonicalize_url(F.col("url")))
+            .withColumn("kind", _classify_kind(F.col("canonical_url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("discovery_seq", F.col("seed_id"))
+            .withColumn("priority_score", F.lit(0.0))
+            .withColumn("attempt", F.lit(0))
+            .withColumn("parent_seq", F.lit(-1).cast("long"))
+            .withColumn("parent_pos", F.lit(0))
+            .select(
+                "seed_id", "kind", "canonical_url", "depth", "discovery_seq",
+                "priority_score", "attempt", "parent_seq", "parent_pos",
+                "product_type", "max_depth", "keyword",
+            )
+        )
+        return _with_host_shard(f, self.cfg).select([f.name for f in FRONTIER_SCHEMA.fields])
+
+    # ------------------------------------------------------------ run
+    def run(self, resume: bool = False) -> dict:
+        cfg, spark, store = self.cfg, self.spark, self.store
+
+        if resume and (m := store.latest_manifest()) is not None:
+            frontier = store.load_snapshot("frontier")
+            shards = store.load_snapshot("shards")
+            wave0 = m["wave"] + 1
+            next_seq = m["counters"]["next_seq"]
+        else:
+            frontier = self._initial_frontier()
+            shards = bloom.empty_shards(spark, cfg.bloom)
+            seen0 = bloom.with_bloom_keys(frontier.select("canonical_url"), "canonical_url", cfg.bloom)
+            shards = bloom.merge_into_shards(seen0, shards, cfg.bloom)
+            next_seq = frontier.count() + 1000  # seeds occupy seq 0..n-1
+            store.commit_wave(
+                -1,
+                {"frontier": frontier, "shards": shards, "seen": frontier.select("canonical_url", "discovery_seq")},
+                {"next_seq": next_seq},
+            )
+            frontier = store.load_snapshot("frontier")
+            shards = store.load_snapshot("shards")
+            wave0 = 0
+
+        last_wave = wave0 - 1
+        for wave in range(wave0, cfg.max_waves):
+            if frontier.isEmpty():
+                break
+            frontier, shards, next_seq = self._run_wave(wave, frontier, shards, next_seq)
+            last_wave = wave
+        return {"last_wave": last_wave, "store": store}
+
+    # ------------------------------------------------------------ one wave
+    def _run_wave(self, wave: int, frontier: DataFrame, shards: DataFrame, next_seq: int):
+        cfg, spark, store = self.cfg, self.spark, self.store
+
+        batch, deferred = select_wave_batch(frontier, cfg.tokens_per_shard)
+
+        # ---- fetch (S4-S6): one mapInPandas over the batch, partitioned by shard
+        fetched_schema = T.StructType(
+            list(batch.schema.fields)
+            + [
+                T.StructField("status", T.IntegerType()),
+                T.StructField("content", T.StringType()),
+                T.StructField("image_bytes", T.BinaryType()),
+            ]
+        )
+        fetched = (
+            batch.repartition(cfg.n_shards, "host_shard")
+            .mapInPandas(_fetch_batches, fetched_schema)
+            .persist()
+        )
+
+        # ---- retries / dead letters (C3)
+        failed = fetched.filter(F.col("status") == -1)
+        retries = (
+            failed.filter(F.col("attempt") < cfg.max_retries)
+            .withColumn("attempt", F.col("attempt") + 1)
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+        dead = failed.filter(F.col("attempt") >= cfg.max_retries)
+        ok = fetched.filter(F.col("status") == 200)
+
+        # ---- parse per kind (P1-P13): from_json, fully declarative
+        serp = ok.filter(F.col("kind") == "serp").withColumn("p", F.from_json("content", SERP_JSON))
+        detail = ok.filter(F.col("kind") == "detail").withColumn("p", F.from_json("content", DETAIL_JSON))
+        category = ok.filter(F.col("kind") == "category").withColumn("p", F.from_json("content", CATEGORY_JSON))
+        cart = ok.filter(F.col("kind") == "cart").withColumn("p", F.from_json("content", CART_JSON))
+
+        serp_items = (
+            serp.select(
+                "seed_id", "keyword", "canonical_url", "discovery_seq", "host_shard",
+                F.col("p.page").alias("page"), F.col("p.layout").alias("layout"),
+                F.col("p.has_next").alias("has_next"), "product_type", "max_depth", "depth",
+                F.posexplode_outer("p.items").alias("_i", "item"),
+            )
+            .select(
+                "*",
+                F.col("item.pos").alias("pos"),
+                F.coalesce(F.col("item.title"), F.lit("Amazon recommendation")).alias("title"),  # P2
+                F.col("item.href").alias("href"),
+                F.col("item.is_sponsored").alias("item_is_sponsored"),
+            )
+            .drop("_i")
+        )
+
+        # ---- classify own products (J1/J2/P4-P6) + rank encode (W1-W3)
+        items_nonnull = serp_items.filter(F.col("pos").isNotNull())
+        clean = items_nonnull.withColumn("clean_title", strip_sponsored_tag(F.col("title"))).withColumn(
+            "is_ad", is_sponsored(F.col("title"))
+        )
+        dims = self.dims
+        matched = (
+            clean.join(
+                F.broadcast(dims),
+                (clean.product_type == dims.product_type)
+                & (F.instr(clean.clean_title, dims.match_title) > 0),
+                "left",
+            )
+            .drop(dims.product_type)
+            .withColumn(
+                "_mrank",
+                F.row_number().over(
+                    Window.partitionBy("canonical_url", "pos").orderBy(F.coalesce("dict_pos", F.lit(1 << 30)))
+                ),
+            )
+            .filter(F.col("_mrank") == 1)  # first-match-wins, getRank.py:229-236
+            .drop("_mrank")
+            .withColumn("is_own", F.col("match_title").isNotNull())
+            .withColumn("rank", rank_encode(F.col("layout"), F.col("page"), F.col("pos")))
+        )
+
+        results = matched.select(
+            F.lit(wave).alias("wave"), "seed_id", "keyword", "page", "pos", "layout",
+            "title", "clean_title", "is_ad", "is_own", "size_attr", "rank",
+            F.col("canonical_url").alias("page_url"), "host_shard",
+        )
+
+        # ---- detail results (BSR fields) + cart results
+        detail_rows = detail.select(
+            F.lit(wave).alias("wave"), "seed_id", "canonical_url", "discovery_seq",
+            "parent_seq", "parent_pos", "host_shard", "depth", "product_type",
+            "max_depth", "keyword",
+            F.col("p.asin").alias("asin"), F.col("p.title").alias("title"),
+            F.col("p.variant_axis").alias("variant_axis"), F.col("p.rank_mode").alias("rank_mode"),
+            F.col("p.rank1").alias("rank1"), F.col("p.rank2").alias("rank2"),
+            F.col("p.skus").alias("skus"),
+        )
+        cart_rows = cart.select(
+            F.lit(wave).alias("wave"), "seed_id", "canonical_url", "host_shard",
+            F.col("p.asin").alias("asin"),
+            F.col("p.inventory").alias("inventory"), F.col("p.alert").alias("alert"),
+        )
+
+        # ---- images (S12): decode + phash pandas-UDF over fetched bytes
+        images = (
+            detail.select("canonical_url", "image_bytes", F.col("p.title").alias("caption"))
+            .mapInPandas(_decode_image_batches, IMAGES_SCHEMA)
+        )
+
+        # ---- expansion (J4/L1): pagination + items + skus + cart probes
+        expansions = []
+        nxt = serp.filter(F.col("p.has_next") & (F.col("p.page") < F.col("max_depth")))
+        if cfg.early_stop:
+            # A3: seeds with ≥1 ad and ≥1 natural own hit stop paging (L2)
+            prior = self.store.load_deltas("results")
+            all_res = prior.unionByName(results) if prior is not None else results
+            done = (
+                all_res.filter(F.col("is_own"))
+                .groupBy("seed_id")
+                .agg(
+                    (F.sum(F.col("is_ad").cast("int")) >= 1).alias("has_ad"),
+                    (F.sum((~F.col("is_ad")).cast("int")) >= 1).alias("has_nat"),
+                )
+                .filter(F.col("has_ad") & F.col("has_nat"))
+                .select("seed_id")
+            )
+            nxt = nxt.join(done, "seed_id", "left_anti")
+        expansions.append(
+            nxt.select(
+                "seed_id",
+                F.concat(
+                    F.lit(f"{world.HOST}/s?field-keywords="),
+                    F.regexp_replace(F.col("p.keyword"), " ", "+"),
+                    F.lit("&page="), (F.col("p.page") + 1).cast("string"),
+                ).alias("raw_url"),
+                (F.col("depth") + 1).alias("depth"),
+                F.col("discovery_seq").alias("parent_seq"),
+                F.lit(100000).alias("parent_pos"),  # pagination after items (BFS tie-break)
+                "product_type", "max_depth", "keyword",
+            )
+        )
+        if cfg.follow_items:
+            expansions.append(
+                serp_items.filter(
+                    F.col("href").isNotNull() & (F.col("depth") + 1 <= F.col("max_depth"))
+                ).select(
+                    "seed_id",
+                    F.concat(F.lit(world.HOST), F.col("href")).alias("raw_url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("discovery_seq").alias("parent_seq"),
+                    F.col("pos").alias("parent_pos"),
+                    "product_type", "max_depth", "keyword",
+                )
+            )
+            cat_items = category.select(
+                "seed_id", "depth", "discovery_seq", "product_type", "max_depth", "keyword",
+                F.explode("p.items").alias("item"),
+            )
+            expansions.append(
+                cat_items.filter(F.col("depth") + 1 <= F.col("max_depth")).select(
+                    "seed_id",
+                    F.concat(F.lit(world.HOST), F.col("item.href")).alias("raw_url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("discovery_seq").alias("parent_seq"),
+                    F.col("item.pos").alias("parent_pos"),
+                    "product_type", "max_depth", "keyword",
+                )
+            )
+        if cfg.follow_skus:
+            skus = detail_rows.select(
+                "seed_id", "canonical_url", "discovery_seq", "depth",
+                "product_type", "max_depth", "keyword",
+                F.posexplode("skus").alias("sku_pos", "sku"),
+            )
+            expansions.append(
+                skus.filter(F.col("depth") + 1 <= F.col("max_depth")).select(
+                    "seed_id",
+                    # P11: empty dp_url falls back to the product page URL
+                    F.when(F.col("sku.dp_url") == "", F.col("canonical_url"))
+                    .otherwise(F.concat(F.lit(world.HOST), F.col("sku.dp_url")))
+                    .alias("raw_url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("discovery_seq").alias("parent_seq"),
+                    (F.col("sku_pos") + 1).alias("parent_pos"),
+                    "product_type", "max_depth", "keyword",
+                )
+            )
+        if cfg.probe_inventory:
+            expansions.append(
+                detail_rows.filter(F.col("depth") + 1 <= F.col("max_depth")).select(
+                    "seed_id",
+                    F.concat(
+                        F.lit(f"{world.HOST}/gp/cart/view.html?asin="), F.col("asin"), F.lit("&qty=999")
+                    ).alias("raw_url"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.col("discovery_seq").alias("parent_seq"),
+                    F.lit(200000).alias("parent_pos"),  # probes after sku links
+                    "product_type", "max_depth", "keyword",
+                )
+            )
+
+        candidates = expansions[0]
+        for e in expansions[1:]:
+            candidates = candidates.unionByName(e)
+
+        # ---- canonicalize → robots → in-wave dedup → seen dedup (P14/C7/P15/J6)
+        candidates = (
+            candidates.withColumn("canonical_url", canonicalize_url(F.col("raw_url")))
+            .drop("raw_url")
+            .withColumn("kind", _classify_kind(F.col("canonical_url")))
+        )
+        candidates = _with_host_shard(candidates, cfg)
+        candidates = _robots_filter(candidates, self.robots)
+        candidates = (
+            candidates.withColumn(
+                "_dup",
+                F.row_number().over(
+                    Window.partitionBy("canonical_url").orderBy(
+                        F.col("parent_seq").asc(), F.col("parent_pos").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_dup") == 1)
+            .drop("_dup")
+        )
+
+        keyed = bloom.with_bloom_keys(candidates, "canonical_url", cfg.bloom)
+        probed = bloom.probe_shards(keyed, shards, cfg.bloom)
+        fresh_sure = probed.filter(~F.col("maybe_seen"))
+        # bloom-positive rows: confirm against the exact seen set (left_anti
+        # touches only this small subset — the scale path, SURVEY.md P15)
+        seen = self.store.load_deltas("seen")
+        maybe = probed.filter(F.col("maybe_seen"))
+        confirmed_new = (
+            maybe.join(seen.select("canonical_url"), "canonical_url", "left_anti")
+            if seen is not None
+            else maybe
+        )
+        new_rows = fresh_sure.unionByName(confirmed_new).drop("maybe_seen")
+
+        # ---- data-defined discovery order (W4): seq from (parent, pos, url)
+        w_seq = Window.orderBy(F.col("parent_seq").asc(), F.col("parent_pos").asc(), F.col("canonical_url").asc())
+        new_rows = (
+            new_rows.withColumn("discovery_seq", (F.lit(next_seq) + F.row_number().over(w_seq)).cast("long"))
+            .withColumn("priority_score", F.lit(0.0))
+            .withColumn("attempt", F.lit(0))
+            .select([f.name for f in FRONTIER_SCHEMA.fields] + ["h1", "h2", "bucket"])
+            .persist()
+        )
+        n_new = new_rows.count()
+        next_seq += n_new
+
+        new_frontier = (
+            deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
+            .unionByName(retries.select([f.name for f in FRONTIER_SCHEMA.fields]))
+            .unionByName(new_rows.select([f.name for f in FRONTIER_SCHEMA.fields]))
+        )
+        if cfg.early_stop:
+            # kill pending pagination of satisfied seeds as well (L2)
+            nf = new_frontier.alias("nf")
+            new_frontier = nf.join(
+                done.withColumnRenamed("seed_id", "_done_seed"),
+                (F.col("nf.seed_id") == F.col("_done_seed")) & (F.col("nf.kind") == "serp"),
+                "left_anti",
+            )
+
+        new_shards = bloom.merge_into_shards(new_rows.select("bucket", "h1", "h2"), shards, cfg.bloom)
+
+        # ---- metrics + lineage (A6, north_rule)
+        metrics = (
+            fetched.groupBy("host_shard")
+            .agg(
+                F.count("*").alias("n_fetched"),
+                F.sum((F.col("status") == -1).cast("int")).alias("n_failed"),
+                F.sum(F.length(F.col("content"))).alias("content_bytes"),
+                F.sum(F.length(F.col("image_bytes"))).alias("image_bytes"),
+            )
+            .withColumn("wave", F.lit(wave))
+        )
+        lineage = fetched.select(
+            F.lit(wave).alias("wave"),
+            F.spark_partition_id().alias("partition_id"),
+            "seed_id", "canonical_url", "parent_seq", "discovery_seq", "host_shard", "status",
+        )
+
+        store = self.store
+        store.commit_wave(
+            wave,
+            {
+                "frontier": new_frontier,
+                "shards": new_shards,
+                "seen": new_rows.select("canonical_url", "discovery_seq"),
+                "results": results,
+                "detail_results": detail_rows.drop("skus"),
+                "cart_results": cart_rows,
+                "images": images,
+                "metrics": metrics,
+                "lineage": lineage,
+                "dead_letter": dead.select("canonical_url", "seed_id", "attempt"),
+            },
+            {"next_seq": next_seq},
+        )
+        fetched.unpersist()
+        new_rows.unpersist()
+        return store.load_snapshot("frontier"), store.load_snapshot("shards"), next_seq

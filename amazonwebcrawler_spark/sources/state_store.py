@@ -1,0 +1,113 @@
+"""Snapshot-per-wave state store (SURVEY.md S10, C6; north_rule resume).
+
+The reference checkpoints by saving its workbook after every keyword and on
+crash (getRank.py:479, 426-430; getStockNumber.py:151-153) — bounded loss,
+but no way to resume mid-run. Here every wave commits an **atomic snapshot**
+in the Iceberg style: data files first, then a single manifest JSON whose
+rename is the commit point. A crash loses at most the in-flight wave;
+``latest_manifest`` + ``load`` give exact resume (tested in
+tests/test_resume.py).
+
+Layout under ``root``::
+
+    frontier/wave=<n>/   full frontier snapshot at end of wave n
+    shards/wave=<n>/     full Bloom shard snapshot
+    seen/wave=<n>/       seen-set DELTA appended by wave n
+    results/wave=<n>/    parsed result DELTA
+    images/wave=<n>/     image+caption DELTA (input_hint schema)
+    metrics/wave=<n>/    per-(wave, host_shard) fetch/parse metrics
+    lineage/wave=<n>/    per-partition lineage rows
+    _manifests/manifest-<n>.json   the commit records
+
+Full-snapshot tables (frontier, shards) are read from the latest wave only;
+delta tables are read as the union of all committed waves. At 10^10 scale
+the shard snapshot would become per-bucket copy-on-write (only dirty buckets
+rewritten) — same manifest mechanics, noted here for the scale path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAPSHOT_TABLES = ("frontier", "shards")
+DELTA_TABLES = ("seen", "results", "images", "metrics", "lineage", "dead_letter")
+
+
+class StateStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+
+    # ------------------------------------------------------------- commit
+    def commit_wave(
+        self, wave: int, tables: dict[str, DataFrame | None], counters: dict[str, int]
+    ) -> None:
+        """Write all wave outputs, then atomically publish the manifest.
+
+        The per-table writes are independent Spark jobs — submitting them
+        from a thread pool overlaps their scheduling/IO latency (the wave
+        loop's dominant fixed cost; each wave commits ~8 small tables).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        entry: dict = {"wave": wave, "tables": {}, "counters": counters, "committed_at": time.time()}
+
+        def write(item: tuple[str, DataFrame]) -> tuple[str, str]:
+            name, df = item
+            path = os.path.join(self.root, name, f"wave={wave}")
+            df.write.mode("overwrite").parquet(path)
+            return name, path
+
+        todo = [(n, df) for n, df in tables.items() if df is not None]
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(todo)))) as pool:
+            for name, path in pool.map(write, todo):
+                entry["tables"][name] = path
+        tmp = os.path.join(self.root, "_manifests", f".manifest-{wave}.tmp")
+        final = os.path.join(self.root, "_manifests", f"manifest-{wave}.json")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.rename(tmp, final)  # the commit point
+
+    # ------------------------------------------------------------- resume
+    def committed_waves(self) -> list[int]:
+        mdir = os.path.join(self.root, "_manifests")
+        waves = []
+        for fn in os.listdir(mdir):
+            if fn.startswith("manifest-") and fn.endswith(".json"):
+                waves.append(int(fn[len("manifest-") : -len(".json")]))
+        return sorted(waves)
+
+    def latest_manifest(self) -> dict | None:
+        waves = self.committed_waves()
+        if not waves:
+            return None
+        with open(os.path.join(self.root, "_manifests", f"manifest-{waves[-1]}.json")) as f:
+            return json.load(f)
+
+    def load_snapshot(self, name: str) -> DataFrame | None:
+        """Latest committed full snapshot of ``name`` (frontier / shards)."""
+        for wave in reversed(self.committed_waves()):
+            m = self._manifest(wave)
+            if name in m["tables"]:
+                return self.spark.read.parquet(m["tables"][name])
+        return None
+
+    def load_deltas(self, name: str) -> DataFrame | None:
+        """Union of all committed deltas of ``name``."""
+        paths = [
+            m["tables"][name]
+            for w in self.committed_waves()
+            if name in (m := self._manifest(w))["tables"]
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def _manifest(self, wave: int) -> dict:
+        with open(os.path.join(self.root, "_manifests", f"manifest-{wave}.json")) as f:
+            return json.load(f)

@@ -1,0 +1,77 @@
+"""Continuous-operation facade: run the crawl as a Structured Streaming job.
+
+The engine's core is the deterministic batch wave loop (plans/crawler.py) —
+that is what the ordering-equivalence and exact-resume requirements demand
+(SURVEY.md §1.2). This facade wraps it for deployments that want a
+continuously running crawler: a rate-limited streaming source of seed URLs
+feeds `foreachBatch`, and each micro-batch appends seeds and advances the
+wave loop by a bounded number of waves. Checkpointing composes: Structured
+Streaming checkpoints the source offsets; the StateStore snapshots the
+crawl state — both resume independently and idempotently (new seeds that
+are already in the URL-seen set are dropped by the same bloom/anti-join
+path as any rediscovered URL).
+
+Also provides ``events_stream_demo`` — a watermarked windowed aggregation
+over the testdata ``events`` table replayed as a stream, demonstrating the
+late-data semantics (C8) the batch engine does not otherwise need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_continuous(
+    spark: SparkSession,
+    engine_factory,
+    seed_stream: DataFrame,
+    checkpoint_dir: str,
+    waves_per_batch: int = 4,
+):
+    """Drive the crawl from a streaming seed source.
+
+    ``engine_factory(seeds_df) -> CrawlEngine`` builds an engine whose
+    store lives under ``checkpoint_dir`` (shared across batches → resume).
+    Returns the StreamingQuery.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eng = engine_factory(batch_df)
+        eng.cfg.max_waves = waves_per_batch
+        eng.run(resume=batch_id > 0)
+
+    return (
+        seed_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{checkpoint_dir}/_stream_offsets")
+        .outputMode("update")
+        .start()
+    )
+
+
+def events_windowed_stream(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Watermark + tumbling-window aggregation demo (C8): replay the events
+    parquet as a rate-limited file stream, count per (1h window, type) with
+    a 2h watermark for late rows. Returns the StreamingQuery."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/events_windowed")
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

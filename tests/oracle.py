@@ -1,0 +1,169 @@
+"""Single-threaded reference-semantics crawl oracle (SURVEY.md §5.3).
+
+Replays the crawl with plain Python data structures — one queue, one seen
+set, one loop — mirroring the reference's sequential control flow
+(getRank.py:461-474) generalized to the engine's wave/politeness semantics.
+The Spark engine must reproduce this oracle's fetch order and URL-seen set
+exactly, at any parallelism (north_rule: 'matching the reference's crawl
+ordering and URL-seen set').
+
+Shared pure functions (synthetic_world, canonicalization rule, CRC32 shard
+math) guarantee both sides see the same world; everything else here is
+deliberately naive Python.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import zlib
+from dataclasses import dataclass, field
+
+from amazonwebcrawler_spark.sources import synthetic_world as world
+
+TRACKING = ("ref", "qid", "ie", "sr", "tag", "psc", "spIA", "rnid")
+
+
+def canonicalize_url_py(url: str) -> str:
+    """Pure-Python twin of functions.urls.canonicalize_url (P14).
+    Parity is asserted in tests/test_equivalence.py."""
+    u = re.sub(r"#.*$", "", url)
+    base, _, query = u.partition("?")
+    m = re.match(r"^(https?://[^/]*)", base)
+    scheme_host = m.group(1).lower() if m else ""
+    path = re.sub(r"^https?://[^/]*", "", base)
+    path = re.sub(r"/+$", "", path)
+    path = re.sub(r"/ref=[^/]*$", "", path)
+    kept = [p for p in query.split("&") if p and p.split("=")[0] not in TRACKING]
+    q = "&".join(sorted(kept))
+    return scheme_host + path + ("?" + q if q else "")
+
+
+def host_shard_py(canonical_url: str, n_shards: int, salt_bits: int) -> int:
+    host = re.match(r"^https?://([^/?#]*)", canonical_url).group(1).lower()
+    salt = zlib.crc32(canonical_url.encode()) % (2**salt_bits)
+    return zlib.crc32(f"{host}#{salt}".encode()) % n_shards
+
+
+@dataclass
+class OracleRow:
+    seed_id: int
+    kind: str
+    canonical_url: str
+    depth: int
+    discovery_seq: int
+    parent_seq: int
+    parent_pos: int
+    product_type: str
+    max_depth: int
+    keyword: str | None
+    attempt: int = 0
+
+
+@dataclass
+class OracleResult:
+    fetch_order: list[tuple[int, str]] = field(default_factory=list)  # (wave, url)
+    seen: set[str] = field(default_factory=set)
+    waves: int = 0
+
+
+def crawl_oracle(
+    seed_rows: list[tuple],
+    n_shards: int = 16,
+    salt_bits: int = 2,
+    tokens_per_shard: int = 8,
+    max_waves: int = 64,
+    max_retries: int = 2,
+    follow_items: bool = True,
+    follow_skus: bool = True,
+    probe_inventory: bool = True,
+) -> OracleResult:
+    """seed_rows: (seed_id, kind, keyword, url, product_type, max_depth)."""
+    res = OracleResult()
+    frontier: list[OracleRow] = []
+    for sid, _kind, kw, url, ptype, maxd in seed_rows:
+        cu = canonicalize_url_py(url)
+        frontier.append(
+            OracleRow(sid, world.classify_url(cu), cu, 0, sid, -1, 0, ptype, maxd, kw)
+        )
+        res.seen.add(cu)
+    next_seq = len(frontier) + 1000  # engine: count + 1000
+
+    for wave in range(max_waves):
+        if not frontier:
+            break
+        res.waves = wave + 1
+        # --- token-bucket dequeue per host shard, priority order (C2/W4)
+        by_shard: dict[int, list[OracleRow]] = {}
+        for r in frontier:
+            by_shard.setdefault(
+                host_shard_py(r.canonical_url, n_shards, salt_bits), []
+            ).append(r)
+        batch, deferred = [], []
+        for shard_rows in by_shard.values():
+            shard_rows.sort(key=lambda r: (r.depth, r.discovery_seq, r.canonical_url))
+            batch.extend(shard_rows[:tokens_per_shard])
+            deferred.extend(shard_rows[tokens_per_shard:])
+
+        # --- fetch + retries (C3)
+        retries, pages = [], []
+        for r in batch:
+            res.fetch_order.append((wave, r.canonical_url))
+            if world.fetch_is_transient_failure(r.canonical_url, r.attempt):
+                if r.attempt < max_retries:
+                    r.attempt += 1
+                    retries.append(r)
+                continue
+            fr = world.fetch(r.canonical_url)
+            if fr["status"] == 200:
+                pages.append((r, json.loads(fr["content"])))
+
+        # --- expansion (same rules as CrawlEngine._run_wave)
+        cand: list[tuple[int, int, str, OracleRow]] = []  # (parent_seq, parent_pos, raw, parent)
+        for r, p in pages:
+            if p["kind"] == "serp":
+                if follow_items and r.depth + 1 <= r.max_depth:
+                    for it in p["items"]:
+                        cand.append((r.discovery_seq, it["pos"], world.HOST + it["href"], r))
+                if p["has_next"] and p["page"] < r.max_depth:
+                    kw = p["keyword"].replace(" ", "+")
+                    raw = f"{world.HOST}/s?field-keywords={kw}&page={p['page'] + 1}"
+                    cand.append((r.discovery_seq, 100000, raw, r))
+            elif p["kind"] == "category":
+                if follow_items and r.depth + 1 <= r.max_depth:
+                    for it in p["items"]:
+                        cand.append((r.discovery_seq, it["pos"], world.HOST + it["href"], r))
+            elif p["kind"] == "detail":
+                if r.depth + 1 <= r.max_depth:
+                    if follow_skus:
+                        for i, sku in enumerate(p["skus"]):
+                            raw = r.canonical_url if sku["dp_url"] == "" else world.HOST + sku["dp_url"]
+                            cand.append((r.discovery_seq, i + 1, raw, r))
+                    if probe_inventory:
+                        raw = f"{world.HOST}/gp/cart/view.html?asin={p['asin']}&qty=999"
+                        cand.append((r.discovery_seq, 200000, raw, r))
+
+        # --- canonicalize → robots → in-wave dedup → seen dedup
+        best: dict[str, tuple[int, int, str, OracleRow]] = {}
+        for pseq, ppos, raw, parent in cand:
+            cu = canonicalize_url_py(raw)
+            if not world.robots_allowed(cu) or cu in res.seen:
+                continue
+            cur = best.get(cu)
+            if cur is None or (pseq, ppos) < (cur[0], cur[1]):
+                best[cu] = (pseq, ppos, cu, parent)
+
+        ordered = sorted(best.values(), key=lambda t: (t[0], t[1], t[2]))
+        new_rows = []
+        for i, (pseq, ppos, cu, parent) in enumerate(ordered):
+            res.seen.add(cu)
+            new_rows.append(
+                OracleRow(
+                    parent.seed_id, world.classify_url(cu), cu, parent.depth + 1,
+                    next_seq + 1 + i, pseq, ppos, parent.product_type,
+                    parent.max_depth, parent.keyword,
+                )
+            )
+        next_seq += len(new_rows)
+        frontier = deferred + retries + new_rows
+    return res

@@ -1,0 +1,49 @@
+"""Bloom URL-seen filter properties (SURVEY.md §5.2): zero false negatives
+vs the exact left_anti oracle; false-positive rate within sizing bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.operators import bloom
+
+
+def test_no_false_negatives_and_bounded_fp(spark):
+    cfg = bloom.BloomConfig(n_buckets=8, m_bits=1 << 16, k=5)
+    seen_urls = spark.createDataFrame(
+        [(f"https://www.amazon.com/dp/B{i:07d}",) for i in range(2000)], "canonical_url string"
+    )
+    keyed = bloom.with_bloom_keys(seen_urls, "canonical_url", cfg)
+    shards = bloom.merge_into_shards(keyed, bloom.empty_shards(spark, cfg), cfg)
+
+    # every inserted URL must probe positive (no false negatives — the
+    # property that makes maybe_seen=False a safe fast path)
+    probed_seen = bloom.probe_shards(keyed, shards, cfg)
+    assert probed_seen.filter(~F.col("maybe_seen")).count() == 0
+
+    # unseen URLs: false positives allowed but must be rare at this sizing
+    # (2000 items / 8 shards / 65536 bits → fp ~ 1e-5)
+    unseen = spark.createDataFrame(
+        [(f"https://www.amazon.com/gp/other/{i}",) for i in range(2000)], "canonical_url string"
+    )
+    probed_unseen = bloom.probe_shards(
+        bloom.with_bloom_keys(unseen, "canonical_url", cfg), shards, cfg
+    )
+    fp = probed_unseen.filter(F.col("maybe_seen")).count()
+    assert fp <= 20, f"false-positive rate too high: {fp}/2000"
+
+
+def test_merge_is_idempotent_and_incremental(spark):
+    cfg = bloom.BloomConfig(n_buckets=4, m_bits=1 << 14, k=5)
+    batch1 = spark.createDataFrame([(f"u{i}",) for i in range(100)], "canonical_url string")
+    batch2 = spark.createDataFrame([(f"v{i}",) for i in range(100)], "canonical_url string")
+    k1 = bloom.with_bloom_keys(batch1, "canonical_url", cfg)
+    k2 = bloom.with_bloom_keys(batch2, "canonical_url", cfg)
+    s1 = bloom.merge_into_shards(k1, bloom.empty_shards(spark, cfg), cfg)
+    s2 = bloom.merge_into_shards(k2, s1, cfg)
+    # both batches positive after the second merge
+    for keyed in (k1, k2):
+        assert bloom.probe_shards(keyed, s2, cfg).filter(~F.col("maybe_seen")).count() == 0
+    # shard count never changes; item counts accumulate
+    assert s2.count() == cfg.n_buckets
+    assert s2.agg(F.sum("n_items")).collect()[0][0] == 200

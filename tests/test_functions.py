@@ -1,0 +1,106 @@
+"""Unit vectors for the pure-column kernels (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.functions.rank import (
+    best_seller_rank_extract,
+    is_sponsored,
+    pick_non_top100_rank,
+    rank_encode,
+    rank_string_synthesis,
+    strip_sponsored_tag,
+)
+from amazonwebcrawler_spark.functions.urls import canonicalize_url, url_host
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+class TestCanonicalizeUrl:
+    def test_strips_tracking_and_sorts(self, spark):
+        # the reference's own seed URL shape (getRank.py:507): ref= + qid= params
+        raw = (
+            "https://WWW.Amazon.com/Upgraded-Version-Non-Slip/dp/B071G4PWY6/"
+            "?b=2&qid=1523525327&a=1&ref=sr_1_7&sr=8-7#reviews"
+        )
+        got = _one(spark, canonicalize_url(F.lit(raw)))
+        assert got == "https://www.amazon.com/Upgraded-Version-Non-Slip/dp/B071G4PWY6?a=1&b=2"
+
+    def test_path_ref_suffix_and_trailing_slash(self, spark):
+        raw = "https://www.amazon.com/dp/B01/ref=sr_1_1/"
+        assert _one(spark, canonicalize_url(F.lit(raw))) == "https://www.amazon.com/dp/B01"
+
+    def test_no_query_idempotent(self, spark):
+        raw = "https://www.amazon.com/s?field-keywords=yoga+mat&page=2"
+        got = _one(spark, canonicalize_url(F.lit(raw)))
+        assert got == "https://www.amazon.com/s?field-keywords=yoga+mat&page=2"
+        # idempotence: canonical(canonical(x)) == canonical(x)
+        assert _one(spark, canonicalize_url(F.lit(got))) == got
+
+    def test_host(self, spark):
+        assert _one(spark, url_host(F.lit("https://WWW.Amazon.com/dp/X?a=1"))) == "www.amazon.com"
+
+
+class TestRankEncode:
+    def test_grid_vectors(self, spark):
+        # vectors straight from getRank.py:285-297 (FIXTURES.md §8)
+        vectors = {1: "2.1.1", 2: "2.1.2", 3: "2.1.3", 4: "2.2.1", 6: "2.2.3", 7: "2.3.1", 45: "2.15.3"}
+        df = spark.createDataFrame([(i,) for i in vectors], "idx int")
+        got = {
+            r.idx: r.rank
+            for r in df.select(
+                "idx", rank_encode(F.lit("grid3"), F.lit(2), F.col("idx")).alias("rank")
+            ).collect()
+        }
+        assert got == vectors
+
+    def test_list_and_other(self, spark):
+        df = spark.createDataFrame([("list_plain", 3, 7), ("weird", 1, 1)], "layout string, page int, idx int")
+        got = [r.rank for r in df.select(rank_encode(F.col("layout"), F.col("page"), F.col("idx")).alias("rank")).collect()]
+        assert got == ["3.7", "Other mode"]
+
+
+class TestBestSellerRank:
+    def test_regular_expression_vector(self, spark):
+        # the exact prototype vector from regularExpression.py:1-6
+        s = "#88 in Computers & Accessories (See top 100) "
+        assert _one(spark, best_seller_rank_extract(F.lit(s))) == "88"
+
+    def test_comma_number(self, spark):
+        assert _one(spark, best_seller_rank_extract(F.lit("#1,234 in Sports & Outdoors"))) == "1,234"
+
+    def test_top100_branch(self, spark):
+        r1, r2 = F.lit("#5 in Yoga (See Top 100 in Yoga)"), F.lit("#99 in Sports & Outdoors")
+        assert _one(spark, pick_non_top100_rank(r1, r2)) == "99"
+        assert _one(spark, pick_non_top100_rank(r2, r1)) == "99"
+
+
+class TestRankSynthesis:
+    def test_golden_string(self, spark):
+        # golden workbook row 2: '6.15(广告)/2.14(自然)' — SURVEY.md §5
+        got = _one(
+            spark,
+            rank_string_synthesis(F.lit("6.15"), F.lit(""), F.lit("2.14"), F.lit("")),
+        )
+        assert got == "6.15(广告)/2.14(自然)"
+
+    def test_default_more_than_8_pages(self, spark):
+        got = _one(
+            spark,
+            rank_string_synthesis(
+                F.lit(None).cast("string"), F.lit(None).cast("string"),
+                F.lit(None).cast("string"), F.lit(None).cast("string"),
+            ),
+        )
+        assert got == "大于8页"
+
+
+class TestSponsored:
+    def test_strip_and_flag(self, spark):
+        t = F.lit(" [Sponsored] Yoga Mat Pro ")
+        assert _one(spark, strip_sponsored_tag(t)) == "Yoga Mat Pro"
+        assert _one(spark, is_sponsored(t)) is True
+        assert _one(spark, is_sponsored(F.lit("Yoga Mat Pro"))) is False
