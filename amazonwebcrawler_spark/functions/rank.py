@@ -84,6 +84,39 @@ def rank_string_synthesis(
     return F.when(ad_rank.isNull() & nat_rank.isNull(), F.lit("大于8页")).otherwise(combined)
 
 
+def first_match_struct(
+    clean_title: Column, product_type: Column, dims_rows: list[tuple[str, str, str, int]]
+) -> Column:
+    """First-match-wins own-product classification as a PURE PROJECTION.
+
+    The reference probes every title against dict keys in insertion order and
+    breaks on the first hit (getRank.py:229-236). For a dims table this small
+    (tiny own-catalog), a broadcast join + dedup pays a full shuffle for
+    nothing — embedding the rows as a literal array and taking the first
+    passing element keeps the whole classify inside one codegen'd map stage.
+    Returns struct(match_title, size_attr) or NULL when no match; the
+    general-case broadcast theta join (J2) remains in __spark_entry__ as the
+    oracle-checked operator for larger dims.
+
+    ``dims_rows``: (product_type, match_title, size_attr, dict_pos).
+    """
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(pt).alias("product_type"),
+                F.lit(mt).alias("match_title"),
+                F.lit(sa).alias("size_attr"),
+            )
+            for pt, mt, sa, _pos in sorted(dims_rows, key=lambda r: r[3])
+        ]
+    )
+    hits = F.filter(
+        arr,
+        lambda d: (d["product_type"] == product_type) & (F.instr(clean_title, d["match_title"]) > 0),
+    )
+    return F.get(hits, 0)  # null-safe (ANSI element_at throws on empty)
+
+
 def strip_sponsored_tag(title: Column) -> Column:
     """P6: remove the '[Sponsored]' marker before dimension lookup
     (getRank.py:260)."""

@@ -120,8 +120,27 @@ def minhash_lsh_pairs(
     keyed = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), shingle_n).alias("_sh"),
-        minhash_signature(F.col(text_col), k, shingle_n).alias("_sig"),
-    ).withColumn("_bands", lsh_bands(F.col("_sig"), n_bands, rows_per_band))
+    )
+    # signature via explode → 16 partial-min aggregates (map-side combine).
+    # The naive F.array(*16 array_min(transform(shingles,...))) inlines the
+    # whole shingle construction 16× per row under projection collapse —
+    # measured ~7× slower at sf0.1. This shape also mirrors the DuckDB
+    # oracle SQL exactly (GROUP BY doc_id, j, MIN(md5(j || ':' || s))).
+    sig = (
+        keyed.select("_id", F.explode("_sh").alias("_s"))
+        .groupBy("_id")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"_m{j}")
+                    for j in range(k)
+                ]
+            ).alias("_sig")
+        )
+    )
+    keyed = keyed.join(sig, "_id").withColumn(
+        "_bands", lsh_bands(F.col("_sig"), n_bands, rows_per_band)
+    )
 
     exploded = keyed.select("_id", "_sh", F.explode("_bands").alias("b")).select(
         "_id", "_sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")

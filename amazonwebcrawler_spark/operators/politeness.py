@@ -33,17 +33,38 @@ def priority_sort_cols() -> list:
             F.col("priority_score").desc(), F.col("canonical_url").asc()]
 
 
-def select_wave_batch(frontier: DataFrame, tokens_per_shard: int) -> tuple[DataFrame, DataFrame]:
+def select_wave_batch(
+    frontier: DataFrame, tokens_per_shard: int, robots: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (this wave's batch, deferred remainder).
 
     One shuffle on ``host_shard``; the window ranks each shard's queue and
     the token budget cuts it. Deferred rows keep their priority and win the
     next wave — exactly a token bucket refilled once per wave.
+
+    When ``robots`` (host, crawl_delay seconds) is given, a host with
+    ``crawl_delay > 1`` gets its per-shard budget divided by the delay
+    (floor, min 1) — the wave cadence stands in for wall-clock seconds, the
+    same stand-in the reference makes with its fixed sleeps
+    (getStockNumber.py:122).
     """
+    if robots is not None:
+        tokens = F.coalesce(
+            F.when(
+                F.col("crawl_delay") > 1,
+                F.greatest(F.floor(F.lit(tokens_per_shard) / F.col("crawl_delay")), F.lit(1)),
+            ),
+            F.lit(tokens_per_shard),
+        )
+        frontier = frontier.join(
+            F.broadcast(robots.select("host", "crawl_delay")), "host", "left"
+        ).withColumn("_tokens", tokens).drop("crawl_delay")
+    else:
+        frontier = frontier.withColumn("_tokens", F.lit(tokens_per_shard))
     w = Window.partitionBy("host_shard").orderBy(*priority_sort_cols())
     ranked = frontier.withColumn("_tb_rank", F.row_number().over(w))
-    batch = ranked.filter(F.col("_tb_rank") <= tokens_per_shard).drop("_tb_rank")
-    deferred = ranked.filter(F.col("_tb_rank") > tokens_per_shard).drop("_tb_rank")
+    batch = ranked.filter(F.col("_tb_rank") <= F.col("_tokens")).drop("_tb_rank", "_tokens")
+    deferred = ranked.filter(F.col("_tb_rank") > F.col("_tokens")).drop("_tb_rank", "_tokens")
     return batch, deferred
 
 

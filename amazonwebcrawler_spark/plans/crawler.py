@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from amazonwebcrawler_spark.functions.rank import (
+    first_match_struct,
     is_sponsored,
     rank_encode,
     strip_sponsored_tag,
@@ -140,7 +141,7 @@ def _decode_image_batches(batches):
             if data is None:
                 continue
             px = decode_image(bytes(data))
-            asin = url.rsplit("/dp/", 1)[-1]
+            asin = url.rsplit("/dp/", 1)[-1].split("/")[0].split("?")[0]
             rows.append(
                 {
                     "image_id": f"img-{asin}",
@@ -259,9 +260,12 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ one wave
     def _run_wave(self, wave: int, frontier: DataFrame, shards: DataFrame, next_seq: int):
+        import time as _time
+
+        t_wave0 = _time.time()
         cfg, spark, store = self.cfg, self.spark, self.store
 
-        batch, deferred = select_wave_batch(frontier, cfg.tokens_per_shard)
+        batch, deferred = select_wave_batch(frontier, cfg.tokens_per_shard, self.robots)
 
         # ---- fetch (S4-S6): one mapInPandas over the batch, partitioned by shard
         fetched_schema = T.StructType(
@@ -316,23 +320,16 @@ class CrawlEngine:
         clean = items_nonnull.withColumn("clean_title", strip_sponsored_tag(F.col("title"))).withColumn(
             "is_ad", is_sponsored(F.col("title"))
         )
-        dims = self.dims
+        # first-match-wins classification (getRank.py:229-236) as a literal-
+        # array projection — zero shuffles, stays in the same map stage as
+        # the parse (functions/rank.py:first_match_struct)
         matched = (
-            clean.join(
-                F.broadcast(dims),
-                (clean.product_type == dims.product_type)
-                & (F.instr(clean.clean_title, dims.match_title) > 0),
-                "left",
+            clean.withColumn(
+                "_m", first_match_struct(F.col("clean_title"), F.col("product_type"), world.DIMS)
             )
-            .drop(dims.product_type)
-            .withColumn(
-                "_mrank",
-                F.row_number().over(
-                    Window.partitionBy("canonical_url", "pos").orderBy(F.coalesce("dict_pos", F.lit(1 << 30)))
-                ),
-            )
-            .filter(F.col("_mrank") == 1)  # first-match-wins, getRank.py:229-236
-            .drop("_mrank")
+            .withColumn("match_title", F.col("_m.match_title"))
+            .withColumn("size_attr", F.col("_m.size_attr"))
+            .drop("_m")
             .withColumn("is_own", F.col("match_title").isNotNull())
             .withColumn("rank", rank_encode(F.col("layout"), F.col("page"), F.col("pos")))
         )
@@ -534,6 +531,21 @@ class CrawlEngine:
                 F.sum(F.length(F.col("image_bytes"))).alias("image_bytes"),
             )
             .withColumn("wave", F.lit(wave))
+            .withColumn("wave_t_start", F.lit(float(t_wave0)))
+            .withColumn("wave_build_sec", F.lit(round(_time.time() - t_wave0, 3)))
+        )
+        # per-page shape metrics (A1/P8/P9): the reference's audible >45-row
+        # alarm (getRank.py:165-167) and empty-page message (getRank.py:211)
+        # become rows in a metrics table instead of driver side effects
+        page_metrics = serp.select(
+            F.lit(wave).alias("wave"),
+            "canonical_url",
+            F.size("p.items").alias("n_items"),
+            F.col("p.has_next").alias("has_next"),
+            F.when(F.size("p.items") > 45, "anomaly")
+            .when(F.size("p.items") == 0, "empty")
+            .otherwise("ok")
+            .alias("flag"),
         )
         lineage = fetched.select(
             F.lit(wave).alias("wave"),
@@ -553,6 +565,7 @@ class CrawlEngine:
                 "cart_results": cart_rows,
                 "images": images,
                 "metrics": metrics,
+                "page_metrics": page_metrics,
                 "lineage": lineage,
                 "dead_letter": dead.select("canonical_url", "seed_id", "attempt"),
             },

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from amazonwebcrawler_spark.functions.rank import (
+    first_match_struct,
     is_sponsored,
     rank_encode,
     rank_string_synthesis,
@@ -22,7 +23,6 @@ from amazonwebcrawler_spark.functions.rank import (
 )
 from amazonwebcrawler_spark.functions.urls import canonicalize_url
 from amazonwebcrawler_spark.sources import synthetic_world as world
-from amazonwebcrawler_spark.sources.seeds import dims_df
 
 SERP_JSON = (
     "kind string, keyword string, page int, layout string, has_next boolean, "
@@ -68,25 +68,16 @@ def rank_wave(spark: SparkSession, keywords: list[tuple[str, str]], pages: int =
         F.col("item.pos").alias("pos"),
         F.coalesce(F.col("item.title"), F.lit("Amazon recommendation")).alias("title"),
     )
-    dims = dims_df(spark)
     clean = items.withColumn("clean_title", strip_sponsored_tag(F.col("title"))).withColumn(
         "is_ad", is_sponsored(F.col("title"))
     )
     matched = (
-        clean.join(
-            F.broadcast(dims),
-            (clean.product_type == dims.product_type)
-            & (F.instr(clean.clean_title, dims.match_title) > 0),
-            "left",
+        clean.withColumn(
+            "_m", first_match_struct(F.col("clean_title"), F.col("product_type"), world.DIMS)
         )
-        .drop(dims.product_type)
-        .withColumn(
-            "_mrank",
-            F.row_number().over(
-                Window.partitionBy("seed_id", "page", "pos").orderBy(F.coalesce("dict_pos", F.lit(1 << 30)))
-            ),
-        )
-        .filter(F.col("_mrank") == 1)
+        .withColumn("match_title", F.col("_m.match_title"))
+        .withColumn("size_attr", F.col("_m.size_attr"))
+        .drop("_m")
         .withColumn("is_own", F.col("match_title").isNotNull())
         .withColumn("rank", rank_encode(F.col("layout"), F.col("page"), F.col("pos")))
     )

@@ -56,6 +56,31 @@ def rank_report(store: StateStore, seeds: DataFrame) -> DataFrame:
     )
 
 
+def titles_report(store: StateStore) -> DataFrame:
+    """getTitle.py's dump: every SERP title per keyword, in crawl order.
+    The 'one worksheet per keyword' layout (getTitle.py:143) becomes
+    partitionBy('keyword') at write time (save_reports)."""
+    results = store.load_deltas("results")
+    return results.select("keyword", "page", "pos", "title").orderBy("keyword", "page", "pos")
+
+
+def save_reports(store: StateStore, seeds: DataFrame, out_dir: str, top_n: int | None = None) -> None:
+    """Write the three reports as parquet tables (S7-S9).
+
+    * ranks      — tall (run-scoped) table; the reference's 2-row-wide sheet
+      is a pivot at read time (SURVEY.md S7)
+    * inventory  — row-append table (S8), optional head-N cut (L3,
+      getStockNumber.py:74-79)
+    * titles     — partitioned by keyword = 'sheet per keyword' (S9)
+    """
+    rank_report(store, seeds).write.mode("overwrite").parquet(f"{out_dir}/ranks")
+    inv = inventory_report(store)
+    if top_n is not None:
+        inv = inv.filter(F.col("order") <= top_n)
+    inv.write.mode("overwrite").parquet(f"{out_dir}/inventory")
+    titles_report(store).write.mode("overwrite").partitionBy("keyword").parquet(f"{out_dir}/titles")
+
+
 def inventory_report(store: StateStore) -> DataFrame:
     """J3: detail rows of the category seed ⨝ their cart-probe results.
 

@@ -99,11 +99,19 @@ def crawl_oracle(
             by_shard.setdefault(
                 host_shard_py(r.canonical_url, n_shards, salt_bits), []
             ).append(r)
+        def row_tokens(r: OracleRow) -> int:
+            host = re.match(r"^https?://([^/?#]*)", r.canonical_url).group(1).lower()
+            rules = world.ROBOTS.get(host)
+            delay = rules[1] if rules else 0.0
+            if delay > 1:
+                return max(1, int(tokens_per_shard // delay))
+            return tokens_per_shard
+
         batch, deferred = [], []
         for shard_rows in by_shard.values():
             shard_rows.sort(key=lambda r: (r.depth, r.discovery_seq, r.canonical_url))
-            batch.extend(shard_rows[:tokens_per_shard])
-            deferred.extend(shard_rows[tokens_per_shard:])
+            for pos, r in enumerate(shard_rows):
+                (batch if pos < row_tokens(r) else deferred).append(r)
 
         # --- fetch + retries (C3)
         retries, pages = [], []

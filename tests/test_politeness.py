@@ -1,0 +1,57 @@
+"""Token-bucket politeness + priority dequeue unit tests (C2/W4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.operators.politeness import select_wave_batch
+
+FRONTIER_DDL = (
+    "canonical_url string, host string, host_shard int, depth int, "
+    "discovery_seq long, priority_score double"
+)
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(rows, FRONTIER_DDL)
+
+
+def test_budget_cuts_per_shard_in_priority_order(spark):
+    rows = [
+        (f"https://a.com/{i}", "a.com", i % 2, i % 3, i, 0.0) for i in range(20)
+    ]
+    batch, deferred = select_wave_batch(_frontier(spark, rows), tokens_per_shard=3)
+    got = batch.collect()
+    assert len(got) == 6  # 3 per shard × 2 shards
+    assert deferred.count() == 14
+    # within each shard, the batch is the depth/seq minimum of the queue
+    for shard in (0, 1):
+        shard_rows = sorted(
+            [r for r in rows if r[2] == shard], key=lambda r: (r[3], r[4], r[0])
+        )
+        expect = {r[0] for r in shard_rows[:3]}
+        assert {r.canonical_url for r in got if r.host_shard == shard} == expect
+
+
+def test_crawl_delay_divides_budget(spark):
+    rows = [
+        (f"https://slow.com/{i}", "slow.com", 0, 0, i, 0.0) for i in range(10)
+    ] + [
+        (f"https://fast.com/{i}", "fast.com", 1, 0, 100 + i, 0.0) for i in range(10)
+    ]
+    robots = spark.createDataFrame(
+        [("slow.com", 4.0), ("fast.com", 0.0)], "host string, crawl_delay double"
+    )
+    batch, _ = select_wave_batch(_frontier(spark, rows), tokens_per_shard=8, robots=robots)
+    by_host = {
+        r["host"]: r["n"]
+        for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_host == {"slow.com": 2, "fast.com": 8}  # 8/4=2 for the slow host
+
+
+def test_unknown_host_gets_default_budget(spark):
+    rows = [(f"https://x.org/{i}", "x.org", 0, 0, i, 0.0) for i in range(5)]
+    robots = spark.createDataFrame([("other.com", 9.0)], "host string, crawl_delay double")
+    batch, _ = select_wave_batch(_frontier(spark, rows), tokens_per_shard=3, robots=robots)
+    assert batch.count() == 3
