@@ -364,6 +364,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gen, "image_id string, w int, h int, fmt string, caption string, phash long, n_bytes long"
         )
 
+    # ----------------------------------------------------- S7 pivot (wide report layout)
+    def q_pivot_report(spark, sf):
+        e = _t(spark, sf, "events")
+        kinds = ["click", "error", "purchase", "signup", "view"]
+        wide = e.groupBy("user_id").pivot("event_type", kinds).agg(F.count("event_id"))
+        return wide.select(
+            "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+        )
+
+    # ----------------------------------------------------- distinct counts (exact)
+    def q_distinct_hosts(spark, sf):
+        o = _t(spark, sf, "orders")
+        host = F.concat(F.lit("shard-"), (F.col("o_orderkey") % 13).cast("string"))
+        return o.select(host.alias("host"), "o_custkey").groupBy("host").agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_urls"),
+        )
+
+    # ----------------------------------------------------- image table validation (rows-only)
+    def q_images_validate(spark, sf):
+        from amazonwebcrawler_spark.operators.images_io import validate_images
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(1, 49):
+            rec = world.image_record(world.asin_for("validate", 1, i))
+            b = rec["bytes"]
+            if i % 16 == 0:
+                b = b"CORRUPT" + b[7:]  # exercise the decode-failure path
+            if i % 11 == 0:
+                rec = {**rec, "phash": rec["phash"] ^ 1}  # planted phash drift
+            rows.append((rec["image_id"], b, rec["w"], rec["h"], rec["fmt"], rec["caption"], rec["phash"]))
+        images = spark.createDataFrame(
+            rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+        )
+        return validate_images(images.repartition(8))
+
+    # ----------------------------------------------------- bloom filter stats (rows-only)
+    def q_bloom_stats(spark, sf):
+        from amazonwebcrawler_spark.operators import bloom
+
+        cfg = bloom.BloomConfig(n_buckets=8, m_bits=1 << 16)
+        o = _t(spark, sf, "orders").select(
+            F.concat(F.lit("https://www.amazon.com/dp/B"), F.col("o_orderkey").cast("string")).alias("canonical_url")
+        )
+        keyed = bloom.with_bloom_keys(o, "canonical_url", cfg)
+        shards = bloom.merge_into_shards(keyed, bloom.empty_shards(spark, cfg), cfg)
+        probed = bloom.probe_shards(keyed, shards, cfg)
+        return (
+            probed.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_probed"),
+                F.sum((~F.col("maybe_seen")).cast("int")).alias("false_negatives"),  # must be 0
+            )
+            .join(shards.select("bucket", "n_items"), "bucket")
+        )
+
     return {
         "rank_encode": q_rank_encode,
         "bsr_extract": q_bsr_extract,
@@ -391,6 +448,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "crawl_rank_wave": q_crawl_rank_wave,
         "images_decode": q_images_decode,
+        "images_validate": q_images_validate,
+        "bloom_stats": q_bloom_stats,
+        "pivot_report": q_pivot_report,
+        "distinct_hosts": q_distinct_hosts,
     }
 
 
@@ -693,5 +754,19 @@ FROM c
 """,
         "fingerprint": rf"""
 SELECT doc_id, md5({norm}) AS fp FROM documents
+""",
+        "pivot_report": """
+SELECT user_id,
+  count(*) FILTER (WHERE event_type = 'click')    AS click,
+  count(*) FILTER (WHERE event_type = 'error')    AS error,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+  count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
+""",
+        "distinct_hosts": """
+SELECT 'shard-' || (o_orderkey % 13)::VARCHAR AS host,
+  COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_urls
+FROM orders GROUP BY 1
 """,
     }

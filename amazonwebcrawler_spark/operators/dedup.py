@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from amazonwebcrawler_spark.functions.text import normalize_text

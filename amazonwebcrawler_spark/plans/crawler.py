@@ -27,7 +27,7 @@ local[32] produce byte-identical crawl orders (tests/test_equivalence.py).
 
 from __future__ import annotations
 
-import json
+import os
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -291,6 +291,14 @@ class CrawlEngine:
         )
         dead = failed.filter(F.col("attempt") >= cfg.max_retries)
         ok = fetched.filter(F.col("status") == 200)
+        # one tiny job over the persisted batch: which page kinds (and
+        # failures) this wave actually saw — lets the commit skip writing
+        # empty per-kind tables (each skipped write is a saved Spark job)
+        kind_counts: dict[str, int] = {
+            r["kind"]: r["n"]
+            for r in fetched.groupBy("kind").agg(F.count("*").alias("n")).collect()
+        }
+        n_failed_rows = fetched.filter(F.col("status") == -1).count()
 
         # ---- parse per kind (P1-P13): from_json, fully declarative
         serp = ok.filter(F.col("kind") == "serp").withColumn("p", F.from_json("content", SERP_JSON))
@@ -504,6 +512,7 @@ class CrawlEngine:
         )
         n_new = new_rows.count()
         next_seq += n_new
+        t_computed = _time.time()
 
         new_frontier = (
             deferred.select([f.name for f in FRONTIER_SCHEMA.fields])
@@ -553,6 +562,9 @@ class CrawlEngine:
             "seed_id", "canonical_url", "parent_seq", "discovery_seq", "host_shard", "status",
         )
 
+        has_serp = kind_counts.get("serp", 0) > 0
+        has_detail = kind_counts.get("detail", 0) > 0
+        has_cart = kind_counts.get("cart", 0) > 0
         store = self.store
         store.commit_wave(
             wave,
@@ -560,17 +572,26 @@ class CrawlEngine:
                 "frontier": new_frontier,
                 "shards": new_shards,
                 "seen": new_rows.select("canonical_url", "discovery_seq"),
-                "results": results,
-                "detail_results": detail_rows.drop("skus"),
-                "cart_results": cart_rows,
-                "images": images,
+                "results": results if has_serp else None,
+                "detail_results": detail_rows.drop("skus") if has_detail else None,
+                "cart_results": cart_rows if has_cart else None,
+                "images": images if has_detail else None,
                 "metrics": metrics,
-                "page_metrics": page_metrics,
+                "page_metrics": page_metrics if has_serp else None,
                 "lineage": lineage,
-                "dead_letter": dead.select("canonical_url", "seed_id", "attempt"),
+                "dead_letter": dead.select("canonical_url", "seed_id", "attempt")
+                if n_failed_rows > 0
+                else None,
             },
             {"next_seq": next_seq},
         )
         fetched.unpersist()
         new_rows.unpersist()
-        return store.load_snapshot("frontier"), store.load_snapshot("shards"), next_seq
+        out = store.load_snapshot("frontier"), store.load_snapshot("shards"), next_seq
+        if os.environ.get("AWC_DEBUG_TIMING"):
+            print(
+                f"[wave {wave}] compute={t_computed - t_wave0:.1f}s "
+                f"commit={_time.time() - t_computed:.1f}s n_new={n_new}",
+                flush=True,
+            )
+        return out

@@ -59,10 +59,12 @@ def events_windowed_stream(spark: SparkSession, sf_dir: str, out_dir: str):
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")  # sf_dir holds other tables too
         .parquet(f"{sf_dir}")
     )
     agg = (
-        stream.withWatermark("ts", "2 hours")
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event-time type
+        .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")

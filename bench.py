@@ -198,6 +198,59 @@ def _crawl_wave_bench(spark, cpus: int) -> dict:
     }
 
 
+def _crawl_loop_bench(spark, cpus: int) -> dict:
+    """Full STATEFUL engine throughput: wave loop with politeness dequeue,
+    bloom-dedup'd expansion, snapshot commits — the machinery the mega-wave
+    bench factors out. Pagination-only crawl over many keyword seeds."""
+    import shutil
+    import time as _t
+
+    from amazonwebcrawler_spark.operators import bloom as bloom_ops
+    from amazonwebcrawler_spark.plans.crawler import CrawlConfig, CrawlEngine
+    from amazonwebcrawler_spark.sources import synthetic_world as world
+    from amazonwebcrawler_spark.sources.seeds import seeds_df
+
+    n_seeds = int(os.environ.get("BENCH_LOOP_SEEDS", "256"))
+    ckpt = f"/tmp/awc_loop_bench_{cpus}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rows = [
+        (i, "keyword", f"loop kw {i}", world.serp_url(f"loop kw {i}", 1), "yogamat", 2)
+        for i in range(n_seeds)
+    ]
+    # item fan-out ON: wave 0 fetches the seed SERPs, wave 1 fetches the
+    # ~18x item fan-out (detail pages incl. image decode) — representative
+    # wave shapes rather than one-URL-per-seed pagination trickle
+    cfg = CrawlConfig(
+        checkpoint_dir=ckpt,
+        max_waves=4,
+        tokens_per_shard=1024,
+        # one logical host (amazon.com): salt_bits must give >= n_shards
+        # distinct salts or the fetch wave runs on 2**salt_bits tasks —
+        # exactly the skew knob SCALE.md documents
+        n_shards=cpus * 2,
+        salt_bits=8,
+        follow_items=True,
+        follow_skus=False,
+        probe_inventory=False,
+        bloom=bloom_ops.BloomConfig(n_buckets=16, m_bits=1 << 20),
+    )
+    eng = CrawlEngine(spark, cfg, seeds=seeds_df(spark, rows))
+    t0 = _t.time()
+    out = eng.run()
+    wall = _t.time() - t0
+    n_fetched = eng.store.load_deltas("lineage").count()
+    waves = out["last_wave"] + 1
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "loop_seeds": n_seeds,
+        "loop_fetches": int(n_fetched),
+        "loop_waves": int(waves),
+        "loop_wall_sec": round(wall, 2),
+        "loop_sec_per_wave": round(wall / max(waves, 1), 2),
+        "loop_urls_per_sec": round(n_fetched / wall, 1),
+    }
+
+
 def main() -> None:
     mode = "full"
     if "--crawl-only" in sys.argv:
@@ -225,6 +278,8 @@ def main() -> None:
         print(json.dumps(crawl))
         return
 
+    crawl.update(_crawl_loop_bench(spark, cpus))
+
     # --- per-query timings over the driver testdata
     import __spark_entry__ as entrymod
 
@@ -246,7 +301,7 @@ def main() -> None:
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1" and cpus >= 8:
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-        pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+        pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
         results: dict = {}
         try:
             # interleave small/large rounds and keep the best run per level:
@@ -258,34 +313,57 @@ def main() -> None:
                     env = dict(os.environ)
                     env["SPARK_GRAFT_CPUS"] = str(c)
                     env["SPARK_GRAFT_SCALING"] = "0"
-                    # LARGE inputs: the ~1.5 s fixed job floor must be
-                    # negligible vs compute, or the measurement reflects
-                    # scheduler constants, not scaling
-                    env.setdefault("BENCH_N_SERP", "98304")
-                    env.setdefault("BENCH_N_IMG", "196608")
-                    env.setdefault("BENCH_REPS", "2")
+                    # inputs sized so the ~1 s fixed job floor stays small
+                    # vs compute while leaving budget for several rounds
+                    # (the host's multi-minute load epochs swing single runs
+                    # 2-5x — sample count beats single-run size)
+                    env.setdefault("BENCH_N_SERP", "65536")
+                    env.setdefault("BENCH_N_IMG", "131072")
+                    env.setdefault("BENCH_REPS", "1")  # rounds provide repetition
                     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
                     out = subprocess.run(
                         [sys.executable, os.path.abspath(__file__), "--crawl-only"],
                         env=env, capture_output=True, text=True, timeout=1800,
                     )
                     run = json.loads(out.stdout.strip().splitlines()[-1])
-                    best = results.get(c)
-                    if best is None or run["frontier_urls_per_sec"] > best["frontier_urls_per_sec"]:
-                        results[c] = run
+                    # component-wise best: serp and image pipelines hit slow
+                    # host epochs independently, so blending single runs
+                    # couples unrelated noise — keep each pipeline's min time
+                    best = results.setdefault(
+                        c,
+                        {"serp_sec": run["serp_sec"], "image_sec": run["image_sec"],
+                         "serp_samples": [], "image_samples": []},
+                    )
+                    best["serp_sec"] = min(best["serp_sec"], run["serp_sec"])
+                    best["image_sec"] = min(best["image_sec"], run["image_sec"])
+                    best["serp_samples"].append(run["serp_sec"])
+                    best["image_samples"].append(run["image_sec"])
+                    best["serp_pages"] = run["serp_pages"]
+                    best["image_rows"] = run["image_rows"]
             small, large = results[n_small], results[n_small * 4]
-            ratio = large["frontier_urls_per_sec"] / small["frontier_urls_per_sec"]
-            img_ratio = large["image_rows_per_sec"] / small["image_rows_per_sec"]
+
+            def frontier(r):
+                return (r["serp_pages"] + r["image_rows"]) / (r["serp_sec"] + r["image_sec"])
+
+            def img_rate(r):
+                return r["image_rows"] / r["image_sec"]
+
+            ratio = frontier(large) / frontier(small)
+            img_ratio = img_rate(large) / img_rate(small)
             scaling = {
                 "cpus_small": n_small,
                 "cpus_large": n_small * 4,
-                "frontier_urls_per_sec_small": small["frontier_urls_per_sec"],
-                "frontier_urls_per_sec_large": large["frontier_urls_per_sec"],
-                "image_rows_per_sec_small": small["image_rows_per_sec"],
-                "image_rows_per_sec_large": large["image_rows_per_sec"],
+                "frontier_urls_per_sec_small": round(frontier(small), 1),
+                "frontier_urls_per_sec_large": round(frontier(large), 1),
+                "image_rows_per_sec_small": round(img_rate(small), 1),
+                "image_rows_per_sec_large": round(img_rate(large), 1),
                 "speedup": round(ratio, 3),
                 "scaling_efficiency": round(ratio / 4.0, 3),
                 "image_scaling_efficiency": round(img_ratio / 4.0, 3),
+                "samples": {
+                    str(c): {"serp_sec": r["serp_samples"], "image_sec": r["image_samples"]}
+                    for c, r in results.items()
+                },
             }
         except Exception as e:  # noqa: BLE001
             scaling = {"error": str(e)[:200]}

@@ -1,0 +1,39 @@
+"""Structured Streaming facade: watermark + tumbling-window agg over the
+events table replayed as a file stream (C8), cross-checked against the
+equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.streaming.facade import events_windowed_stream
+
+
+def test_events_windowed_stream_matches_batch(spark, sf_dir):
+    out = "/tmp/stream_out"
+    shutil.rmtree(out, ignore_errors=True)
+    q = events_windowed_stream(spark, sf_dir, out)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/events_windowed")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    g = {(r.window_start, r.event_type): (r.n, round(r.total_value, 6)) for r in got.collect()}
+    b = {(r.window_start, r.event_type): (r.n, round(r.total_value, 6)) for r in batch.collect()}
+    # append mode emits a window only once the watermark passes its end —
+    # windows inside the final 2h+1h horizon stay in state when the stream
+    # drains (correct late-data semantics, not loss)
+    import datetime
+
+    max_ts = max(k[0] for k in b)
+    finalized = {k: v for k, v in b.items() if k[0] < max_ts - datetime.timedelta(hours=3)}
+    assert len(g) > 0
+    assert g.items() >= finalized.items()  # every finalized window emitted, exact values
+    assert all(k in b and b[k] == v for k, v in g.items())  # nothing fabricated
