@@ -301,6 +301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = e.filter(F.col("vec_id") < 5)
         return similarity.lsh_topk(e, qs, "vec_id", "embedding", k=10, dim=64)
 
+    # ----------------------------------------------------- ANN: IVF (rows-only; recall tested in pytest)
+    def q_ann_ivf(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.ivf_topk(e, qs, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4)
+
     # ----------------------------------------------------- text stats
     def q_text_stats(spark, sf):
         d = _t(spark, sf, "documents")
@@ -382,6 +388,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_urls"),
         )
 
+    # ----------------------------------------------------- multimodal (rows-only)
+    def q_video_frame_sample(spark, sf):
+        from amazonwebcrawler_spark.functions import media
+
+        df = spark.createDataFrame(
+            [(f"vid-{i}", bytearray(media.synth_video(i, n_frames=12))) for i in range(16)],
+            "video_id string, bytes binary",
+        )
+        return df.repartition(8).mapInPandas(media.frame_sample_kernel(4), media.FRAMES_SCHEMA)
+
+    def q_audio_features(spark, sf):
+        from amazonwebcrawler_spark.functions import media
+
+        df = spark.createDataFrame(
+            [(f"aud-{i}", bytearray(media.synth_audio(i))) for i in range(16)],
+            "audio_id string, bytes binary",
+        )
+        return df.repartition(8).mapInPandas(media.audio_features_kernel(), media.AUDIO_FEATURES_SCHEMA)
+
     # ----------------------------------------------------- image table validation (rows-only)
     def q_images_validate(spark, sf):
         from amazonwebcrawler_spark.operators.images_io import validate_images
@@ -443,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -452,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_stats": q_bloom_stats,
         "pivot_report": q_pivot_report,
         "distinct_hosts": q_distinct_hosts,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
     }
 
 

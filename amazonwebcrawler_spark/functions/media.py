@@ -1,0 +1,178 @@
+"""Multimodal payload kernels beyond still images: resize, video frame
+sampling, audio features (training-data pipeline requirements).
+
+All media are opaque ``binary`` columns with typed metadata; all processing
+is Arrow-batched ``mapInPandas`` kernels. Since no real image/audio/video
+libraries ship in this container, the CODECS are deterministic stand-ins
+(documented per function — swap for PIL/ffmpeg/soundfile in deployment);
+the Spark-side plumbing — schemas, batching, UDF signatures — is real and
+tested.
+
+Containers:
+* image  — PNG (real) / FJPG (lossy stand-in), see functions/images.py
+* video  — ``FVID`` = header(magic, n_frames, w, h, fps) + concatenated
+  length-prefixed FJPG frames. Frame-sample/decode are real parsers of this
+  container.
+* audio  — ``FAUD`` = header(magic, sample_rate, n_samples) + int16 PCM.
+  Feature extraction (RMS, zero-crossing rate, peak) is real numpy DSP over
+  the samples; only the *codec* (no mp3/opus) is the stand-in.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from amazonwebcrawler_spark.functions.images import (
+    decode_image,
+    encode_jpeg,
+    encode_png,
+)
+
+FVID_MAGIC = b"FVID"
+FAUD_MAGIC = b"FAUD"
+
+
+# ------------------------------------------------------------------ resize
+def resize_pixels(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbour resize (h_out, w_out) — real, pure numpy."""
+    ys = (np.arange(h) * px.shape[0]) // h
+    xs = (np.arange(w) * px.shape[1]) // w
+    return px[np.ix_(ys, xs)]
+
+
+def resize_images_kernel(target_w: int, target_h: int, out_fmt: str = "png"):
+    """mapInPandas kernel factory: (image_id, bytes) → resized (image_id,
+    bytes, w, h). Decode → resize → re-encode inside the Arrow batch."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                px = resize_pixels(decode_image(bytes(data)), target_w, target_h)
+                out = encode_png(px) if out_fmt == "png" else encode_jpeg(px)
+                rows.append({"image_id": image_id, "bytes": out, "w": target_w, "h": target_h})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h"])
+
+    return kernel
+
+
+RESIZED_SCHEMA = "image_id string, bytes binary, w int, h int"
+
+
+# ------------------------------------------------------------------- video
+def encode_video(frames: list[np.ndarray], fps: int = 8) -> bytes:
+    h, w, _ = frames[0].shape
+    payload = b"".join(
+        struct.pack(">I", len(f)) + f for f in (encode_jpeg(fr) for fr in frames)
+    )
+    return FVID_MAGIC + struct.pack(">IIIB", len(frames), w, h, fps) + payload
+
+
+def video_info(data: bytes) -> tuple[int, int, int, int]:
+    assert data[:4] == FVID_MAGIC, "not an FVID payload"
+    n, w, h, fps = struct.unpack(">IIIB", data[4:17])
+    return n, w, h, fps
+
+
+def iter_frames(data: bytes):
+    n, _w, _h, _fps = video_info(data)
+    pos = 17
+    for _ in range(n):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        yield decode_image(data[pos + 4 : pos + 4 + length])
+        pos += 4 + length
+
+
+def frame_sample_kernel(every_k: int = 4):
+    """mapInPandas kernel: (video_id, bytes) → one row per sampled frame
+    (video_id, frame_idx, frame_bytes(png), phash). Real container parse;
+    stand-in frame codec."""
+
+    def kernel(batches):
+        from amazonwebcrawler_spark.functions.images import phash64
+
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                for i, px in enumerate(iter_frames(bytes(data))):
+                    if i % every_k:
+                        continue
+                    rows.append(
+                        {"video_id": vid, "frame_idx": i,
+                         "frame_bytes": encode_png(px), "phash": phash64(px)}
+                    )
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_bytes", "phash"])
+
+    return kernel
+
+
+FRAMES_SCHEMA = "video_id string, frame_idx int, frame_bytes binary, phash long"
+
+
+# ------------------------------------------------------------------- audio
+def encode_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    assert samples.dtype == np.int16
+    return FAUD_MAGIC + struct.pack(">II", sample_rate, len(samples)) + samples.tobytes()
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    if data[:4] != FAUD_MAGIC:
+        raise NotImplementedError(
+            "unknown audio container — deployment dispatches to soundfile/ffmpeg"
+        )
+    rate, n = struct.unpack(">II", data[4:12])
+    return np.frombuffer(data[12 : 12 + 2 * n], dtype=np.int16), rate
+
+
+def audio_features_kernel():
+    """mapInPandas kernel: (audio_id, bytes) → (audio_id, duration_sec, rms,
+    zero_crossing_rate, peak). Real DSP over PCM, vectorized per batch."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                samples, rate = decode_audio(bytes(data))
+                x = samples.astype(np.float64) / 32768.0
+                rows.append(
+                    {
+                        "audio_id": aid,
+                        "duration_sec": round(len(x) / rate, 6),
+                        "rms": round(float(np.sqrt(np.mean(x**2))), 6) if len(x) else 0.0,
+                        "zero_crossing_rate": round(
+                            float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))), 6
+                        ) if len(x) > 1 else 0.0,
+                        "peak": round(float(np.max(np.abs(x))), 6) if len(x) else 0.0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["audio_id", "duration_sec", "rms", "zero_crossing_rate", "peak"]
+            )
+
+    return kernel
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id string, duration_sec double, rms double, zero_crossing_rate double, peak double"
+)
+
+
+# ----------------------------------------------------- deterministic worlds
+def synth_video(seed: int, n_frames: int = 12, w: int = 32, h: int = 24) -> bytes:
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.int32)
+    frames = [
+        np.clip(base + i * 5, 0, 255).astype(np.uint8) for i in range(n_frames)
+    ]
+    return encode_video(frames)
+
+
+def synth_audio(seed: int, n: int = 16000) -> bytes:
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    freq = 100 + (seed % 20) * 50
+    wave = 0.5 * np.sin(2 * np.pi * freq * t / 16000) + 0.1 * rng.standard_normal(n)
+    return encode_audio((np.clip(wave, -1, 1) * 32767).astype(np.int16))

@@ -143,6 +143,95 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Tiny deterministic k-means (numpy, driver-side) for IVF coarse
+    quantization. Sample is small (≤2048 rows) — the clustering cost is
+    O(sample), never O(corpus)."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(0)
+    return centroids.round(6)
+
+
+def _nearest_centroid_scores(vec, centroids: np.ndarray):
+    """array<double> of dot(vec, centroid_c) for every centroid — literal
+    column math, no UDF."""
+    return F.array(
+        *[_dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 1024,
+) -> DataFrame:
+    """IVF approximate top-k: coarse k-means quantizer → inverted lists by
+    nearest centroid → probe the query's ``n_probe`` nearest lists → exact
+    cosine re-rank inside them.
+
+    The scale story: centroids come from a driver-side sample (bounded);
+    the corpus is scanned once to assign cells (pure column math over
+    literal centroids) and shuffled once by cell; a query touches
+    ``n_probe / n_centroids`` of the corpus.
+    """
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans(sample, n_centroids, seed)
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        .withColumn("_s", _nearest_centroid_scores(F.col("_cv"), centroids))
+        .withColumn(
+            "cell", (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1).cast("int")
+        )
+        .drop("_s")
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    q = q.withColumn("_s", _nearest_centroid_scores(F.col("_qv"), centroids))
+    # top n_probe cells per query: explode scores with index, rank
+    q = (
+        q.select(
+            "query_id", "_qv",
+            F.posexplode(F.col("_s")).alias("cell", "score"),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     dim: int | None = None, n_planes: int = 6, seed: int = 7

@@ -305,11 +305,18 @@ def category_page(cat: str) -> dict:
     items = []
     for pos in range(1, n + 1):
         asin = asin_for("cat:" + cat, 1, pos)
+        # every 7th link points into a robots-disallowed prefix so the C7
+        # filter has a real hit to drop (FIXTURES.md §7)
+        href = (
+            f"/gp/private/offer-{asin}"
+            if pos % 7 == 0
+            else f"/dp/{asin}/ref=zg_bsnr_{pos}?qid=99&ie=UTF8"
+        )
         items.append(
             {
                 "pos": pos,
                 "title": detail_page(asin)["title"],  # title = img[alt], getStockNumber.py:66
-                "href": f"/dp/{asin}/ref=zg_bsnr_{pos}?qid=99&ie=UTF8",
+                "href": href,
                 "asin": asin,
                 "img_src": f"https://images.amazon.com/{asin}.jpg",
             }

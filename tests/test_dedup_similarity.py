@@ -88,6 +88,16 @@ class TestSimilarity:
         recall = len(ex & ap) / len(ex)
         assert recall >= 0.5, f"LSH recall@5 too low: {recall:.2f}"
 
+    def test_ivf_recall_floor(self, spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 10)
+        exact = similarity.brute_force_topk(e, qs, "vec_id", "embedding", k=5)
+        approx = similarity.ivf_topk(e, qs, "vec_id", "embedding", k=5, n_centroids=16, n_probe=6)
+        ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+
     def test_embedding_neardup_precision(self, spark):
         rows = [
             (1, [1.0, 0.0, 0.0, 0.0]),

@@ -1,0 +1,78 @@
+"""Multimodal kernels: resize / frame-sample / audio features through real
+Spark mapInPandas plumbing over deterministic stand-in codecs."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from amazonwebcrawler_spark.functions import media
+from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+
+
+class TestPureKernels:
+    def test_resize_shapes(self):
+        px = np.arange(32 * 24 * 3, dtype=np.uint8).reshape(24, 32, 3)
+        out = media.resize_pixels(px, 8, 8)
+        assert out.shape == (8, 8, 3)
+        assert np.array_equal(out[0, 0], px[0, 0])  # corner preserved (NN)
+
+    def test_video_roundtrip(self):
+        data = media.synth_video(7, n_frames=10)
+        n, w, h, fps = media.video_info(data)
+        assert (n, w, h, fps) == (10, 32, 24, 8)
+        frames = list(media.iter_frames(data))
+        assert len(frames) == 10 and frames[0].shape == (24, 32, 3)
+
+    def test_audio_roundtrip_and_unknown_container(self):
+        data = media.synth_audio(3)
+        samples, rate = media.decode_audio(data)
+        assert rate == 16000 and len(samples) == 16000
+        try:
+            media.decode_audio(b"MP3\x00junk")
+            raise AssertionError("should have raised")
+        except NotImplementedError:
+            pass
+
+
+class TestSparkPlumbing:
+    def test_resize_images(self, spark):
+        px = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+        df = spark.createDataFrame(
+            [(f"img-{i}", bytearray(encode_png(px))) for i in range(10)],
+            "image_id string, bytes binary",
+        )
+        out = df.repartition(4).mapInPandas(
+            media.resize_images_kernel(8, 8), media.RESIZED_SCHEMA
+        )
+        rows = out.collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert (r.w, r.h) == (8, 8)
+            assert decode_image(bytes(r.bytes)).shape == (8, 8, 3)
+
+    def test_frame_sampling(self, spark):
+        df = spark.createDataFrame(
+            [(f"vid-{i}", bytearray(media.synth_video(i, n_frames=12))) for i in range(4)],
+            "video_id string, bytes binary",
+        )
+        out = df.repartition(2).mapInPandas(media.frame_sample_kernel(4), media.FRAMES_SCHEMA)
+        rows = out.collect()
+        # 12 frames sampled every 4th → frames 0,4,8 per video
+        assert len(rows) == 4 * 3
+        assert {r.frame_idx for r in rows} == {0, 4, 8}
+        assert all(decode_image(bytes(r.frame_bytes)).shape == (24, 32, 3) for r in rows[:3])
+
+    def test_audio_features(self, spark):
+        df = spark.createDataFrame(
+            [(f"aud-{i}", bytearray(media.synth_audio(i))) for i in range(6)],
+            "audio_id string, bytes binary",
+        )
+        out = df.repartition(3).mapInPandas(
+            media.audio_features_kernel(), media.AUDIO_FEATURES_SCHEMA
+        )
+        rows = {r.audio_id: r for r in out.collect()}
+        assert len(rows) == 6
+        for r in rows.values():
+            assert r.duration_sec == 1.0
+            assert 0.2 < r.rms < 0.6  # a sine at 0.5 amplitude + small noise
+            assert 0 < r.zero_crossing_rate < 0.5
