@@ -26,7 +26,29 @@ STOP_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht
 STOP_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
 
 
+_WARMED: set[int] = set()
+
+
+def _ensure_warm(spark: SparkSession) -> None:
+    """Idempotent guard against the Spark 4.1 ICU collation class-init
+    deadlock: the FIRST use of lower()/upper() from multiple executor
+    threads at once can wedge every task on the CollationAwareUTF8String
+    class monitor. Sessions built by amazonwebcrawler_spark.session are
+    pre-warmed; this guard covers externally created sessions (the driver's
+    harness) before any parallel stage touches a case function."""
+    key = id(spark)
+    if key in _WARMED:
+        return
+    from pyspark.sql import functions as F2
+
+    spark.range(1).coalesce(1).select(
+        F2.lower(F2.lit("Warm")).alias("w"), F2.upper(F2.lit("u")).alias("u")
+    ).collect()
+    _WARMED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_warm(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -40,6 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
     deterministic keyword seeds, proving the pipeline is input-driven."""
     from amazonwebcrawler_spark.plans.flagship import rank_wave
 
+    _ensure_warm(spark)
     docs = _t(spark, SF_DEFAULT, "documents")
     extra = [
         (f"kw {r.doc_id % 7} synth", "yogamat")
@@ -446,7 +469,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(shards.select("bucket", "n_items"), "bucket")
         )
 
+    def _warmed(fn):
+        def wrapper(spark, sf):
+            _ensure_warm(spark)
+            return fn(spark, sf)
+
+        wrapper.__name__ = fn.__name__
+        return wrapper
+
     return {
+        name: _warmed(fn)
+        for name, fn in {
         "rank_encode": q_rank_encode,
         "bsr_extract": q_bsr_extract,
         "first_per_group": q_first_per_group,
@@ -480,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_hosts": q_distinct_hosts,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
+        }.items()
     }
 
 
