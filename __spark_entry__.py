@@ -353,6 +353,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
+    # ----------------------------------------------------- winnowing (rolling hash)
+    def q_winnow_fingerprints(spark, sf):
+        from amazonwebcrawler_spark.functions.text import winnow_fingerprint_rows
+
+        d = _t(spark, sf, "documents")
+        return winnow_fingerprint_rows(d, "text", "doc_id", k=8, w=4)
+
     # ----------------------------------------------------- crawl flagship (rows-only)
     def q_crawl_rank_wave(spark, sf):
         from amazonwebcrawler_spark.plans.flagship import rank_wave
@@ -505,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "crawl_rank_wave": q_crawl_rank_wave,
         "images_decode": q_images_decode,
         "images_validate": q_images_validate,
@@ -816,6 +824,66 @@ FROM c
 """,
         "fingerprint": rf"""
 SELECT doc_id, md5({norm}) AS fp FROM documents
+""",
+        "winnow_fingerprints": rf"""
+-- Winnowing: md5 of every 8-char-gram of the normalized text, min over
+-- each 4-position window; docs with fewer than 4 grams keep all hashes.
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+grams AS (
+  SELECT doc_id, u.i AS pos, md5(substr(t, u.i, 8)) AS h
+  FROM norm, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+sel AS (
+  SELECT g.doc_id, MIN(g2.h) AS fp
+  FROM grams g
+  JOIN counts c USING (doc_id)
+  JOIN grams g2 ON g2.doc_id = g.doc_id AND g2.pos BETWEEN g.pos AND g.pos + 3
+  WHERE c.n >= 4 AND g.pos <= c.n - 3
+  GROUP BY g.doc_id, g.pos
+  UNION ALL
+  SELECT g.doc_id, g.h FROM grams g JOIN counts c USING (doc_id) WHERE c.n < 4
+)
+SELECT DISTINCT doc_id, fp FROM sel
+""",
+        "dedup_simhash": r"""
+-- SimHash twin: md5-derived 64-bit token hashes, ±1 bit votes, sign →
+-- fingerprint; 4×16-bit chunk blocking (hamming≤3 pairs share a chunk by
+-- pigeonhole); hamming counted as differing sign bits. Bit-identical to
+-- the Arrow kernel because both draw bits from the same md5 prefix.
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm WHERE t <> ''
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv FROM toks
+),
+votes AS (
+  SELECT doc_id, b.i,
+    SUM(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, UNNEST(generate_series(0, 63)) AS b(i)
+  GROUP BY doc_id, b.i
+),
+bits AS (SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+chunks AS (
+  SELECT doc_id, i // 16 AS c,
+    CAST(SUM(bit * (1 << (i % 16))) AS INT) AS val
+  FROM bits GROUP BY doc_id, i // 16
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.val = b.val AND a.doc_id < b.doc_id
+),
+ham AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+  FROM cand c
+  JOIN bits ba ON ba.doc_id = c.id_a
+  JOIN bits bb ON bb.doc_id = c.id_b AND bb.i = ba.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
 """,
         "pivot_report": """
 SELECT user_id,

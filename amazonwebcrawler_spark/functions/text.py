@@ -86,6 +86,49 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def winnow_fingerprint_rows(df, text_col: str, id_col: str, k: int = 8, w: int = 4):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): hash
+    every character k-gram of the normalized text, keep the minimum hash of
+    each sliding window of ``w`` consecutive positions; the DISTINCT
+    selected hashes are the fingerprint set → rows (id, fp).
+
+    Shape: explode positions → md5 per k-gram (computed ONCE per position)
+    → window min over (pos..pos+w-1). The tempting all-array form
+    (transform over windows of array_min(slice(hashes)))) inlines the whole
+    hash array per window under projection collapse — O(n·w·n) md5 calls,
+    measured minutes vs seconds at sf0.001.
+
+    Guarantee: any shared substring of length ≥ k+w-1 between two docs
+    yields at least one shared fingerprint.
+    """
+    from pyspark.sql import Window
+
+    t = normalize_text(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.when(
+                F.length(t) - k + 1 >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - k + 1),
+                    lambda i: F.md5(t.substr(i, F.lit(k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    win = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_win = Window.partitionBy("_id")
+    selected = (
+        grams.withColumn("_n", F.count("*").over(n_win))
+        .withColumn("fp", F.when(F.col("_n") < w, F.col("h")).otherwise(F.min("h").over(win)))
+        # full windows only (unless the doc is shorter than one window)
+        .filter((F.col("_n") < w) | (F.col("pos") <= F.col("_n") - w))
+        .select(F.col("_id").alias(id_col), "fp")
+        .distinct()
+    )
+    return selected
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text. md5 (not xxhash64)
     so DuckDB computes the identical value for the oracle check."""

@@ -208,13 +208,14 @@ def simhash64_udf():
 
     @pandas_udf("long")
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
+        out: list[int | None] = []
+        shifts = np.arange(64, dtype=np.uint64)
+        for t in texts:
             toks = (t or "").lower().split()
             if not toks:
+                out.append(None)  # token-less docs have no fingerprint
                 continue
             votes = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
             for tok in toks:
                 h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
                 bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
@@ -222,8 +223,8 @@ def simhash64_udf():
             fp = np.uint64(0)
             for bpos in np.nonzero(votes > 0)[0]:
                 fp |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
+            out.append(int(fp.astype(np.int64)))
+        return pd.Series(out, dtype="Int64")
 
     return simhash
 
@@ -236,7 +237,9 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     on (chunk_idx, chunk_value), never a full cross join.
     """
     sh = simhash64_udf()
-    keyed = df.select(F.col(id_col).alias("_id"), sh(F.col(text_col)).alias("_fp"))
+    keyed = df.select(F.col(id_col).alias("_id"), sh(F.col(text_col)).alias("_fp")).filter(
+        F.col("_fp").isNotNull()
+    )
     chunks = keyed.select(
         "_id",
         "_fp",
@@ -245,7 +248,9 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
                 *[
                     F.struct(
                         F.lit(c).alias("c"),
-                        F.shiftright("_fp", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                        # logical shift: arithmetic shiftright would smear the
+                        # sign bit into the top chunk of negative fingerprints
+                        F.shiftrightunsigned("_fp", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"),
                     )
                     for c in range(4)
                 ]
