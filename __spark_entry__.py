@@ -26,7 +26,7 @@ STOP_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht
 STOP_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
 
 
-_WARMED: set[int] = set()
+_WARMED: set[str] = set()
 
 
 def _ensure_warm(spark: SparkSession) -> None:
@@ -35,8 +35,10 @@ def _ensure_warm(spark: SparkSession) -> None:
     threads at once can wedge every task on the CollationAwareUTF8String
     class monitor. Sessions built by amazonwebcrawler_spark.session are
     pre-warmed; this guard covers externally created sessions (the driver's
-    harness) before any parallel stage touches a case function."""
-    key = id(spark)
+    harness) before any parallel stage touches a case function. Keyed by
+    applicationId (stable per JVM session) — id(spark) could be reused by a
+    new session after the old one is garbage-collected."""
+    key = spark.sparkContext.applicationId
     if key in _WARMED:
         return
     from pyspark.sql import functions as F2
@@ -195,8 +197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ----------------------------------------------------- J6
     def q_anti_join_new(spark, sf):
+        # frontier-style anti-join: customers with no URGENT order (the
+        # 'seen set' is the urgent orders) — restricted so the result is
+        # non-empty at every SF (every customer has *some* order in this
+        # synthetic data, which made the unrestricted form vacuous)
         c = _t(spark, sf, "customer")
-        o = _t(spark, sf, "orders")
+        o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
         return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
     # ----------------------------------------------------- P14
@@ -309,7 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("b.vec_id").alias("id_b"),
                 F.round(similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
             )
-            .filter(F.col("cos_sim") >= 0.8)
+            .filter(F.col("cos_sim") >= 0.4)  # 0.8 was vacuous on this data
         )
 
     # ----------------------------------------------------- ANN: brute-force top-k
@@ -529,6 +535,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql — DuckDB twins (tables pre-registered as views)
 # =====================================================================
 def oracle_sql() -> dict[str, str]:
+    from amazonwebcrawler_spark.operators.dedup import MINHASH_P, minhash_perm_consts
+
+    perm_values = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_perm_consts(16))
+    )
     stop_en = ", ".join(f"'{w}'" for w in STOP_EN)
     stop_de = ", ".join(f"'{w}'" for w in STOP_DE)
     stop_fr = ", ".join(f"'{w}'" for w in STOP_FR)
@@ -591,7 +602,9 @@ FROM lineitem GROUP BY l_orderkey
 """,
         "dim_join": """
 SELECT r_name, n_name, COUNT(*) AS n_customers,
-  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+  -- DuckDB widens SUM(BIGINT) to HUGEINT; Spark returns long — cast back so
+  -- the driver's value hash sees the same type rendering on both sides
+  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -612,7 +625,8 @@ QUALIFY row_number() OVER (PARTITION BY p_partkey ORDER BY COALESCE(dict_pos, 1 
 """,
         "anti_join_new": """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
 """,
         "url_canonicalize": r"""
 WITH raw AS (
@@ -674,7 +688,7 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_value FROM 
 """,
         "windowed_counts": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
-  COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+  COUNT(*) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """,
         "dedup_exact": rf"""
@@ -684,13 +698,21 @@ GROUP BY d
 """,
         "dedup_minhash_lsh": rf"""
 WITH {shingle_cte},
+-- one md5 per shingle → 31-bit int; k affine permutations (a*h+b) mod P
+-- (P = 2^31-1) — constants generated from dedup.minhash_perm_consts so the
+-- twin is arithmetic-identical to the Spark pipeline
+hs AS (
+  SELECT doc_id, CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) & 2147483647 AS BIGINT) AS h
+  FROM sh
+),
+perms AS (SELECT * FROM (VALUES {perm_values}) AS t(j, a, b)),
 sig AS (
-  SELECT doc_id, j, MIN(md5(j::VARCHAR || ':' || s)) AS mh
-  FROM sh, UNNEST(generate_series(0, 15)) AS g(j)
+  SELECT doc_id, j, MIN((a * h + b) % {MINHASH_P}) AS mh
+  FROM hs, perms
   GROUP BY doc_id, j
 ),
 bands AS (
-  SELECT doc_id, j // 4 AS band, md5(string_agg(mh, '|' ORDER BY j)) AS bh
+  SELECT doc_id, j // 4 AS band, md5(string_agg(mh::VARCHAR, '|' ORDER BY j)) AS bh
   FROM sig GROUP BY doc_id, j // 4
 ),
 bsz AS (SELECT band, bh, COUNT(*) AS c FROM bands GROUP BY 1, 2),
@@ -747,7 +769,7 @@ WITH pairs AS (
     4) AS cos_sim
   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.8
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
 """,
         "ann_topk": """
 WITH scored AS (

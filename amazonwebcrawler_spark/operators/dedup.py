@@ -13,10 +13,12 @@ Five dedup strategies, each chosen for a different scale/recall trade-off:
                    pandas-UDF kernel (bit twiddling), hamming join.
 * embedding cosine — near-dup by vector similarity (see similarity.py).
 
-Cross-engine determinism: every hash here is **md5** (not xxhash64/murmur)
-because DuckDB computes identical md5 strings — the oracle SQL in
-``__spark_entry__`` re-derives MinHash signatures and LSH buckets exactly,
-making even the approximate path value-checkable.
+Cross-engine determinism: every base hash here is **md5** (not
+xxhash64/murmur) because DuckDB computes identical md5 strings; MinHash
+derives its k values from ONE md5 per shingle via affine permutations in
+int64 (see ``minhash_perm_consts``) — the oracle SQL in ``__spark_entry__``
+re-derives signatures and LSH buckets exactly, making even the approximate
+path value-checkable.
 
 Scale notes: signatures are computed in one projection (no UDF); LSH
 explodes each doc into ``n_bands`` rows — shuffle volume is
@@ -51,6 +53,26 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_sort(F.array_distinct(grams))
 
 
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles as ROWS (_id, _s) — the relational form.
+
+    Same shingle set as ``shingles()`` but built with explode + get()
+    (whole-stage codegen) instead of higher-order transform/slice/array_join
+    (CodegenFallback, interpreted per element — measured ~10× slower on the
+    documents table). This is the shape the MinHash pipeline and its DuckDB
+    twin both use.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col).alias("_id"), toks.alias("_toks")).filter(
+        F.size("_toks") >= n
+    )
+    pos = base.select(
+        "_id", "_toks", F.explode(F.sequence(F.lit(0), F.size("_toks") - n)).alias("_i")
+    )
+    gram = F.concat_ws(" ", *[F.get(F.col("_toks"), F.col("_i") + j) for j in range(n)])
+    return pos.select("_id", gram.alias("_s")).distinct()
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two string arrays (already distinct)."""
     inter = F.size(F.array_intersect(a, b))
@@ -71,26 +93,62 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------ minhash
+#: MinHash permutation modulus — 2^31-1 (Mersenne prime). Each shingle is
+#: md5-hashed ONCE into a 31-bit int h; the k signature values are affine
+#: permutations (a_j*h + b_j) mod P (standard universal hashing) instead of
+#: k separate md5 calls — measured ~16× less hashing per shingle. All
+#: arithmetic stays < 2^62, exactly reproducible in int64 on both engines.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perm_consts(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine-permutation constants, shared verbatim
+    by the Spark pipeline and the DuckDB oracle twin (generated into its SQL).
+    a_j ≠ 0 mod P because P is prime and the base is not a multiple of P."""
+    return [
+        ((2654435761 * (j + 1)) % MINHASH_P, (2246822519 * (j + 1) + 3266489917) % MINHASH_P)
+        for j in range(k)
+    ]
+
+
+def shingle_hash31(s: Column) -> Column:
+    """31-bit integer hash of a shingle: first 8 hex chars of md5, masked to
+    31 bits (so a_j*h fits int64). Same expression exists in DuckDB as
+    CAST(('0x' || substr(md5(s),1,8)) AS UBIGINT) & 2147483647."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+
+
 def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
-    """k-element MinHash signature: for hash family j, the minimum md5 of
-    ``'<j>:<shingle>'``. min over md5 *strings* — identical in DuckDB, which
-    is what makes the LSH pipeline oracle-checkable end to end."""
+    """k-element MinHash signature as array<bigint>: min over shingles of the
+    j-th affine permutation of the shingle's 31-bit md5-derived hash."""
     sh = shingles(text, n)
+    perms = minhash_perm_consts(k)
+    hashes = F.transform(sh, shingle_hash31)
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))))
-            for j in range(k)
+            F.array_min(F.transform(hashes, lambda h, a=a, b=b: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
+            for (a, b) in perms
         ]
     )
 
 
 def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
-    """Signature → array<struct<band:int, bh:string>> of band hashes."""
+    """Signature (array<bigint>) → array<struct<band:int, bh:string>>."""
     return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|")).alias("bh"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        "|",
+                    )
+                ).alias("bh"),
             )
             for b in range(n_bands)
         ]
@@ -117,51 +175,75 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
     """
     rows_per_band = k // n_bands
-    keyed = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), shingle_n).alias("_sh"),
+    # a documents table often arrives as ONE small parquet file = one input
+    # partition; the shingle/signature work is the CPU-heavy step, so spread
+    # it across the cluster first (tiny shuffle of (id, text) rows —
+    # measured 25 s single-task vs <2 s parallel at sf0.1)
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(n_part, "_id")
     )
-    # signature via explode → 16 partial-min aggregates (map-side combine).
-    # The naive F.array(*16 array_min(transform(shingles,...))) inlines the
-    # whole shingle construction 16× per row under projection collapse —
-    # measured ~7× slower at sf0.1. This shape also mirrors the DuckDB
-    # oracle SQL exactly (GROUP BY doc_id, j, MIN(md5(j || ':' || s))).
+    # relational shingle rows — persisted: reused by the signature, the
+    # intersection counts, and the sizes (cheap: (id, short-string) rows)
+    sh = shingle_rows(docs, "_t", "_id", shingle_n).persist()
+
+    # signature: hash each shingle ONCE → k affine-permutation partial-min
+    # aggregates (map-side combine). Mirrors the DuckDB oracle SQL exactly
+    # (GROUP BY doc_id, j, MIN((a_j*h + b_j) % P)).
+    perms = minhash_perm_consts(k)
     sig = (
-        keyed.select("_id", F.explode("_sh").alias("_s"))
+        sh.select("_id", shingle_hash31(F.col("_s")).alias("_h"))
         .groupBy("_id")
         .agg(
             F.array(
                 *[
-                    F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("_s")))).alias(f"_m{j}")
-                    for j in range(k)
+                    F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{j}")
+                    for j, (a, b) in enumerate(perms)
                 ]
             ).alias("_sig")
         )
     )
-    keyed = keyed.join(sig, "_id").withColumn(
-        "_bands", lsh_bands(F.col("_sig"), n_bands, rows_per_band)
-    )
+    banded = sig.withColumn("_bands", lsh_bands(F.col("_sig"), n_bands, rows_per_band))
 
-    exploded = keyed.select("_id", "_sh", F.explode("_bands").alias("b")).select(
-        "_id", "_sh", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # band shuffle carries ONLY (id, band, bh); shuffle volume = n_bands×docs
+    exploded = banded.select("_id", F.explode("_bands").alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
     buckets = (
         exploded.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("_id", "_sh")).alias("members"))
+        .agg(F.collect_list("_id").alias("members"))
         .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
     )
     # local pair generation: explode members twice, keep ordered pairs
+    cand = (
+        buckets.select(F.explode("members").alias("id_a"), F.col("members"))
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verify, relationally: |A∩B| by joining the candidate set
+    # (small — broadcast) against the shingle rows twice; |A|,|B| from a
+    # per-doc count. Pairs with zero intersection fall out of the inner join
+    # — correct for any threshold > 0.
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    sh_a = sh.select(F.col("_id").alias("id_a"), "_s")
+    sh_b = sh.select(F.col("_id").alias("id_b"), "_s")
+    inter = (
+        sh_a.join(F.broadcast(cand), "id_a")
+        .join(sh_b, ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_ni"))
+    )
     pairs = (
-        buckets.select(F.explode("members").alias("a"), F.col("members"))
-        .select("a", F.explode("members").alias("b"))
-        .filter(F.col("a._id") < F.col("b._id"))
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard_sim"),
+            "id_a",
+            "id_b",
+            (F.col("_ni") / (F.col("_na") + F.col("_nb") - F.col("_ni"))).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
-        .distinct()
     )
     return pairs
 
