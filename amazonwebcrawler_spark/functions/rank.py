@@ -70,18 +70,21 @@ def rank_string_synthesis(
     ad_rank: Column, ad_attr: Column, nat_rank: Column, nat_attr: Column
 ) -> Column:
     """A5: ``adRank(attr广告)/natRank(attr自然)`` with the ``大于8页`` default
-    when neither an ad nor a natural hit was found (getRank.py:265-268)."""
-    combined = F.concat(
-        F.coalesce(ad_rank, F.lit("")),
-        F.lit("("),
-        F.coalesce(ad_attr, F.lit("")),
-        F.lit("广告)/"),
-        F.coalesce(nat_rank, F.lit("")),
-        F.lit("("),
-        F.coalesce(nat_attr, F.lit("")),
-        F.lit("自然)"),
+    when neither an ad nor a natural hit was found (getRank.py:257-268).
+
+    Reference-faithful one-sided format: the ``广告``/``自然`` suffix is
+    appended only when that side has a hit (getRank.py:257-263 builds
+    ``attr + '广告'`` inside the if), so a missing side renders as a bare
+    ``()`` — e.g. ``()/1.3(X自然)``."""
+    ad_seg = F.when(ad_rank.isNull(), F.lit("()")).otherwise(
+        F.concat(ad_rank, F.lit("("), F.coalesce(ad_attr, F.lit("")), F.lit("广告)"))
     )
-    return F.when(ad_rank.isNull() & nat_rank.isNull(), F.lit("大于8页")).otherwise(combined)
+    nat_seg = F.when(nat_rank.isNull(), F.lit("()")).otherwise(
+        F.concat(nat_rank, F.lit("("), F.coalesce(nat_attr, F.lit("")), F.lit("自然)"))
+    )
+    return F.when(ad_rank.isNull() & nat_rank.isNull(), F.lit("大于8页")).otherwise(
+        F.concat(ad_seg, F.lit("/"), nat_seg)
+    )
 
 
 def first_match_struct(

@@ -46,6 +46,10 @@ class BloomConfig:
     @classmethod
     def for_capacity(cls, n_items: int, bits_per_item: int = 12, n_buckets: int = 64) -> "BloomConfig":
         per_shard = max(1 << 14, (n_items * bits_per_item) // n_buckets)
+        # round up to a whole number of bytes: empty_shards allocates
+        # m_bits>>3 bytes while _positions addresses bits up to m_bits-1 —
+        # a non-multiple-of-8 m_bits would index past the byte array
+        per_shard = (per_shard + 7) & ~7
         return cls(n_buckets=n_buckets, m_bits=int(per_shard), k=5)
 
 
@@ -81,6 +85,7 @@ def _test_bits(bits: bytes, pos: np.ndarray) -> np.ndarray:
 
 
 def empty_shards(spark: SparkSession, cfg: BloomConfig) -> DataFrame:
+    assert cfg.m_bits % 8 == 0, "m_bits must be byte-aligned (see for_capacity)"
     rows = [(b, bytearray(cfg.m_bits >> 3), 0, cfg.m_bits, cfg.k) for b in range(cfg.n_buckets)]
     return spark.createDataFrame(rows, SHARD_SCHEMA)
 

@@ -68,18 +68,57 @@ def select_wave_batch(
     return batch, deferred
 
 
-def assign_discovery_seq(expanded: DataFrame, base_seq: int) -> DataFrame:
-    """Assign data-defined ``discovery_seq`` to newly discovered URLs.
+#: the enqueue-time total order for new URLs (BFS order the reference's
+#: sequential loop produces: items in page order getRank.py:173, pages
+#: ascending getRank.py:466). canonical_url is unique per wave (in-wave
+#: dedup), so the order is strict — no ties for the range partitioner to
+#: split nondeterministically.
+DISCOVERY_ORDER = ("parent_seq", "parent_pos", "canonical_url")
 
-    Ordering: (parent's discovery_seq, position on the parent page,
-    canonical_url) — the BFS order the reference's sequential loop produces
-    (items iterated in page order, getRank.py:173; pages in ascending order,
-    getRank.py:466). A global ``row_number`` over that order is deterministic
-    under any parallelism because it is a function of data alone.
+
+def assign_discovery_seq(expanded: DataFrame, base_seq: int, n_partitions: int = 32):
+    """Assign data-defined ``discovery_seq`` to newly discovered URLs —
+    scalably: NO single-task global window.
+
+    Plan: range-repartition by the discovery order (non-overlapping sorted
+    ranges), count rows per partition (one tiny collect), then seq =
+    base + cumulative_offset(partition) + row_number within partition. The
+    result is byte-identical to a global row_number over the same order —
+    range boundaries only change how the total order is *chunked*, never the
+    order itself — but every partition ranks in parallel. Replaces the
+    Window.orderBy-without-partitionBy form (single-task sort, fatal at
+    10^10-URL expansions).
+
+    Returns (DataFrame with discovery_seq, n_rows). The input is persisted
+    internally; caller should treat the returned frame as ephemeral (persist
+    it if reused) — the intermediate is unpersisted by a later wave cleanup.
     """
-    w = Window.orderBy(
-        F.col("parent_seq").asc(), F.col("parent_pos").asc(), F.col("canonical_url").asc()
+    keys = [F.col(c).asc() for c in DISCOVERY_ORDER]
+    srt = (
+        expanded.repartitionByRange(n_partitions, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    return expanded.withColumn(
-        "discovery_seq", (F.lit(base_seq) + F.row_number().over(w)).cast("long")
-    )
+    pid_counts = {
+        r["_pid"]: r["n"] for r in srt.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    n_rows = sum(pid_counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(pid_counts):
+        offsets[pid] = acc
+        acc += pid_counts[pid]
+    if offsets:
+        off_col = F.element_at(
+            F.create_map(*[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]),
+            F.col("_pid"),
+        )
+    else:
+        off_col = F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    out = srt.withColumn(
+        "discovery_seq",
+        (F.lit(base_seq) + off_col + F.row_number().over(w)).cast("long"),
+    ).drop("_pid")
+    return out, n_rows, srt

@@ -43,7 +43,7 @@ from amazonwebcrawler_spark.functions.rank import (
 )
 from amazonwebcrawler_spark.functions.urls import canonicalize_url, url_host
 from amazonwebcrawler_spark.operators import bloom
-from amazonwebcrawler_spark.operators.politeness import select_wave_batch
+from amazonwebcrawler_spark.operators.politeness import assign_discovery_seq, select_wave_batch
 from amazonwebcrawler_spark.sources import synthetic_world as world
 from amazonwebcrawler_spark.sources.seeds import dims_df, seeds_df
 from amazonwebcrawler_spark.sources.state_store import StateStore
@@ -67,8 +67,6 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("keyword", T.StringType()),
     ]
 )
-
-FETCHED_EXTRA = "status int, content string, image_bytes binary"
 
 SERP_JSON = (
     "kind string, keyword string, page int, layout string, has_next boolean, "
@@ -99,7 +97,9 @@ class CrawlConfig:
     follow_items: bool = True          # SERP/category items → detail pages
     follow_skus: bool = True           # detail → SKU variant pages (J4)
     probe_inventory: bool = True       # detail → cart probe (S6)
-    early_stop: bool = False           # A3: stop paging once first ad+natural found
+    early_stop: bool = True            # A3/L2: stop paging once first ad+natural
+                                       # own hit found — the reference's core loop
+                                       # semantics (getRank.py:208-209, 468-469)
     bloom: bloom.BloomConfig = field(default_factory=lambda: bloom.BloomConfig(n_buckets=16, m_bits=1 << 17))
 
 
@@ -235,16 +235,20 @@ class CrawlEngine:
             shards = store.load_snapshot("shards")
             wave0 = m["wave"] + 1
             next_seq = m["counters"]["next_seq"]
+            n_frontier = m["counters"].get("n_frontier")
+            if n_frontier is None:  # manifest predates the counter
+                n_frontier = frontier.count()
         else:
             frontier = self._initial_frontier()
             shards = bloom.empty_shards(spark, cfg.bloom)
             seen0 = bloom.with_bloom_keys(frontier.select("canonical_url"), "canonical_url", cfg.bloom)
             shards = bloom.merge_into_shards(seen0, shards, cfg.bloom)
-            next_seq = frontier.count() + 1000  # seeds occupy seq 0..n-1
+            n_frontier = frontier.count()
+            next_seq = n_frontier + 1000  # seeds occupy seq 0..n-1
             store.commit_wave(
                 -1,
                 {"frontier": frontier, "shards": shards, "seen": frontier.select("canonical_url", "discovery_seq")},
-                {"next_seq": next_seq},
+                {"next_seq": next_seq, "n_frontier": n_frontier},
             )
             frontier = store.load_snapshot("frontier")
             shards = store.load_snapshot("shards")
@@ -252,9 +256,11 @@ class CrawlEngine:
 
         last_wave = wave0 - 1
         for wave in range(wave0, cfg.max_waves):
-            if frontier.isEmpty():
+            if n_frontier == 0:
                 break
-            frontier, shards, next_seq = self._run_wave(wave, frontier, shards, next_seq)
+            frontier, shards, next_seq, n_frontier = self._run_wave(
+                wave, frontier, shards, next_seq
+            )
             last_wave = wave
         return {"last_wave": last_wave, "store": store}
 
@@ -262,7 +268,14 @@ class CrawlEngine:
     def _run_wave(self, wave: int, frontier: DataFrame, shards: DataFrame, next_seq: int):
         import time as _time
 
+        _marks: list[tuple[str, float]] = []
+
+        def _mark(label: str) -> None:
+            if os.environ.get("AWC_DEBUG_TIMING"):
+                _marks.append((label, _time.time()))
+
         t_wave0 = _time.time()
+        _mark("start")
         cfg, spark, store = self.cfg, self.spark, self.store
 
         batch, deferred = select_wave_batch(frontier, cfg.tokens_per_shard, self.robots)
@@ -291,14 +304,20 @@ class CrawlEngine:
         )
         dead = failed.filter(F.col("attempt") >= cfg.max_retries)
         ok = fetched.filter(F.col("status") == 200)
-        # one tiny job over the persisted batch: which page kinds (and
-        # failures) this wave actually saw — lets the commit skip writing
-        # empty per-kind tables (each skipped write is a saved Spark job)
-        kind_counts: dict[str, int] = {
-            r["kind"]: r["n"]
-            for r in fetched.groupBy("kind").agg(F.count("*").alias("n")).collect()
-        }
-        n_failed_rows = fetched.filter(F.col("status") == -1).count()
+        # ONE tiny job over the persisted batch: page kinds AND failure count
+        # this wave actually saw — lets the commit skip writing empty
+        # per-kind tables (each skipped write is a saved Spark job)
+        kind_rows = (
+            fetched.groupBy("kind")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("status") == -1).cast("int")).alias("nf"),
+            )
+            .collect()
+        )
+        kind_counts: dict[str, int] = {r["kind"]: r["n"] for r in kind_rows}
+        n_failed_rows = sum(r["nf"] for r in kind_rows)
+        _mark("fetch+kind_counts")
 
         # ---- parse per kind (P1-P13): from_json, fully declarative
         serp = ok.filter(F.col("kind") == "serp").withColumn("p", F.from_json("content", SERP_JSON))
@@ -342,11 +361,17 @@ class CrawlEngine:
             .withColumn("rank", rank_encode(F.col("layout"), F.col("page"), F.col("pos")))
         )
 
-        results = matched.select(
+        results_all = matched.select(
             F.lit(wave).alias("wave"), "seed_id", "keyword", "page", "pos", "layout",
             "title", "clean_title", "is_ad", "is_own", "size_attr", "rank",
             F.col("canonical_url").alias("page_url"), "host_shard",
         )
+        # W3: unknown-layout rows are routed OUT of results into a quarantine
+        # table (the reference parks 'Other mode' pages for operator review —
+        # getRank.py:317-328's 3000 s sleep); they never contribute ranks or
+        # early-stop hits.
+        quarantine = results_all.filter(F.col("rank") == "Other mode")
+        results = results_all.filter(F.col("rank") != "Other mode")
 
         # ---- detail results (BSR fields) + cart results
         detail_rows = detail.select(
@@ -373,21 +398,32 @@ class CrawlEngine:
         # ---- expansion (J4/L1): pagination + items + skus + cart probes
         expansions = []
         nxt = serp.filter(F.col("p.has_next") & (F.col("p.page") < F.col("max_depth")))
+        wave_flags = None
         if cfg.early_stop:
-            # A3: seeds with ≥1 ad and ≥1 natural own hit stop paging (L2)
-            prior = self.store.load_deltas("results")
-            all_res = prior.unionByName(results) if prior is not None else results
-            done = (
-                all_res.filter(F.col("is_own"))
+            # A3/L2: a seed with ≥1 sponsored and ≥1 natural own hit stops
+            # paging — the reference's core loop exits once both are found
+            # (getRank.py:208-209, 468-469). Per-seed cumulative flags live
+            # in the tiny seed_flags delta (≤1 row per seed per wave), so
+            # the check never rescans the growing results history.
+            wave_flags = (
+                results.filter(F.col("is_own"))
                 .groupBy("seed_id")
                 .agg(
-                    (F.sum(F.col("is_ad").cast("int")) >= 1).alias("has_ad"),
-                    (F.sum((~F.col("is_ad")).cast("int")) >= 1).alias("has_nat"),
+                    F.max(F.col("is_ad").cast("int")).alias("has_ad"),
+                    F.max((~F.col("is_ad")).cast("int")).alias("has_nat"),
                 )
-                .filter(F.col("has_ad") & F.col("has_nat"))
+            )
+            prior_flags = store.load_deltas("seed_flags")
+            all_flags = (
+                wave_flags if prior_flags is None else prior_flags.unionByName(wave_flags)
+            )
+            done = (
+                all_flags.groupBy("seed_id")
+                .agg(F.max("has_ad").alias("_a"), F.max("has_nat").alias("_n"))
+                .filter((F.col("_a") == 1) & (F.col("_n") == 1))
                 .select("seed_id")
             )
-            nxt = nxt.join(done, "seed_id", "left_anti")
+            nxt = nxt.join(F.broadcast(done), "seed_id", "left_anti")
         expansions.append(
             nxt.select(
                 "seed_id",
@@ -474,17 +510,19 @@ class CrawlEngine:
         )
         candidates = _with_host_shard(candidates, cfg)
         candidates = _robots_filter(candidates, self.robots)
+        # in-wave dedup: first-discovered wins — min_by hash-aggregate (one
+        # shuffle with map-side combine) instead of a row_number window (two
+        # sort phases). (parent_seq, parent_pos) is unique per duplicate
+        # group member, so the pick is deterministic.
+        _c_rest = [c for c in candidates.columns if c != "canonical_url"]
         candidates = (
-            candidates.withColumn(
-                "_dup",
-                F.row_number().over(
-                    Window.partitionBy("canonical_url").orderBy(
-                        F.col("parent_seq").asc(), F.col("parent_pos").asc()
-                    )
-                ),
+            candidates.groupBy("canonical_url")
+            .agg(
+                F.min_by(
+                    F.struct(*_c_rest), F.struct("parent_seq", "parent_pos")
+                ).alias("_r")
             )
-            .filter(F.col("_dup") == 1)
-            .drop("_dup")
+            .select("canonical_url", "_r.*")
         )
 
         keyed = bloom.with_bloom_keys(candidates, "canonical_url", cfg.bloom)
@@ -499,18 +537,20 @@ class CrawlEngine:
             if seen is not None
             else maybe
         )
-        new_rows = fresh_sure.unionByName(confirmed_new).drop("maybe_seen")
+        pre = fresh_sure.unionByName(confirmed_new).drop("maybe_seen").persist()
 
         # ---- data-defined discovery order (W4): seq from (parent, pos, url)
-        w_seq = Window.orderBy(F.col("parent_seq").asc(), F.col("parent_pos").asc(), F.col("canonical_url").asc())
+        # assigned WITHOUT a global single-task window — range-partitioned
+        # rank + per-partition offsets, byte-identical result (politeness.py)
+        seq_assigned, n_new, _srt = assign_discovery_seq(pre, next_seq, cfg.n_shards)
         new_rows = (
-            new_rows.withColumn("discovery_seq", (F.lit(next_seq) + F.row_number().over(w_seq)).cast("long"))
+            seq_assigned
             .withColumn("priority_score", F.lit(0.0))
             .withColumn("attempt", F.lit(0))
             .select([f.name for f in FRONTIER_SCHEMA.fields] + ["h1", "h2", "bucket"])
             .persist()
         )
-        n_new = new_rows.count()
+        _mark("new_rows")
         next_seq += n_new
         t_computed = _time.time()
 
@@ -520,13 +560,17 @@ class CrawlEngine:
             .unionByName(new_rows.select([f.name for f in FRONTIER_SCHEMA.fields]))
         )
         if cfg.early_stop:
-            # kill pending pagination of satisfied seeds as well (L2)
+            # kill pending pagination (deferred/retry/new serp rows) of
+            # satisfied seeds as well (L2)
             nf = new_frontier.alias("nf")
             new_frontier = nf.join(
-                done.withColumnRenamed("seed_id", "_done_seed"),
+                F.broadcast(done.withColumnRenamed("seed_id", "_done_seed")),
                 (F.col("nf.seed_id") == F.col("_done_seed")) & (F.col("nf.kind") == "serp"),
                 "left_anti",
             )
+        # persist AFTER all filters: materialized by the count below, reused
+        # by the frontier snapshot write
+        new_frontier = new_frontier.persist()
 
         new_shards = bloom.merge_into_shards(new_rows.select("bucket", "h1", "h2"), shards, cfg.bloom)
 
@@ -566,32 +610,68 @@ class CrawlEngine:
         has_detail = kind_counts.get("detail", 0) > 0
         has_cart = kind_counts.get("cart", 0) > 0
         store = self.store
+        # delta tables are small per wave: coalesce the writes so each wave
+        # appends a few well-sized files instead of one file per shuffle
+        # partition (192 tiny files/table/wave explodes both the write job's
+        # task count and every later load_deltas scan). Snapshot tables
+        # (frontier, shards) keep their natural partitioning — they are the
+        # tables that grow with frontier size.
+        n_out = max(2, cfg.n_shards // 8)
+
+        def delta(df: DataFrame | None) -> DataFrame | None:
+            return None if df is None else df.coalesce(n_out)
+
+        # materialize + count the next frontier ONCE (replaces the separate
+        # isEmpty probe job at the top of each wave); the frontier write
+        # below reuses the cache
+        n_frontier = new_frontier.count()
+        _mark("frontier_count")
         store.commit_wave(
             wave,
             {
                 "frontier": new_frontier,
                 "shards": new_shards,
-                "seen": new_rows.select("canonical_url", "discovery_seq"),
-                "results": results if has_serp else None,
-                "detail_results": detail_rows.drop("skus") if has_detail else None,
-                "cart_results": cart_rows if has_cart else None,
+                "seen": delta(new_rows.select("canonical_url", "discovery_seq")),
+                "results": delta(results if has_serp else None),
+                "quarantine": delta(quarantine if has_serp else None),
+                "seed_flags": delta(wave_flags if has_serp else None),
+                "detail_results": delta(detail_rows.drop("skus") if has_detail else None),
+                "cart_results": delta(cart_rows if has_cart else None),
+                # images keep natural partitioning: coalesce would collapse
+                # the (CPU-heavy, Python) decode stage itself, and the binary
+                # rows already produce well-sized files
                 "images": images if has_detail else None,
-                "metrics": metrics,
-                "page_metrics": page_metrics if has_serp else None,
-                "lineage": lineage,
-                "dead_letter": dead.select("canonical_url", "seed_id", "attempt")
-                if n_failed_rows > 0
-                else None,
+                "metrics": delta(metrics),
+                "page_metrics": delta(page_metrics if has_serp else None),
+                "lineage": delta(lineage),
+                "dead_letter": delta(
+                    dead.select("canonical_url", "seed_id", "attempt")
+                    if n_failed_rows > 0
+                    else None
+                ),
             },
-            {"next_seq": next_seq},
+            {"next_seq": next_seq, "n_frontier": n_frontier},
         )
         fetched.unpersist()
         new_rows.unpersist()
-        out = store.load_snapshot("frontier"), store.load_snapshot("shards"), next_seq
+        pre.unpersist()
+        _srt.unpersist()
+        new_frontier.unpersist()
+        _mark("commit")
+        out = (
+            store.load_snapshot("frontier"),
+            store.load_snapshot("shards"),
+            next_seq,
+            n_frontier,
+        )
         if os.environ.get("AWC_DEBUG_TIMING"):
+            deltas = " ".join(
+                f"{label}={t - prev:.1f}s"
+                for (label, t), (_, prev) in zip(_marks[1:], _marks[:-1])
+            )
             print(
                 f"[wave {wave}] compute={t_computed - t_wave0:.1f}s "
-                f"commit={_time.time() - t_computed:.1f}s n_new={n_new}",
+                f"commit={_time.time() - t_computed:.1f}s n_new={n_new} | {deltas}",
                 flush=True,
             )
         return out

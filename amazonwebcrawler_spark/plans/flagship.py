@@ -81,7 +81,10 @@ def rank_wave(spark: SparkSession, keywords: list[tuple[str, str]], pages: int =
         .withColumn("is_own", F.col("match_title").isNotNull())
         .withColumn("rank", rank_encode(F.col("layout"), F.col("page"), F.col("pos")))
     )
-    own = matched.filter(F.col("is_own"))
+    # W3 quarantine semantics: unknown-layout pages never contribute ranks
+    # (getRank.py:317-328 parks 'Other mode' pages) — same routing as the
+    # stateful engine's quarantine table
+    own = matched.filter(F.col("is_own") & (F.col("rank") != "Other mode"))
     w = Window.partitionBy("seed_id", "is_ad").orderBy(F.col("page").asc(), F.col("pos").asc())
     firsts = own.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     ad = firsts.filter(F.col("is_ad")).select(

@@ -34,7 +34,10 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 SNAPSHOT_TABLES = ("frontier", "shards")
-DELTA_TABLES = ("seen", "results", "images", "metrics", "lineage", "dead_letter")
+DELTA_TABLES = (
+    "seen", "results", "quarantine", "seed_flags", "detail_results",
+    "cart_results", "images", "metrics", "page_metrics", "lineage", "dead_letter",
+)
 
 
 class StateStore:

@@ -19,9 +19,21 @@ import re
 import zlib
 from dataclasses import dataclass, field
 
+from amazonwebcrawler_spark.functions.rank import GRID_LAYOUTS, LIST_LAYOUTS
 from amazonwebcrawler_spark.sources import synthetic_world as world
 
 TRACKING = ("ref", "qid", "ie", "sr", "tag", "psc", "spIA", "rnid")
+
+KNOWN_LAYOUTS = set(GRID_LAYOUTS) | set(LIST_LAYOUTS)
+
+
+def _first_match_py(clean_title: str, product_type: str):
+    """Python twin of functions.rank.first_match_struct (first-match-wins
+    own-product classification, getRank.py:229-236)."""
+    for pt, mt, sa, _pos in sorted(world.DIMS, key=lambda d: d[3]):
+        if pt == product_type and mt in clean_title:
+            return mt, sa
+    return None
 
 
 def canonicalize_url_py(url: str) -> str:
@@ -58,6 +70,7 @@ class OracleRow:
     max_depth: int
     keyword: str | None
     attempt: int = 0
+    priority_score: float = 0.0  # engine sorts it DESC (politeness.py)
 
 
 @dataclass
@@ -77,9 +90,14 @@ def crawl_oracle(
     follow_items: bool = True,
     follow_skus: bool = True,
     probe_inventory: bool = True,
+    early_stop: bool = True,
 ) -> OracleResult:
     """seed_rows: (seed_id, kind, keyword, url, product_type, max_depth)."""
     res = OracleResult()
+    # early-stop state (A3/L2): per-seed [has_ad_hit, has_natural_hit] over
+    # own-product results on KNOWN layouts (quarantined 'Other mode' pages
+    # never contribute hits — mirrors CrawlEngine's quarantine routing)
+    flags: dict[int, list[bool]] = {}
     frontier: list[OracleRow] = []
     for sid, _kind, kw, url, ptype, maxd in seed_rows:
         cu = canonicalize_url_py(url)
@@ -109,7 +127,9 @@ def crawl_oracle(
 
         batch, deferred = [], []
         for shard_rows in by_shard.values():
-            shard_rows.sort(key=lambda r: (r.depth, r.discovery_seq, r.canonical_url))
+            shard_rows.sort(
+                key=lambda r: (r.depth, r.discovery_seq, -r.priority_score, r.canonical_url)
+            )
             for pos, r in enumerate(shard_rows):
                 (batch if pos < row_tokens(r) else deferred).append(r)
 
@@ -126,6 +146,24 @@ def crawl_oracle(
             if fr["status"] == 200:
                 pages.append((r, json.loads(fr["content"])))
 
+        # --- early-stop flags: own-product hits on this wave's serp pages
+        # (computed BEFORE expansion, exactly as the engine derives `done`
+        # from results including the current wave)
+        if early_stop:
+            for r, p in pages:
+                if p["kind"] != "serp" or p["layout"] not in KNOWN_LAYOUTS:
+                    continue
+                for it in p["items"]:
+                    title = it["title"] if it["title"] is not None else "Amazon recommendation"
+                    clean = title.strip().replace("[Sponsored]", "").strip()
+                    if _first_match_py(clean, r.product_type) is not None:
+                        fl = flags.setdefault(r.seed_id, [False, False])
+                        if "Sponsored" in title:
+                            fl[0] = True
+                        else:
+                            fl[1] = True
+        done = {sid for sid, fl in flags.items() if fl[0] and fl[1]} if early_stop else set()
+
         # --- expansion (same rules as CrawlEngine._run_wave)
         cand: list[tuple[int, int, str, OracleRow]] = []  # (parent_seq, parent_pos, raw, parent)
         for r, p in pages:
@@ -133,7 +171,7 @@ def crawl_oracle(
                 if follow_items and r.depth + 1 <= r.max_depth:
                     for it in p["items"]:
                         cand.append((r.discovery_seq, it["pos"], world.HOST + it["href"], r))
-                if p["has_next"] and p["page"] < r.max_depth:
+                if p["has_next"] and p["page"] < r.max_depth and r.seed_id not in done:
                     kw = p["keyword"].replace(" ", "+")
                     raw = f"{world.HOST}/s?field-keywords={kw}&page={p['page'] + 1}"
                     cand.append((r.discovery_seq, 100000, raw, r))
@@ -174,4 +212,10 @@ def crawl_oracle(
             )
         next_seq += len(new_rows)
         frontier = deferred + retries + new_rows
+        if early_stop:
+            # pending pagination of satisfied seeds is dropped from the
+            # whole frontier (deferred ∪ retries ∪ new) — L2
+            frontier = [
+                r for r in frontier if not (r.kind == "serp" and r.seed_id in done)
+            ]
     return res

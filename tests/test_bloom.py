@@ -47,3 +47,13 @@ def test_merge_is_idempotent_and_incremental(spark):
     # shard count never changes; item counts accumulate
     assert s2.count() == cfg.n_buckets
     assert s2.agg(F.sum("n_items")).collect()[0][0] == 200
+
+
+def test_for_capacity_byte_aligned():
+    """for_capacity must return m_bits divisible by 8 — _set_bits/_test_bits
+    address up to m_bits-1 over an m_bits>>3 byte array (no Spark needed)."""
+    for n_items in (1, 7, 100, 12_345, 999_983, 10**7 + 3):
+        for bpi in (7, 11, 12, 13):
+            cfg = bloom.BloomConfig.for_capacity(n_items, bits_per_item=bpi, n_buckets=7)
+            assert cfg.m_bits % 8 == 0, (n_items, bpi, cfg.m_bits)
+            assert cfg.m_bits >= 1 << 14

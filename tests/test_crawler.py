@@ -79,6 +79,63 @@ class TestCrawlInvariants:
         assert lin.count() == m.agg(F.sum("n_fetched")).collect()[0][0]
 
 
+class TestQuarantine:
+    def test_other_layout_routes_to_quarantine(self, spark):
+        """W3: rows from unknown-layout SERPs land in the quarantine table
+        (getRank.py:317-328's 'Other mode' 3000s sleep), never in results."""
+        tmp = "/tmp/crawl_quarantine"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # 'probe kw 5' page 1 deterministically renders the 'other' layout
+        # with own-product items (synthetic_world.serp_page layout hash)
+        seeds = [(0, "keyword", "probe kw 5", world.serp_url("probe kw 5", 1), "yogamat", 1)]
+        eng = CrawlEngine(
+            spark,
+            _cfg(tmp, max_waves=1, follow_items=False, follow_skus=False, probe_inventory=False),
+            seeds=seeds_df(spark, seeds),
+        )
+        store = eng.run()["store"]
+        q = store.load_deltas("quarantine")
+        assert q is not None and q.count() > 0
+        assert {r.rank for r in q.collect()} == {"Other mode"}
+        results = store.load_deltas("results")
+        if results is not None:
+            assert results.filter(F.col("rank") == "Other mode").count() == 0
+
+
+class TestEarlyStop:
+    def test_early_stop_fetches_fewer_pages(self, spark):
+        """A3/L2: once a seed has its first ad + first natural own hit, its
+        pagination stops (reference core loop, getRank.py:208-209,468-469).
+        'probe kw 4' page 1 contains both hits → early-stop crawls 1 serp
+        page where the exhaustive run crawls max_depth."""
+        import tests.oracle as oracle_mod
+
+        seeds = [(0, "keyword", "probe kw 4", world.serp_url("probe kw 4", 1), "yogamat", 6)]
+        counts = {}
+        for flag in (True, False):
+            tmp = f"/tmp/crawl_es_{flag}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            eng = CrawlEngine(
+                spark,
+                _cfg(tmp, max_waves=10, early_stop=flag,
+                     follow_items=False, follow_skus=False, probe_inventory=False),
+                seeds=seeds_df(spark, seeds),
+            )
+            store = eng.run()["store"]
+            lineage = store.load_deltas("lineage")
+            counts[flag] = lineage.count()
+            # engine still matches the python oracle under the same flag
+            o = oracle_mod.crawl_oracle(
+                seeds, n_shards=8, salt_bits=2, tokens_per_shard=32, max_waves=10,
+                follow_items=False, follow_skus=False, probe_inventory=False,
+                early_stop=flag,
+            )
+            got = sorted((r.wave, r.canonical_url) for r in lineage.collect())
+            assert got == sorted(o.fetch_order), f"early_stop={flag}"
+        assert counts[True] < counts[False]
+        assert counts[True] == 1  # both hits on page 1 → exactly one fetch
+
+
 class TestResume:
     def test_exact_resume_matches_uninterrupted(self, spark):
         a, b = "/tmp/crawl_full", "/tmp/crawl_resume"
@@ -102,10 +159,13 @@ class TestResume:
 
 class TestReports:
     def test_rank_report_format(self, spark, crawl):
+        import re
+
         rr = reports.rank_report(crawl, seeds_df(spark, SEED_ROWS)).collect()
         assert len(rr) == 1  # one keyword seed
         s = rr[0].rank_string
-        assert s == "大于8页" or ("广告)/" in s and s.endswith("自然)"))
+        # reference formats: '大于8页', 'x(a广告)/y(b自然)', one-sided '()'
+        assert s == "大于8页" or re.fullmatch(r"(\(\)|.+广告\))/(\(\)|.+自然\))", s), s
 
     def test_inventory_report_join(self, spark, crawl):
         inv = reports.inventory_report(crawl)

@@ -87,6 +87,26 @@ class TestRankSynthesis:
         )
         assert got == "6.15(广告)/2.14(自然)"
 
+    def test_one_sided_renders_bare_parens(self, spark):
+        # reference-faithful: the 广告/自然 suffix only appears for a present
+        # side (getRank.py:257-263) — missing side is a bare '()'
+        got = _one(
+            spark,
+            rank_string_synthesis(
+                F.lit(None).cast("string"), F.lit(None).cast("string"),
+                F.lit("1.3"), F.lit("Q"),
+            ),
+        )
+        assert got == "()/1.3(Q自然)"
+        got = _one(
+            spark,
+            rank_string_synthesis(
+                F.lit("2.4"), F.lit("F"),
+                F.lit(None).cast("string"), F.lit(None).cast("string"),
+            ),
+        )
+        assert got == "2.4(F广告)/()"
+
     def test_default_more_than_8_pages(self, spark):
         got = _one(
             spark,
