@@ -424,7 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_urls"),
         )
 
-    # ----------------------------------------------------- multimodal (rows-only)
+    # ----------------------------------------------------- multimodal
     def q_video_frame_sample(spark, sf):
         from amazonwebcrawler_spark.functions import media
 
@@ -432,7 +432,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(f"vid-{i}", bytearray(media.synth_video(i, n_frames=12))) for i in range(16)],
             "video_id string, bytes binary",
         )
-        return df.repartition(8).mapInPandas(media.frame_sample_kernel(4), media.FRAMES_SCHEMA)
+        frames = df.repartition(8).mapInPandas(media.frame_sample_kernel(4), media.FRAMES_SCHEMA)
+        # project the frame bytes to a digest so the committed-golden DuckDB
+        # twin can value-check the full output (content via md5, not opaque)
+        return frames.select(
+            "video_id", "frame_idx", "phash",
+            F.md5("frame_bytes").alias("frame_md5"),
+            F.length("frame_bytes").alias("frame_len"),
+        )
 
     def q_audio_features(spark, sf):
         from amazonwebcrawler_spark.functions import media
@@ -462,13 +469,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return validate_images(images.repartition(8))
 
-    # ----------------------------------------------------- bloom filter stats (rows-only)
+    # ----------------------------------------------------- bloom filter stats
     def q_bloom_stats(spark, sf):
         from amazonwebcrawler_spark.operators import bloom
 
         cfg = bloom.BloomConfig(n_buckets=8, m_bits=1 << 16)
-        o = _t(spark, sf, "orders").select(
-            F.concat(F.lit("https://www.amazon.com/dp/B"), F.col("o_orderkey").cast("string")).alias("canonical_url")
+        # fixed synthetic URL set (sf-independent) so the committed-golden
+        # twin holds at every scale factor; zero false negatives is the
+        # Bloom invariant under test
+        o = spark.range(0, 10000).select(
+            F.concat(F.lit("https://www.amazon.com/dp/B"), F.col("id").cast("string")).alias("canonical_url")
         )
         keyed = bloom.with_bloom_keys(o, "canonical_url", cfg)
         shards = bloom.merge_into_shards(keyed, bloom.empty_shards(spark, cfg), cfg)
@@ -534,6 +544,109 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # =====================================================================
 # oracle_sql — DuckDB twins (tables pre-registered as views)
 # =====================================================================
+def _golden_sql() -> dict[str, str]:
+    """Committed-golden twins (scripts/gen_goldens.py) for deterministic,
+    sf-independent queries whose kernels (bloom bitsets, PNG codec, PCM DSP,
+    the crawl wave) aren't SQL-expressible: the captured output renders as a
+    typed VALUES table, so the driver value-hashes them like any other query.
+    Types are cast to the exact Spark column types (INTEGER/BIGINT/DOUBLE)
+    so both engines hash identical renderings."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "amazonwebcrawler_spark", "goldens.json"
+    )
+    if not os.path.exists(path):
+        return {}
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    out: dict[str, str] = {}
+    with open(path) as f:
+        goldens = json.load(f)
+    for name, g in goldens.items():
+        cols = g["columns"]  # {col: duckdb_type}
+        values = ",\n".join("(" + ", ".join(lit(v) for v in row) + ")" for row in g["rows"])
+        casts = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in cols.items())
+        names = ", ".join(cols)
+        out[name] = f"SELECT {casts} FROM (VALUES\n{values}\n) AS t({names})"
+    return out
+
+
+def _ann_lsh_sql(k: int = 10, dim: int = 64, n_planes: int = 6, n_tables: int = 3, seed: int = 42) -> str:
+    """DuckDB twin of similarity.lsh_topk: the SAME deterministic hyperplanes
+    (numpy seeded, rounded to 6dp) are embedded as list literals, so bucket
+    assignment, multiprobe, and the exact-cosine re-rank are reproduced
+    end to end — the approximate ANN path is value-checked, not just
+    row-counted."""
+    from amazonwebcrawler_spark.operators.similarity import _hyperplanes
+
+    def plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def dot(vec: str, p) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {plane_lit(p)}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    def bucket(vec: str, planes) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {dot(vec, p)} > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ) + ")"
+
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    c_parts = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS neighbor_id, embedding AS cv, {t} AS t, {bucket('embedding', pl)} AS b FROM embeddings"
+        for t, pl in enumerate(tables)
+    )
+    q_parts = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS query_id, embedding AS qv, {t} AS t, {bucket('embedding', pl)} AS b0 "
+        "FROM embeddings WHERE vec_id < 5"
+        for t, pl in enumerate(tables)
+    )
+    probe_list = "[b0, " + ", ".join(f"xor(b0, {1 << i})" for i in range(n_planes)) + "]"
+    cos = (
+        "list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(qv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(cv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+    )
+    return f"""
+WITH c AS (
+{c_parts}
+),
+q0 AS (
+{q_parts}
+),
+probes AS (
+  SELECT query_id, qv, t, unnest({probe_list}) AS b FROM q0
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.neighbor_id, p.qv, c.cv
+  FROM probes p JOIN c ON c.t = p.t AND c.b = p.b
+  WHERE c.neighbor_id <> p.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, round({cos}, 6) AS cos_sim FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim,
+  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from amazonwebcrawler_spark.operators.dedup import MINHASH_P, minhash_perm_consts
 
@@ -921,4 +1034,6 @@ SELECT 'shard-' || (o_orderkey % 13)::VARCHAR AS host,
   COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_urls
 FROM orders GROUP BY 1
 """,
+        "ann_lsh": _ann_lsh_sql(),
+        **_golden_sql(),
     }

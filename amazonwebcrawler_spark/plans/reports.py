@@ -59,9 +59,16 @@ def rank_report(store: StateStore, seeds: DataFrame) -> DataFrame:
 def titles_report(store: StateStore) -> DataFrame:
     """getTitle.py's dump: every SERP title per keyword, in crawl order.
     The 'one worksheet per keyword' layout (getTitle.py:143) becomes
-    partitionBy('keyword') at write time (save_reports)."""
+    partitionBy('keyword') at write time (save_reports).
+
+    P3 fidelity: getTitle keeps a 0-based per-page index (getTitle.py:103
+    ``enumerate(content)``) where getRank uses 1-based positions
+    (getRank.py:178) — both are preserved: ``pos`` is the engine-wide
+    1-based position, ``index`` the getTitle-style 0-based one."""
     results = store.load_deltas("results")
-    return results.select("keyword", "page", "pos", "title").orderBy("keyword", "page", "pos")
+    return results.select(
+        "keyword", "page", "pos", (F.col("pos") - 1).alias("index"), "title"
+    ).orderBy("keyword", "page", "pos")
 
 
 def save_reports(store: StateStore, seeds: DataFrame, out_dir: str, top_n: int | None = None) -> None:

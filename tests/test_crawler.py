@@ -180,3 +180,37 @@ class TestReports:
         assert out
         for r in out:
             assert r.n_skus == len(r.bsr_report.split("|"))
+
+    def test_titles_report_order_and_index(self, spark, crawl):
+        """getTitle.py pipeline (S9/P3): titles per keyword in crawl order,
+        with BOTH the 1-based pos and getTitle's 0-based index
+        (getTitle.py:103)."""
+        from collections import defaultdict
+
+        rows = reports.titles_report(crawl).collect()
+        assert rows
+        # r["index"]: pyspark Row inherits tuple, so .index is a method
+        assert all(r["index"] == r.pos - 1 for r in rows)
+        by_kw = defaultdict(list)
+        for r in rows:
+            by_kw[r.keyword].append((r.page, r.pos))
+        for kw, seq in by_kw.items():
+            assert seq == sorted(seq), kw
+
+    def test_save_reports_sheet_per_keyword_sink(self, spark, crawl, tmp_path):
+        """S7-S9 sinks: ranks (tall), inventory (row-append, L3 top_n cut),
+        titles partitioned by keyword — the 'worksheet per keyword' layout
+        (getTitle.py:143)."""
+        import os
+
+        out = str(tmp_path / "reports")
+        reports.save_reports(crawl, seeds_df(spark, SEED_ROWS), out, top_n=3)
+        parts = os.listdir(f"{out}/titles")
+        assert any(p.startswith("keyword=") for p in parts), parts
+        titles_back = spark.read.parquet(f"{out}/titles")
+        assert titles_back.count() == reports.titles_report(crawl).count()
+        inv = spark.read.parquet(f"{out}/inventory")
+        assert inv.count() > 0
+        assert inv.agg(F.max("order")).collect()[0][0] <= 3  # L3 head-N cut
+        ranks = spark.read.parquet(f"{out}/ranks")
+        assert ranks.count() == 1  # one keyword seed
