@@ -76,49 +76,47 @@ def select_wave_batch(
 DISCOVERY_ORDER = ("parent_seq", "parent_pos", "canonical_url")
 
 
-def assign_discovery_seq(expanded: DataFrame, base_seq: int, n_partitions: int = 32):
+def assign_discovery_seq(expanded: DataFrame, base_seq: int):
     """Assign data-defined ``discovery_seq`` to newly discovered URLs —
-    scalably: NO single-task global window.
+    scalably: NO single-task global sort, no extra sampling pass.
 
-    Plan: range-repartition by the discovery order (non-overlapping sorted
-    ranges), count rows per partition (one tiny collect), then seq =
-    base + cumulative_offset(partition) + row_number within partition. The
-    result is byte-identical to a global row_number over the same order —
-    range boundaries only change how the total order is *chunked*, never the
-    order itself — but every partition ranks in parallel. Replaces the
-    Window.orderBy-without-partitionBy form (single-task sort, fatal at
-    10^10-URL expansions).
+    Plan: rank rows WITHIN each parent's group (Window.partitionBy
+    parent_seq — parallel across parents), then add a per-parent cumulative
+    offset computed from the parent group sizes. The sizes collect is
+    bounded by the number of parents in the wave = the politeness batch
+    size (tokens_per_shard × n_shards — a config constant, independent of
+    frontier or expansion size), so the driver never holds data-scale
+    state. The result is byte-identical to a global row_number over
+    (parent_seq, parent_pos, canonical_url): parents are offset in
+    parent_seq order and rows rank in (parent_pos, canonical_url) order
+    within each parent.
 
-    Returns (DataFrame with discovery_seq, n_rows). The input is persisted
-    internally; caller should treat the returned frame as ephemeral (persist
-    it if reused) — the intermediate is unpersisted by a later wave cleanup.
+    The ONE job here (the sizes aggregate) doubles as the wave's new-URL
+    count — callers need it for next_seq anyway, so seq assignment adds
+    zero extra Spark jobs to the wave. Returns (DataFrame, n_rows).
     """
-    keys = [F.col(c).asc() for c in DISCOVERY_ORDER]
-    srt = (
-        expanded.repartitionByRange(n_partitions, *keys)
-        .sortWithinPartitions(*keys)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    pid_counts = {
-        r["_pid"]: r["n"] for r in srt.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    sizes = {
+        r["parent_seq"]: r["n"]
+        for r in expanded.groupBy("parent_seq").agg(F.count("*").alias("n")).collect()
     }
-    n_rows = sum(pid_counts.values())
-    offsets: dict[int, int] = {}
+    n_rows = sum(sizes.values())
+    if not sizes:
+        return expanded.withColumn("discovery_seq", F.lit(base_seq).cast("long")), 0
     acc = 0
-    for pid in sorted(pid_counts):
-        offsets[pid] = acc
-        acc += pid_counts[pid]
-    if offsets:
-        off_col = F.element_at(
-            F.create_map(*[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]),
-            F.col("_pid"),
+    offs = []
+    for pseq in sorted(sizes):
+        offs.append((int(pseq), acc))
+        acc += sizes[pseq]
+    off_df = expanded.sparkSession.createDataFrame(offs, "parent_seq long, _off long")
+    w = Window.partitionBy("parent_seq").orderBy(
+        F.col("parent_pos").asc(), F.col("canonical_url").asc()
+    )
+    out = (
+        expanded.join(F.broadcast(off_df), "parent_seq")
+        .withColumn(
+            "discovery_seq",
+            (F.lit(base_seq) + F.col("_off") + F.row_number().over(w)).cast("long"),
         )
-    else:
-        off_col = F.lit(0)
-    w = Window.partitionBy("_pid").orderBy(*keys)
-    out = srt.withColumn(
-        "discovery_seq",
-        (F.lit(base_seq) + off_col + F.row_number().over(w)).cast("long"),
-    ).drop("_pid")
-    return out, n_rows, srt
+        .drop("_off")
+    )
+    return out, n_rows

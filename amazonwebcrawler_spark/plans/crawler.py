@@ -540,9 +540,10 @@ class CrawlEngine:
         pre = fresh_sure.unionByName(confirmed_new).drop("maybe_seen").persist()
 
         # ---- data-defined discovery order (W4): seq from (parent, pos, url)
-        # assigned WITHOUT a global single-task window — range-partitioned
-        # rank + per-partition offsets, byte-identical result (politeness.py)
-        seq_assigned, n_new, _srt = assign_discovery_seq(pre, next_seq, cfg.n_shards)
+        # assigned WITHOUT a global single-task window — per-parent rank +
+        # driver-side cumulative offsets, byte-identical result; the sizes
+        # aggregate doubles as the wave's new-URL count (politeness.py)
+        seq_assigned, n_new = assign_discovery_seq(pre, next_seq)
         new_rows = (
             seq_assigned
             .withColumn("priority_score", F.lit(0.0))
@@ -568,9 +569,13 @@ class CrawlEngine:
                 (F.col("nf.seed_id") == F.col("_done_seed")) & (F.col("nf.kind") == "serp"),
                 "left_anti",
             )
-        # persist AFTER all filters: materialized by the count below, reused
-        # by the frontier snapshot write
+        # persist + count BEFORE the commit: materializes the next frontier
+        # on the idle cluster (the count doubles as the loop stop condition),
+        # so the frontier snapshot write inside the contended commit pool is
+        # a cheap cache scan instead of the union/window/anti-join DAG
         new_frontier = new_frontier.persist()
+        n_frontier = new_frontier.count()
+        _mark("frontier_count")
 
         new_shards = bloom.merge_into_shards(new_rows.select("bucket", "h1", "h2"), shards, cfg.bloom)
 
@@ -621,11 +626,6 @@ class CrawlEngine:
         def delta(df: DataFrame | None) -> DataFrame | None:
             return None if df is None else df.coalesce(n_out)
 
-        # materialize + count the next frontier ONCE (replaces the separate
-        # isEmpty probe job at the top of each wave); the frontier write
-        # below reuses the cache
-        n_frontier = new_frontier.count()
-        _mark("frontier_count")
         store.commit_wave(
             wave,
             {
@@ -650,12 +650,11 @@ class CrawlEngine:
                     else None
                 ),
             },
-            {"next_seq": next_seq, "n_frontier": n_frontier},
+            {"next_seq": next_seq},
         )
         fetched.unpersist()
         new_rows.unpersist()
         pre.unpersist()
-        _srt.unpersist()
         new_frontier.unpersist()
         _mark("commit")
         out = (

@@ -33,6 +33,20 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+
+def parquet_num_rows(path: str) -> int:
+    """Row count of a parquet directory from file footers — metadata-only,
+    no Spark job (the Iceberg-manifest analogue of snapshot row counts)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+
+
 SNAPSHOT_TABLES = ("frontier", "shards")
 DELTA_TABLES = (
     "seen", "results", "quarantine", "seed_flags", "detail_results",
@@ -55,10 +69,15 @@ class StateStore:
         The per-table writes are independent Spark jobs — submitting them
         from a thread pool overlaps their scheduling/IO latency (the wave
         loop's dominant fixed cost; each wave commits ~8 small tables).
+
+        The frontier row count is recorded in the manifest counters from
+        the written parquet FOOTERS (driver-side pyarrow, no Spark job) —
+        it is the loop's stop condition, and a count() job per wave just
+        for it was one of the larger per-wave fixed costs.
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        entry: dict = {"wave": wave, "tables": {}, "counters": counters, "committed_at": time.time()}
+        entry: dict = {"wave": wave, "tables": {}, "counters": dict(counters), "committed_at": time.time()}
 
         def write(item: tuple[str, DataFrame]) -> tuple[str, str]:
             name, df = item
@@ -70,11 +89,17 @@ class StateStore:
         with ThreadPoolExecutor(max_workers=min(8, max(1, len(todo)))) as pool:
             for name, path in pool.map(write, todo):
                 entry["tables"][name] = path
+        if "frontier" in entry["tables"]:
+            entry["counters"]["n_frontier"] = parquet_num_rows(entry["tables"]["frontier"])
         tmp = os.path.join(self.root, "_manifests", f".manifest-{wave}.tmp")
         final = os.path.join(self.root, "_manifests", f"manifest-{wave}.json")
         with open(tmp, "w") as f:
             json.dump(entry, f)
         os.rename(tmp, final)  # the commit point
+
+    def counter(self, name: str):
+        m = self.latest_manifest()
+        return None if m is None else m["counters"].get(name)
 
     # ------------------------------------------------------------- resume
     def committed_waves(self) -> list[int]:

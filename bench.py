@@ -240,12 +240,20 @@ def _crawl_loop_bench(spark, cpus: int) -> dict:
         probe_inventory=False,
         bloom=bloom_ops.BloomConfig(n_buckets=16, m_bits=1 << 20),
     )
-    eng = CrawlEngine(spark, cfg, seeds=seeds_df(spark, rows))
-    t0 = _t.time()
-    out = eng.run()
-    wall = _t.time() - t0
-    n_fetched = eng.store.load_deltas("lineage").count()
-    waves = out["last_wave"] + 1
+    # best-of-REPS: the host shows multi-minute 2-5x load epochs (co-tenant),
+    # so a single loop run can be unrepresentative by itself
+    reps = int(os.environ.get("BENCH_LOOP_REPS", "2"))
+    wall, n_fetched, waves = float("inf"), 0, 0
+    for _ in range(reps):
+        shutil.rmtree(ckpt, ignore_errors=True)
+        eng = CrawlEngine(spark, cfg, seeds=seeds_df(spark, rows))
+        t0 = _t.time()
+        out = eng.run()
+        w = _t.time() - t0
+        if w < wall:
+            wall = w
+            n_fetched = eng.store.load_deltas("lineage").count()
+            waves = out["last_wave"] + 1
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "loop_seeds": n_seeds,
