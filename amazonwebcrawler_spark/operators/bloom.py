@@ -90,15 +90,30 @@ def empty_shards(spark: SparkSession, cfg: BloomConfig) -> DataFrame:
     return spark.createDataFrame(rows, SHARD_SCHEMA)
 
 
-def merge_into_shards(new_keys: DataFrame, shards: DataFrame, cfg: BloomConfig) -> DataFrame:
+def merge_into_shards(
+    new_keys: DataFrame, shards: DataFrame, cfg: BloomConfig, dirty_only: bool = False
+) -> DataFrame:
     """OR the (h1, h2)-keyed new URLs into their shards.
 
     ``new_keys`` must carry (h1, h2, bucket) from :func:`with_bloom_keys`.
     Cogrouped per bucket: one task sees one shard + its new keys.
+
+    ``dirty_only=True`` is the copy-on-write path: buckets that received no
+    new keys are NOT emitted — per-wave shard writes are then O(dirty
+    buckets), not O(all buckets). At 10^10 URLs (15 GB of filter over 4096
+    buckets) rewriting every bucket every wave would be the dominant write;
+    with COW a wave rewrites only the few MB it actually touched
+    (StateStore.load_shard_state reconstructs latest-per-bucket).
     """
     k, m = cfg.k, cfg.m_bits
 
     def merge(keys: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        if keys.empty and dirty_only:
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int32"), "bits": pd.Series(dtype=object),
+                 "n_items": pd.Series(dtype="int64"), "m_bits": pd.Series(dtype="int64"),
+                 "k": pd.Series(dtype="int32")}
+            )
         if shard.empty:
             bucket = int(keys["bucket"].iloc[0])
             bits, n_items = bytearray(m >> 3), 0

@@ -232,7 +232,7 @@ class CrawlEngine:
 
         if resume and (m := store.latest_manifest()) is not None:
             frontier = store.load_snapshot("frontier")
-            shards = store.load_snapshot("shards")
+            shards = store.load_shard_state()
             wave0 = m["wave"] + 1
             next_seq = m["counters"]["next_seq"]
             n_frontier = m["counters"].get("n_frontier")
@@ -251,7 +251,7 @@ class CrawlEngine:
                 {"next_seq": next_seq, "n_frontier": n_frontier},
             )
             frontier = store.load_snapshot("frontier")
-            shards = store.load_snapshot("shards")
+            shards = store.load_shard_state()
             wave0 = 0
 
         last_wave = wave0 - 1
@@ -577,7 +577,11 @@ class CrawlEngine:
         n_frontier = new_frontier.count()
         _mark("frontier_count")
 
-        new_shards = bloom.merge_into_shards(new_rows.select("bucket", "h1", "h2"), shards, cfg.bloom)
+        # copy-on-write: only buckets that gained URLs this wave are emitted
+        # and written; untouched buckets keep their last-written version
+        new_shards = bloom.merge_into_shards(
+            new_rows.select("bucket", "h1", "h2"), shards, cfg.bloom, dirty_only=True
+        )
 
         # ---- metrics + lineage (A6, north_rule)
         metrics = (
@@ -630,7 +634,7 @@ class CrawlEngine:
             wave,
             {
                 "frontier": new_frontier,
-                "shards": new_shards,
+                "shards": new_shards if n_new > 0 else None,  # COW: no dirty buckets → no write
                 "seen": delta(new_rows.select("canonical_url", "discovery_seq")),
                 "results": delta(results if has_serp else None),
                 "quarantine": delta(quarantine if has_serp else None),
@@ -659,7 +663,7 @@ class CrawlEngine:
         _mark("commit")
         out = (
             store.load_snapshot("frontier"),
-            store.load_snapshot("shards"),
+            store.load_shard_state(),
             next_seq,
             n_frontier,
         )

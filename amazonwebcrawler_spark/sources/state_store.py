@@ -47,7 +47,8 @@ def parquet_num_rows(path: str) -> int:
     )
 
 
-SNAPSHOT_TABLES = ("frontier", "shards")
+SNAPSHOT_TABLES = ("frontier",)          # full snapshot, latest wave wins
+COW_TABLES = ("shards",)                 # per-bucket copy-on-write versions
 DELTA_TABLES = (
     "seen", "results", "quarantine", "seed_flags", "detail_results",
     "cart_results", "images", "metrics", "page_metrics", "lineage", "dead_letter",
@@ -124,6 +125,35 @@ class StateStore:
             if name in m["tables"]:
                 return self.spark.read.parquet(m["tables"][name])
         return None
+
+    def load_shard_state(self) -> DataFrame | None:
+        """Copy-on-write Bloom shard state: each wave writes ONLY its dirty
+        buckets (operators/bloom.py merge_into_shards dirty_only=True); the
+        live state is the latest version of every bucket across waves. At
+        Iceberg scale this is manifest-pruned to one file read per bucket;
+        here it is a tiny union + max_by (n_buckets × waves short rows)."""
+        from pyspark.sql import functions as F
+
+        versioned = [
+            (w, m["tables"]["shards"])
+            for w in self.committed_waves()
+            if "shards" in (m := self._manifest(w))["tables"]
+        ]
+        if not versioned:
+            return None
+        dfs = [
+            self.spark.read.parquet(path).withColumn("_v", F.lit(w))
+            for w, path in versioned
+        ]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        latest = (
+            u.groupBy("bucket")
+            .agg(F.max_by(F.struct("bits", "n_items", "m_bits", "k"), "_v").alias("_s"))
+            .select("bucket", "_s.*")
+        )
+        return latest
 
     def load_deltas(self, name: str) -> DataFrame | None:
         """Union of all committed deltas of ``name``."""
