@@ -19,6 +19,8 @@ suite measures recall@k of lsh vs brute force and asserts a floor.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve against module globals
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -167,6 +169,32 @@ def _nearest_centroid_scores(vec, centroids: np.ndarray):
     )
 
 
+def _cell_assign_udfs(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched cell assignment against a BROADCAST centroid matrix —
+    the scale path when n_centroids ≫ 10³, where embedding the centroids as
+    literal column arrays would blow up the plan. One numpy matmul per
+    Arrow batch; no row expansion, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    M = centroids.astype(np.float64)  # (C, dim) — captured, auto-broadcast
+
+    @pandas_udf("int")
+    def best_cell(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series((X @ M.T).argmax(1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        S = X @ M.T  # (n, C)
+        # top n_probe by (score desc, cell asc) — lexsort on (-S, cell)
+        order = np.lexsort((np.arange(S.shape[1])[None, :].repeat(len(S), 0), -S), axis=1)
+        top = order[:, :n_probe].astype("int32")
+        return pd.Series(list(top))
+
+    return best_cell, probe_cells
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -177,15 +205,21 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     sample_size: int = 1024,
+    assign: str = "literal",
 ) -> DataFrame:
     """IVF approximate top-k: coarse k-means quantizer → inverted lists by
     nearest centroid → probe the query's ``n_probe`` nearest lists → exact
     cosine re-rank inside them.
 
     The scale story: centroids come from a driver-side sample (bounded);
-    the corpus is scanned once to assign cells (pure column math over
-    literal centroids) and shuffled once by cell; a query touches
-    ``n_probe / n_centroids`` of the corpus.
+    the corpus is scanned once to assign cells and shuffled once by cell; a
+    query touches ``n_probe / n_centroids`` of the corpus. Cell assignment
+    has two forms with identical results (tested):
+
+    * ``assign='literal'`` — centroid dot products as literal column math
+      (whole-stage codegen; right up to ~10³ centroids);
+    * ``assign='pandas'`` — Arrow-batched numpy matmul against a broadcast
+      centroid matrix (the n_centroids ≫ 10³ path: plan size stays O(1)).
     """
     sample = np.array(
         [r[0] for r in corpus.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()],
@@ -193,32 +227,36 @@ def ivf_topk(
     )
     centroids = _kmeans(sample, n_centroids, seed)
 
-    c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-        .withColumn("_s", _nearest_centroid_scores(F.col("_cv"), centroids))
-        .withColumn(
-            "cell", (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1).cast("int")
-        )
-        .drop("_s")
-    )
-
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    q = q.withColumn("_s", _nearest_centroid_scores(F.col("_qv"), centroids))
-    # top n_probe cells per query: explode scores with index, rank
-    q = (
-        q.select(
-            "query_id", "_qv",
-            F.posexplode(F.col("_s")).alias("cell", "score"),
+    if assign == "pandas":
+        best_cell, probe_cells = _cell_assign_udfs(centroids, n_probe)
+        c = c.withColumn("cell", best_cell(F.col("_cv")))
+        q = q.select("query_id", "_qv", F.explode(probe_cells(F.col("_qv"))).alias("cell"))
+    else:
+        c = (
+            c.withColumn("_s", _nearest_centroid_scores(F.col("_cv"), centroids))
+            .withColumn(
+                "cell", (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1).cast("int")
+            )
+            .drop("_s")
         )
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
-            ),
+        q = q.withColumn("_s", _nearest_centroid_scores(F.col("_qv"), centroids))
+        # top n_probe cells per query: explode scores with index, rank
+        q = (
+            q.select(
+                "query_id", "_qv",
+                F.posexplode(F.col("_s")).alias("cell", "score"),
+            )
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("cell"))
+                ),
+            )
+            .filter(F.col("_r") <= n_probe)
+            .select("query_id", "_qv", "cell")
         )
-        .filter(F.col("_r") <= n_probe)
-        .select("query_id", "_qv", "cell")
-    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -109,3 +109,18 @@ class TestSimilarity:
                  similarity.embedding_neardup_pairs(e, "vec_id", "embedding", threshold=0.95, dim=4).collect()}
         assert (1, 2) in pairs
         assert all(3 not in p for p in pairs)
+
+
+class TestIVFAssignPaths:
+    def test_literal_and_pandas_assignment_agree(self, spark, sf_dir):
+        """The broadcast-matrix pandas assignment (n_centroids >> 1e3 scale
+        path) must reproduce the literal-column-math path exactly."""
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        lit = similarity.ivf_topk(e, qs, "vec_id", "embedding", k=10, n_centroids=16,
+                                  n_probe=4, assign="literal")
+        pan = similarity.ivf_topk(e, qs, "vec_id", "embedding", k=10, n_centroids=16,
+                                  n_probe=4, assign="pandas")
+        rows_lit = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in lit.collect())
+        rows_pan = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in pan.collect())
+        assert rows_lit == rows_pan
