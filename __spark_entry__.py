@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lang_id,
         punct_ratio,
         quality_score,
+        repetition_ratio,
         stopword_ratio,
         token_count,
         word_tokens,
@@ -279,6 +280,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
         )
 
+    # ----------------------------------------------------- sessionization
+    def q_sessionize(spark, sf):
+        from amazonwebcrawler_spark.operators.sessions import sessionize
+
+        e = (
+            _t(spark, sf, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            # integer cents: double sums are addition-order-dependent across
+            # engines; integer sums hash identically (windowed_counts pattern)
+            .withColumn("value", F.round(F.col("value") * 100).cast("long"))
+        )
+        s = sessionize(e, gap_minutes=30)
+        return s.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            F.col("total_value").cast("long").alias("value_cents"),
+        )
+
     # ----------------------------------------------------- dedup: exact
     def q_dedup_exact(spark, sf):
         d = _t(spark, sf, "documents")
@@ -346,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(word_tokens(t)).alias("n_word_tokens"),
             F.round(punct_ratio(t), 6).alias("punct_ratio"),
             F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+            F.round(repetition_ratio(t), 6).alias("repetition_ratio"),
             quality_score(t).alias("quality"),
         )
 
@@ -517,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sku_fanout": q_sku_fanout,
         "json_extract": q_json_extract,
         "windowed_counts": q_windowed_counts,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -804,6 +827,23 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type
   COUNT(*) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """,
+        "sessionize": """
+WITH m AS (
+  SELECT user_id, event_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess FROM m
+)
+SELECT user_id,
+  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM s GROUP BY user_id, sess
+""",
         "dedup_exact": rf"""
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM (SELECT doc_id, md5({norm}) AS d FROM documents)
@@ -922,12 +962,15 @@ r AS (
   SELECT doc_id, n_tokens,
     len(regexp_extract_all(lower(text), '(\w+|[^\w\s])', 1)) AS n_word_tokens,
     CASE WHEN n_nonspace > 0 THEN n_punct::DOUBLE / n_nonspace ELSE 0.0 END AS pr,
-    CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS sr
+    CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0.0 END AS sr,
+    CASE WHEN n_tokens > 0
+      THEN (n_tokens - len(list_distinct(toks)))::DOUBLE / n_tokens ELSE 0.0 END AS rr
   FROM m
 )
 SELECT doc_id, n_tokens, n_word_tokens,
   round(pr, 6) AS punct_ratio,
   round(sr, 6) AS stopword_ratio,
+  round(rr, 6) AS repetition_ratio,
   round(
     least(n_tokens / 100.0, 1.0) * 0.4
     + greatest(0.0, 1.0 - pr * 4) * 0.3

@@ -49,6 +49,18 @@ def punct_ratio(text: Column) -> Column:
     return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
 
 
+def repetition_ratio(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    1 - distinct/total. The classic cheap junk/template signal for
+    training-data filtering (boilerplate and keyword-stuffed pages score
+    high). 0.0 for empty docs."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(toks))) / n
+    ).otherwise(F.lit(0.0))
+
+
 def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     wl = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))

@@ -100,6 +100,10 @@ class CrawlConfig:
     early_stop: bool = True            # A3/L2: stop paging once first ad+natural
                                        # own hit found — the reference's core loop
                                        # semantics (getRank.py:208-209, 468-469)
+    compact_every: int = 16            # every K waves, rewrite the hot state
+                                       # chains (seen/shards/seed_flags) as a
+                                       # full base so per-wave reads stay
+                                       # O(base + K deltas), not O(all waves)
     bloom: bloom.BloomConfig = field(default_factory=lambda: bloom.BloomConfig(n_buckets=16, m_bits=1 << 17))
 
 
@@ -249,6 +253,7 @@ class CrawlEngine:
                 -1,
                 {"frontier": frontier, "shards": shards, "seen": frontier.select("canonical_url", "discovery_seq")},
                 {"next_seq": next_seq, "n_frontier": n_frontier},
+                bases={"seen", "shards"},  # the seed commit IS the full history
             )
             frontier = store.load_snapshot("frontier")
             shards = store.load_shard_state()
@@ -577,10 +582,16 @@ class CrawlEngine:
         n_frontier = new_frontier.count()
         _mark("frontier_count")
 
+        # compaction cadence: every compact_every-th wave rewrites the hot
+        # state chains (seen / shards / seed_flags) as a full base so the
+        # per-wave reads stay O(base + K deltas) instead of O(all waves)
+        compacting = bool(cfg.compact_every) and (wave + 1) % cfg.compact_every == 0
+
         # copy-on-write: only buckets that gained URLs this wave are emitted
-        # and written; untouched buckets keep their last-written version
+        # and written; untouched buckets keep their last-written version.
+        # On a compacting wave the FULL bucket set is emitted (a shards base).
         new_shards = bloom.merge_into_shards(
-            new_rows.select("bucket", "h1", "h2"), shards, cfg.bloom, dirty_only=True
+            new_rows.select("bucket", "h1", "h2"), shards, cfg.bloom, dirty_only=not compacting
         )
 
         # ---- metrics + lineage (A6, north_rule)
@@ -630,15 +641,37 @@ class CrawlEngine:
         def delta(df: DataFrame | None) -> DataFrame | None:
             return None if df is None else df.coalesce(n_out)
 
+        # compaction rewrites: on a compacting wave the hot state chains are
+        # written as full-history BASES (marked in the manifest; loaders stop
+        # descending the wave chain at a base)
+        bases: set[str] = set()
+        seen_df = delta(new_rows.select("canonical_url", "discovery_seq"))
+        shards_df = new_shards if n_new > 0 else None  # COW: no dirty buckets → no write
+        flags_df = delta(wave_flags if has_serp else None)
+        if compacting:
+            bases |= {"seen", "shards"}
+            prior_seen = store.load_deltas("seen")
+            seen_df = (
+                prior_seen.unionByName(new_rows.select("canonical_url", "discovery_seq"))
+                if prior_seen is not None
+                else new_rows.select("canonical_url", "discovery_seq")
+            )
+            shards_df = new_shards  # full bucket set (dirty_only was off above)
+            if cfg.early_stop:
+                bases.add("seed_flags")
+                flags_df = all_flags.groupBy("seed_id").agg(
+                    F.max("has_ad").alias("has_ad"), F.max("has_nat").alias("has_nat")
+                )
+
         store.commit_wave(
             wave,
             {
                 "frontier": new_frontier,
-                "shards": new_shards if n_new > 0 else None,  # COW: no dirty buckets → no write
-                "seen": delta(new_rows.select("canonical_url", "discovery_seq")),
+                "shards": shards_df,
+                "seen": seen_df,
                 "results": delta(results if has_serp else None),
                 "quarantine": delta(quarantine if has_serp else None),
-                "seed_flags": delta(wave_flags if has_serp else None),
+                "seed_flags": flags_df,
                 "detail_results": delta(detail_rows.drop("skus") if has_detail else None),
                 "cart_results": delta(cart_rows if has_cart else None),
                 # images keep natural partitioning: coalesce would collapse
@@ -655,6 +688,7 @@ class CrawlEngine:
                 ),
             },
             {"next_seq": next_seq},
+            bases=bases,
         )
         fetched.unpersist()
         new_rows.unpersist()

@@ -63,7 +63,11 @@ class StateStore:
 
     # ------------------------------------------------------------- commit
     def commit_wave(
-        self, wave: int, tables: dict[str, DataFrame | None], counters: dict[str, int]
+        self,
+        wave: int,
+        tables: dict[str, DataFrame | None],
+        counters: dict[str, int],
+        bases: frozenset[str] | set[str] = frozenset(),
     ) -> None:
         """Write all wave outputs, then atomically publish the manifest.
 
@@ -78,7 +82,16 @@ class StateStore:
         """
         from concurrent.futures import ThreadPoolExecutor
 
-        entry: dict = {"wave": wave, "tables": {}, "counters": dict(counters), "committed_at": time.time()}
+        entry: dict = {
+            "wave": wave,
+            "tables": {},
+            "counters": dict(counters),
+            # bases: tables for which THIS wave's files are a full compacted
+            # rewrite (delta-chain checkpoint) — loaders read from the most
+            # recent base forward instead of the whole wave history
+            "bases": sorted(bases),
+            "committed_at": time.time(),
+        }
 
         def write(item: tuple[str, DataFrame]) -> tuple[str, str]:
             name, df = item
@@ -134,11 +147,15 @@ class StateStore:
         here it is a tiny union + max_by (n_buckets × waves short rows)."""
         from pyspark.sql import functions as F
 
-        versioned = [
-            (w, m["tables"]["shards"])
-            for w in self.committed_waves()
-            if "shards" in (m := self._manifest(w))["tables"]
-        ]
+        versioned: list[tuple[int, str]] = []
+        for w in reversed(self.committed_waves()):
+            m = self._manifest(w)
+            if "shards" not in m["tables"]:
+                continue
+            versioned.append((w, m["tables"]["shards"]))
+            if "shards" in m.get("bases", ()):
+                break  # a base wave wrote every bucket — stop descending
+        versioned.reverse()
         if not versioned:
             return None
         dfs = [
@@ -156,15 +173,20 @@ class StateStore:
         return latest
 
     def load_deltas(self, name: str) -> DataFrame | None:
-        """Union of all committed deltas of ``name``."""
-        paths = [
-            m["tables"][name]
-            for w in self.committed_waves()
-            if name in (m := self._manifest(w))["tables"]
-        ]
+        """Union of committed deltas of ``name`` since (and including) the
+        most recent compaction base — a base wave's files are the full
+        cumulative table, so earlier waves are never read again."""
+        paths: list[str] = []
+        for w in reversed(self.committed_waves()):
+            m = self._manifest(w)
+            if name not in m["tables"]:
+                continue
+            paths.append(m["tables"][name])
+            if name in m.get("bases", ()):
+                break
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(*reversed(paths))
 
     def _manifest(self, wave: int) -> dict:
         with open(os.path.join(self.root, "_manifests", f"manifest-{wave}.json")) as f:

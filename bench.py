@@ -320,6 +320,12 @@ def main() -> None:
     # same fetch kernel (no Spark at all; measured on idle box); 2→8 caps at
     # ~0.85 and so reflects the engine's scaling rather than the chip's
     # clock governor.
+    # Input sizing matters more than anything here: the ~1.5 s fixed
+    # job/stage latency is hidden inside the Python-bound 2-core run but
+    # fully exposed at 8 cores, so an undersized input understates the
+    # large-level throughput (at 65536 serp pages the 8-core serp leg is
+    # ~40% overhead). The serp leg therefore runs 4× larger in the scaling
+    # comparison than in the headline run.
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1" and cpus >= 8:
         spark.stop()
@@ -340,7 +346,7 @@ def main() -> None:
                     # vs compute while leaving budget for several rounds
                     # (the host's multi-minute load epochs swing single runs
                     # 2-5x — sample count beats single-run size)
-                    env.setdefault("BENCH_N_SERP", "65536")
+                    env.setdefault("BENCH_N_SERP", "262144")
                     env.setdefault("BENCH_N_IMG", "98304")
                     env.setdefault("BENCH_REPS", "1")  # rounds provide repetition
                     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))

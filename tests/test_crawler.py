@@ -157,6 +157,40 @@ class TestResume:
         assert ord_a == ord_b
 
 
+class TestCompaction:
+    def test_compaction_preserves_state_and_resume(self, spark):
+        """Every compact_every-th wave rewrites seen/shards/seed_flags as a
+        full base (manifest 'bases'); crawl results, the seen set, and exact
+        resume across a compaction boundary must be identical to the
+        uncompacted run."""
+        a, b = "/tmp/crawl_nocompact", "/tmp/crawl_compact"
+        for t in (a, b):
+            shutil.rmtree(t, ignore_errors=True)
+        seeds = seeds_df(spark, SEED_ROWS)
+        plain = CrawlEngine(spark, _cfg(a, max_waves=10, compact_every=0), seeds=seeds).run()["store"]
+        # compact every 2 waves; interrupt at 3 and resume (crosses a base)
+        CrawlEngine(spark, _cfg(b, max_waves=3, compact_every=2), seeds=seeds).run()
+        comp = CrawlEngine(spark, _cfg(b, max_waves=10, compact_every=2), seeds=seeds).run(
+            resume=True
+        )["store"]
+        # a base was actually written
+        base_waves = [
+            w for w in comp.committed_waves()
+            if "seen" in comp._manifest(w).get("bases", ()) and w >= 0
+        ]
+        assert base_waves, "no compaction base written"
+        seen_a = {r.canonical_url for r in plain.load_deltas("seen").collect()}
+        seen_b = {r.canonical_url for r in comp.load_deltas("seen").collect()}
+        assert seen_a == seen_b
+        ord_a = sorted((r.wave, r.canonical_url) for r in plain.load_deltas("lineage").collect())
+        ord_b = sorted((r.wave, r.canonical_url) for r in comp.load_deltas("lineage").collect())
+        assert ord_a == ord_b
+        # shard state reconstructs identically (bucket → n_items)
+        sa = {r.bucket: r.n_items for r in plain.load_shard_state().collect()}
+        sb = {r.bucket: r.n_items for r in comp.load_shard_state().collect()}
+        assert sa == sb
+
+
 class TestReports:
     def test_rank_report_format(self, spark, crawl):
         import re

@@ -37,3 +37,38 @@ def test_events_windowed_stream_matches_batch(spark, sf_dir):
     assert len(g) > 0
     assert g.items() >= finalized.items()  # every finalized window emitted, exact values
     assert all(k in b and b[k] == v for k, v in g.items())  # nothing fabricated
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir):
+    """applyInPandasWithState sessionization (custom stateful operator) must
+    emit exactly the batch sessionization minus each user's final session
+    (still open in state when the stream drains)."""
+    import shutil as _sh
+
+    from pyspark.sql import Window
+    from amazonwebcrawler_spark.operators.sessions import sessionize, sessionize_stream
+
+    out = "/tmp/stream_sessions"
+    _sh.rmtree(out, ignore_errors=True)
+    q = sessionize_stream(spark, sf_dir, out, gap_minutes=30)
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(f"{out}/sessions").collect()
+    }
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = sessionize(e, gap_minutes=30)
+    w = Window.partitionBy("user_id").orderBy(F.col("session_start").desc())
+    closed_batch = (
+        batch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1).drop("_rn")
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, round(r.total_value, 6))
+        for r in closed_batch.collect()
+    }
+    assert len(got) > 0
+    assert got == want
