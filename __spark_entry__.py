@@ -463,6 +463,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length("frame_bytes").alias("frame_len"),
         )
 
+    def q_images_resize(spark, sf):
+        from amazonwebcrawler_spark.functions import media
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(1, 33):
+            rec = world.image_record(world.asin_for("resize", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        resized = df.repartition(8).mapInPandas(
+            media.resize_images_kernel(48, 32), media.RESIZED_SCHEMA
+        )
+        # digest projection so the committed-golden twin value-checks the
+        # resized pixel content, not just shapes
+        return resized.select(
+            "image_id", "w", "h",
+            F.md5("bytes").alias("bytes_md5"),
+            F.length("bytes").alias("n_bytes"),
+        )
+
     def q_audio_features(spark, sf):
         from amazonwebcrawler_spark.functions import media
 
@@ -559,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_report": q_pivot_report,
         "distinct_hosts": q_distinct_hosts,
         "video_frame_sample": q_video_frame_sample,
+        "images_resize": q_images_resize,
         "audio_features": q_audio_features,
         }.items()
     }

@@ -36,6 +36,10 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "video_id": "VARCHAR", "frame_idx": "INTEGER", "phash": "BIGINT",
         "frame_md5": "VARCHAR", "frame_len": "INTEGER",
     },
+    "images_resize": {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "bytes_md5": "VARCHAR", "n_bytes": "INTEGER",
+    },
     "audio_features": {
         "audio_id": "VARCHAR", "duration_sec": "DOUBLE", "rms": "DOUBLE",
         "zero_crossing_rate": "DOUBLE", "peak": "DOUBLE",
