@@ -428,6 +428,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gen, "image_id string, w int, h int, fmt string, caption string, phash long, n_bytes long"
         )
 
+    def q_cuckoo_stats(spark, sf):
+        from amazonwebcrawler_spark.operators import cuckoo
+
+        cfg = cuckoo.CuckooConfig(n_shards=8, n_buckets=1 << 12)
+        # fixed synthetic URL set (sf-independent, committed-golden twin);
+        # the invariants under test: zero false negatives for live keys and
+        # DELETION actually removing fingerprints (the Bloom-can't operation)
+        urls = spark.range(0, 10000).select(
+            F.concat(F.lit("https://www.amazon.com/dp/C"), F.col("id").cast("string")).alias("canonical_url"),
+            (F.col("id") < 3000).alias("is_victim"),
+        )
+        keyed = cuckoo.with_cuckoo_keys(urls, "canonical_url", cfg)
+        shards = cuckoo.merge_into_shards(keyed, cuckoo.empty_shards(spark, cfg), cfg)
+        shards2 = cuckoo.delete_from_shards(keyed.filter(F.col("is_victim")), shards, cfg)
+        probed = cuckoo.probe_shards(keyed, shards2, cfg)
+        return (
+            probed.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_probed"),
+                F.sum(((~F.col("maybe_seen")) & (~F.col("is_victim"))).cast("int")).alias(
+                    "false_negatives"  # must be 0
+                ),
+                F.sum((F.col("maybe_seen") & F.col("is_victim")).cast("int")).alias(
+                    "deleted_still_seen"  # fingerprint twins only, ~0
+                ),
+            )
+            .join(shards2.select("shard", "n_items"), "shard")
+        )
+
     # ----------------------------------------------------- S7 pivot (wide report layout)
     def q_pivot_report(spark, sf):
         e = _t(spark, sf, "events")
@@ -576,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "images_decode": q_images_decode,
         "images_validate": q_images_validate,
         "bloom_stats": q_bloom_stats,
+        "cuckoo_stats": q_cuckoo_stats,
         "pivot_report": q_pivot_report,
         "distinct_hosts": q_distinct_hosts,
         "video_frame_sample": q_video_frame_sample,

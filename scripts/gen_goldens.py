@@ -48,6 +48,10 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
     },
+    "cuckoo_stats": {
+        "shard": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
+        "deleted_still_seen": "BIGINT", "n_items": "BIGINT",
+    },
 }
 
 OUT = os.path.join(
