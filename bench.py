@@ -330,7 +330,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1" and cpus >= 8:
         spark.stop()
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+        pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
         results: dict = {}
         try:
             # interleave small/large rounds and keep the best run per level:

@@ -14,6 +14,8 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 CHECKS = {
     # query -> list of substrings that MUST appear in the formatted plan
     # ("[codegen id :" is Spark 4's whole-stage-codegen marker)
@@ -80,16 +82,62 @@ def check_no_global_window(spark) -> list[str]:
     return []
 
 
+def check_bucketed_join(spark, sf_dir: str) -> list[str]:
+    """Co-located join via bucketing: write both join sides bucketed+sorted
+    on the key, then assert the join plan has NO shuffle exchange on either
+    side — the pattern the report joins (detail ⋈ cart, J3) use at scale
+    instead of exchanging 10^10 rows."""
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS awc_demo")
+    for t in ("orders_b", "cust_b"):
+        spark.sql(f"DROP TABLE IF EXISTS awc_demo.{t}")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    (orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .mode("overwrite").saveAsTable("awc_demo.orders_b"))
+    (cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .mode("overwrite").saveAsTable("awc_demo.cust_b"))
+    # force a sort-merge join (broadcast would trivially have no exchange)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("awc_demo.orders_b").join(
+            spark.table("awc_demo.cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        txt = plan_text(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    if "SortMergeJoin" not in txt:
+        print("FAIL bucketed_join_no_shuffle: expected SortMergeJoin")
+        print(txt[:2000])
+        return ["bucketed_join_no_shuffle"]
+    if "Exchange" in txt:
+        print("FAIL bucketed_join_no_shuffle: Exchange present")
+        print(txt[:2000])
+        return ["bucketed_join_no_shuffle"]
+    print("ok   bucketed_join_no_shuffle: SortMergeJoin over bucketed scans, zero Exchange")
+    return []
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entrymod
     from amazonwebcrawler_spark.session import get_spark
 
-    spark = get_spark(app_name="explain", master="local[4]", shuffle_partitions=4)
+    import shutil
+
+    shutil.rmtree("/tmp/awc_explain_wh", ignore_errors=True)
+    spark = get_spark(
+        app_name="explain", master="local[4]", shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/awc_explain_wh"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     bad = []
     bad += check_no_global_window(spark)
+    bad += check_bucketed_join(spark, sf_dir)
     for name, expected in CHECKS.items():
         txt = plan_text(qs[name](spark, sf_dir))
         missing = [e for e in expected if e not in txt]
