@@ -377,8 +377,12 @@ def main() -> None:
             def img_rate(r):
                 return r["image_rows"] / r["image_sec"]
 
+            def serp_rate(r):
+                return r["serp_pages"] / r["serp_sec"]
+
             ratio = frontier(large) / frontier(small)
             img_ratio = img_rate(large) / img_rate(small)
+            serp_ratio = serp_rate(large) / serp_rate(small)
             scaling = {
                 "cpus_small": n_small,
                 "cpus_large": n_small * 4,
@@ -388,6 +392,7 @@ def main() -> None:
                 "image_rows_per_sec_large": round(img_rate(large), 1),
                 "speedup": round(ratio, 3),
                 "scaling_efficiency": round(ratio / 4.0, 3),
+                "serp_scaling_efficiency": round(serp_ratio / 4.0, 3),
                 "image_scaling_efficiency": round(img_ratio / 4.0, 3),
                 "samples": {
                     str(c): {"serp_sec": r["serp_samples"], "image_sec": r["image_samples"]}

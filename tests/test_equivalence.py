@@ -21,6 +21,8 @@ SEED_ROWS = [
     (1, "keyword", "lined notebook a5", world.serp_url("lined notebook a5", 1), "jmcl", 2),
     (2, "product", None,
      f"https://WWW.Amazon.com/dp/{world.asin_for('tpe yoga mat', 1, 1)}/ref=sr_1?qid=1", "yogamat", 2),
+    # all three seed kinds in the ordering-match proof (S1-S3)
+    (3, "category", None, world.category_url("office-products"), "jmcl", 2),
 ]
 
 CFG = dict(max_waves=24, tokens_per_shard=16, n_shards=8, salt_bits=2, max_retries=2)
