@@ -34,8 +34,11 @@ def priority_sort_cols() -> list:
 
 
 def select_wave_batch(
-    frontier: DataFrame, tokens_per_shard: int, robots: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
+    frontier: DataFrame,
+    tokens_per_shard: int,
+    robots: DataFrame | None = None,
+    return_ranked: bool = False,
+):
     """Split the frontier into (this wave's batch, deferred remainder).
 
     One shuffle on ``host_shard``; the window ranks each shard's queue and
@@ -63,8 +66,15 @@ def select_wave_batch(
         frontier = frontier.withColumn("_tokens", F.lit(tokens_per_shard))
     w = Window.partitionBy("host_shard").orderBy(*priority_sort_cols())
     ranked = frontier.withColumn("_tb_rank", F.row_number().over(w))
+    if return_ranked:
+        # BOTH outputs derive from the same ranking window — without a cache
+        # the sort+window runs twice per wave (once under the fetch job, once
+        # under the next-frontier job). The caller owns the unpersist.
+        ranked = ranked.persist()
     batch = ranked.filter(F.col("_tb_rank") <= F.col("_tokens")).drop("_tb_rank", "_tokens")
     deferred = ranked.filter(F.col("_tb_rank") > F.col("_tokens")).drop("_tb_rank", "_tokens")
+    if return_ranked:
+        return batch, deferred, ranked
     return batch, deferred
 
 

@@ -283,7 +283,9 @@ class CrawlEngine:
         _mark("start")
         cfg, spark, store = self.cfg, self.spark, self.store
 
-        batch, deferred = select_wave_batch(frontier, cfg.tokens_per_shard, self.robots)
+        batch, deferred, _ranked = select_wave_batch(
+            frontier, cfg.tokens_per_shard, self.robots, return_ranked=True
+        )
 
         # ---- fetch (S4-S6): one mapInPandas over the batch, partitioned by shard
         fetched_schema = T.StructType(
@@ -694,6 +696,7 @@ class CrawlEngine:
         new_rows.unpersist()
         pre.unpersist()
         new_frontier.unpersist()
+        _ranked.unpersist()
         _mark("commit")
         out = (
             store.load_snapshot("frontier"),
