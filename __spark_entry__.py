@@ -376,6 +376,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return d.select("doc_id", lang_id(F.col("text")).alias("lang_detected"))
 
+    # ----------------------------------------------------- PII detect+scrub
+    def q_pii_scrub(spark, sf):
+        from amazonwebcrawler_spark.functions.text import pii_counts, pii_scrub
+
+        d = _t(spark, sf, "documents")
+        # plant deterministic PII (the synthetic corpus contains none):
+        # email every 5th doc, phone every 7th, IP every 3rd — both engines
+        # construct the identical augmented text, so counts and the scrubbed
+        # digest are value-checked end to end
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call 555-123-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."), ((F.col("doc_id") * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        counts = pii_counts(aug)
+        return d.select(
+            "doc_id",
+            counts["email"].alias("n_email"),
+            counts["phone"].alias("n_phone"),
+            counts["ipv4"].alias("n_ipv4"),
+            F.md5(pii_scrub(aug)).alias("scrubbed_md5"),
+        )
+
     # ----------------------------------------------------- fingerprint
     def q_fingerprint(spark, sf):
         d = _t(spark, sf, "documents")
@@ -600,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
         "crawl_rank_wave": q_crawl_rank_wave,
         "images_decode": q_images_decode,
@@ -722,6 +759,7 @@ QUALIFY rank <= {k}
 
 
 def oracle_sql() -> dict[str, str]:
+    from amazonwebcrawler_spark.functions.text import PII_PATTERNS
     from amazonwebcrawler_spark.operators.dedup import MINHASH_P, minhash_perm_consts
 
     perm_values = ", ".join(
@@ -1053,6 +1091,26 @@ FROM c
 """,
         "fingerprint": rf"""
 SELECT doc_id, md5({norm}) AS fp FROM documents
+""",
+        "pii_scrub": rf"""
+WITH aug AS (
+  SELECT doc_id,
+    text ||
+    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{PII_PATTERNS["email"]}')) AS n_email,
+  len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}')) AS n_phone,
+  len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+    '{PII_PATTERNS["email"]}', '<PII>', 'g'),
+    '{PII_PATTERNS["phone"]}', '<PII>', 'g'),
+    '{PII_PATTERNS["ipv4"]}', '<PII>', 'g')) AS scrubbed_md5
+FROM aug
 """,
         "winnow_fingerprints": rf"""
 -- Winnowing: md5 of every 8-char-gram of the normalized text, min over

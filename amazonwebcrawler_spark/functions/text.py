@@ -49,6 +49,34 @@ def punct_ratio(text: Column) -> Column:
     return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
 
 
+#: PII patterns — deliberately lookahead-free so the SAME pattern strings
+#: run identically under Java regex (Spark) and RE2 (DuckDB); the oracle
+#: twin is generated from this dict, keeping both engines in lockstep.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[\- .]\d{3}[\- .]\d{4}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts — the detect half of a scrub stage."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_scrub(text: Column, placeholder: str = "<PII>") -> Column:
+    """Replace every PII match with a placeholder — the scrub half.
+    Patterns apply in dict order (email before phone before ipv4) so
+    nested/overlapping matches resolve deterministically on both engines."""
+    out = text
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, placeholder)
+    return out
+
+
 def repetition_ratio(text: Column) -> Column:
     """Fraction of tokens that are repeats of an earlier token —
     1 - distinct/total. The classic cheap junk/template signal for
