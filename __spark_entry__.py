@@ -312,6 +312,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             d, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
         )
 
+    # ----------------------------------------------------- dedup: groups (CC)
+    def q_dedup_groups(spark, sf):
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
+        )
+        return dedup.connected_components(pairs)
+
+    # ----------------------------------------------------- decontamination
+    def q_decontaminate(spark, sf):
+        from amazonwebcrawler_spark.operators import corpus
+
+        d = _t(spark, sf, "documents")
+        # deterministic split: every 97th doc plays the benchmark/eval set
+        ev = d.filter(F.col("doc_id") % 97 == 0)
+        tr = d.filter(F.col("doc_id") % 97 != 0)
+        rep = corpus.decontaminate(tr, ev, "text", "doc_id", n=3)
+        return rep.select(
+            "doc_id",
+            "n_contaminated_grams",
+            "n_grams",
+            F.round("contamination_ratio", 6).alias("contamination_ratio"),
+        )
+
+    # ----------------------------------------------------- hash sampling
+    def q_hash_sample(spark, sf):
+        from amazonwebcrawler_spark.operators import corpus
+
+        d = _t(spark, sf, "documents")
+        s = corpus.hash_sample(d, "doc_id", rate=0.1, salt="bench")
+        return s.select(
+            "doc_id", corpus.hash_bucket(F.col("doc_id"), salt="bench").alias("bucket")
+        )
+
     # ----------------------------------------------------- dedup: exact n-gram jaccard
     def q_dedup_ngram_jaccard(spark, sf):
         d = _t(spark, sf, "documents")
@@ -627,6 +661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "decontaminate": q_decontaminate,
+        "hash_sample": q_hash_sample,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "embedding_neardup": q_embedding_neardup,
@@ -779,6 +816,53 @@ sh AS (
   SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
   FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
   WHERE len(toks) >= 3
+)"""
+
+    # the full MinHash-LSH candidate→verified-pairs pipeline as CTE text,
+    # shared by dedup_minhash_lsh (returns pairs) and dedup_groups (closes
+    # the pairs into connected components)
+    minhash_pairs_ctes = rf"""{shingle_cte},
+-- one md5 per shingle → 31-bit int; k affine permutations (a*h+b) mod P
+-- (P = 2^31-1) — constants generated from dedup.minhash_perm_consts so the
+-- twin is arithmetic-identical to the Spark pipeline
+hs AS (
+  SELECT doc_id, CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) & 2147483647 AS BIGINT) AS h
+  FROM sh
+),
+perms AS (SELECT * FROM (VALUES {perm_values}) AS t(j, a, b)),
+sig AS (
+  SELECT doc_id, j, MIN((a * h + b) % {MINHASH_P}) AS mh
+  FROM hs, perms
+  GROUP BY doc_id, j
+),
+bands AS (
+  SELECT doc_id, j // 4 AS band, md5(string_agg(mh::VARCHAR, '|' ORDER BY j)) AS bh
+  FROM sig GROUP BY doc_id, j // 4
+),
+bsz AS (SELECT band, bh, COUNT(*) AS c FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+  JOIN bsz ON bsz.band = a.band AND bsz.bh = a.bh
+  WHERE bsz.c BETWEEN 2 AND 200
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+    COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard_sim
+  FROM cand c
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
 )"""
 
     return {
@@ -939,47 +1023,46 @@ FROM (SELECT doc_id, md5({norm}) AS d FROM documents)
 GROUP BY d
 """,
         "dedup_minhash_lsh": rf"""
-WITH {shingle_cte},
--- one md5 per shingle → 31-bit int; k affine permutations (a*h+b) mod P
--- (P = 2^31-1) — constants generated from dedup.minhash_perm_consts so the
--- twin is arithmetic-identical to the Spark pipeline
-hs AS (
-  SELECT doc_id, CAST(CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) & 2147483647 AS BIGINT) AS h
-  FROM sh
+WITH {minhash_pairs_ctes}
+SELECT id_a, id_b, jaccard_sim FROM pairs
+""",
+        "dedup_groups": rf"""
+-- pairs → connected components: transitive closure by label propagation
+-- (recursive CTE); component id = MIN(doc id) over everything reachable.
+WITH RECURSIVE {minhash_pairs_ctes},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
 ),
-perms AS (SELECT * FROM (VALUES {perm_values}) AS t(j, a, b)),
-sig AS (
-  SELECT doc_id, j, MIN((a * h + b) % {MINHASH_P}) AS mh
-  FROM hs, perms
-  GROUP BY doc_id, j
-),
-bands AS (
-  SELECT doc_id, j // 4 AS band, md5(string_agg(mh::VARCHAR, '|' ORDER BY j)) AS bh
-  FROM sig GROUP BY doc_id, j // 4
-),
-bsz AS (SELECT band, bh, COUNT(*) AS c FROM bands GROUP BY 1, 2),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-  JOIN bsz ON bsz.band = a.band AND bsz.bh = a.bh
-  WHERE bsz.c BETWEEN 2 AND 200
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.id_a
-  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-  GROUP BY c.id_a, c.id_b
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
 )
-SELECT c.id_a, c.id_b,
-  COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard_sim
-FROM cand c
-JOIN sizes sa ON sa.doc_id = c.id_a
-JOIN sizes sb ON sb.doc_id = c.id_b
-LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-WHERE COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+""",
+        "decontaminate": rf"""
+WITH {shingle_cte},
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+hits AS (
+  SELECT tr.doc_id, COUNT(*) AS n_contaminated_grams
+  FROM tr JOIN ev ON ev.s = tr.s
+  GROUP BY tr.doc_id
+)
+SELECT h.doc_id, h.n_contaminated_grams, s.n_grams,
+  ROUND(h.n_contaminated_grams::DOUBLE / s.n_grams, 6) AS contamination_ratio
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+""",
+        "hash_sample": """
+WITH b AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5('bench' || doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 10000 AS INT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket FROM b WHERE bucket < 1000
 """,
         "dedup_ngram_jaccard": rf"""
 WITH {shingle_cte},

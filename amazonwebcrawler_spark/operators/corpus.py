@@ -1,0 +1,80 @@
+"""Corpus-curation operators for training-data pipelines.
+
+* decontaminate — flag training documents that share word n-grams with a
+  held-out evaluation/benchmark set (the standard "test-set leakage" guard
+  run before every LLM pretraining job).
+* hash_sample   — deterministic hash-based row sampling; reproducible on
+  any engine (md5, not rand()), so sampled pipelines stay oracle-checkable
+  and re-runs see the same sample without persisting a sample table.
+
+Scale notes: the eval set in decontamination is a benchmark suite — a few
+MB against a 100 TB corpus — so its distinct gram set is broadcast and the
+whole pass is one map-side semi-join over the training shingles; no
+shuffle of the big side at all. hash_sample is a pure projection+filter
+(pushed to the scan where the format allows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.operators.dedup import shingle_rows
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-training-doc contamination report: how many of its distinct word
+    n-grams appear anywhere in the eval set.
+
+    Returns (doc_id, n_contaminated_grams, n_grams, contamination_ratio) for
+    contaminated docs ONLY (inner semi-structure) — the caller anti-joins
+    this against the corpus to drop or quarantine.
+
+    Plan: shingle both sides (codegen explode, see shingle_rows), distinct
+    the eval grams, broadcast them, inner-join + count per doc. The big
+    side is never shuffled when the eval side broadcasts.
+    """
+    train_sh = shingle_rows(train, text_col, id_col, n)
+    eval_grams = shingle_rows(eval_df, text_col, id_col, n).select("_s").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    sizes = train_sh.groupBy("_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train_sh.join(eval_grams, "_s")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        hits.join(sizes, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_contaminated_grams",
+            "n_grams",
+            (F.col("n_contaminated_grams") / F.col("n_grams")).alias("contamination_ratio"),
+        )
+    )
+
+
+def hash_bucket(key: Column, n_buckets: int = 10_000, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets): first 8 md5 hex chars of
+    (salt || key) as an int, mod n_buckets. Engine-portable (md5 semantics
+    are universal; xxhash64 is Spark-only)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).cast("int")
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "", n_buckets: int = 10_000
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``rate`` fraction of
+    buckets. Unlike ``df.sample()`` this is stable across runs, engines,
+    partitionings and row order — the property a resumable pipeline needs
+    (re-running a failed stage must re-select the same rows)."""
+    return df.filter(hash_bucket(F.col(key_col), n_buckets, salt) < int(rate * n_buckets))

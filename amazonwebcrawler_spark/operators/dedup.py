@@ -278,6 +278,63 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------- connected components (groups)
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS → dedup GROUPS: (doc_id, group_id) where group_id is
+    the minimum doc id in the connected component.
+
+    A pair list alone doesn't dedup a corpus — A~B and B~C must collapse to
+    one keep-decision for {A,B,C}. This is min-label propagation over the
+    undirected pair graph: each round every node adopts the smallest label
+    among itself and its neighbors; fixpoint in diameter(G) rounds.
+
+    Scale shape: each round is one join (labels ⋈ edges on src) + one
+    groupBy-min — both shuffle on the node id, so AQE can reuse the
+    partitioning. Convergence is detected with a single count of changed
+    labels; lineage is truncated every round via localCheckpoint (the loop
+    would otherwise re-derive all prior rounds each action). Near-dup
+    components are overwhelmingly tiny (pairs, triangles, short chains), so
+    rounds ≈ 2-4 in practice; the O(log n) large-star/small-star variant is
+    the documented upgrade path if a pathological corpus produces long
+    chains at 100 TB.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor minimum: dst inherits the smallest label seen at any src
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least("lbl", F.coalesce("_nbr", "lbl")).alias("lbl"),
+                    (F.least("lbl", F.coalesce("_nbr", "lbl")) != F.col("lbl")).alias("_chg"))
+        ).localCheckpoint()
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("group_id"))
+
+
 # ------------------------------------------------------------------ simhash
 def simhash64_udf():
     """Pandas-UDF SimHash: md5-derived 64-bit token hashes, bitwise ±1 vote,

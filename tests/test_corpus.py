@@ -1,0 +1,91 @@
+"""Corpus-curation operators: connected components, decontamination,
+deterministic hash sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.operators import corpus, dedup
+
+
+class TestConnectedComponents:
+    def test_chain_collapses_to_one_group(self, spark):
+        # A~B, B~C, C~D: a pure pair list would keep 2 docs; CC keeps 1
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        got = {
+            (r.doc_id, r.group_id)
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+    def test_label_flows_against_edge_direction(self, spark):
+        # min id sits at the "end": 5~4, 4~3 → all should label 3
+        pairs = spark.createDataFrame([(5, 4), (4, 3)], "id_a long, id_b long")
+        got = {(r.doc_id, r.group_id) for r in dedup.connected_components(pairs).collect()}
+        assert got == {(3, 3), (4, 3), (5, 3)}
+
+    def test_groups_refine_lsh_pairs(self, spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+        cc = dedup.connected_components(pairs)
+        members = {r.doc_id for r in cc.collect()}
+        in_pairs = {
+            x for r in pairs.select("id_a", "id_b").collect() for x in (r.id_a, r.id_b)
+        }
+        assert members == in_pairs  # every paired doc is grouped, none invented
+        # group roots are their own representative
+        roots = cc.filter(F.col("doc_id") == F.col("group_id")).count()
+        n_groups = cc.select("group_id").distinct().count()
+        assert roots == n_groups
+
+
+class TestDecontaminate:
+    def test_planted_overlap_flagged(self, spark):
+        ev = spark.createDataFrame(
+            [(100, "the secret benchmark answer is forty two exactly")],
+            "doc_id long, text string",
+        )
+        tr = spark.createDataFrame(
+            [
+                (1, "clean document about something else entirely unrelated"),
+                (2, "i memorized the secret benchmark answer is forty two exactly word for word"),
+            ],
+            "doc_id long, text string",
+        )
+        rep = corpus.decontaminate(tr, ev, "text", "doc_id", n=3)
+        rows = {r.doc_id: r for r in rep.collect()}
+        assert set(rows) == {2}  # only the contaminated doc is reported
+        assert rows[2].n_contaminated_grams >= 5
+        assert 0 < rows[2].contamination_ratio <= 1
+
+    def test_clean_corpus_empty_report(self, spark):
+        ev = spark.createDataFrame([(1, "aa bb cc dd")], "doc_id long, text string")
+        tr = spark.createDataFrame([(2, "ee ff gg hh")], "doc_id long, text string")
+        assert corpus.decontaminate(tr, ev, "text", "doc_id").count() == 0
+
+
+class TestHashSample:
+    def test_deterministic_and_rate_bounded(self, spark):
+        d = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        s1 = {r.k for r in corpus.hash_sample(d, "k", 0.1, salt="s").collect()}
+        s2 = {r.k for r in corpus.hash_sample(d, "k", 0.1, salt="s").collect()}
+        assert s1 == s2  # stable across runs
+        assert 0.05 < len(s1) / 10_000 < 0.15  # close to the nominal rate
+
+    def test_rate_monotone_supersets(self, spark):
+        # a 20% sample must contain the 10% sample (prefix-of-buckets rule):
+        # the property that lets a pipeline grow its sample without resampling
+        d = spark.range(0, 5_000).withColumnRenamed("id", "k")
+        s10 = {r.k for r in corpus.hash_sample(d, "k", 0.1, salt="s").collect()}
+        s20 = {r.k for r in corpus.hash_sample(d, "k", 0.2, salt="s").collect()}
+        assert s10 <= s20
+
+    def test_salt_decorrelates(self, spark):
+        d = spark.range(0, 5_000).withColumnRenamed("id", "k")
+        a = {r.k for r in corpus.hash_sample(d, "k", 0.1, salt="a").collect()}
+        b = {r.k for r in corpus.hash_sample(d, "k", 0.1, salt="b").collect()}
+        inter = len(a & b)
+        # independent 10% samples overlap ~1%; 5% is a generous noise bound
+        assert inter < 0.05 * 5_000
