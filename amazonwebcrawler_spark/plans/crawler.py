@@ -296,6 +296,8 @@ class CrawlEngine:
                 T.StructField("image_bytes", T.BinaryType()),
             ]
         )
+        from pyspark.sql import Observation
+
         fetched = (
             batch.repartition(cfg.n_shards, "host_shard")
             .mapInPandas(_fetch_batches, fetched_schema)
@@ -311,20 +313,7 @@ class CrawlEngine:
         )
         dead = failed.filter(F.col("attempt") >= cfg.max_retries)
         ok = fetched.filter(F.col("status") == 200)
-        # ONE tiny job over the persisted batch: page kinds AND failure count
-        # this wave actually saw — lets the commit skip writing empty
-        # per-kind tables (each skipped write is a saved Spark job)
-        kind_rows = (
-            fetched.groupBy("kind")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum((F.col("status") == -1).cast("int")).alias("nf"),
-            )
-            .collect()
-        )
-        kind_counts: dict[str, int] = {r["kind"]: r["n"] for r in kind_rows}
-        n_failed_rows = sum(r["nf"] for r in kind_rows)
-        _mark("fetch+kind_counts")
+        _mark("fetch_declared")
 
         # ---- parse per kind (P1-P13): from_json, fully declarative
         serp = ok.filter(F.col("kind") == "serp").withColumn("p", F.from_json("content", SERP_JSON))
@@ -551,6 +540,24 @@ class CrawlEngine:
         # driver-side cumulative offsets, byte-identical result; the sizes
         # aggregate doubles as the wave's new-URL count (politeness.py)
         seq_assigned, n_new = assign_discovery_seq(pre, next_seq)
+        # kind/failure tallies: the sizes aggregate above was the wave's
+        # first action and built the fetched cache, so this aggregate is a
+        # pure cache scan (~0.3 s) — ordering it here, not before the
+        # expansion, means the wave never pays a dedicated fetch-
+        # materialization job. (An Observation on the fetch would be free,
+        # but Observation.get crashes when the first action over a
+        # persisted observed plan is an empty-result aggregate — exactly
+        # the no-expansion final wave. Measured, not hypothetical.)
+        kind_rows = (
+            fetched.groupBy("kind")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("status") == -1).cast("int")).alias("nf"),
+            )
+            .collect()
+        )
+        kind_counts: dict[str, int] = {r["kind"]: r["n"] for r in kind_rows}
+        n_failed_rows = sum(r["nf"] for r in kind_rows)
         new_rows = (
             seq_assigned
             .withColumn("priority_score", F.lit(0.0))
@@ -576,12 +583,13 @@ class CrawlEngine:
                 (F.col("nf.seed_id") == F.col("_done_seed")) & (F.col("nf.kind") == "serp"),
                 "left_anti",
             )
-        # persist + count BEFORE the commit: materializes the next frontier
-        # on the idle cluster (the count doubles as the loop stop condition),
-        # so the frontier snapshot write inside the contended commit pool is
-        # a cheap cache scan instead of the union/window/anti-join DAG
-        new_frontier = new_frontier.persist()
-        n_frontier = new_frontier.count()
+        # the loop's stop condition needs |new_frontier|, but a pre-commit
+        # count() is a whole extra pass over the union DAG (measured
+        # 1.8-5.7 s/wave). Attach an Observation instead: the commit's
+        # frontier snapshot write is the single consumer and materializes
+        # the DAG exactly once — the count rides that job for free.
+        frontier_obs = Observation(f"frontier_wave_{wave}")
+        new_frontier = new_frontier.observe(frontier_obs, F.count(F.lit(1)).alias("n"))
         _mark("frontier_count")
 
         # compaction cadence: every compact_every-th wave rewrites the hot
@@ -695,8 +703,8 @@ class CrawlEngine:
         fetched.unpersist()
         new_rows.unpersist()
         pre.unpersist()
-        new_frontier.unpersist()
         _ranked.unpersist()
+        n_frontier = int(frontier_obs.get["n"])
         _mark("commit")
         out = (
             store.load_snapshot("frontier"),
