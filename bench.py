@@ -240,6 +240,15 @@ def _crawl_loop_bench(spark, cpus: int) -> dict:
         probe_inventory=False,
         bloom=bloom_ops.BloomConfig(n_buckets=16, m_bits=1 << 20),
     )
+    # warm the wave DAG's codegen/JIT + python workers with a tiny untimed
+    # run first — the first timed rep otherwise pays ~2x on wave 0 (measured
+    # 117 s cold vs 42 s warm for the same 4-wave run)
+    warm_cfg = CrawlConfig(
+        checkpoint_dir=ckpt, max_waves=1, tokens_per_shard=8, n_shards=cpus,
+        salt_bits=8, follow_items=True, follow_skus=False, probe_inventory=False,
+        bloom=bloom_ops.BloomConfig(n_buckets=4, m_bits=1 << 16),
+    )
+    CrawlEngine(spark, warm_cfg, seeds=seeds_df(spark, rows[:8])).run()
     # best-of-REPS: the host shows multi-minute 2-5x load epochs (co-tenant),
     # so a single loop run can be unrepresentative by itself
     reps = int(os.environ.get("BENCH_LOOP_REPS", "2"))
@@ -346,7 +355,10 @@ def main() -> None:
                     # vs compute while leaving budget for several rounds
                     # (the host's multi-minute load epochs swing single runs
                     # 2-5x — sample count beats single-run size)
-                    env.setdefault("BENCH_N_SERP", "262144")
+                    # 393216: at 262144 the ~1.5 s fixed job floor is still
+                    # ~12% of the 8-core serp leg (13.5 s best) and alone
+                    # caps measured efficiency at ~0.88 before host noise
+                    env.setdefault("BENCH_N_SERP", "393216")
                     env.setdefault("BENCH_N_IMG", "98304")
                     env.setdefault("BENCH_REPS", "1")  # rounds provide repetition
                     env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
