@@ -29,8 +29,14 @@ PRIORITY_ORDER = ("depth", "discovery_seq", "priority_score", "canonical_url")
 
 
 def priority_sort_cols() -> list:
-    return [F.col("depth").asc(), F.col("discovery_seq").asc(),
-            F.col("priority_score").desc(), F.col("canonical_url").asc()]
+    """Queue order: shallow first, then page-rank-like score (in-wave
+    in-degree — how many parent links discovered the URL; higher first),
+    then discovery order, URL as the total tiebreak. The score sits AHEAD
+    of discovery_seq — seq is unique, so anything ranked after it would be
+    dead weight. Integer-valued on both engines, so the Python oracle
+    reproduces the ordering exactly (no float divergence)."""
+    return [F.col("depth").asc(), F.col("priority_score").desc(),
+            F.col("discovery_seq").asc(), F.col("canonical_url").asc()]
 
 
 def select_wave_batch(

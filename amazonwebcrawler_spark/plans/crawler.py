@@ -18,9 +18,10 @@ predicate (frontier emptiness + early-stop flags — tiny collects, C5/A3):
         snapshot commit                                          (C6, S10)
 
 Determinism: wave contents are a pure function of data — the frontier total
-order is (depth, discovery_seq, priority_score, canonical_url) where
+order is (depth, priority_score DESC, discovery_seq, canonical_url) where
 ``discovery_seq`` is assigned from (parent_seq, parent_pos, canonical_url)
-at enqueue time. Host shards use CRC32 (reproducible in the pure-Python
+at enqueue time and ``priority_score`` is the page-rank-like in-wave
+in-degree (integer-valued, so the Python oracle reproduces it exactly). Host shards use CRC32 (reproducible in the pure-Python
 oracle). Nothing depends on partitioning or timing, so local[8] and
 local[32] produce byte-identical crawl orders (tests/test_equivalence.py).
 """
@@ -511,14 +512,20 @@ class CrawlEngine:
         # sort phases). (parent_seq, parent_pos) is unique per duplicate
         # group member, so the pick is deterministic.
         _c_rest = [c for c in candidates.columns if c != "canonical_url"]
+        # the duplicate-group size doubles as the page-rank-like priority:
+        # in-wave in-degree (how many parent links discovered this URL) —
+        # rides the same hash-aggregate, zero extra cost (north_star's
+        # "priority queue keyed by (depth, discovery-time, page-rank-like
+        # score)"; mirrored in tests/oracle.py)
         candidates = (
             candidates.groupBy("canonical_url")
             .agg(
                 F.min_by(
                     F.struct(*_c_rest), F.struct("parent_seq", "parent_pos")
-                ).alias("_r")
+                ).alias("_r"),
+                F.count("*").alias("_indegree"),
             )
-            .select("canonical_url", "_r.*")
+            .select("canonical_url", "_indegree", "_r.*")
         )
 
         keyed = bloom.with_bloom_keys(candidates, "canonical_url", cfg.bloom)
@@ -540,6 +547,7 @@ class CrawlEngine:
         # driver-side cumulative offsets, byte-identical result; the sizes
         # aggregate doubles as the wave's new-URL count (politeness.py)
         seq_assigned, n_new = assign_discovery_seq(pre, next_seq)
+        _new_priority = F.col("_indegree").cast("double")
         # kind/failure tallies: the sizes aggregate above was the wave's
         # first action and built the fetched cache, so this aggregate is a
         # pure cache scan (~0.3 s) — ordering it here, not before the
@@ -560,7 +568,7 @@ class CrawlEngine:
         n_failed_rows = sum(r["nf"] for r in kind_rows)
         new_rows = (
             seq_assigned
-            .withColumn("priority_score", F.lit(0.0))
+            .withColumn("priority_score", _new_priority)
             .withColumn("attempt", F.lit(0))
             .select([f.name for f in FRONTIER_SCHEMA.fields] + ["h1", "h2", "bucket"])
             .persist()

@@ -128,7 +128,7 @@ def crawl_oracle(
         batch, deferred = [], []
         for shard_rows in by_shard.values():
             shard_rows.sort(
-                key=lambda r: (r.depth, r.discovery_seq, -r.priority_score, r.canonical_url)
+                key=lambda r: (r.depth, -r.priority_score, r.discovery_seq, r.canonical_url)
             )
             for pos, r in enumerate(shard_rows):
                 (batch if pos < row_tokens(r) else deferred).append(r)
@@ -191,9 +191,16 @@ def crawl_oracle(
 
         # --- canonicalize → robots → in-wave dedup → seen dedup
         best: dict[str, tuple[int, int, str, OracleRow]] = {}
+        indeg: dict[str, int] = {}  # in-wave in-degree = priority_score
         for pseq, ppos, raw, parent in cand:
             cu = canonicalize_url_py(raw)
-            if not world.robots_allowed(cu) or cu in res.seen:
+            if not world.robots_allowed(cu):
+                continue
+            # engine counts ALL post-robots mentions (the dedup hash-agg
+            # runs before the seen filter); already-seen URLs never become
+            # rows, so their count is irrelevant — mirror the order anyway
+            indeg[cu] = indeg.get(cu, 0) + 1
+            if cu in res.seen:
                 continue
             cur = best.get(cu)
             if cur is None or (pseq, ppos) < (cur[0], cur[1]):
@@ -208,6 +215,7 @@ def crawl_oracle(
                     parent.seed_id, world.classify_url(cu), cu, parent.depth + 1,
                     next_seq + 1 + i, pseq, ppos, parent.product_type,
                     parent.max_depth, parent.keyword,
+                    priority_score=float(indeg[cu]),
                 )
             )
         next_seq += len(new_rows)
