@@ -85,7 +85,16 @@ def h64(*parts: object) -> int:
 
 
 def asin_for(keyword: str, page: int, pos: int) -> str:
-    return "B" + format(h64("asin", keyword, page, pos) % 16**9, "09X")
+    """ASIN at a SERP slot. ~1 in 6 slots carries a *popular* product from a
+    small keyword-independent pool — the same ASIN then surfaces on many
+    keywords' SERPs in the same wave, which is what gives the crawler's
+    page-rank-like priority (in-wave in-degree) a real, non-vacuous signal
+    to rank on. Titles are generated separately (_item_title), so rank
+    classification is unaffected by which ASIN sits in the slot."""
+    r = h64("asin", keyword, page, pos)
+    if r % 6 == 0:
+        return "B" + format(h64("popular", r % 24) % 16**9, "09X")
+    return "B" + format(r % 16**9, "09X")
 
 
 # ------------------------------------------------------------------ URLs

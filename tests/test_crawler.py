@@ -79,6 +79,52 @@ class TestCrawlInvariants:
         assert lin.count() == m.agg(F.sum("n_fetched")).collect()[0][0]
 
 
+class TestPriorityQueue:
+    def test_indegree_priority_is_nonvacuous_and_reorders(self, spark):
+        """W4/north_star: the page-rank-like score must (a) actually take
+        values >1 on the synthetic world (popular-pool ASINs shared across
+        keywords) and (b) move those URLs ahead of earlier-discovered
+        depth-peers in the dequeue."""
+        tmp = "/tmp/crawl_prio_test"
+        shutil.rmtree(tmp, ignore_errors=True)
+        rows = [
+            (i, "keyword", f"kw {i} synth", world.serp_url(f"kw {i} synth", 1), "yogamat", 2)
+            for i in range(24)
+        ]
+        # one wave only: the frontier left behind is exactly wave 0's
+        # expansion, with in-wave in-degrees attached
+        eng = CrawlEngine(
+            spark, _cfg(tmp, max_waves=1, tokens_per_shard=64), seeds=seeds_df(spark, rows)
+        )
+        eng.run()
+        fr = eng.store.load_snapshot("frontier")
+        dist = {
+            r["priority_score"]: r["n"]
+            for r in fr.groupBy("priority_score").agg(F.count("*").alias("n")).collect()
+        }
+        assert any(p > 1.0 for p in dist), f"priority is vacuous: {dist}"
+
+        # dequeue order check: within every (shard, depth), no URL with a
+        # strictly lower score may precede a higher-scored one
+        from amazonwebcrawler_spark.operators.politeness import select_wave_batch
+
+        batch, deferred = select_wave_batch(fr, tokens_per_shard=5)
+        b = batch.select("host_shard", "depth", "priority_score").collect()
+        d = deferred.select("host_shard", "depth", "priority_score").collect()
+        worst_batch = {}
+        for r in b:
+            k = (r.host_shard, r.depth)
+            worst_batch[k] = min(worst_batch.get(k, float("inf")), r.priority_score)
+        for r in d:
+            k = (r.host_shard, r.depth)
+            if k in worst_batch:
+                assert r.priority_score <= worst_batch[k], (
+                    f"deferred row with score {r.priority_score} outranks "
+                    f"batch minimum {worst_batch[k]} in {k}"
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 class TestQuarantine:
     def test_other_layout_routes_to_quarantine(self, spark):
         """W3: rows from unknown-layout SERPs land in the quarantine table
