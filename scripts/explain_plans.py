@@ -29,6 +29,12 @@ CHECKS = {
     "url_canonicalize": ["[codegen id :", "ReadSchema: struct<o_orderkey:bigint>"],
     "text_stats": ["ReadSchema: struct<doc_id:bigint,text:string>"],
     "ann_topk": ["BroadcastNestedLoopJoin", "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]"],
+    # the eval-benchmark gram set must broadcast: the 100 TB training side
+    # is then a map-side semi-structure join, never shuffled
+    "decontaminate": ["BroadcastHashJoin"],
+    # deterministic sampling is a pure codegen'd projection+filter
+    "hash_sample": ["[codegen id :", "ReadSchema: struct<doc_id:bigint>"],
+    "pii_scrub": ["[codegen id :"],
 }
 
 
