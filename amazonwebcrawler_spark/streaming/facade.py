@@ -51,6 +51,49 @@ def run_continuous(
     )
 
 
+def urls_seen_stream(spark: SparkSession, sf_dir: str, out_dir: str):
+    """Streaming URL-seen filter — the Structured Streaming twin of the
+    batch engine's bloom/anti-join dedup (P15/J6): canonicalize a stream of
+    discovered raw URLs (P14, the same ``canonicalize_url`` operator the
+    wave loop uses) and emit each canonical URL exactly once.
+    ``dropDuplicates`` keyed on the URL holds the seen-set in state; the
+    event-time watermark bounds that state exactly like the batch side's
+    compaction cadence bounds the delta chain. Replays the ``events`` table
+    as the discovery stream (URL synthesized per row: url-safe, tracking-
+    params-laden — P14 fodder)."""
+    from amazonwebcrawler_spark.functions.urls import canonicalize_url
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(f"{sf_dir}")
+    )
+    raw = F.concat(
+        F.lit("https://WWW.Amazon.com/dp/B"),
+        F.lpad((F.col("user_id") % 5000).cast("string"), 6, "0"),
+        F.lit("/ref=sr_1_1?qid="),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit("&keywords=x"),
+    )
+    firsts = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("canonical_url", canonicalize_url(raw))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["canonical_url"])
+        .select("canonical_url")
+    )
+    return (
+        firsts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/urls_seen")
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def events_windowed_stream(spark: SparkSession, sf_dir: str, out_dir: str):
     """Watermark + tumbling-window aggregation demo (C8): replay the events
     parquet as a rate-limited file stream, count per (1h window, type) with

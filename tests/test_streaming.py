@@ -39,6 +39,37 @@ def test_events_windowed_stream_matches_batch(spark, sf_dir):
     assert all(k in b and b[k] == v for k, v in g.items())  # nothing fabricated
 
 
+def test_urls_seen_stream_matches_batch_distinct(spark, sf_dir):
+    """Streaming URL-seen (dropDuplicates + watermark) must emit exactly
+    the batch engine's first-sighting set: same canonicalization, same
+    dedup key, each URL exactly once."""
+    from amazonwebcrawler_spark.functions.urls import canonicalize_url
+    from amazonwebcrawler_spark.streaming.facade import urls_seen_stream
+
+    out = "/tmp/stream_urls"
+    shutil.rmtree(out, ignore_errors=True)
+    q = urls_seen_stream(spark, sf_dir, out)
+    q.awaitTermination(120)
+
+    got = [r.canonical_url for r in spark.read.parquet(f"{out}/urls_seen").collect()]
+    assert len(got) == len(set(got))  # exactly-once per URL
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = F.concat(
+        F.lit("https://WWW.Amazon.com/dp/B"),
+        F.lpad((F.col("user_id") % 5000).cast("string"), 6, "0"),
+        F.lit("/ref=sr_1_1?qid="),
+        (F.col("event_id") % 97).cast("string"),
+        F.lit("&keywords=x"),
+    )
+    want = {
+        r.canonical_url
+        for r in e.select(canonicalize_url(raw).alias("canonical_url")).distinct().collect()
+    }
+    assert len(want) > 1  # non-vacuous: real duplicate pressure in the stream
+    assert set(got) == want
+
+
 def test_sessionize_stream_matches_batch(spark, sf_dir):
     """applyInPandasWithState sessionization (custom stateful operator) must
     emit exactly the batch sessionization minus each user's final session
