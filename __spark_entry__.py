@@ -405,6 +405,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             quality_score(t).alias("quality"),
         )
 
+    # ----------------------------------------------------- quality filter
+    def q_quality_filter(spark, sf):
+        from amazonwebcrawler_spark.functions.text import quality_filter
+
+        d = _t(spark, sf, "documents")
+        qf = quality_filter(F.col("text"))
+        return d.select("doc_id", qf["keep"].alias("keep"), qf["reasons"].alias("reasons"))
+
     # ----------------------------------------------------- lang id
     def q_lang_id(spark, sf):
         d = _t(spark, sf, "documents")
@@ -671,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
+        "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
@@ -1174,6 +1183,40 @@ FROM c
 """,
         "fingerprint": rf"""
 SELECT doc_id, md5({norm}) AS fp FROM documents
+""",
+        "quality_filter": rf"""
+WITH base AS (SELECT doc_id, text, {norm} AS t FROM documents),
+tk AS (
+  SELECT doc_id, text,
+    CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS toks
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    CASE WHEN len(toks) > 0
+      THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) ELSE 0.0 END AS rep,
+    CASE WHEN len(toks) > 0 THEN greatest(
+      len(list_filter(toks, x -> list_contains([{stop_en}], x)))::DOUBLE / len(toks),
+      len(list_filter(toks, x -> list_contains([{stop_de}], x)))::DOUBLE / len(toks),
+      len(list_filter(toks, x -> list_contains([{stop_fr}], x)))::DOUBLE / len(toks)
+    ) ELSE 0.0 END AS stop,
+    CASE WHEN len(regexp_replace(text, '\s', '', 'g')) > 0
+      THEN len(regexp_replace(text, '[\w\s]', '', 'g'))::DOUBLE
+           / len(regexp_replace(text, '\s', '', 'g'))
+      ELSE 0.0 END AS punct
+  FROM tk
+),
+r AS (
+  SELECT doc_id, concat_ws(',',
+    CASE WHEN n < 16 THEN 'too_short' END,
+    CASE WHEN rep > 0.65 THEN 'repetitive' END,
+    CASE WHEN stop < 0.01 THEN 'low_stopword' END,
+    CASE WHEN punct > 0.2 THEN 'high_punct' END
+  ) AS reasons
+  FROM m
+)
+SELECT doc_id, reasons = '' AS keep, reasons FROM r
 """,
         "pii_scrub": rf"""
 WITH aug AS (

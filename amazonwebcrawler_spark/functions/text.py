@@ -110,6 +110,32 @@ def quality_score(text: Column) -> Column:
     return F.round(len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3, 6)
 
 
+def quality_filter(text: Column) -> Column:
+    """Gopher-style composite keep/drop policy over the cheap signals:
+    struct(keep boolean, reasons string). Rules (fixed order, thresholds
+    calibrated on the documents corpus so keep AND drop are both
+    populated): too_short (<16 tokens), repetitive (repetition>0.65),
+    low_stopword (best-language stopword ratio <0.01 — greatest of EN/DE/FR
+    so non-English docs aren't punished), high_punct (punct>0.2). Pure
+    column math; the DuckDB twin re-derives it expression for expression."""
+    n = token_count(text)
+    rep = repetition_ratio(text)
+    stop = F.greatest(
+        stopword_ratio(text, STOPWORDS_EN),
+        stopword_ratio(text, STOPWORDS_DE),
+        stopword_ratio(text, STOPWORDS_FR),
+    )
+    punct = punct_ratio(text)
+    reasons = F.concat_ws(
+        ",",
+        F.when(n < 16, F.lit("too_short")),
+        F.when(rep > 0.65, F.lit("repetitive")),
+        F.when(stop < 0.01, F.lit("low_stopword")),
+        F.when(punct > 0.2, F.lit("high_punct")),
+    )
+    return F.struct((reasons == "").alias("keep"), reasons.alias("reasons"))
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-vote language ID over {en, de, fr}; 'unknown' when no list
     scores ≥ 2 hits. Ties break en > de > fr (the when-chain order)."""

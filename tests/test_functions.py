@@ -124,3 +124,36 @@ class TestSponsored:
         assert _one(spark, strip_sponsored_tag(t)) == "Yoga Mat Pro"
         assert _one(spark, is_sponsored(t)) is True
         assert _one(spark, is_sponsored(F.lit("Yoga Mat Pro"))) is False
+
+
+class TestQualityFilter:
+    def test_rules_fire_individually_and_compose(self, spark):
+        from amazonwebcrawler_spark.functions.text import quality_filter
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and then the cat "
+            "walks in a garden full of many different little things to see"
+        )
+        cases = [
+            (1, good, True, ""),
+            (2, "short text", False, "too_short,low_stopword"),
+            # 20 tokens, all the same word -> repetition 0.95, no stopwords
+            (3, " ".join(["spam"] * 20), False, "repetitive,low_stopword"),
+            # heavy punctuation on otherwise-good text
+            (4, good + " " + "!?!#" * 30, False, "high_punct"),
+            # German stopwords must count as language signal
+            (5, "der hund und die katze laufen zu dem haus und nicht in den "
+                "garten weil das wetter heute gar nicht gut ist", True, ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t, *_ in cases], "doc_id long, text string"
+        )
+        qf = quality_filter(F.col("text"))
+        got = {
+            r.doc_id: (r.keep, r.reasons)
+            for r in df.select(
+                "doc_id", qf["keep"].alias("keep"), qf["reasons"].alias("reasons")
+            ).collect()
+        }
+        for i, _t, keep, reasons in cases:
+            assert got[i] == (keep, reasons), f"doc {i}: {got[i]}"
