@@ -23,6 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: INTEGER=int32, BIGINT=int64, DOUBLE=float64, VARCHAR, BOOLEAN)
 GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     "crawl_rank_wave": {"seed_id": "BIGINT", "keyword": "VARCHAR", "rank_string": "VARCHAR"},
+    # IVF ANN is deterministic end to end (ordered bounded sample, seeded
+    # k-means, cos_sim rounded to 6dp, total (sim desc, id) tiebreak), so
+    # the iterative k-means gets a committed golden instead of staying a
+    # rows-only row
+    "ann_ivf": {
+        "query_id": "BIGINT", "neighbor_id": "BIGINT",
+        "cos_sim": "DOUBLE", "rank": "INTEGER",
+    },
     "images_decode": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER", "fmt": "VARCHAR",
         "caption": "VARCHAR", "phash": "BIGINT", "n_bytes": "BIGINT",
@@ -68,8 +76,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     goldens: dict[str, dict] = {}
+    # most golden queries are sf-independent (fixtures / the crawl world);
+    # ann_ivf reads the embeddings table, so its golden is pinned to the
+    # driver's correctness scale (sf0.01 — the scale CORRECTNESS runs at)
+    sf_override = {"ann_ivf": "/root/testdata/sf0.01"}
     for name, cols in GOLDEN_QUERIES.items():
-        df = qs[name](spark, "/root/testdata/sf0.001")  # sf-independent queries
+        df = qs[name](spark, sf_override.get(name, "/root/testdata/sf0.001"))
         got_cols = df.columns
         assert set(got_cols) == set(cols), (name, got_cols, list(cols))
         rows = [[r[c] for c in cols] for r in df.collect()]
