@@ -299,11 +299,19 @@ class CrawlEngine:
         )
         from pyspark.sql import Observation
 
-        fetched = (
-            batch.repartition(cfg.n_shards, "host_shard")
-            .mapInPandas(_fetch_batches, fetched_schema)
-            .persist()
+        # the politeness window already hash-partitioned the cached ranked
+        # frontier by host_shard (its Exchange); an explicit repartition on
+        # the same key is NOT elided through the InMemoryRelation boundary
+        # (verified in the plan), so only pay it when the wave actually
+        # needs a different fetch-task count than the session's shuffle
+        # partitioning
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        fetch_src = (
+            batch
+            if n_shuffle == cfg.n_shards
+            else batch.repartition(cfg.n_shards, "host_shard")
         )
+        fetched = fetch_src.mapInPandas(_fetch_batches, fetched_schema).persist()
 
         # ---- retries / dead letters (C3)
         failed = fetched.filter(F.col("status") == -1)
