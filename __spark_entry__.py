@@ -389,7 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ann_ivf(spark, sf):
         e = _t(spark, sf, "embeddings")
         qs = e.filter(F.col("vec_id") < 5)
-        return similarity.ivf_topk(e, qs, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4)
+        # n_probe=6 (of 16 centroids): the capture-time recall gate in
+        # scripts/gen_goldens.py demands recall@10 ≥ 0.5 vs the exact top-k;
+        # n_probe=4 measured 0.44 on the sf0.01 embeddings
+        return similarity.ivf_topk(e, qs, "vec_id", "embedding", k=10, n_centroids=16, n_probe=6)
 
     # ----------------------------------------------------- text stats
     def q_text_stats(spark, sf):
@@ -475,6 +478,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("tpe yoga mat", "yogamat"), ("fitted sheet queen", "fscl"), ("lined notebook a5", "jmcl")],
             pages=2,
         )
+
+    # ----------------------------------------------------- dead letter (C3)
+    def q_dead_letter(spark, sf):
+        """Retry/dead-letter path (C3) through the REAL crawl engine: a
+        one-wave crawl with max_retries=0 over 500 keyword seeds, so every
+        deterministic transient failure (synthetic_world ~3% schedule,
+        replacing the reference's unbounded recursive retry getRank.py:87-88)
+        lands in the dead_letter state table. The fetched set is exactly the
+        seed SERP URLs, so the DuckDB twin reproduces the md5-based failure
+        schedule over the same URLs — the last equivalence-only crawl-loop
+        operator becomes value-checked."""
+        import shutil
+
+        from amazonwebcrawler_spark.operators import bloom as bloom_ops
+        from amazonwebcrawler_spark.plans.crawler import CrawlConfig, CrawlEngine
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+        from amazonwebcrawler_spark.sources.seeds import seeds_df
+
+        ckpt = "/tmp/awc_dead_letter_q"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        rows = [
+            (i, "keyword", f"dead kw {i}", world.serp_url(f"dead kw {i}", 1), "yogamat", 1)
+            for i in range(500)
+        ]
+        cfg = CrawlConfig(
+            checkpoint_dir=ckpt, max_waves=1, max_retries=0,
+            tokens_per_shard=128, n_shards=8, salt_bits=2,
+            follow_items=False, follow_skus=False, probe_inventory=False,
+            bloom=bloom_ops.BloomConfig(n_buckets=8, m_bits=1 << 16),
+        )
+        eng = CrawlEngine(spark, cfg, seeds=seeds_df(spark, rows))
+        eng.run()
+        dead = eng.store.load_deltas("dead_letter")
+        return dead.select("seed_id", "canonical_url", F.col("attempt").cast("int").alias("attempt"))
 
     # ----------------------------------------------------- image plumbing (rows-only)
     def q_images_decode(spark, sf):
@@ -685,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
         "crawl_rank_wave": q_crawl_rank_wave,
+        "dead_letter": q_dead_letter,
         "images_decode": q_images_decode,
         "images_validate": q_images_validate,
         "bloom_stats": q_bloom_stats,
@@ -1297,6 +1335,23 @@ ham AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+""",
+        "dead_letter": """
+-- Dead-letter twin: the engine's 1-wave / max_retries=0 crawl fetches
+-- exactly the 500 seed SERP URLs, so the dead set is the synthetic world's
+-- deterministic transient-failure schedule over those URLs:
+-- h64('flaky', url) % 31 == 0 with h64 = first 8 bytes (big-endian) of
+-- md5('42' || chr(31) || 'flaky' || chr(31) || url)  (synthetic_world.h64)
+WITH seeds AS (
+  SELECT i AS seed_id,
+    'https://www.amazon.com/s?field-keywords=dead+kw+' || i::VARCHAR || '&page=1'
+      AS canonical_url
+  FROM range(0, 500) t(i)
+)
+SELECT seed_id, canonical_url, CAST(0 AS INTEGER) AS attempt
+FROM seeds
+WHERE CAST(('0x' || substr(md5('42' || chr(31) || 'flaky' || chr(31) || canonical_url), 1, 16))
+           AS UBIGINT) % 31 = 0
 """,
         "pivot_report": """
 SELECT user_id,

@@ -89,7 +89,9 @@ def _insert_one(table: np.ndarray, fp: int, i1: int, i2: int, cfg: CuckooConfig)
     for kick in range(cfg.max_kicks):
         slot = (int(cur) + kick) % cfg.slots
         cur, table[i, slot] = table[i, slot], cur
-        i = int(np.int64(i) ^ ((np.uint64(cur) * _FP_MIX) & np.uint64(mask)))
+        # keep the index math in ONE unsigned dtype: numpy refuses
+        # int64 ^ uint64 (no safe common type), so cast i to uint64 first
+        i = int(np.uint64(i) ^ ((np.uint64(int(cur)) * _FP_MIX) & np.uint64(mask)))
         empties = np.nonzero(table[i] == 0)[0]
         if len(empties):
             table[i, empties[0]] = cur

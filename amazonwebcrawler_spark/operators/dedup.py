@@ -10,7 +10,8 @@ Five dedup strategies, each chosen for a different scale/recall trade-off:
                    verified with exact Jaccard afterwards, so false positives
                    cost work but never correctness.
 * SimHash        — 64-bit near-dup fingerprint via token-hash bit voting;
-                   pandas-UDF kernel (bit twiddling), hamming join.
+                   pure column math (explode → md5 → bit-vote aggregate),
+                   pigeonhole chunk blocking, hamming join.
 * embedding cosine — near-dup by vector similarity (see similarity.py).
 
 Cross-engine determinism: every base hash here is **md5** (not
@@ -245,6 +246,12 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    # pairs are tiny (candidate near-dups); materialize them eagerly so the
+    # shingle cache can be released HERE instead of leaking per call (the
+    # checkpoint also truncates the 4-way reuse of `sh` out of the lineage,
+    # so downstream consumers never recompute shingles)
+    pairs = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
     return pairs
 
 
@@ -315,6 +322,7 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         # neighbor minimum: dst inherits the smallest label seen at any src
         prop = (
@@ -330,16 +338,164 @@ def connected_components(
         changed = new_labels.filter("_chg").limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # partial labels are WRONG group ids — never return them silently
+        # (the DuckDB twin computes the exact transitive closure and would
+        # mismatch; a dedup run would split components). Long-diameter graphs
+        # should use connected_components_star (O(log n) rounds) instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; use "
+            "connected_components_star for long-chain graphs"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("group_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> tuple[DataFrame, int]:
+    """Large-star/small-star connected components (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — converges in **O(log n)**
+    rounds on ANY graph shape, vs ``connected_components``'s O(diameter):
+    min-label propagation needs 10⁴ joins on a 10⁴-node chain; this needs ~20.
+
+    Each round is two groupBy-min + join steps over the edge list:
+
+    * **large-star(u)**: connect every strictly-larger neighbor of u to
+      ``m = min(Γ(u) ∪ {u})`` — long tendrils snap toward small labels;
+    * **small-star(u)**: orient edges (big → small), connect every smaller
+      neighbor AND u itself to the minimum — stars flatten.
+
+    The fixpoint is a star per component centered at its minimum id, read
+    off directly as (doc_id, group_id). Convergence is detected with a
+    one-job (count, bit_xor-of-hash) fingerprint of the edge set per round.
+
+    Returns (labels, rounds). Same output contract as
+    ``connected_components`` (nodes appearing in ``pairs`` only); use this
+    for long-chain graphs, min-label for the tiny near-dup components the
+    LSH pipelines produce (2-4 rounds, half the per-round work).
+    """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least("_mn", "u").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        d = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("_m"))  # all v < u, so min(Γ∪{u}) = min(v)
+        return (
+            d.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .unionByName(mins.select("u", F.col("_m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = (
+        pairs.select(F.greatest(id_a, id_b).alias("u"), F.least(id_a, id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = None
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        row = edges.agg(
+            F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("x")
+        ).collect()[0]
+        fp = (row["n"], row["x"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint: every edge is (node, component_min); roots label themselves
+    labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id")).unionByName(
+        edges.select(F.col("v").alias("doc_id"), F.col("v").alias("group_id"))
+    ).distinct()
+    return labels, rounds
+
+
 # ------------------------------------------------------------------ simhash
+def with_simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Relational SimHash — pure column math end-to-end (whole-stage
+    codegen), no Python in the hot path. Returns (_id, _fp:long) with one
+    row per doc that has ≥1 token (token-less docs get no fingerprint,
+    matching the Arrow kernel's None).
+
+    Same recipe that relationalized MinHash: explode tokens (multiplicity
+    preserved — every occurrence votes) → built-in ``md5`` → per-bit
+    extraction → groupBy bit-vote partial sums (map-side combine; the
+    shuffle carries one 65-int row per doc regardless of doc length).
+
+    The 64-bit token hash is the first 8 md5 bytes big-endian — parsed as
+    two 32-bit halves with ``conv`` (a single 64-bit parse would overflow
+    signed long under ANSI for hashes ≥ 2^63); bit b < 32 comes from the low
+    half, b ≥ 32 from the high. Bit-identical to both the Arrow kernel
+    (``simhash64_udf``, kept as the test oracle) and the DuckDB twin, which
+    draw bits from the same md5 prefix.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    hexv = F.md5(F.col("_tok"))
+    halves = toks.select(
+        "_id",
+        F.conv(F.substring(hexv, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(hexv, 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+
+    def _bit(b: int) -> Column:
+        src = F.col("_lo") if b < 32 else F.col("_hi")
+        return F.shiftrightunsigned(src, b % 32).bitwiseAND(F.lit(1))
+
+    agg = halves.groupBy("_id").agg(
+        F.count("*").alias("_n"),
+        *[F.sum(_bit(b)).alias(f"_s{b}") for b in range(64)],
+    )
+    # vote_b > 0  ⟺  sum(±1) > 0  ⟺  2·(count of 1-bits) > n_tokens;
+    # OR the winning bits together (bit 63 set → negative int64, exactly the
+    # kernel's int(fp.astype(np.int64)) two's complement)
+    fp: Column = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp.bitwiseOR(
+            F.when(
+                F.col(f"_s{b}") * 2 > F.col("_n"),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("_id", fp.alias("_fp"))
+
+
 def simhash64_udf():
     """Pandas-UDF SimHash: md5-derived 64-bit token hashes, bitwise ±1 vote,
     sign → fingerprint. Arrow-batched; the bit voting is numpy over the
-    whole batch's token matrix."""
+    whole batch's token matrix.
+
+    NOT the production path — ``with_simhash64`` (pure column math) is.
+    Kept as an independent implementation for the equality test in
+    tests/test_dedup_similarity.py (two engines, one contract)."""
     import hashlib
 
     import numpy as np
@@ -375,10 +531,7 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     ≤ 3 shares at least one exact chunk (pigeonhole, 4 > 3), so the join is
     on (chunk_idx, chunk_value), never a full cross join.
     """
-    sh = simhash64_udf()
-    keyed = df.select(F.col(id_col).alias("_id"), sh(F.col(text_col)).alias("_fp")).filter(
-        F.col("_fp").isNotNull()
-    )
+    keyed = with_simhash64(df, text_col, id_col)
     chunks = keyed.select(
         "_id",
         "_fp",

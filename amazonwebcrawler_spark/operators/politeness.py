@@ -11,8 +11,8 @@ makes that an explicit **token bucket per host shard**:
   host's budget is ``tokens_per_shard * 2**salt_bits`` per wave, so salting
   never changes the aggregate rate, only the partition layout;
 * within a shard, rows are taken in **priority order** — the total order
-  ``(depth, discovery_seq, priority_score, canonical_url)`` that makes wave
-  contents independent of parallelism (north_rule crawl-ordering match).
+  ``(depth, priority_score desc, discovery_seq, canonical_url)`` that makes
+  wave contents independent of parallelism (north_rule crawl-ordering match).
 
 Everything is a window function — no driver loop, no UDF.
 """
@@ -22,10 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: the deterministic total order of the frontier (W4). ``discovery_seq`` is a
-#: data-defined sequence number assigned at enqueue time, NOT an execution
-#: artifact — identical at local[8] and local[32].
-PRIORITY_ORDER = ("depth", "discovery_seq", "priority_score", "canonical_url")
+#: the deterministic total order of the frontier (W4), matching
+#: ``priority_sort_cols`` exactly (priority_score ranks AHEAD of
+#: discovery_seq; score descends, everything else ascends). ``discovery_seq``
+#: is a data-defined sequence number assigned at enqueue time, NOT an
+#: execution artifact — identical at local[8] and local[32].
+PRIORITY_ORDER = ("depth", "priority_score", "discovery_seq", "canonical_url")
 
 
 def priority_sort_cols() -> list:

@@ -146,13 +146,18 @@ def lsh_topk(
 
 
 def _kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10) -> np.ndarray:
-    """Tiny deterministic k-means (numpy, driver-side) for IVF coarse
-    quantization. Sample is small (≤2048 rows) — the clustering cost is
-    O(sample), never O(corpus)."""
+    """Deterministic k-means (numpy, driver-side) for IVF coarse
+    quantization. Sample is bounded (``sample_size`` rows) — the clustering
+    cost is O(sample), never O(corpus).
+
+    Distances via the matmul identity ``||x-c||² = ||x||² - 2x·c + ||c||²``
+    (the ||x||² term is constant per row and dropped for argmin): memory is
+    O(sample × centroids), so 8192×4096 fits in ~256 MB where the naive
+    broadcast-subtract form would need sample × centroids × dim ≈ 17 GB."""
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        d = (centroids**2).sum(1)[None, :] - 2.0 * (sample @ centroids.T)
         assign = d.argmin(1)
         for c in range(n_centroids):
             members = sample[assign == c]
@@ -225,6 +230,12 @@ def ivf_topk(
         [r[0] for r in corpus.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()],
         dtype=np.float64,
     )
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"ivf_topk: k-means needs sample ≥ n_centroids "
+            f"(sample={len(sample)}, n_centroids={n_centroids}) — "
+            "raise sample_size or lower n_centroids"
+        )
     centroids = _kmeans(sample, n_centroids, seed)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))

@@ -204,10 +204,8 @@ def _crawl_wave_bench(spark, cpus: int) -> dict:
     }
 
 
-def _crawl_loop_bench(spark, cpus: int) -> dict:
-    """Full STATEFUL engine throughput: wave loop with politeness dequeue,
-    bloom-dedup'd expansion, snapshot commits — the machinery the mega-wave
-    bench factors out. Pagination-only crawl over many keyword seeds."""
+def _run_loop_leg(spark, cpus: int, n_seeds: int, reps: int) -> dict:
+    """One stateful-loop measurement at a given seed count (best-of-reps)."""
     import shutil
     import time as _t
 
@@ -216,20 +214,21 @@ def _crawl_loop_bench(spark, cpus: int) -> dict:
     from amazonwebcrawler_spark.sources import synthetic_world as world
     from amazonwebcrawler_spark.sources.seeds import seeds_df
 
-    n_seeds = int(os.environ.get("BENCH_LOOP_SEEDS", "256"))
     ckpt = f"/tmp/awc_loop_bench_{cpus}"
-    shutil.rmtree(ckpt, ignore_errors=True)
     rows = [
         (i, "keyword", f"loop kw {i}", world.serp_url(f"loop kw {i}", 1), "yogamat", 2)
         for i in range(n_seeds)
     ]
     # item fan-out ON: wave 0 fetches the seed SERPs, wave 1 fetches the
     # ~18x item fan-out (detail pages incl. image decode) — representative
-    # wave shapes rather than one-URL-per-seed pagination trickle
+    # wave shapes rather than one-URL-per-seed pagination trickle.
+    # The politeness budget scales with the wave so larger legs aren't
+    # throttled into extra waves (fetches/seed stays ~constant across legs —
+    # that is what makes the urls/sec curve read as pure amortization).
     cfg = CrawlConfig(
         checkpoint_dir=ckpt,
         max_waves=4,
-        tokens_per_shard=1024,
+        tokens_per_shard=max(1024, n_seeds),
         # one logical host (amazon.com): salt_bits must give >= n_shards
         # distinct salts or the fetch wave runs on 2**salt_bits tasks —
         # exactly the skew knob SCALE.md documents
@@ -240,18 +239,6 @@ def _crawl_loop_bench(spark, cpus: int) -> dict:
         probe_inventory=False,
         bloom=bloom_ops.BloomConfig(n_buckets=16, m_bits=1 << 20),
     )
-    # warm the wave DAG's codegen/JIT + python workers with a tiny untimed
-    # run first — the first timed rep otherwise pays ~2x on wave 0 (measured
-    # 117 s cold vs 42 s warm for the same 4-wave run)
-    warm_cfg = CrawlConfig(
-        checkpoint_dir=ckpt, max_waves=1, tokens_per_shard=8, n_shards=cpus,
-        salt_bits=8, follow_items=True, follow_skus=False, probe_inventory=False,
-        bloom=bloom_ops.BloomConfig(n_buckets=4, m_bits=1 << 16),
-    )
-    CrawlEngine(spark, warm_cfg, seeds=seeds_df(spark, rows[:8])).run()
-    # best-of-REPS: the host shows multi-minute 2-5x load epochs (co-tenant),
-    # so a single loop run can be unrepresentative by itself
-    reps = int(os.environ.get("BENCH_LOOP_REPS", "2"))
     wall, n_fetched, waves = float("inf"), 0, 0
     for _ in range(reps):
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -265,13 +252,186 @@ def _crawl_loop_bench(spark, cpus: int) -> dict:
             waves = out["last_wave"] + 1
     shutil.rmtree(ckpt, ignore_errors=True)
     return {
-        "loop_seeds": n_seeds,
-        "loop_fetches": int(n_fetched),
-        "loop_waves": int(waves),
-        "loop_wall_sec": round(wall, 2),
-        "loop_sec_per_wave": round(wall / max(waves, 1), 2),
-        "loop_urls_per_sec": round(n_fetched / wall, 1),
+        "seeds": n_seeds,
+        "fetches": int(n_fetched),
+        "waves": int(waves),
+        "wall_sec": round(wall, 2),
+        "sec_per_wave": round(wall / max(waves, 1), 2),
+        "urls_per_sec": round(n_fetched / wall, 1),
     }
+
+
+def _crawl_loop_bench(spark, cpus: int) -> dict:
+    """Full STATEFUL engine throughput: wave loop with politeness dequeue,
+    bloom-dedup'd expansion, snapshot commits — the machinery the mega-wave
+    bench factors out.
+
+    Two outputs: the 256-seed headline leg (BASELINE.md comparability) and
+    the **wave-size amortization curve** (256/1024/4096 seeds): the loop's
+    ~8-10 s/wave fixed cost (scheduler floors, state commits) is constant
+    per wave, so urls/sec must grow near-linearly with wave size until
+    compute dominates — the measured evidence behind SCALE.md's claim that
+    the loop's fixed costs amortize at 100 TB wave sizes."""
+    import shutil
+
+    from amazonwebcrawler_spark.operators import bloom as bloom_ops
+    from amazonwebcrawler_spark.plans.crawler import CrawlConfig, CrawlEngine
+    from amazonwebcrawler_spark.sources import synthetic_world as world
+    from amazonwebcrawler_spark.sources.seeds import seeds_df
+
+    n_seeds = int(os.environ.get("BENCH_LOOP_SEEDS", "256"))
+    ckpt = f"/tmp/awc_loop_bench_{cpus}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # warm the wave DAG's codegen/JIT + python workers with a tiny untimed
+    # run first — the first timed rep otherwise pays ~2x on wave 0 (measured
+    # 117 s cold vs 42 s warm for the same 4-wave run)
+    warm_rows = [
+        (i, "keyword", f"loop kw {i}", world.serp_url(f"loop kw {i}", 1), "yogamat", 2)
+        for i in range(8)
+    ]
+    warm_cfg = CrawlConfig(
+        checkpoint_dir=ckpt, max_waves=1, tokens_per_shard=8, n_shards=cpus,
+        salt_bits=8, follow_items=True, follow_skus=False, probe_inventory=False,
+        bloom=bloom_ops.BloomConfig(n_buckets=4, m_bits=1 << 16),
+    )
+    CrawlEngine(spark, warm_cfg, seeds=seeds_df(spark, warm_rows)).run()
+
+    # best-of-REPS headline: the host shows multi-minute 2-5x load epochs
+    # (co-tenant), so a single loop run can be unrepresentative by itself
+    reps = int(os.environ.get("BENCH_LOOP_REPS", "2"))
+    head = _run_loop_leg(spark, cpus, n_seeds, reps)
+    out = {
+        "loop_seeds": head["seeds"],
+        "loop_fetches": head["fetches"],
+        "loop_waves": head["waves"],
+        "loop_wall_sec": head["wall_sec"],
+        "loop_sec_per_wave": head["sec_per_wave"],
+        "loop_urls_per_sec": head["urls_per_sec"],
+    }
+
+    amort_sizes = [
+        int(s)
+        for s in os.environ.get("BENCH_LOOP_AMORT", "1024,4096").split(",")
+        if s.strip()
+    ]
+    if amort_sizes:
+        amort_reps = int(os.environ.get("BENCH_LOOP_AMORT_REPS", "2"))
+        curve = {str(n_seeds): head}
+        for n in amort_sizes:
+            # the biggest leg is compute-bound (less noise-sensitive) — one
+            # rep fewer keeps total bench time in budget
+            r = amort_reps if n < 4096 else max(1, amort_reps - 1)
+            curve[str(n)] = _run_loop_leg(spark, cpus, n, r)
+        out["loop_amortization"] = curve
+    return out
+
+
+def _ctl_worker(rng: tuple) -> int:
+    """Raw-Python control worker: the same synthetic fetch kernel the crawl
+    wave runs, with no Spark around it (module-level for pickling)."""
+    from amazonwebcrawler_spark.sources import synthetic_world as world
+
+    a, b = rng
+    for i in range(a, b):
+        world.fetch(f"{world.HOST}/s?field-keywords=ctl+kw+{i % 32768}&page=1")
+    return b - a
+
+
+def _raw_python_control() -> dict:
+    """Chip-governor control experiment (NO Spark): plain multiprocessing of
+    the fetch kernel at 2/8/32 processes. This single-socket box turbo-boosts
+    low-thread runs, so even embarrassingly-parallel raw Python cannot reach
+    efficiency 1.0 at high core counts — these numbers are the machine-
+    checkable justification for measuring the engine's N→4N leg at 2→8
+    (prior measurements: ~0.85 for 2→8, ~0.72-0.74 for 8→32 / 4→16).
+    Work scales with procs (fixed per-proc quantum) so every level runs long
+    enough to amortize pool startup."""
+    import multiprocessing as mp
+
+    per_proc = int(os.environ.get("BENCH_CTL_PER_PROC", "16384"))
+    reps = int(os.environ.get("BENCH_CTL_REPS", "2"))
+    thr: dict[int, float] = {}
+    for procs in (2, 8, 32):
+        n = per_proc * procs
+        chunk = (n + procs - 1) // procs
+        ranges = [(i * chunk, min(n, (i + 1) * chunk)) for i in range(procs)]
+        best = float("inf")
+        for _ in range(reps):
+            with mp.Pool(procs) as pool:
+                pool.map(_ctl_worker, [(0, 8)] * procs)  # pay imports untimed
+                t0 = time.time()
+                pool.map(_ctl_worker, ranges)
+                best = min(best, time.time() - t0)
+        thr[procs] = n / best
+    return {
+        "kernel": "synthetic fetch, multiprocessing, no Spark",
+        "urls_per_sec": {str(p): round(v, 1) for p, v in thr.items()},
+        "eff_2_to_8": round((thr[8] / thr[2]) / 4, 3),
+        "eff_8_to_32": round((thr[32] / thr[8]) / 4, 3),
+    }
+
+
+def _ivf_scale_bench(spark) -> dict:
+    """IVF cell-assignment at scale: the broadcast-matrix pandas path at
+    n_centroids=4096 vs the literal-column-math path at n_centroids=64, on
+    the SAME ~131k-vector corpus (the sf0.1 embeddings deterministically
+    jittered 64× — sf0.1 itself has only 2 000 vectors, far below 4096
+    centroids). Both paths produce the identical-results contract at equal
+    settings (tested); this measures that the pandas path's O(1) plan size
+    doesn't cost throughput where the literal path's plan would blow up."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from amazonwebcrawler_spark.operators import similarity
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_copies = int(os.environ.get("BENCH_IVF_COPIES", "64"))
+    # deterministic jitter: copy c of vector v perturbs element i by
+    # 0.02·sin((c+1)·(i+1)) — keeps the cluster structure realistic
+    big = (
+        e.select(
+            "vec_id", "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(n_copies - 1))).alias("c"),
+        )
+        .select(
+            (F.col("vec_id") * n_copies + F.col("c")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + F.sin((F.col("c") + 1).cast("double") * (i.cast("double") + 1.0)) * 0.02
+                ).cast("float"),
+            ).alias("embedding"),
+        )
+        .persist()
+    )
+    n_corpus = big.count()  # materialize the cache before timing
+    qs = big.filter(F.col("vec_id") < 5)
+    out: dict = {"corpus_rows": int(n_corpus)}
+    # scale the big leg to the corpus (smoke configs shrink n_copies): the
+    # headline run is 131k vectors → 4096 centroids / 8192-row sample
+    c_big = min(4096, max(16, n_corpus // 32))
+    legs = {
+        "literal_c64": dict(
+            n_centroids=min(64, c_big), n_probe=4, assign="literal", sample_size=1024
+        ),
+        "pandas_c4096": dict(
+            n_centroids=c_big, n_probe=max(4, c_big // 16), assign="pandas",
+            sample_size=min(2 * c_big, n_corpus),
+        ),
+    }
+    for name, kw in legs.items():
+        best = float("inf")
+        for _ in range(int(os.environ.get("BENCH_IVF_REPS", "2"))):
+            t0 = _t.time()
+            n = similarity.ivf_topk(big, qs, "vec_id", "embedding", k=10, **kw).count()
+            best = min(best, _t.time() - t0)
+        out[name] = {"sec": round(best, 2), "rows": int(n), **{k: v for k, v in kw.items() if k != "assign"}}
+    big.unpersist()
+    out["pandas_vs_literal"] = round(out["pandas_c4096"]["sec"] / out["literal_c64"]["sec"], 2)
+    return out
 
 
 def main() -> None:
@@ -306,6 +466,10 @@ def main() -> None:
 
     crawl.update(_crawl_loop_bench(spark, cpus))
 
+    ivf_scale = {}
+    if os.environ.get("SPARK_GRAFT_IVF_BENCH", "1") == "1":
+        ivf_scale = _ivf_scale_bench(spark)
+
     # --- per-query timings over the driver testdata
     import __spark_entry__ as entrymod
 
@@ -336,8 +500,14 @@ def main() -> None:
     # ~40% overhead). The serp leg therefore runs 4× larger in the scaling
     # comparison than in the headline run.
     scaling = {}
+    control = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1" and cpus >= 8:
         spark.stop()
+        # control first (no Spark) — same idle-box conditions as the legs
+        try:
+            control = _raw_python_control()
+        except Exception as e:  # noqa: BLE001
+            control = {"error": str(e)[:200]}
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
         results: dict = {}
@@ -422,6 +592,8 @@ def main() -> None:
         "sf": sf_dir,
         "throughput": crawl,
         "scaling": scaling,
+        "scaling_control": control,
+        "ivf_scale": ivf_scale,
     }
     print(json.dumps(result))
 

@@ -35,6 +35,21 @@ CHECKS = {
     # deterministic sampling is a pure codegen'd projection+filter
     "hash_sample": ["[codegen id :", "ReadSchema: struct<doc_id:bigint>"],
     "pii_scrub": ["[codegen id :"],
+    # SimHash is pure column math since r3 (explode→md5→bit-vote aggregate) —
+    # the fingerprint kernel must sit inside a codegen span (partial_sum also
+    # proves the bit votes combine map-side), with Python eval nodes
+    # forbidden below (NEG_CHECKS). Explained with AQE off: an un-executed
+    # AdaptiveSparkPlan hides codegen ids for every plan containing an
+    # Exchange, so the static explain of ANY shuffling query shows 0 spans.
+    "dedup_simhash": ["[codegen id :", "HashAggregate", "partial_sum"],
+}
+
+#: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
+NO_AQE = {"dedup_simhash"}
+
+NEG_CHECKS = {
+    # query -> substrings that must NOT appear in the plan
+    "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
 }
 
 
@@ -145,11 +160,19 @@ def main() -> int:
     bad += check_no_global_window(spark)
     bad += check_bucketed_join(spark, sf_dir)
     for name, expected in CHECKS.items():
-        txt = plan_text(qs[name](spark, sf_dir))
+        if name in NO_AQE:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                txt = plan_text(qs[name](spark, sf_dir))
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+        else:
+            txt = plan_text(qs[name](spark, sf_dir))
         missing = [e for e in expected if e not in txt]
-        if missing:
+        present = [e for e in NEG_CHECKS.get(name, ()) if e in txt]
+        if missing or present:
             bad.append(name)
-            print(f"FAIL {name}: missing {missing}")
+            print(f"FAIL {name}: missing {missing} forbidden-present {present}")
             print(txt[:2500])
         else:
             print(f"ok   {name}: {', '.join(expected)}")

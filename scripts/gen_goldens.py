@@ -5,8 +5,16 @@ audio kernels, the flagship crawl wave).
 Each golden is the query's own output, captured once and committed to
 ``amazonwebcrawler_spark/goldens.json``; ``__spark_entry__.oracle_sql`` renders
 it as a typed VALUES table for DuckDB, so the driver's value-hash gate checks
-these queries like any other. Regenerate (and review the diff!) after any
-intentional behavior change:
+these queries like any other.
+
+**Capture is self-checking**: every query's independent invariants (the ones
+the pytest suite owns — planted counts, zero false negatives, all-true decode
+flags, frame-sampling arithmetic, IVF recall vs the exact top-k) are asserted
+HERE, at capture time, so a bug present when the golden is taken fails the
+capture instead of being pinned as "correct". A golden therefore certifies
+both drift-freedom since capture AND the invariants at capture.
+
+Regenerate (and review the diff!) after any intentional behavior change:
 
     python scripts/gen_goldens.py
 """
@@ -14,6 +22,7 @@ intentional behavior change:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 
@@ -62,10 +71,125 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     },
 }
 
+#: goldens whose query reads a testdata table are pinned to the scale they
+#: were captured at (the driver's correctness scale). sf-independent queries
+#: (fixtures / the synthetic crawl world) carry no pin. check_oracle.py skips
+#: pinned goldens when run at a different sf instead of failing by
+#: construction (ADVICE r2).
+PINNED_SF: dict[str, str] = {"ann_ivf": "sf0.01"}
+
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "amazonwebcrawler_spark", "goldens.json",
 )
+
+
+# ------------------------------------------------------------------ invariants
+# Each checker receives (rows: list[dict], ctx) and must raise AssertionError
+# on violation. These restate the INDEPENDENT expectations (planted inputs,
+# algebraic identities), not the captured output.
+
+def _check_crawl_rank_wave(rows, ctx):
+    kws = {r["keyword"] for r in rows}
+    assert kws == {"tpe yoga mat", "fitted sheet queen", "lined notebook a5"}, kws
+    assert all(r["rank_string"] for r in rows)
+
+
+def _check_ann_ivf(rows, ctx):
+    """Recall vs the EXACT brute-force top-k at the same sf — the same ≥0.5
+    floor the pytest recall test enforces (k=10 here, k=5 there)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ctx["qs"]["ann_topk"](ctx["spark"], ctx["sf_dir"]).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ann_ivf recall@10 vs exact = {recall:.2f} < 0.5"
+    for r in rows:
+        assert 1 <= r["rank"] <= 10 and -1.0 <= r["cos_sim"] <= 1.0 + 1e-9, r
+
+
+def _check_images_decode(rows, ctx):
+    assert len(rows) == 32, len(rows)
+    for r in rows:
+        assert r["w"] > 0 and r["h"] > 0 and r["n_bytes"] > 0, r
+        assert r["caption"] and r["fmt"] in ("png", "jpeg"), r
+
+
+def _check_images_validate(rows, ctx):
+    """q_images_validate plants corruption at i%16==0 and phash drift at
+    i%11==0 over i=1..48 — the flags must localize exactly there."""
+    assert len(rows) == 48, len(rows)
+    bad_decode = sum(not r["decode_ok"] for r in rows)
+    assert bad_decode == 3, f"planted 3 corrupt images, flagged {bad_decode}"
+    drifted = sum((not r["phash_ok"]) and r["decode_ok"] for r in rows)
+    assert drifted == 4, f"planted 4 phash drifts, flagged {drifted}"
+    for r in rows:
+        if r["decode_ok"]:
+            assert r["dims_ok"] and r["fmt_ok"], r
+            assert r["phash_recomputed"] is not None, r
+
+
+def _check_video_frame_sample(rows, ctx):
+    """16 synthetic videos × 12 frames sampled every 4 → exactly frames
+    0, 4, 8 per video."""
+    per_vid: dict[str, list[int]] = {}
+    for r in rows:
+        per_vid.setdefault(r["video_id"], []).append(r["frame_idx"])
+        assert r["frame_len"] > 0 and r["frame_md5"], r
+    assert len(per_vid) == 16, len(per_vid)
+    for vid, idxs in per_vid.items():
+        assert sorted(idxs) == [0, 4, 8], (vid, sorted(idxs))
+
+
+def _check_images_resize(rows, ctx):
+    assert len(rows) == 32, len(rows)
+    for r in rows:
+        assert (r["w"], r["h"]) == (48, 32), r
+        assert r["n_bytes"] > 0 and r["bytes_md5"], r
+
+
+def _check_audio_features(rows, ctx):
+    assert len(rows) == 16, len(rows)
+    for r in rows:
+        assert r["duration_sec"] > 0, r
+        assert 0.0 <= r["rms"] <= r["peak"] <= 1.0 + 1e-9, r
+        assert 0.0 <= r["zero_crossing_rate"] <= 1.0, r
+        assert all(math.isfinite(r[c]) for c in ("rms", "peak", "zero_crossing_rate"))
+
+
+def _check_bloom_stats(rows, ctx):
+    """10 000 planted URLs, zero false negatives — the Bloom contract."""
+    assert len(rows) == 8, len(rows)
+    assert sum(r["false_negatives"] for r in rows) == 0
+    assert sum(r["n_probed"] for r in rows) == 10_000
+    assert sum(r["n_items"] for r in rows) == 10_000
+
+
+def _check_cuckoo_stats(rows, ctx):
+    """10 000 planted, 3 000 deleted: zero false negatives for live keys,
+    n_items decremented exactly, deleted keys re-probing positive only via
+    rare fingerprint twins."""
+    assert len(rows) == 8, len(rows)
+    assert sum(r["false_negatives"] for r in rows) == 0
+    assert sum(r["n_probed"] for r in rows) == 10_000
+    assert sum(r["n_items"] for r in rows) == 7_000
+    twins = sum(r["deleted_still_seen"] for r in rows)
+    assert twins <= 20, f"deleted_still_seen={twins} far above fingerprint-twin rate"
+
+
+CHECKERS = {
+    "crawl_rank_wave": _check_crawl_rank_wave,
+    "ann_ivf": _check_ann_ivf,
+    "images_decode": _check_images_decode,
+    "images_validate": _check_images_validate,
+    "video_frame_sample": _check_video_frame_sample,
+    "images_resize": _check_images_resize,
+    "audio_features": _check_audio_features,
+    "bloom_stats": _check_bloom_stats,
+    "cuckoo_stats": _check_cuckoo_stats,
+}
+assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 
 
 def main() -> None:
@@ -76,18 +200,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     goldens: dict[str, dict] = {}
-    # most golden queries are sf-independent (fixtures / the crawl world);
-    # ann_ivf reads the embeddings table, so its golden is pinned to the
-    # driver's correctness scale (sf0.01 — the scale CORRECTNESS runs at)
-    sf_override = {"ann_ivf": "/root/testdata/sf0.01"}
+    testdata_root = "/root/testdata"
     for name, cols in GOLDEN_QUERIES.items():
-        df = qs[name](spark, sf_override.get(name, "/root/testdata/sf0.001"))
+        sf = PINNED_SF.get(name, "sf0.001")
+        sf_dir = f"{testdata_root}/{sf}"
+        df = qs[name](spark, sf_dir)
         got_cols = df.columns
         assert set(got_cols) == set(cols), (name, got_cols, list(cols))
-        rows = [[r[c] for c in cols] for r in df.collect()]
-        # sanity: numbers stay numbers, floats keep full repr via json
-        goldens[name] = {"columns": cols, "rows": sorted(rows, key=repr)}
-        print(f"{name}: {len(rows)} rows captured")
+        collected = df.collect()
+        dict_rows = [{c: r[c] for c in cols} for r in collected]
+        CHECKERS[name](dict_rows, {"spark": spark, "qs": qs, "sf_dir": sf_dir})
+        rows = [[r[c] for c in cols] for r in collected]
+        entry: dict = {"columns": cols, "rows": sorted(rows, key=repr)}
+        if name in PINNED_SF:
+            entry["pinned_sf"] = PINNED_SF[name]
+        goldens[name] = entry
+        print(f"{name}: {len(rows)} rows captured, invariants OK")
     with open(OUT, "w") as f:
         json.dump(goldens, f, indent=1, ensure_ascii=False)
     print(f"wrote {OUT}")

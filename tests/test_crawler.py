@@ -236,6 +236,61 @@ class TestCompaction:
         sb = {r.bucket: r.n_items for r in comp.load_shard_state().collect()}
         assert sa == sb
 
+    def test_crash_between_base_write_and_manifest_rename(self, spark):
+        """Kill mid-compaction: the compacting wave's base FILES are on disk
+        but its manifest rename never happened. The manifest is the commit
+        point — loaders must ignore the orphan wave directories and serve
+        the pre-compaction delta chain unchanged, and resume must complete
+        identically to an uninterrupted run."""
+        import os
+
+        a, b = "/tmp/crawl_full_mc", "/tmp/crawl_crash_mc"
+        for t in (a, b):
+            shutil.rmtree(t, ignore_errors=True)
+        seeds = seeds_df(spark, SEED_ROWS)
+        full = CrawlEngine(spark, _cfg(a, max_waves=10, compact_every=2), seeds=seeds).run()["store"]
+
+        eng = CrawlEngine(spark, _cfg(b, max_waves=3, compact_every=2), seeds=seeds)
+        eng.run()
+        store = eng.store
+        pre_seen = sorted(r.canonical_url for r in store.load_deltas("seen").collect())
+        pre_shards = {r.bucket: r.n_items for r in store.load_shard_state().collect()}
+
+        # simulate the torn compaction: wave files for the NEXT wave appear
+        # (a full base-style rewrite), manifest-<next>.json does not
+        next_wave = store.committed_waves()[-1] + 1
+        for table in ("seen", "shards"):
+            src_wave = max(
+                w for w in store.committed_waves()
+                if table in store._manifest(w)["tables"]
+            )
+            src = store._manifest(src_wave)["tables"][table]
+            shutil.copytree(src, os.path.join(b, table, f"wave={next_wave}"))
+        # ...and the torn manifest tmp file is also on disk, never renamed
+        with open(os.path.join(b, "_manifests", f".manifest-{next_wave}.tmp"), "w") as f:
+            f.write("{\"torn\": true}")
+
+        # loaders see the PRE-compaction chain, byte-identical
+        assert store.committed_waves()[-1] == next_wave - 1
+        post_seen = sorted(r.canonical_url for r in store.load_deltas("seen").collect())
+        post_shards = {r.bucket: r.n_items for r in store.load_shard_state().collect()}
+        assert post_seen == pre_seen
+        assert post_shards == pre_shards
+
+        # resume overwrites the orphan directories and completes exactly
+        resumed = CrawlEngine(spark, _cfg(b, max_waves=10, compact_every=2), seeds=seeds).run(
+            resume=True
+        )["store"]
+        seen_a = {r.canonical_url for r in full.load_deltas("seen").collect()}
+        seen_b = {r.canonical_url for r in resumed.load_deltas("seen").collect()}
+        assert seen_a == seen_b
+        ord_a = sorted((r.wave, r.canonical_url) for r in full.load_deltas("lineage").collect())
+        ord_b = sorted((r.wave, r.canonical_url) for r in resumed.load_deltas("lineage").collect())
+        assert ord_a == ord_b
+        sa = {r.bucket: r.n_items for r in full.load_shard_state().collect()}
+        sb = {r.bucket: r.n_items for r in resumed.load_shard_state().collect()}
+        assert sa == sb
+
 
 class TestReports:
     def test_rank_report_format(self, spark, crawl):

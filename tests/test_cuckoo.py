@@ -43,6 +43,54 @@ def test_no_false_negatives_bounded_fp_and_delete(spark):
     assert n_after == 2000 - 1000
 
 
+def test_eviction_kernel_both_buckets_full():
+    """Force the eviction loop directly: pre-fill both candidate buckets so
+    _insert_one must kick a resident. Regression for the np.int64 ^ np.uint64
+    TypeError that crashed every eviction (ADVICE r2, cuckoo.py:92)."""
+    import numpy as np
+
+    cfg = cuckoo.CuckooConfig(n_shards=1, n_buckets=1 << 6, slots=4)
+    mask = cfg.n_buckets - 1
+    table = np.zeros((cfg.n_buckets, cfg.slots), dtype=np.uint16)
+    fp = 7
+    i1 = 3
+    i2 = i1 ^ int((np.uint64(fp) * cuckoo._FP_MIX) & np.uint64(mask))
+    table[i1] = [11, 12, 13, 14]  # full
+    table[i2] = [21, 22, 23, 24]  # full → insert MUST evict
+    assert cuckoo._insert_one(table, fp, i1, i2, cfg) is True
+    # the new fingerprint must be findable at one of its two buckets
+    assert (table[i1] == fp).any() or (table[i2] == fp).any()
+    # nothing was lost: 9 distinct fingerprints now live in the table
+    assert np.count_nonzero(table) == 9
+
+
+def test_high_load_no_false_negatives():
+    """Fill a single shard kernel to ~0.9 load — far past the point where
+    evictions are statistically certain — and assert every inserted key
+    still probes positive (cuckoo invariant up to ~0.95 load)."""
+    import numpy as np
+
+    cfg = cuckoo.CuckooConfig(n_shards=1, n_buckets=1 << 8, slots=4)  # capacity 1024
+    n = int(cfg.n_buckets * cfg.slots * 0.9)
+    # deterministic pseudo-hashes (what xxhash64 would feed the kernel)
+    rng = np.random.default_rng(42)
+    h1 = rng.integers(0, 2**62, size=n, dtype=np.int64)
+    h2 = rng.integers(0, 2**62, size=n, dtype=np.int64)
+    fp, i1, i2 = cuckoo._fp_i1_i2(h1, h2, cfg.n_buckets)
+    table = np.zeros((cfg.n_buckets, cfg.slots), dtype=np.uint16)
+    evictions = 0
+    for f_, a, b in zip(fp, i1, i2):
+        if not (table[int(a)] == 0).any() and not (table[int(b)] == 0).any():
+            evictions += 1  # both candidate buckets full → eviction loop runs
+        assert cuckoo._insert_one(table, int(f_), int(a), int(b), cfg)
+    assert evictions > 50, f"load too low to exercise evictions ({evictions})"
+    # occupancy proves we really ran at high load (dup fingerprints in the
+    # same bucket are distinct slots, so count equals inserts)
+    assert np.count_nonzero(table) == n
+    hit = (table[i1] == fp[:, None]).any(1) | (table[i2] == fp[:, None]).any(1)
+    assert hit.all(), f"{(~hit).sum()} false negatives at load 0.9"
+
+
 def test_table_bytes_independent_of_partitioning(spark):
     """The filter state is a pure function of the key SET: different input
     partitionings must produce byte-identical shard tables."""

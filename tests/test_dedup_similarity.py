@@ -60,6 +60,54 @@ class TestDedup:
         assert (1, 2, 0) in pairs
         assert all(p[:2] != (1, 3) and p[:2] != (2, 3) for p in pairs)
 
+    def test_simhash_relational_equals_arrow_kernel(self, spark, sf_dir):
+        """The production column-math fingerprint (with_simhash64) must be
+        bit-identical to the independent Arrow/numpy kernel on real docs —
+        two implementations, one md5-derived contract."""
+        d = _docs(spark, sf_dir).limit(200)
+        rel = {r["_id"]: r["_fp"] for r in dedup.with_simhash64(d, "text", "doc_id").collect()}
+        udf = dedup.simhash64_udf()
+        arrow = {
+            r["doc_id"]: r["fp"]
+            for r in d.select("doc_id", udf(F.col("text")).alias("fp")).collect()
+            if r["fp"] is not None
+        }
+        assert rel == arrow and len(rel) > 0
+
+    def test_connected_components_star_chain_logn_rounds(self, spark):
+        """Planted 1000-node chain: min-label would need ~1000 rounds (and
+        raises past max_iter); large-star/small-star resolves it in O(log n)."""
+        n = 1000
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        labels, rounds = dedup.connected_components_star(pairs)
+        got = labels.collect()
+        assert len(got) == n
+        assert all(r.group_id == 0 for r in got)
+        assert rounds <= 25, f"chain took {rounds} rounds (expected O(log n) ≈ 20)"
+
+    def test_connected_components_star_matches_min_label(self, spark):
+        """On small near-dup-shaped graphs (pairs, triangles, short chains)
+        the two algorithms must produce identical (doc_id, group_id) labels."""
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31), (31, 32), (32, 33)],
+            "id_a long, id_b long",
+        )
+        star, _ = dedup.connected_components_star(pairs)
+        mlabel = dedup.connected_components(pairs)
+        assert sorted(map(tuple, star.collect())) == sorted(map(tuple, mlabel.collect()))
+
+    def test_connected_components_raises_past_max_iter(self, spark):
+        """Unconverged min-label labels are wrong — must raise, not return."""
+        import pytest
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            dedup.connected_components(pairs, max_iter=3)
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape(self, spark, sf_dir):
