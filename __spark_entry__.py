@@ -320,6 +320,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.connected_components(pairs)
 
+    # ----------------------------------------------------- dedup groups (star CC)
+    def q_dedup_groups_star(spark, sf):
+        """Large-star/small-star connected components (the O(log n)-rounds
+        long-chain path) over the same MinHash pairs — must produce labels
+        identical to min-label propagation AND the exact recursive-CTE
+        transitive closure in DuckDB."""
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
+        )
+        labels, _rounds = dedup.connected_components_star(pairs)
+        return labels
+
     # ----------------------------------------------------- decontamination
     def q_decontaminate(spark, sf):
         from amazonwebcrawler_spark.operators import corpus
@@ -707,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
+        "dedup_groups_star": q_dedup_groups_star,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1076,6 +1090,22 @@ SELECT id_a, id_b, jaccard_sim FROM pairs
         "dedup_groups": rf"""
 -- pairs → connected components: transitive closure by label propagation
 -- (recursive CTE); component id = MIN(doc id) over everything reachable.
+WITH RECURSIVE {minhash_pairs_ctes},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+""",
+        # star CC must produce the SAME labels as min-label propagation —
+        # identical twin (exact transitive closure)
+        "dedup_groups_star": rf"""
 WITH RECURSIVE {minhash_pairs_ctes},
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

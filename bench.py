@@ -318,10 +318,10 @@ def _crawl_loop_bench(spark, cpus: int) -> dict:
         amort_reps = int(os.environ.get("BENCH_LOOP_AMORT_REPS", "2"))
         curve = {str(n_seeds): head}
         for n in amort_sizes:
-            # the biggest leg is compute-bound (less noise-sensitive) — one
-            # rep fewer keeps total bench time in budget
-            r = amort_reps if n < 4096 else max(1, amort_reps - 1)
-            curve[str(n)] = _run_loop_leg(spark, cpus, n, r)
+            # full reps on EVERY leg: a single-rep 4096 sample once read
+            # 25.3 s/wave where best-of-3 reads 18.2 (host load epochs hit
+            # the long legs too)
+            curve[str(n)] = _run_loop_leg(spark, cpus, n, amort_reps)
         out["loop_amortization"] = curve
     return out
 
