@@ -415,16 +415,25 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_fp = None
+    prev_edges: DataFrame | None = None
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        row = edges.agg(
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        row = new_edges.agg(
             F.count("*").alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("x")
         ).collect()[0]
         fp = (row["n"], row["x"])
-        if fp == prev_fp:
+        # fingerprint match → confirm EXACT set equality (equal counts make
+        # a one-sided except sufficient); runs once, at convergence only —
+        # a bit_xor collision can never silently end the loop early
+        if (
+            fp == prev_fp
+            and prev_edges is not None
+            and new_edges.exceptAll(prev_edges).limit(1).count() == 0
+        ):
+            edges = new_edges
             break
-        prev_fp = fp
+        prev_fp, prev_edges, edges = fp, new_edges, new_edges
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
