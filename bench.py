@@ -422,9 +422,12 @@ def _ivf_scale_bench(spark) -> dict:
             sample_size=min(2 * c_big, n_corpus),
         ),
     }
+    # default 1 rep: the measured pandas/literal ratio (0.43) sits far from
+    # the ≤2 bar, so host noise can't flip the verdict — and the full bench
+    # has a wall-clock budget to respect
     for name, kw in legs.items():
         best = float("inf")
-        for _ in range(int(os.environ.get("BENCH_IVF_REPS", "2"))):
+        for _ in range(int(os.environ.get("BENCH_IVF_REPS", "1"))):
             t0 = _t.time()
             n = similarity.ivf_topk(big, qs, "vec_id", "embedding", k=10, **kw).count()
             best = min(best, _t.time() - t0)
