@@ -492,6 +492,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages=2,
         )
 
+    # ----------------------------------------------------- robots filter (C7)
+    def q_robots_filter(spark, sf):
+        """C7 robots.txt disallow filter through the crawler's REAL
+        `_robots_filter` (broadcast rules + exists() prefix match) over a
+        deterministic URL mix built from orders: /gp/private and
+        /exec/obidos rows (the planted disallow prefixes,
+        synthetic_world.ROBOTS) must drop, everything else passes. The
+        reference ignores robots entirely (SURVEY.md C7 ⊕); the DuckDB twin
+        re-derives the rules-table semantics (path extraction + per-rule
+        prefix test), not just the expected output."""
+        from amazonwebcrawler_spark.plans.crawler import _robots_df, _robots_filter
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        url = (
+            F.when(k % 5 == 0, F.concat(F.lit("https://www.amazon.com/gp/private/doc"), k.cast("string")))
+            .when(k % 5 == 1, F.concat(F.lit("https://www.amazon.com/exec/obidos/item"), k.cast("string")))
+            .when(k % 5 == 2, F.concat(F.lit("https://www.amazon.com/dp/B"), k.cast("string")))
+            .when(k % 5 == 3, F.concat(F.lit("https://www.amazon.com/s?field-keywords=k"), k.cast("string"), F.lit("&page=1")))
+            .otherwise(F.concat(F.lit("https://www.amazon.com/gp/other/"), k.cast("string")))
+        )
+        cand = o.select(
+            k.alias("o_orderkey"),
+            url.alias("canonical_url"),
+        ).withColumn(
+            "host", F.lower(F.regexp_extract(F.col("canonical_url"), r"^https?://([^/]+)", 1))
+        )
+        kept = _robots_filter(cand, _robots_df(spark))
+        return kept.select("o_orderkey", "canonical_url")
+
     # ----------------------------------------------------- dead letter (C3)
     def q_dead_letter(spark, sf):
         """Retry/dead-letter path (C3) through the REAL crawl engine: a
@@ -736,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
         "crawl_rank_wave": q_crawl_rank_wave,
+        "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
         "images_decode": q_images_decode,
         "images_validate": q_images_validate,
@@ -1365,6 +1396,36 @@ ham AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+""",
+        "robots_filter": """
+-- C7 twin: the SAME rules-table semantics as crawler._robots_filter —
+-- strip scheme+host to get the path, left-join the rules by host, keep a
+-- URL iff no disallow prefix matches (synthetic_world.ROBOTS plants
+-- /gp/private and /exec/obidos for www.amazon.com)
+WITH u AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 5
+      WHEN 0 THEN 'https://www.amazon.com/gp/private/doc' || o_orderkey::VARCHAR
+      WHEN 1 THEN 'https://www.amazon.com/exec/obidos/item' || o_orderkey::VARCHAR
+      WHEN 2 THEN 'https://www.amazon.com/dp/B' || o_orderkey::VARCHAR
+      WHEN 3 THEN 'https://www.amazon.com/s?field-keywords=k' || o_orderkey::VARCHAR || '&page=1'
+      ELSE 'https://www.amazon.com/gp/other/' || o_orderkey::VARCHAR
+    END AS canonical_url
+  FROM orders
+),
+p AS (
+  SELECT o_orderkey, canonical_url,
+    regexp_replace(canonical_url, '^https?://[^/]*', '') AS path,
+    lower(regexp_extract(canonical_url, '^https?://([^/]+)', 1)) AS host
+  FROM u
+),
+rules AS (
+  SELECT 'www.amazon.com' AS host, ['/gp/private', '/exec/obidos'] AS disallow
+)
+SELECT o_orderkey, canonical_url
+FROM p LEFT JOIN rules USING (host)
+WHERE disallow IS NULL
+   OR len(list_filter(disallow, d -> starts_with(path, d))) = 0
 """,
         "dead_letter": """
 -- Dead-letter twin: the engine's 1-wave / max_retries=0 crawl fetches
