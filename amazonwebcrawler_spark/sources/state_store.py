@@ -131,24 +131,32 @@ class StateStore:
         with open(os.path.join(self.root, "_manifests", f"manifest-{waves[-1]}.json")) as f:
             return json.load(f)
 
-    def load_snapshot(self, name: str) -> DataFrame | None:
-        """Latest committed full snapshot of ``name`` (frontier / shards)."""
-        for wave in reversed(self.committed_waves()):
+    def _waves_as_of(self, as_of_wave: int | None) -> list[int]:
+        waves = self.committed_waves()
+        if as_of_wave is None:
+            return waves
+        return [w for w in waves if w <= as_of_wave]
+
+    def load_snapshot(self, name: str, as_of_wave: int | None = None) -> DataFrame | None:
+        """Committed full snapshot of ``name`` (frontier / shards) as of the
+        given wave (Iceberg-style time travel; None = latest)."""
+        for wave in reversed(self._waves_as_of(as_of_wave)):
             m = self._manifest(wave)
             if name in m["tables"]:
                 return self.spark.read.parquet(m["tables"][name])
         return None
 
-    def load_shard_state(self) -> DataFrame | None:
+    def load_shard_state(self, as_of_wave: int | None = None) -> DataFrame | None:
         """Copy-on-write Bloom shard state: each wave writes ONLY its dirty
         buckets (operators/bloom.py merge_into_shards dirty_only=True); the
         live state is the latest version of every bucket across waves. At
         Iceberg scale this is manifest-pruned to one file read per bucket;
-        here it is a tiny union + max_by (n_buckets × waves short rows)."""
+        here it is a tiny union + max_by (n_buckets × waves short rows).
+        ``as_of_wave`` time-travels to the state as committed at that wave."""
         from pyspark.sql import functions as F
 
         versioned: list[tuple[int, str]] = []
-        for w in reversed(self.committed_waves()):
+        for w in reversed(self._waves_as_of(as_of_wave)):
             m = self._manifest(w)
             if "shards" not in m["tables"]:
                 continue
@@ -172,12 +180,15 @@ class StateStore:
         )
         return latest
 
-    def load_deltas(self, name: str) -> DataFrame | None:
+    def load_deltas(self, name: str, as_of_wave: int | None = None) -> DataFrame | None:
         """Union of committed deltas of ``name`` since (and including) the
         most recent compaction base — a base wave's files are the full
-        cumulative table, so earlier waves are never read again."""
+        cumulative table, so earlier waves are never read again.
+        ``as_of_wave`` reads the table exactly as it stood after that wave's
+        commit (snapshot time travel — by determinism, identical to what an
+        interrupted run stopped at that wave would hold; tested)."""
         paths: list[str] = []
-        for w in reversed(self.committed_waves()):
+        for w in reversed(self._waves_as_of(as_of_wave)):
             m = self._manifest(w)
             if name not in m["tables"]:
                 continue

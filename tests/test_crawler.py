@@ -292,6 +292,37 @@ class TestCompaction:
         assert sa == sb
 
 
+class TestTimeTravel:
+    def test_as_of_wave_equals_interrupted_run(self, spark):
+        """Iceberg-style snapshot time travel: reading state `as_of_wave=k`
+        from a finished run must equal what a run stopped after wave k
+        actually held — for deltas (seen), the frontier snapshot, and the
+        COW shard state."""
+        a, b = "/tmp/crawl_tt_full", "/tmp/crawl_tt_part"
+        for t in (a, b):
+            shutil.rmtree(t, ignore_errors=True)
+        seeds = seeds_df(spark, SEED_ROWS)
+        full = CrawlEngine(spark, _cfg(a, max_waves=10), seeds=seeds).run()["store"]
+        part = CrawlEngine(spark, _cfg(b, max_waves=2), seeds=seeds).run()["store"]
+        k = part.committed_waves()[-1]
+        assert k < full.committed_waves()[-1], "need a strictly earlier wave"
+
+        tt_seen = {r.canonical_url for r in full.load_deltas("seen", as_of_wave=k).collect()}
+        part_seen = {r.canonical_url for r in part.load_deltas("seen").collect()}
+        assert tt_seen == part_seen
+
+        tt_frontier = {r.canonical_url for r in full.load_snapshot("frontier", as_of_wave=k).collect()}
+        part_frontier = {r.canonical_url for r in part.load_snapshot("frontier").collect()}
+        assert tt_frontier == part_frontier
+
+        tt_shards = {r.bucket: r.n_items for r in full.load_shard_state(as_of_wave=k).collect()}
+        part_shards = {r.bucket: r.n_items for r in part.load_shard_state().collect()}
+        assert tt_shards == part_shards
+
+        # latest read is unchanged by the parameter's existence
+        assert full.load_deltas("seen", as_of_wave=None).count() == full.load_deltas("seen").count()
+
+
 class TestReports:
     def test_rank_report_format(self, spark, crawl):
         import re

@@ -98,6 +98,23 @@ class TestDedup:
         mlabel = dedup.connected_components(pairs)
         assert sorted(map(tuple, star.collect())) == sorted(map(tuple, mlabel.collect()))
 
+    def test_connected_components_star_random_graphs(self, spark):
+        """Seeded random graphs (mixed components: chains, cliques, stars,
+        isolated pairs): the two independent CC implementations must agree
+        exactly — mutual agreement is the oracle, since neither derives
+        from the other."""
+        import random
+
+        for seed in (3, 17, 99):
+            rng = random.Random(seed)
+            n = 120
+            edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(150)}
+            edges = [(a, b) for a, b in edges if a != b]
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            star, _ = dedup.connected_components_star(pairs)
+            mlabel = dedup.connected_components(pairs, max_iter=60)
+            assert sorted(map(tuple, star.collect())) == sorted(map(tuple, mlabel.collect())), seed
+
     def test_connected_components_raises_past_max_iter(self, spark):
         """Unconverged min-label labels are wrong — must raise, not return."""
         import pytest
