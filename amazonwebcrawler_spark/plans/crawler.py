@@ -47,7 +47,7 @@ from amazonwebcrawler_spark.operators import bloom
 from amazonwebcrawler_spark.operators.politeness import assign_discovery_seq, select_wave_batch
 from amazonwebcrawler_spark.sources import synthetic_world as world
 from amazonwebcrawler_spark.sources.seeds import dims_df, seeds_df
-from amazonwebcrawler_spark.sources.state_store import StateStore
+from amazonwebcrawler_spark.sources.state_store import StateStore, partitioned_counts
 
 # ---------------------------------------------------------------- schemas
 FRONTIER_SCHEMA = T.StructType(
@@ -105,6 +105,12 @@ class CrawlConfig:
                                        # chains (seen/shards/seed_flags) as a
                                        # full base so per-wave reads stay
                                        # O(base + K deltas), not O(all waves)
+    pruned_dequeue: bool = True        # frontier snapshots partitioned by
+                                       # (depth, host_shard); the politeness
+                                       # dequeue reads ONLY the depth bands
+                                       # the budget can consume (exact — see
+                                       # _load_frontier) instead of sorting
+                                       # the whole 10^10-row frontier per wave
     bloom: bloom.BloomConfig = field(default_factory=lambda: bloom.BloomConfig(n_buckets=16, m_bits=1 << 17))
 
 
@@ -231,18 +237,79 @@ class CrawlEngine:
         )
         return _with_host_shard(f, self.cfg).select([f.name for f in FRONTIER_SCHEMA.fields])
 
+    #: frontier snapshots are laid out for depth-pruned dequeue (Iceberg
+    #: partition spec); depth leads because it leads the priority order
+    FRONTIER_PARTITIONING: dict[str, tuple[str, ...]] = {"frontier": ("depth", "host_shard")}
+
+    # ------------------------------------------------- pruned frontier load
+    def _load_frontier(self):
+        """Load the latest frontier snapshot as (hot, cold).
+
+        ``hot`` is what the politeness dequeue ranks; ``cold`` (may be None)
+        is carried forward into the next snapshot untouched. Pruning is
+        EXACT, not heuristic: the priority order is depth-major
+        (politeness.priority_sort_cols), so shard s's top-``tokens`` rows
+        all lie within the smallest depth prefix whose cumulative row count
+        reaches the budget (D_s); reading depths ≤ max_s D_s can therefore
+        never change a wave's batch. The per-(depth, shard) counts come from
+        parquet footers of the partitioned snapshot — driver-side, no Spark
+        job. At 10^10 rows this turns the per-wave dequeue sort from
+        O(frontier) into O(consumable head); the cold rows are rewritten
+        untouched here (snapshot model) and become a pure metadata carry on
+        real Iceberg. Falls back to (full, None) for unpartitioned layouts
+        (old snapshots) or when every depth is needed.
+        """
+        cfg, store = self.cfg, self.store
+        m = store.latest_manifest()
+        if m is None or "frontier" not in m["tables"]:
+            full = store.load_snapshot("frontier").select([f.name for f in FRONTIER_SCHEMA.fields])
+            return full, None
+        counts = partitioned_counts(m["tables"]["frontier"])
+        if not counts:
+            # the dynamic-partition writer emits NO files for an empty
+            # frontier (a plain write leaves an empty-schema file) — an
+            # empty snapshot is a normal final-wave state, not an error
+            return self.spark.createDataFrame([], FRONTIER_SCHEMA), None
+        full = store.load_snapshot("frontier").select([f.name for f in FRONTIER_SCHEMA.fields])
+        if not cfg.pruned_dequeue:
+            return full, None
+        per_shard: dict[int, dict[int, int]] = {}
+        for parts, n in counts.items():
+            kv = dict(p.split("=", 1) for p in parts)
+            if "depth" not in kv or "host_shard" not in kv:
+                return full, None  # unpartitioned (pre-pruning) layout
+            per_shard.setdefault(int(kv["host_shard"]), {})[int(kv["depth"])] = n
+        if not per_shard:
+            return full, None
+        max_depth_present = max(d for ds in per_shard.values() for d in ds)
+        bound = 0
+        for ds in per_shard.values():
+            cum, d_s = 0, max(ds)  # a shard that can't fill its budget needs all its depths
+            for d in sorted(ds):
+                cum += ds[d]
+                if cum >= cfg.tokens_per_shard:
+                    d_s = d
+                    break
+            bound = max(bound, d_s)
+        if bound >= max_depth_present:
+            return full, None  # nothing to prune this wave
+        return (
+            full.filter(F.col("depth") <= bound),
+            full.filter(F.col("depth") > bound),
+        )
+
     # ------------------------------------------------------------ run
     def run(self, resume: bool = False) -> dict:
         cfg, spark, store = self.cfg, self.spark, self.store
 
         if resume and (m := store.latest_manifest()) is not None:
-            frontier = store.load_snapshot("frontier")
+            frontier, cold = self._load_frontier()
             shards = store.load_shard_state()
             wave0 = m["wave"] + 1
             next_seq = m["counters"]["next_seq"]
             n_frontier = m["counters"].get("n_frontier")
             if n_frontier is None:  # manifest predates the counter
-                n_frontier = frontier.count()
+                n_frontier = frontier.count() + (cold.count() if cold is not None else 0)
         else:
             frontier = self._initial_frontier()
             shards = bloom.empty_shards(spark, cfg.bloom)
@@ -255,8 +322,9 @@ class CrawlEngine:
                 {"frontier": frontier, "shards": shards, "seen": frontier.select("canonical_url", "discovery_seq")},
                 {"next_seq": next_seq, "n_frontier": n_frontier},
                 bases={"seen", "shards"},  # the seed commit IS the full history
+                partition_cols=self.FRONTIER_PARTITIONING if cfg.pruned_dequeue else None,
             )
-            frontier = store.load_snapshot("frontier")
+            frontier, cold = self._load_frontier()
             shards = store.load_shard_state()
             wave0 = 0
 
@@ -264,14 +332,21 @@ class CrawlEngine:
         for wave in range(wave0, cfg.max_waves):
             if n_frontier == 0:
                 break
-            frontier, shards, next_seq, n_frontier = self._run_wave(
-                wave, frontier, shards, next_seq
+            frontier, cold, shards, next_seq, n_frontier = self._run_wave(
+                wave, frontier, cold, shards, next_seq
             )
             last_wave = wave
         return {"last_wave": last_wave, "store": store}
 
     # ------------------------------------------------------------ one wave
-    def _run_wave(self, wave: int, frontier: DataFrame, shards: DataFrame, next_seq: int):
+    def _run_wave(
+        self,
+        wave: int,
+        frontier: DataFrame,
+        cold: DataFrame | None,
+        shards: DataFrame,
+        next_seq: int,
+    ):
         import time as _time
 
         _marks: list[tuple[str, float]] = []
@@ -297,8 +372,6 @@ class CrawlEngine:
                 T.StructField("image_bytes", T.BinaryType()),
             ]
         )
-        from pyspark.sql import Observation
-
         # the politeness window already hash-partitioned the cached ranked
         # frontier by host_shard (its Exchange); an explicit repartition on
         # the same key is NOT elided through the InMemoryRelation boundary
@@ -590,6 +663,14 @@ class CrawlEngine:
             .unionByName(retries.select([f.name for f in FRONTIER_SCHEMA.fields]))
             .unionByName(new_rows.select([f.name for f in FRONTIER_SCHEMA.fields]))
         )
+        if cold is not None:
+            # depth-pruned dequeue: rows the budget provably couldn't reach
+            # were never ranked — carry them into the next snapshot verbatim
+            # (a metadata-only carry on real Iceberg; unioned BEFORE the
+            # early-stop kill so satisfied seeds retire cold rows too)
+            new_frontier = new_frontier.unionByName(
+                cold.select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
         if cfg.early_stop:
             # kill pending pagination (deferred/retry/new serp rows) of
             # satisfied seeds as well (L2)
@@ -601,11 +682,18 @@ class CrawlEngine:
             )
         # the loop's stop condition needs |new_frontier|, but a pre-commit
         # count() is a whole extra pass over the union DAG (measured
-        # 1.8-5.7 s/wave). Attach an Observation instead: the commit's
-        # frontier snapshot write is the single consumer and materializes
-        # the DAG exactly once — the count rides that job for free.
-        frontier_obs = Observation(f"frontier_wave_{wave}")
-        new_frontier = new_frontier.observe(frontier_obs, F.count(F.lit(1)).alias("n"))
+        # 1.8-5.7 s/wave). The count instead comes from the written
+        # snapshot's parquet FOOTERS (commit_wave records it in the
+        # manifest counters — driver-side pyarrow, no job). An Observation
+        # riding the write worked for plain parquet but the partitionBy
+        # writer does NOT deliver observed metrics for an empty frontier
+        # (toPyRow assertion on the final wave — measured, not
+        # hypothetical), and the footer count is just as free.
+        if cfg.pruned_dequeue:
+            # co-locate the (depth, host_shard) write partitions so the
+            # partitionBy writer emits one file per live combo instead of
+            # (in-memory partitions × combos) tiny files
+            new_frontier = new_frontier.repartition(cfg.n_shards, "depth", "host_shard")
         _mark("frontier_count")
 
         # compaction cadence: every compact_every-th wave rewrites the hot
@@ -715,15 +803,18 @@ class CrawlEngine:
             },
             {"next_seq": next_seq},
             bases=bases,
+            partition_cols=self.FRONTIER_PARTITIONING if cfg.pruned_dequeue else None,
         )
         fetched.unpersist()
         new_rows.unpersist()
         pre.unpersist()
         _ranked.unpersist()
-        n_frontier = int(frontier_obs.get["n"])
+        n_frontier = int(store.counter("n_frontier"))
         _mark("commit")
+        next_hot, next_cold = self._load_frontier()
         out = (
-            store.load_snapshot("frontier"),
+            next_hot,
+            next_cold,
             store.load_shard_state(),
             next_seq,
             n_frontier,

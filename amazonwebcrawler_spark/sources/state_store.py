@@ -36,15 +36,34 @@ from pyspark.sql import DataFrame, SparkSession
 
 def parquet_num_rows(path: str) -> int:
     """Row count of a parquet directory from file footers — metadata-only,
-    no Spark job (the Iceberg-manifest analogue of snapshot row counts)."""
+    no Spark job (the Iceberg-manifest analogue of snapshot row counts).
+    Recursive: handles both flat and key=value-partitioned layouts."""
     import glob
 
     import pyarrow.parquet as pq
 
     return sum(
         pq.ParquetFile(f).metadata.num_rows
-        for f in glob.glob(os.path.join(path, "*.parquet"))
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     )
+
+
+def partitioned_counts(path: str) -> dict[tuple[str, ...], int]:
+    """Row counts per key=value partition directory, from parquet footers
+    only — driver-side, no Spark job. Keys are the ordered partition path
+    segments, e.g. ('depth=1', 'host_shard=3'). Flat layouts yield {(): n}.
+    This is the Iceberg-manifest analogue of per-partition row counts, and
+    what makes the depth-pruned frontier dequeue free to plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out: dict[tuple[str, ...], int] = {}
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(f, path)
+        parts = tuple(p for p in rel.split(os.sep)[:-1] if "=" in p)
+        out[parts] = out.get(parts, 0) + pq.ParquetFile(f).metadata.num_rows
+    return out
 
 
 SNAPSHOT_TABLES = ("frontier",)          # full snapshot, latest wave wins
@@ -68,6 +87,7 @@ class StateStore:
         tables: dict[str, DataFrame | None],
         counters: dict[str, int],
         bases: frozenset[str] | set[str] = frozenset(),
+        partition_cols: dict[str, tuple[str, ...]] | None = None,
     ) -> None:
         """Write all wave outputs, then atomically publish the manifest.
 
@@ -96,7 +116,11 @@ class StateStore:
         def write(item: tuple[str, DataFrame]) -> tuple[str, str]:
             name, df = item
             path = os.path.join(self.root, name, f"wave={wave}")
-            df.write.mode("overwrite").parquet(path)
+            w = df.write.mode("overwrite")
+            pcols = (partition_cols or {}).get(name)
+            if pcols:
+                w = w.partitionBy(*pcols)
+            w.parquet(path)
             return name, path
 
         todo = [(n, df) for n, df in tables.items() if df is not None]

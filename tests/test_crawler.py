@@ -292,6 +292,66 @@ class TestCompaction:
         assert sa == sb
 
 
+class TestPrunedDequeue:
+    def test_pruned_equals_unpruned(self, spark):
+        """The depth-pruned dequeue is a pure read optimization: seen set,
+        per-wave fetch ordering, and discovery sequences must be
+        byte-identical with pruning on vs off."""
+        res = {}
+        for prune in (True, False):
+            tmp = f"/tmp/crawl_prunecmp_{prune}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            cfg = _cfg(tmp, tokens_per_shard=4, pruned_dequeue=prune)
+            st = CrawlEngine(spark, cfg, seeds=seeds_df(spark, SEED_ROWS)).run()["store"]
+            res[prune] = (
+                sorted((r.canonical_url, r.discovery_seq) for r in st.load_deltas("seen").collect()),
+                sorted((r.wave, r.canonical_url) for r in st.load_deltas("lineage").collect()),
+            )
+        assert res[True] == res[False]
+        assert len(res[True][0]) > 50  # non-vacuous crawl
+
+    def test_load_frontier_prunes_exactly(self, spark):
+        """Handcrafted snapshot with every shard holding ≥ tokens rows at
+        depth 0: _load_frontier must return ONLY depth 0 as hot (the exact
+        bound), the rest as cold, with partition pruning visible in the
+        scan (PartitionFilters on depth — unread depths never touch Spark)."""
+        import io
+        import os
+        from contextlib import redirect_stdout
+
+        from amazonwebcrawler_spark.plans.crawler import FRONTIER_SCHEMA
+
+        tmp = "/tmp/crawl_prune_unit"
+        shutil.rmtree(tmp, ignore_errors=True)
+        cfg = _cfg(tmp, tokens_per_shard=2, n_shards=4)
+        eng = CrawlEngine(spark, cfg, seeds=seeds_df(spark, SEED_ROWS))
+        rows = [
+            (100 * d + 10 * s + i, "serp", f"https://www.amazon.com/s?d={d}&s={s}&i={i}",
+             d, 100 * d + 10 * s + i, 0.0, 0, -1, 0, "www.amazon.com", s, "yogamat", 5, "kw")
+            for d in (0, 1, 2)
+            for s in range(4)
+            for i in range(3)
+        ]
+        frontier = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        eng.store.commit_wave(
+            0, {"frontier": frontier}, {"next_seq": 0},
+            partition_cols=CrawlEngine.FRONTIER_PARTITIONING,
+        )
+        hot, cold = eng._load_frontier()
+        assert cold is not None
+        assert hot.count() == 12 and cold.count() == 24
+        assert {r.depth for r in hot.select("depth").distinct().collect()} == {0}
+        assert {r.depth for r in cold.select("depth").distinct().collect()} == {1, 2}
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            hot.explain("formatted")
+        txt = buf.getvalue()
+        assert "PartitionFilters" in txt and "depth" in txt
+        # layout on disk is really (depth, host_shard) partitioned
+        fdir = eng.store.latest_manifest()["tables"]["frontier"]
+        assert os.path.isdir(os.path.join(fdir, "depth=0", "host_shard=0"))
+
+
 class TestTimeTravel:
     def test_as_of_wave_equals_interrupted_run(self, spark):
         """Iceberg-style snapshot time travel: reading state `as_of_wave=k`
