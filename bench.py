@@ -39,6 +39,7 @@ BENCH_QUERIES = (
     "windowed_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",  # relational since r3 — timed so the kernel swap shows up
     "ann_topk",
     "text_stats",
 )
