@@ -23,6 +23,19 @@ seen set every wave — the Bloom filter is the scale path:
 Sizing: with the default ``bits_per_item=12, k=5`` the false-positive rate
 is ~0.3%; at 10^10 URLs that is 15 GB of filter split over shards
 (``n_buckets=4096`` → ~3.7 MB/shard), one shard per task.
+
+**Exact confirm, two modes.** Every shard also carries ``keys`` — the
+bucket's SORTED uint64 array of ``h1 = xxhash64(url)`` key hashes. The
+probe kernel answers ``exact_seen`` (searchsorted membership) in the same
+cogroup task that tests the bitset, which lets the crawler confirm new
+URLs with ZERO extra shuffles and no per-wave scan of the ``seen`` table
+(``CrawlConfig.exact_confirm='shard_sets'``). Cost: +8 B/URL of state
+(~80 GB at 10^10, ~20 MB/bucket at 4096 buckets — read/written per dirty
+bucket only, COW). Exactness is up to xxhash64 collisions (p ≈ n²/2^65 —
+~3e-9 even for a 10^10-URL crawl); the default ``'seen_table'`` mode keeps
+the md5-exact left_anti against the seen table, which is what the DuckDB
+oracle and byte-exact resume contract check. Both modes produce identical
+crawls (tested).
 """
 
 from __future__ import annotations
@@ -34,7 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-SHARD_SCHEMA = "bucket int, bits binary, n_items long, m_bits long, k int"
+SHARD_SCHEMA = "bucket int, bits binary, n_items long, m_bits long, k int, keys binary"
 
 
 @dataclass(frozen=True)
@@ -86,7 +99,10 @@ def _test_bits(bits: bytes, pos: np.ndarray) -> np.ndarray:
 
 def empty_shards(spark: SparkSession, cfg: BloomConfig) -> DataFrame:
     assert cfg.m_bits % 8 == 0, "m_bits must be byte-aligned (see for_capacity)"
-    rows = [(b, bytearray(cfg.m_bits >> 3), 0, cfg.m_bits, cfg.k) for b in range(cfg.n_buckets)]
+    rows = [
+        (b, bytearray(cfg.m_bits >> 3), 0, cfg.m_bits, cfg.k, bytearray())
+        for b in range(cfg.n_buckets)
+    ]
     return spark.createDataFrame(rows, SHARD_SCHEMA)
 
 
@@ -112,20 +128,27 @@ def merge_into_shards(
             return pd.DataFrame(
                 {"bucket": pd.Series(dtype="int32"), "bits": pd.Series(dtype=object),
                  "n_items": pd.Series(dtype="int64"), "m_bits": pd.Series(dtype="int64"),
-                 "k": pd.Series(dtype="int32")}
+                 "k": pd.Series(dtype="int32"), "keys": pd.Series(dtype=object)}
             )
         if shard.empty:
             bucket = int(keys["bucket"].iloc[0])
             bits, n_items = bytearray(m >> 3), 0
+            key_set = np.array([], dtype=np.uint64)
         else:
             bucket = int(shard["bucket"].iloc[0])
             bits, n_items = bytearray(shard["bits"].iloc[0]), int(shard["n_items"].iloc[0])
+            key_set = np.frombuffer(shard["keys"].iloc[0] or b"", dtype=np.uint64)
         if not keys.empty:
-            pos = _positions(keys["h1"].to_numpy(), keys["h2"].to_numpy(), k, m)
+            h1 = keys["h1"].to_numpy()
+            pos = _positions(h1, keys["h2"].to_numpy(), k, m)
             _set_bits(bits, pos)
             n_items += len(keys)
+            # sorted exact key set — a pure function of the key SET
+            # (np.union1d sorts + dedups), independent of arrival order
+            key_set = np.union1d(key_set, h1.astype(np.uint64))
         return pd.DataFrame(
-            [{"bucket": bucket, "bits": bytes(bits), "n_items": n_items, "m_bits": m, "k": k}]
+            [{"bucket": bucket, "bits": bytes(bits), "n_items": n_items, "m_bits": m,
+              "k": k, "keys": key_set.tobytes()}]
         )
 
     return (
@@ -136,29 +159,48 @@ def merge_into_shards(
     )
 
 
-def probe_shards(candidates: DataFrame, shards: DataFrame, cfg: BloomConfig) -> DataFrame:
-    """candidates (+h1,h2,bucket) → same rows + ``maybe_seen:boolean``.
+def probe_shards(
+    candidates: DataFrame, shards: DataFrame, cfg: BloomConfig, exact: bool = False
+) -> DataFrame:
+    """candidates (+h1,h2,bucket) → same rows + ``maybe_seen:boolean``
+    (and, with ``exact=True``, ``exact_seen:boolean``).
 
     No false negatives: ``maybe_seen=false`` rows are guaranteed unseen.
+    ``exact_seen`` is searchsorted membership in the shard's sorted key-hash
+    set — the zero-extra-shuffle confirm path (module docstring); exact up
+    to xxhash64 collisions.
     """
     k, m = cfg.k, cfg.m_bits
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
-    )
+    extra = [T.StructField("maybe_seen", T.BooleanType())]
+    if exact:
+        extra.append(T.StructField("exact_seen", T.BooleanType()))
+    out_schema = T.StructType(list(candidates.schema.fields) + extra)
     cols = [f.name for f in candidates.schema.fields]
+    extra_names = [f.name for f in extra]
 
     def probe(cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
         if cand.empty:
-            return pd.DataFrame(columns=[*cols, "maybe_seen"])
+            return pd.DataFrame(columns=[*cols, *extra_names])
         if shard.empty:
             cand = cand.copy()
             cand["maybe_seen"] = False
+            if exact:
+                cand["exact_seen"] = False
             return cand
         pos = _positions(cand["h1"].to_numpy(), cand["h2"].to_numpy(), k, m)
         cand = cand.copy()
         cand["maybe_seen"] = _test_bits(shard["bits"].iloc[0], pos)
+        if exact:
+            key_set = np.frombuffer(shard["keys"].iloc[0] or b"", dtype=np.uint64)
+            h1 = cand["h1"].to_numpy().astype(np.uint64)
+            if len(key_set):
+                idx = np.searchsorted(key_set, h1)
+                idx[idx >= len(key_set)] = len(key_set) - 1
+                cand["exact_seen"] = key_set[idx] == h1
+            else:
+                cand["exact_seen"] = False
         return cand
 
     return (

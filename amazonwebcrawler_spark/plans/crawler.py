@@ -111,6 +111,17 @@ class CrawlConfig:
                                        # the budget can consume (exact — see
                                        # _load_frontier) instead of sorting
                                        # the whole 10^10-row frontier per wave
+    exact_confirm: str = "seen_table"  # 'seen_table': bloom-positive rows
+                                       # confirmed by left_anti vs the exact
+                                       # seen table (md5-exact, the oracle
+                                       # contract) — but the seen side is a
+                                       # full scan per wave at 10^10.
+                                       # 'shard_sets': exact membership from
+                                       # the per-bucket sorted key-hash sets
+                                       # riding the SAME bloom cogroup probe
+                                       # — zero extra shuffles, no seen scan
+                                       # (exact up to xxhash64 collisions;
+                                       # identical crawls, tested)
     bloom: bloom.BloomConfig = field(default_factory=lambda: bloom.BloomConfig(n_buckets=16, m_bits=1 << 17))
 
 
@@ -610,18 +621,24 @@ class CrawlEngine:
         )
 
         keyed = bloom.with_bloom_keys(candidates, "canonical_url", cfg.bloom)
-        probed = bloom.probe_shards(keyed, shards, cfg.bloom)
-        fresh_sure = probed.filter(~F.col("maybe_seen"))
-        # bloom-positive rows: confirm against the exact seen set (left_anti
-        # touches only this small subset — the scale path, SURVEY.md P15)
-        seen = self.store.load_deltas("seen")
-        maybe = probed.filter(F.col("maybe_seen"))
-        confirmed_new = (
-            maybe.join(seen.select("canonical_url"), "canonical_url", "left_anti")
-            if seen is not None
-            else maybe
-        )
-        pre = fresh_sure.unionByName(confirmed_new).drop("maybe_seen").persist()
+        if cfg.exact_confirm == "shard_sets":
+            # exact membership answered inside the SAME cogroup task that
+            # probes the bitset — no seen-table scan, no anti-join shuffle
+            probed = bloom.probe_shards(keyed, shards, cfg.bloom, exact=True)
+            pre = probed.filter(~F.col("exact_seen")).drop("maybe_seen", "exact_seen").persist()
+        else:
+            probed = bloom.probe_shards(keyed, shards, cfg.bloom)
+            fresh_sure = probed.filter(~F.col("maybe_seen"))
+            # bloom-positive rows: confirm against the exact seen set (left_anti
+            # touches only this small subset — the scale path, SURVEY.md P15)
+            seen = self.store.load_deltas("seen")
+            maybe = probed.filter(F.col("maybe_seen"))
+            confirmed_new = (
+                maybe.join(seen.select("canonical_url"), "canonical_url", "left_anti")
+                if seen is not None
+                else maybe
+            )
+            pre = fresh_sure.unionByName(confirmed_new).drop("maybe_seen").persist()
 
         # ---- data-defined discovery order (W4): seq from (parent, pos, url)
         # assigned WITHOUT a global single-task window — per-parent rank +

@@ -199,7 +199,7 @@ class StateStore:
             u = u.unionByName(d)
         latest = (
             u.groupBy("bucket")
-            .agg(F.max_by(F.struct("bits", "n_items", "m_bits", "k"), "_v").alias("_s"))
+            .agg(F.max_by(F.struct("bits", "n_items", "m_bits", "k", "keys"), "_v").alias("_s"))
             .select("bucket", "_s.*")
         )
         return latest

@@ -33,6 +33,32 @@ def test_no_false_negatives_and_bounded_fp(spark):
     assert fp <= 20, f"false-positive rate too high: {fp}/2000"
 
 
+def test_exact_probe_no_false_positives_or_negatives(spark):
+    """The per-bucket sorted key-hash sets (exact-confirm fold-in): unlike
+    the bitset's maybe_seen, exact_seen must be both FN-free AND FP-free on
+    distinct-hash URL sets — that's what lets the crawler skip the
+    seen-table anti-join entirely in shard_sets mode."""
+    cfg = bloom.BloomConfig(n_buckets=8, m_bits=1 << 16, k=5)
+    seen_urls = spark.createDataFrame(
+        [(f"https://www.amazon.com/dp/B{i:07d}",) for i in range(2000)], "canonical_url string"
+    )
+    keyed = bloom.with_bloom_keys(seen_urls, "canonical_url", cfg)
+    shards = bloom.merge_into_shards(keyed, bloom.empty_shards(spark, cfg), cfg)
+
+    probed = bloom.probe_shards(keyed, shards, cfg, exact=True)
+    assert probed.filter(~F.col("exact_seen")).count() == 0
+
+    unseen = spark.createDataFrame(
+        [(f"https://www.amazon.com/gp/other/{i}",) for i in range(2000)], "canonical_url string"
+    )
+    probed_unseen = bloom.probe_shards(
+        bloom.with_bloom_keys(unseen, "canonical_url", cfg), shards, cfg, exact=True
+    )
+    assert probed_unseen.filter(F.col("exact_seen")).count() == 0
+    # exact_seen implies maybe_seen (the key set is a subset of what set bits)
+    assert probed.filter(F.col("exact_seen") & ~F.col("maybe_seen")).count() == 0
+
+
 def test_merge_is_idempotent_and_incremental(spark):
     cfg = bloom.BloomConfig(n_buckets=4, m_bits=1 << 14, k=5)
     batch1 = spark.createDataFrame([(f"u{i}",) for i in range(100)], "canonical_url string")

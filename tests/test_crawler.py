@@ -310,6 +310,24 @@ class TestPrunedDequeue:
         assert res[True] == res[False]
         assert len(res[True][0]) > 50  # non-vacuous crawl
 
+    def test_exact_confirm_modes_identical(self, spark):
+        """'shard_sets' (exact membership riding the bloom cogroup — no
+        seen-table scan, no anti-join) must produce the SAME crawl as the
+        default seen-table left_anti: seen set, discovery sequences, and
+        per-wave lineage ordering all byte-identical."""
+        res = {}
+        for mode in ("seen_table", "shard_sets"):
+            tmp = f"/tmp/crawl_confirm_{mode}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            cfg = _cfg(tmp, tokens_per_shard=4, exact_confirm=mode)
+            st = CrawlEngine(spark, cfg, seeds=seeds_df(spark, SEED_ROWS)).run()["store"]
+            res[mode] = (
+                sorted((r.canonical_url, r.discovery_seq) for r in st.load_deltas("seen").collect()),
+                sorted((r.wave, r.canonical_url) for r in st.load_deltas("lineage").collect()),
+            )
+        assert res["seen_table"] == res["shard_sets"]
+        assert len(res["seen_table"][0]) > 50
+
     def test_load_frontier_prunes_exactly(self, spark):
         """Handcrafted snapshot with every shard holding ≥ tokens rows at
         depth 0: _load_frontier must return ONLY depth 0 as hot (the exact
