@@ -328,6 +328,28 @@ class TestPrunedDequeue:
         assert res["seen_table"] == res["shard_sets"]
         assert len(res["seen_table"][0]) > 50
 
+    def test_shard_sets_resume_exact(self, spark):
+        """Exact resume must hold in shard_sets mode too: the per-bucket
+        key-hash sets reconstruct from the COW chain (latest version per
+        bucket) and the resumed crawl equals the uninterrupted one."""
+        a, b = "/tmp/crawl_ss_full", "/tmp/crawl_ss_resume"
+        for t in (a, b):
+            shutil.rmtree(t, ignore_errors=True)
+        seeds = seeds_df(spark, SEED_ROWS)
+        full = CrawlEngine(
+            spark, _cfg(a, max_waves=10, exact_confirm="shard_sets"), seeds=seeds
+        ).run()["store"]
+        CrawlEngine(spark, _cfg(b, max_waves=2, exact_confirm="shard_sets"), seeds=seeds).run()
+        resumed = CrawlEngine(
+            spark, _cfg(b, max_waves=10, exact_confirm="shard_sets"), seeds=seeds
+        ).run(resume=True)["store"]
+        seen_a = sorted((r.canonical_url, r.discovery_seq) for r in full.load_deltas("seen").collect())
+        seen_b = sorted((r.canonical_url, r.discovery_seq) for r in resumed.load_deltas("seen").collect())
+        assert seen_a == seen_b
+        ord_a = sorted((r.wave, r.canonical_url) for r in full.load_deltas("lineage").collect())
+        ord_b = sorted((r.wave, r.canonical_url) for r in resumed.load_deltas("lineage").collect())
+        assert ord_a == ord_b
+
     def test_load_frontier_prunes_exactly(self, spark):
         """Handcrafted snapshot with every shard holding ≥ tokens rows at
         depth 0: _load_frontier must return ONLY depth 0 as hot (the exact
