@@ -556,6 +556,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dead = eng.store.load_deltas("dead_letter")
         return dead.select("seed_id", "canonical_url", F.col("attempt").cast("int").alias("attempt"))
 
+    # ----------------------------------------------------- shard_sets confirm (P15+/C6)
+    def q_crawl_shard_sets(spark, sf):
+        """Zero-shuffle exact-confirm path (`exact_confirm='shard_sets'`)
+        value-checked through the REAL engine: a 1-wave crawl over 400
+        page-1 keyword seeds plus 80 planted page-2 seeds (every 5th
+        keyword's page-2 URL is pre-seeded). Wave 0's pagination candidates
+        are the page-2 URLs of every successfully fetched page-1 seed; the
+        planted ones are ALREADY in the seen set, so admission depends
+        entirely on the per-bucket sorted key-hash sets answering exact
+        membership inside the bloom cogroup probe (operators/bloom.py
+        probe_shards(exact=True)) — both the drop branch (planted, seen)
+        and the admit branch (fresh) are exercised. Returned table: the
+        full seen set with data-defined discovery_seq, which the DuckDB
+        twin re-derives from the deterministic failure schedule + the
+        enqueue-order seq contract (politeness.assign_discovery_seq)."""
+        import shutil
+
+        from amazonwebcrawler_spark.operators import bloom as bloom_ops
+        from amazonwebcrawler_spark.plans.crawler import CrawlConfig, CrawlEngine
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+        from amazonwebcrawler_spark.sources.seeds import seeds_df
+
+        ckpt = "/tmp/awc_shard_sets_q"
+        shutil.rmtree(ckpt, ignore_errors=True)
+        rows = [
+            (i, "keyword", f"ss kw {i}", world.serp_url(f"ss kw {i}", 1), "yogamat", 2)
+            for i in range(400)
+        ] + [
+            (400 + i // 5, "keyword", f"ss kw {i}", world.serp_url(f"ss kw {i}", 2), "yogamat", 2)
+            for i in range(0, 400, 5)
+        ]
+        cfg = CrawlConfig(
+            checkpoint_dir=ckpt, max_waves=1, max_retries=0,
+            tokens_per_shard=512, n_shards=8, salt_bits=2,
+            early_stop=False, follow_items=False, follow_skus=False,
+            probe_inventory=False, exact_confirm="shard_sets",
+            bloom=bloom_ops.BloomConfig(n_buckets=8, m_bits=1 << 16),
+        )
+        eng = CrawlEngine(spark, cfg, seeds=seeds_df(spark, rows))
+        eng.run()
+        return eng.store.load_deltas("seen").select("canonical_url", "discovery_seq")
+
     # ----------------------------------------------------- image plumbing (rows-only)
     def q_images_decode(spark, sf):
         import pandas as pd
@@ -768,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
+        "crawl_shard_sets": q_crawl_shard_sets,
         "images_decode": q_images_decode,
         "images_validate": q_images_validate,
         "bloom_stats": q_bloom_stats,
@@ -1443,6 +1486,43 @@ SELECT seed_id, canonical_url, CAST(0 AS INTEGER) AS attempt
 FROM seeds
 WHERE CAST(('0x' || substr(md5('42' || chr(31) || 'flaky' || chr(31) || canonical_url), 1, 16))
            AS UBIGINT) % 31 = 0
+""",
+        "crawl_shard_sets": """
+-- shard_sets twin: the engine's 1-wave crawl (400 page-1 seeds + 80
+-- planted page-2 seeds, early_stop off, pagination-only expansion) leaves
+-- seen = all 480 seed URLs (seq = seed_id, committed at wave -1) plus the
+-- page-2 URL of every OK page-1 seed that was NOT pre-seeded. Failure
+-- schedule: h64('flaky', url) % 31 == 0 (synthetic_world, md5-based).
+-- Admission is exactly what probe_shards(exact=True) answers from the
+-- per-bucket key sets; discovery_seq = next_seq + rank, next_seq =
+-- n_frontier(480) + 1000, rank = 1-based enqueue order over
+-- (parent_seq, parent_pos, canonical_url) = seed order here
+-- (politeness.assign_discovery_seq: per-parent row_number + offsets).
+WITH p1 AS (
+  SELECT i AS seed_id,
+    'https://www.amazon.com/s?field-keywords=ss+kw+' || i::VARCHAR || '&page=1' AS url
+  FROM range(0, 400) t(i)
+),
+p2seed AS (
+  SELECT 400 + i // 5 AS seed_id,
+    'https://www.amazon.com/s?field-keywords=ss+kw+' || i::VARCHAR || '&page=2' AS url
+  FROM range(0, 400) t(i) WHERE i % 5 = 0
+),
+seeds AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2seed),
+ok1 AS (
+  SELECT i FROM range(0, 400) t(i)
+  WHERE CAST(('0x' || substr(md5('42' || chr(31) || 'flaky' || chr(31) ||
+      'https://www.amazon.com/s?field-keywords=ss+kw+' || i::VARCHAR || '&page=1'), 1, 16))
+    AS UBIGINT) % 31 <> 0
+),
+admitted AS (
+  SELECT 'https://www.amazon.com/s?field-keywords=ss+kw+' || i::VARCHAR || '&page=2' AS url,
+    row_number() OVER (ORDER BY i) AS rn
+  FROM ok1 WHERE i % 5 <> 0
+)
+SELECT url AS canonical_url, seed_id AS discovery_seq FROM seeds
+UNION ALL
+SELECT url AS canonical_url, 1480 + rn AS discovery_seq FROM admitted
 """,
         "pivot_report": """
 SELECT user_id,

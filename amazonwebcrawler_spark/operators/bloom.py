@@ -55,6 +55,11 @@ class BloomConfig:
     n_buckets: int = 64
     m_bits: int = 1 << 20  # bits per shard
     k: int = 5
+    #: accumulate the per-bucket sorted key-hash sets that back
+    #: ``probe_shards(exact=True)``. Costs +8 B/URL of shard state and a
+    #: per-dirty-bucket union+rewrite — CrawlConfig wires it OFF for the
+    #: default ``seen_table`` confirm mode, which never reads the sets.
+    track_keys: bool = True
 
     @classmethod
     def for_capacity(cls, n_items: int, bits_per_item: int = 12, n_buckets: int = 64) -> "BloomConfig":
@@ -120,8 +125,15 @@ def merge_into_shards(
     buckets) rewriting every bucket every wave would be the dominant write;
     with COW a wave rewrites only the few MB it actually touched
     (StateStore.load_shard_state reconstructs latest-per-bucket).
+
+    Key-set accumulation is gated on ``cfg.track_keys``: with it off the
+    ``keys`` column is written empty (lean shard state for the seen_table
+    confirm mode, which never reads it). NOTE a merge with ``track_keys
+    False`` also drops any EXISTING key set on the buckets it touches —
+    switching a live store from shard_sets to seen_table mode and back
+    leaves the sets incomplete; use a fresh store when changing modes.
     """
-    k, m = cfg.k, cfg.m_bits
+    k, m, track = cfg.k, cfg.m_bits, cfg.track_keys
 
     def merge(keys: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
         if keys.empty and dirty_only:
@@ -137,15 +149,20 @@ def merge_into_shards(
         else:
             bucket = int(shard["bucket"].iloc[0])
             bits, n_items = bytearray(shard["bits"].iloc[0]), int(shard["n_items"].iloc[0])
-            key_set = np.frombuffer(shard["keys"].iloc[0] or b"", dtype=np.uint64)
+            key_set = (
+                np.frombuffer(shard["keys"].iloc[0] or b"", dtype=np.uint64)
+                if track
+                else np.array([], dtype=np.uint64)
+            )
         if not keys.empty:
             h1 = keys["h1"].to_numpy()
             pos = _positions(h1, keys["h2"].to_numpy(), k, m)
             _set_bits(bits, pos)
             n_items += len(keys)
-            # sorted exact key set — a pure function of the key SET
-            # (np.union1d sorts + dedups), independent of arrival order
-            key_set = np.union1d(key_set, h1.astype(np.uint64))
+            if track:
+                # sorted exact key set — a pure function of the key SET
+                # (np.union1d sorts + dedups), independent of arrival order
+                key_set = np.union1d(key_set, h1.astype(np.uint64))
         return pd.DataFrame(
             [{"bucket": bucket, "bits": bytes(bits), "n_items": n_items, "m_bits": m,
               "k": k, "keys": key_set.tobytes()}]

@@ -377,9 +377,13 @@ def connected_components_star(
     one-job (count, bit_xor-of-hash) fingerprint of the edge set per round.
 
     Returns (labels, rounds). Same output contract as
-    ``connected_components`` (nodes appearing in ``pairs`` only); use this
-    for long-chain graphs, min-label for the tiny near-dup components the
-    LSH pipelines produce (2-4 rounds, half the per-round work).
+    ``connected_components`` — every node appearing in ``pairs`` is
+    labelled, including nodes whose only pair is a self-loop
+    (``id_a == id_b``): they label themselves, matching min-label
+    propagation (LSH pair lists never contain self-loops, but the contract
+    holds for arbitrary input). Use this for long-chain graphs, min-label
+    for the tiny near-dup components the LSH pipelines produce (2-4
+    rounds, half the per-round work).
     """
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -442,6 +446,18 @@ def connected_components_star(
     labels = edges.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id")).unionByName(
         edges.select(F.col("v").alias("doc_id"), F.col("v").alias("group_id"))
     ).distinct()
+    # nodes whose only pairs were self-loops never entered the edge list —
+    # they are their own singleton component (min-label labels them too)
+    verts = (
+        pairs.select(F.col(id_a).alias("doc_id"))
+        .unionByName(pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+    )
+    labels = labels.unionByName(
+        verts.join(labels, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("group_id")
+        )
+    )
     return labels, rounds
 
 

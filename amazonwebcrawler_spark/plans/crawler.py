@@ -124,6 +124,22 @@ class CrawlConfig:
                                        # identical crawls, tested)
     bloom: bloom.BloomConfig = field(default_factory=lambda: bloom.BloomConfig(n_buckets=16, m_bits=1 << 17))
 
+    def __post_init__(self) -> None:
+        # a typo'd mode must error, not silently fall through to seen_table
+        if self.exact_confirm not in ("seen_table", "shard_sets"):
+            raise ValueError(
+                "exact_confirm must be 'seen_table' or 'shard_sets', "
+                f"got {self.exact_confirm!r}"
+            )
+        # wire key-set tracking to the confirm mode: seen_table keeps the
+        # lean shard state (no +8 B/URL sorted key sets), shard_sets needs
+        # the sets for its zero-shuffle exact membership probe
+        want_keys = self.exact_confirm == "shard_sets"
+        if self.bloom.track_keys != want_keys:
+            import dataclasses
+
+            self.bloom = dataclasses.replace(self.bloom, track_keys=want_keys)
+
 
 # ---------------------------------------------------------------- fetch UDF
 def _fetch_batches(batches):

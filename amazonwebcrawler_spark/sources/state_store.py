@@ -190,10 +190,17 @@ class StateStore:
         versioned.reverse()
         if not versioned:
             return None
-        dfs = [
-            self.spark.read.parquet(path).withColumn("_v", F.lit(w))
-            for w, path in versioned
-        ]
+        def _read(path: str) -> DataFrame:
+            df = self.spark.read.parquet(path)
+            if "keys" not in df.columns:
+                # shard snapshots written before the exact-confirm key sets
+                # existed (pre-r3 stores) lack the column — default it so
+                # old checkpoints stay resumable (seen_table mode never
+                # reads it; shard_sets mode needs a fresh store anyway)
+                df = df.withColumn("keys", F.lit(b""))
+            return df
+
+        dfs = [_read(path).withColumn("_v", F.lit(w)) for w, path in versioned]
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d)

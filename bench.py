@@ -1,8 +1,11 @@
 """Benchmark harness (driver contract + BASELINE.md scaling evidence).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "throughput": {...}, "scaling": {...}}
+Prints ONE JSON line (kept under ~1.9 KB — the driver's output-tail capture
+is 2000 chars and r3's 2.5 KB line truncated into an unparseable record;
+per-sample arrays and per-leg detail go to BENCH_detail.json instead):
+  {"metric": "...", "value": N, "unit": "urls/sec", "queries": {...},
+   "sf": ..., "throughput": {...}, "amort": {...}, "scaling": {...},
+   "scaling_control": {...}, "ivf_scale": {...}, "detail": "BENCH_detail.json"}
 
 Headline throughputs (the BASELINE.json metric):
 * frontier URLs/sec — one mega-wave of the crawl DAG (fetch → parse →
@@ -312,7 +315,7 @@ def _crawl_loop_bench(spark, cpus: int) -> dict:
 
     amort_sizes = [
         int(s)
-        for s in os.environ.get("BENCH_LOOP_AMORT", "1024,4096").split(",")
+        for s in os.environ.get("BENCH_LOOP_AMORT", "1024,4096,16384").split(",")
         if s.strip()
     ]
     if amort_sizes:
@@ -423,12 +426,13 @@ def _ivf_scale_bench(spark) -> dict:
             sample_size=min(2 * c_big, n_corpus),
         ),
     }
-    # default 1 rep: the measured pandas/literal ratio (0.43) sits far from
-    # the ≤2 bar, so host noise can't flip the verdict — and the full bench
-    # has a wall-clock budget to respect
+    # best-of-2 by default: the r3 driver record (single-shot) read 1.64×
+    # while both local replications on the same code read 0.17-0.43× — one
+    # co-tenant load epoch polluted the official number. Two reps per leg
+    # bound that risk at an acceptable wall cost (VERDICT r3 item 3).
     for name, kw in legs.items():
         best = float("inf")
-        for _ in range(int(os.environ.get("BENCH_IVF_REPS", "1"))):
+        for _ in range(int(os.environ.get("BENCH_IVF_REPS", "2"))):
             t0 = _t.time()
             n = similarity.ivf_topk(big, qs, "vec_id", "embedding", k=10, **kw).count()
             best = min(best, _t.time() - t0)
@@ -479,12 +483,23 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    query_samples: dict[str, list[float]] = {}
+    # best-of-N per query, REBUILDING the DataFrame each rep (a re-count of
+    # the same object reuses shuffle map stages and times only the tail).
+    # Single-shot timings let one co-tenant load epoch pollute the official
+    # record (r3: dedup_minhash_lsh 15.7 s driver vs 3.1-3.3 s local on the
+    # same code) — min-of-3 is the steady-state estimator the throughput
+    # legs already use (BASELINE.md methodology).
+    q_reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
+        samples = []
+        for _ in range(q_reps):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(round(time.time() - t0, 3))
+        timings[name] = min(samples)
+        query_samples[name] = samples
 
     # --- scaling evidence (north_rule sandbox form): the SAME job at N and
     # 4N cores, each in a fresh subprocess so both get identical treatment.
@@ -588,18 +603,75 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             scaling = {"error": str(e)[:200]}
 
-    result = {
-        "metric": "frontier URLs/sec (fetch+parse+classify+rank+canonicalize+bloom mega-wave)",
-        "value": crawl["frontier_urls_per_sec"],
-        "unit": "urls/sec",
-        "queries": timings,
-        "sf": sf_dir,
+    # ---- two-tier output: a compact headline line (fits the driver's 2000-
+    # char tail capture — r3's fat line truncated into parsed:null) plus a
+    # full-detail side file with every sample array and per-leg dict.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    detail = {
         "throughput": crawl,
+        "query_samples": query_samples,
         "scaling": scaling,
         "scaling_control": control,
         "ivf_scale": ivf_scale,
     }
-    print(json.dumps(result))
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    amort = {
+        str(k): v["urls_per_sec"]
+        for k, v in crawl.get("loop_amortization", {}).items()
+    }
+    thr_keys = (
+        "serp_pages", "serp_sec", "frontier_urls_per_sec",
+        "image_rows", "image_sec", "image_rows_per_sec", "cpus",
+        "loop_seeds", "loop_fetches", "loop_waves",
+        "loop_sec_per_wave", "loop_urls_per_sec",
+    )
+    scaling_compact = (
+        {k: scaling[k] for k in (
+            "cpus_small", "cpus_large",
+            "frontier_urls_per_sec_small", "frontier_urls_per_sec_large",
+            "speedup", "scaling_efficiency",
+            "serp_scaling_efficiency", "image_scaling_efficiency",
+        ) if k in scaling}
+        if scaling and "error" not in scaling
+        else scaling
+    )
+    control_compact = (
+        {k: control[k] for k in ("eff_2_to_8", "eff_8_to_32") if k in control}
+        if control and "error" not in control
+        else control
+    )
+    ivf_compact = (
+        {
+            "literal_sec": ivf_scale["literal_c64"]["sec"],
+            "pandas_sec": ivf_scale["pandas_c4096"]["sec"],
+            "pandas_vs_literal": ivf_scale["pandas_vs_literal"],
+        }
+        if "pandas_vs_literal" in ivf_scale
+        else ivf_scale
+    )
+    result = {
+        "metric": "frontier URLs/sec (crawl mega-wave: fetch+parse+classify+rank+canonicalize+bloom)",
+        "value": crawl["frontier_urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "throughput": {k: crawl[k] for k in thr_keys if k in crawl},
+        "amort": amort,
+        "scaling": scaling_compact,
+        "scaling_control": control_compact,
+        "ivf_scale": ivf_compact,
+        "detail": "BENCH_detail.json",
+    }
+    line = json.dumps(result)
+    if len(line) > 1900:  # defensive: never ship an untruncatable line again
+        for k in ("scaling_control", "amort", "ivf_scale"):
+            result.pop(k, None)
+            line = json.dumps(result)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

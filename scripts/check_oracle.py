@@ -65,7 +65,12 @@ def main() -> int:
     import os
 
     pinned: dict[str, str] = {}
-    gpath = "/root/repo/amazonwebcrawler_spark/goldens.json"
+    # derive from the entry module's location — a hardcoded /root/repo path
+    # would silently load an empty pin map in any other checkout
+    gpath = os.path.join(
+        os.path.dirname(os.path.abspath(entrymod.__file__)),
+        "amazonwebcrawler_spark", "goldens.json",
+    )
     if os.path.exists(gpath):
         with open(gpath) as f:
             pinned = {

@@ -350,6 +350,59 @@ class TestPrunedDequeue:
         ord_b = sorted((r.wave, r.canonical_url) for r in resumed.load_deltas("lineage").collect())
         assert ord_a == ord_b
 
+    def test_shard_sets_collision_failure_mode(self, spark, monkeypatch):
+        """Pin the documented shard_sets caveat (operators/bloom.py module
+        docstring): exactness holds only up to xxhash64 collisions on h1 —
+        a colliding NEW url is wrongly reported exact_seen and dropped.
+        Force collisions by truncating h1 to 6 bits (64 slots << #URLs) and
+        crawl the same seeds in both modes to exhaustion. The md5-exact
+        seen_table crawl is the oracle: it is unaffected by the truncation
+        (its confirm anti-joins on canonical_url), and the divergence it
+        detects must be exactly the documented failure mode — shard_sets'
+        seen set is a strict subset, and every URL it dropped collides with
+        an earlier-admitted key in the truncated hash space."""
+        from amazonwebcrawler_spark.operators import bloom as bloom_mod
+
+        def truncated_keys(df, url_col, cfg):
+            return (
+                df.withColumn(
+                    "h1", F.pmod(F.xxhash64(F.col(url_col)), F.lit(64))
+                )
+                .withColumn("h2", F.xxhash64(F.col(url_col), F.lit("s2")))
+                .withColumn(
+                    "bucket", F.pmod(F.col("h1"), F.lit(cfg.n_buckets)).cast("int")
+                )
+            )
+
+        monkeypatch.setattr(bloom_mod, "with_bloom_keys", truncated_keys)
+        seen = {}
+        for mode in ("seen_table", "shard_sets"):
+            tmp = f"/tmp/crawl_collision_{mode}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            cfg = _cfg(tmp, max_waves=16, early_stop=False, exact_confirm=mode)
+            st = CrawlEngine(spark, cfg, seeds=seeds_df(spark, SEED_ROWS)).run()["store"]
+            seen[mode] = {r.canonical_url for r in st.load_deltas("seen").collect()}
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        oracle, ss = seen["seen_table"], seen["shard_sets"]
+        # the oracle crawl is a full crawl (same URL universe as an
+        # unpatched run would admit — md5-exact confirm ignores h1)
+        assert len(oracle) > 100
+        # documented failure mode, detected by the equivalence oracle:
+        assert ss < oracle, "expected shard_sets to drop colliding URLs"
+        missing = oracle - ss
+        # ...and nothing else: every dropped URL collides (truncated-h1
+        # equality) with a URL that shard_sets DID admit to the seen set
+        tv = {
+            r.u: r.v
+            for r in spark.createDataFrame(
+                [(u,) for u in oracle], "u string"
+            ).select("u", F.pmod(F.xxhash64("u"), F.lit(64)).alias("v")).collect()
+        }
+        admitted_vals = {tv[u] for u in ss}
+        for u in missing:
+            assert tv[u] in admitted_vals, f"dropped URL {u} has no collision partner"
+
     def test_load_frontier_prunes_exactly(self, spark):
         """Handcrafted snapshot with every shard holding ≥ tokens rows at
         depth 0: _load_frontier must return ONLY depth 0 as hot (the exact
@@ -392,12 +445,31 @@ class TestPrunedDequeue:
         assert os.path.isdir(os.path.join(fdir, "depth=0", "host_shard=0"))
 
 
+#: columns that are execution artifacts, not data — excluded from the
+#: run-vs-run state comparison (wall-clock timings, physical partition ids)
+_NONDET_COLS = {"wave_t_start", "wave_build_sec", "partition_id"}
+
+
+def _table_rows(df):
+    """Order-insensitive, nondeterminism-stripped row multiset (or None)."""
+    if df is None:
+        return None
+    cols = sorted(c for c in df.columns if c not in _NONDET_COLS)
+    return sorted(
+        tuple(bytes(x) if isinstance(x, (bytearray, memoryview)) else x for x in r)
+        for r in df.select(*cols).collect()
+    )
+
+
 class TestTimeTravel:
     def test_as_of_wave_equals_interrupted_run(self, spark):
         """Iceberg-style snapshot time travel: reading state `as_of_wave=k`
         from a finished run must equal what a run stopped after wave k
-        actually held — for deltas (seen), the frontier snapshot, and the
-        COW shard state."""
+        actually held — for EVERY delta table (state_store.DELTA_TABLES,
+        the claim at state_store.py load_deltas), the frontier snapshot,
+        and the COW shard state."""
+        from amazonwebcrawler_spark.sources.state_store import DELTA_TABLES
+
         a, b = "/tmp/crawl_tt_full", "/tmp/crawl_tt_part"
         for t in (a, b):
             shutil.rmtree(t, ignore_errors=True)
@@ -407,9 +479,15 @@ class TestTimeTravel:
         k = part.committed_waves()[-1]
         assert k < full.committed_waves()[-1], "need a strictly earlier wave"
 
-        tt_seen = {r.canonical_url for r in full.load_deltas("seen", as_of_wave=k).collect()}
-        part_seen = {r.canonical_url for r in part.load_deltas("seen").collect()}
-        assert tt_seen == part_seen
+        nonempty = 0
+        for name in DELTA_TABLES:
+            tt = _table_rows(full.load_deltas(name, as_of_wave=k))
+            pt = _table_rows(part.load_deltas(name))
+            assert tt == pt, f"as_of_wave mismatch for delta table {name!r}"
+            if pt:
+                nonempty += 1
+        # the sweep must not be vacuous: most delta tables exist by wave k
+        assert nonempty >= 6, f"only {nonempty} delta tables materialized"
 
         tt_frontier = {r.canonical_url for r in full.load_snapshot("frontier", as_of_wave=k).collect()}
         part_frontier = {r.canonical_url for r in part.load_snapshot("frontier").collect()}
@@ -480,3 +558,19 @@ class TestReports:
         assert inv.agg(F.max("order")).collect()[0][0] <= 3  # L3 head-N cut
         ranks = spark.read.parquet(f"{out}/ranks")
         assert ranks.count() == 1  # one keyword seed
+
+
+class TestConfigValidation:
+    def test_exact_confirm_typo_raises(self):
+        """A misspelled confirm mode must error at construction, not fall
+        through silently to the seen_table branch."""
+        with pytest.raises(ValueError, match="exact_confirm"):
+            CrawlConfig(checkpoint_dir="/tmp/unused_cfg", exact_confirm="shard_set")
+
+    def test_track_keys_wired_to_confirm_mode(self):
+        """seen_table keeps the lean shard state (no key sets); shard_sets
+        turns the sets on — regardless of the BloomConfig passed in."""
+        a = CrawlConfig(checkpoint_dir="/tmp/unused_cfg")
+        assert a.bloom.track_keys is False
+        b = CrawlConfig(checkpoint_dir="/tmp/unused_cfg", exact_confirm="shard_sets")
+        assert b.bloom.track_keys is True

@@ -189,3 +189,31 @@ class TestIVFAssignPaths:
         rows_lit = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in lit.collect())
         rows_pan = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in pan.collect())
         assert rows_lit == rows_pan
+
+
+class TestSimhashPlanHygiene:
+    def test_simhash_plan_has_no_python_eval(self, spark, sf_dir):
+        """The relational SimHash path (explode → md5 → per-bit vote
+        aggregate, dedup.with_simhash64) must stay pure column math: no
+        Arrow/Python eval nodes anywhere in the plan, and the bit votes
+        must combine map-side (partial_sum) inside a codegen span. AQE is
+        disabled for the explain — an un-executed AdaptiveSparkPlan hides
+        codegen ids on any plan containing an Exchange (explain_plans.py
+        NO_AQE note)."""
+        import io
+        from contextlib import redirect_stdout
+
+        d = _docs(spark, sf_dir)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            df = dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            txt = buf.getvalue()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        for forbidden in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert forbidden not in txt, f"{forbidden} in simhash plan"
+        assert "[codegen id :" in txt
+        assert "partial_sum" in txt
