@@ -528,7 +528,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             control = {"error": str(e)[:200]}
         n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
+        # 5 rounds (was 4): the r4 local session hit a ~30-min load epoch in
+        # which NO 8-core sample reached the known ~16 s serp floor (all four
+        # read 20.5-24.8 s) and best-of-4 understated efficiency at 0.76 vs
+        # 0.84-0.96 replicated history — one extra round is cheap insurance
+        # that a session catches at least one idle window per level
+        pair_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
         results: dict = {}
         try:
             # interleave small/large rounds and keep the best run per level:
