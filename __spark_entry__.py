@@ -369,6 +369,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=3)
 
+    # ----------------------------------------------------- dedup: generic hamming blocking
+    def q_hamming_neardup(spark, sf):
+        """Generic 64-bit-fingerprint hamming dedup (the blocked operator
+        SimHash and pHash both ride), value-checked against an EXHAUSTIVE
+        DuckDB pair scan — independent implementations, not an arithmetic
+        twin: the blocked plan must find exactly the pairs the O(n²) scan
+        finds. Fingerprints are planted relationally: 50 md5-derived group
+        bases XOR a low-4-bit per-doc perturbation, so same-group pairs sit
+        at hamming 0-4 straddling the ≤2 threshold and cross-group pairs
+        are ~32 bits apart. t=2 → 3 pigeonhole chunks of widths 22/21/21
+        (the unequal-width path; SimHash's 4×16 is the equal-width one)."""
+        d = _t(spark, sf, "documents")
+        hexv = F.md5(F.concat(F.lit("hamgrp-"), (F.col("doc_id") % 50).cast("string")))
+        hi = F.conv(F.substring(hexv, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hexv, 9, 8), 16, 10).cast("long")
+        fp = (
+            F.shiftleft(hi, 32)
+            .bitwiseOR(lo)
+            .bitwiseXOR((F.col("doc_id") % 16).cast("long"))
+        )
+        keyed = d.select(F.col("doc_id").alias("_id"), fp.alias("_fp"))
+        return dedup.hamming_neardup_pairs(keyed, "_id", "_fp", max_hamming=2)
+
+    # ----------------------------------------------------- dedup: image phash (committed golden)
+    def q_dedup_phash(spark, sf):
+        """Image near-dup by perceptual hash over OPAQUE bytes: 24 block
+        PNG masters + one lossy-codec variant each with EXACTLY i%4 pHash
+        bits flipped (synthetic_world.block_image_record), so t=2 must
+        admit the k∈{0,1,2} re-encodes (18 pairs), reject the k=3 ones,
+        and never pair unrelated images (cross hamming ≥ 18). The golden's
+        capture checker re-derives the expected set with a brute-force
+        Python scan — blocking exactness is asserted, not assumed."""
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(24):
+            base = world.block_image_record(f"blk-{i}")
+            var = world.block_image_record(f"blk-{i}", flip_cells=i % 4, fmt="jpeg")
+            rows.append((base["image_id"], bytearray(base["bytes"])))
+            rows.append((f"{var['image_id']}-v", bytearray(var["bytes"])))
+        images = spark.createDataFrame(rows, "image_id string, bytes binary")
+        return dedup.phash_neardup_pairs(images.repartition(8), max_hamming=2)
+
     # ----------------------------------------------------- embedding near-dup (exact, blocked)
     def q_embedding_neardup(spark, sf):
         e = _t(spark, sf, "embeddings")
@@ -797,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "hamming_neardup": q_hamming_neardup,
+        "dedup_phash": q_dedup_phash,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1400,6 +1445,26 @@ sel AS (
   SELECT g.doc_id, g.h FROM grams g JOIN counts c USING (doc_id) WHERE c.n < 4
 )
 SELECT DISTINCT doc_id, fp FROM sel
+""",
+        "hamming_neardup": """
+-- Generic hamming-dedup twin: INDEPENDENT implementation — an exhaustive
+-- O(n²) pair scan over the same planted fingerprints (50 md5 group bases
+-- XOR doc_id%16), so the Spark side's pigeonhole chunk blocking is checked
+-- for exactness, not mirrored. fp arithmetic is identical 64-bit
+-- two's-complement: UBIGINT here, signed long there — xor/bit_count see
+-- the same bits.
+WITH fps AS (
+  SELECT doc_id,
+    xor(
+      CAST(('0x' || substr(md5('hamgrp-' || (doc_id % 50)::VARCHAR), 1, 16)) AS UBIGINT),
+      CAST(doc_id % 16 AS UBIGINT)
+    ) AS fp
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 2
 """,
         "dedup_simhash": r"""
 -- SimHash twin: md5-derived 64-bit token hashes, ±1 bit votes, sign →

@@ -549,14 +549,41 @@ def simhash64_udf():
     return simhash
 
 
-def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+def hamming_chunks(n_chunks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per chunk, splitting 64 bits into ``n_chunks``
+    near-equal contiguous chunks (the first ``64 % n_chunks`` chunks get the
+    extra bit). Pure arithmetic, shared by the operator, its tests, and the
+    golden checkers."""
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    return list(zip(offsets, widths))
 
-    Blocking: 4 16-bit chunks of the fingerprint — any pair within hamming
-    ≤ 3 shares at least one exact chunk (pigeonhole, 4 > 3), so the join is
-    on (chunk_idx, chunk_value), never a full cross join.
+
+def hamming_neardup_pairs(
+    keyed: DataFrame, id_col: str, fp_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column by hamming
+    distance ≤ ``max_hamming`` — the generic pigeonhole-blocked form shared
+    by SimHash (text) and pHash (image) dedup.
+
+    Blocking: ``max_hamming + 1`` near-equal-width chunks of the
+    fingerprint — a pair within hamming ≤ t differs in ≤ t chunks, so with
+    t+1 chunks at least one chunk matches exactly (pigeonhole) and the join
+    is on (chunk_idx, chunk_value), never a full cross join. EXACT: every
+    qualifying pair is found; false candidates are discarded by the
+    ``bit_count(xor)`` verify, which is pure JVM column math. Shuffle
+    volume is ``(t+1) × rows`` — at 10^10 images and t=4 that is one
+    5×-exploded exchange on a 2-int key, the same shape as LSH banding.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming: int.
     """
-    keyed = with_simhash64(df, text_col, id_col)
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    # normalize names in their own projection: referencing "_fp" inside the
+    # explode of the SAME select would be a lateral column alias (Spark
+    # internal error when the input column isn't already named _fp)
+    keyed = keyed.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     chunks = keyed.select(
         "_id",
         "_fp",
@@ -567,9 +594,11 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
                         F.lit(c).alias("c"),
                         # logical shift: arithmetic shiftright would smear the
                         # sign bit into the top chunk of negative fingerprints
-                        F.shiftrightunsigned("_fp", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                        F.shiftrightunsigned("_fp", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("v"),
                     )
-                    for c in range(4)
+                    for c, (off, width) in enumerate(hamming_chunks(max_hamming + 1))
                 ]
             )
         ).alias("ch"),
@@ -581,5 +610,70 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
                 F.col("a._fp").alias("fp_a"), F.col("b._fp").alias("fp_b"))
         .distinct()
     )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    At the default t=3 the blocking is 4 equal 16-bit chunks — bit-identical
+    to the DuckDB twin's ``i // 16`` chunking (hamming_chunks(4) =
+    [(0,16),(16,16),(32,16),(48,16)]).
+    """
+    keyed = with_simhash64(df, text_col, id_col)
+    return hamming_neardup_pairs(keyed, "_id", "_fp", max_hamming)
+
+
+# ------------------------------------------------------------- image near-dup
+PHASH_SCHEMA = "image_id string, phash long"
+
+
+def _phash_batches(batches):
+    """Arrow-batched bytes → pHash kernel (the same decode the validation and
+    crawl paths use); per-image loop is inside one Arrow batch, like PIL."""
+    from amazonwebcrawler_spark.functions.images import decode_image, phash64
+
+    for pdf in batches:
+        out = []
+        for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+            try:
+                ph = phash64(decode_image(bytes(data)))
+            except Exception:  # noqa: BLE001  # corrupt/unknown container → no fingerprint
+                ph = None
+            out.append({"image_id": image_id, "phash": ph})
+        yield pd.DataFrame(out, columns=["image_id", "phash"])
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str | None = "bytes",
+    phash_col: str = "phash",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance —
+    the multimodal member of the dedup family (input_hint image schema).
+
+    The canonical near-dup case is the SAME picture stored through different
+    codecs (PNG master vs lossy JPEG thumbnail): pixel values shift a little,
+    the 8×8 average-hash flips 0-4 bits, and exact dedup misses the pair
+    entirely. With ``bytes_col`` set (default) the fingerprint is recomputed
+    from the opaque ``bytes`` column via the decode kernel — trusting no
+    stored metadata, exactly like ``validate_images`` — and undecodable
+    images drop out with no fingerprint. Pass ``bytes_col=None`` to pair on
+    an existing ``phash_col`` without touching Python at all (pure JVM path).
+
+    Pairing is :func:`hamming_neardup_pairs`: pigeonhole chunk blocking +
+    ``bit_count(xor)`` verify — never a full cross join, so it holds at
+    10^10 images exactly like the SimHash text path.
+    """
+    if bytes_col is not None:
+        keyed = images.select(
+            F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes")
+        ).mapInPandas(_phash_batches, PHASH_SCHEMA).filter(F.col("phash").isNotNull())
+    else:
+        keyed = images.select(
+            F.col(id_col).alias("image_id"), F.col(phash_col).cast("long").alias("phash")
+        ).filter(F.col("phash").isNotNull())
+    return hamming_neardup_pairs(keyed, "image_id", "phash", max_hamming)

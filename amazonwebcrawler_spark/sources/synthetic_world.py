@@ -307,6 +307,54 @@ def image_record(asin: str) -> dict:
     }
 
 
+def block_image_record(img_id: str, flip_cells: int = 0, fmt: str = "png") -> dict:
+    """Deterministic 32×32 block-pattern image whose pHash bits ARE a seeded
+    8×8 binary pattern — the dedup-test counterpart of :func:`image_record`
+    (whose smooth gradients give every product near-identical aHashes,
+    useless for near-dup testing).
+
+    Each 8×8 cell is a uniform 4×4 pixel block at 40 (bit 0) or 216
+    (bit 1) gray — both far from the image mean, so the average-hash
+    threshold reproduces the pattern exactly, and the lossy fjpg codec's
+    +4 dequantization shift (uniform over all pixels) moves the mean and
+    every cell together, flipping nothing. ``flip_cells=k`` inverts k
+    hash-chosen distinct cells, shifting the pHash by EXACTLY k bits: the
+    pair (base png, variant jpeg) has a controlled hamming distance, which
+    is what lets the phash-dedup golden pin the ≤/> threshold boundary.
+    The pattern always contains both colors (cells 0 and 1 are forced) so
+    the mean threshold never degenerates.
+    """
+    r = h64("blockimg", img_id)
+    rng = np.random.default_rng(r % (2**32))
+    pattern = rng.integers(0, 2, size=(8, 8), dtype=np.int32)
+    pattern.flat[0], pattern.flat[1] = 0, 1  # never a single-color image
+    if flip_cells:
+        # distinct cells 2..63 (keep the two forced cells stable)
+        cells = 2 + rng.permutation(62)[:flip_cells]
+        pattern.flat[cells] = 1 - pattern.flat[cells]
+    gray = (40 + pattern * 176).astype(np.uint8)  # 40 / 216
+    pixels = np.repeat(np.repeat(gray, 4, axis=0), 4, axis=1)
+    pixels = np.stack([pixels] * 3, axis=-1)
+    if fmt == "jpeg":
+        from amazonwebcrawler_spark.functions.images import decode_jpeg
+
+        data = encode_jpeg(pixels)
+        decoded = decode_jpeg(data)
+    else:
+        data = encode_png(pixels)
+        decoded = pixels
+    return {
+        "image_id": img_id,
+        "bytes": data,
+        "w": 32,
+        "h": 32,
+        "fmt": fmt,
+        "caption": f"block pattern {img_id}",
+        "phash": phash64(decoded),
+        "_pixels": pixels,
+    }
+
+
 # ------------------------------------------------------------------ category
 def category_page(cat: str) -> dict:
     r = h64("cat", cat)

@@ -57,6 +57,7 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
         "bytes_md5": "VARCHAR", "n_bytes": "INTEGER",
     },
+    "dedup_phash": {"id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "INTEGER"},
     "audio_features": {
         "audio_id": "VARCHAR", "duration_sec": "DOUBLE", "rms": "DOUBLE",
         "zero_crossing_rate": "DOUBLE", "peak": "DOUBLE",
@@ -142,6 +143,33 @@ def _check_video_frame_sample(rows, ctx):
         assert sorted(idxs) == [0, 4, 8], (vid, sorted(idxs))
 
 
+def _check_dedup_phash(rows, ctx):
+    """Blocking exactness: the blocked operator's pairs must equal a
+    brute-force O(n²) Python scan over the SAME 48 images' pHashes, and
+    the planted codec-variant pairs (hamming exactly i%4) must appear iff
+    i%4 ≤ 2 — the threshold boundary is pinned from both sides."""
+    from amazonwebcrawler_spark.functions.images import decode_image, hamming64, phash64
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    imgs = []
+    for i in range(24):
+        base = block_image_record(f"blk-{i}")
+        var = block_image_record(f"blk-{i}", flip_cells=i % 4, fmt="jpeg")
+        imgs.append((base["image_id"], phash64(decode_image(base["bytes"]))))
+        imgs.append((f"{var['image_id']}-v", phash64(decode_image(var["bytes"]))))
+    expected = {
+        (a, b, hamming64(pa, pb))
+        for (a, pa) in imgs
+        for (b, pb) in imgs
+        if a < b and hamming64(pa, pb) <= 2
+    }
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in rows}
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
+    for i in range(24):
+        planted = (f"blk-{i}", f"blk-{i}-v", i % 4)
+        assert (planted in got) == (i % 4 <= 2), planted
+
+
 def _check_images_resize(rows, ctx):
     assert len(rows) == 32, len(rows)
     for r in rows:
@@ -185,6 +213,7 @@ CHECKERS = {
     "images_validate": _check_images_validate,
     "video_frame_sample": _check_video_frame_sample,
     "images_resize": _check_images_resize,
+    "dedup_phash": _check_dedup_phash,
     "audio_features": _check_audio_features,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,

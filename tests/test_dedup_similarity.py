@@ -217,3 +217,91 @@ class TestSimhashPlanHygiene:
             assert forbidden not in txt, f"{forbidden} in simhash plan"
         assert "[codegen id :" in txt
         assert "partial_sum" in txt
+
+
+class TestHammingNeardup:
+    def test_chunk_layout(self):
+        """Chunks tile all 64 bits contiguously with near-equal widths."""
+        for n in (1, 3, 4, 7, 9, 13, 64):
+            chunks = dedup.hamming_chunks(n)
+            assert len(chunks) == n
+            assert sum(w for _, w in chunks) == 64
+            assert chunks[0][0] == 0
+            for (off_a, w_a), (off_b, _) in zip(chunks, chunks[1:]):
+                assert off_a + w_a == off_b
+            widths = {w for _, w in chunks}
+            assert max(widths) - min(widths) <= 1
+
+    def test_blocked_equals_brute_force(self, spark):
+        """Pigeonhole exactness on clustered random fingerprints: the
+        blocked operator must return EXACTLY the brute-force O(n²) pair
+        set at every threshold — including t where 64 % (t+1) != 0, the
+        unequal-chunk-width path (t=5 → 11/11/11/11/10/10, t=8 → 8+8×7)."""
+        import random
+
+        rng = random.Random(421)
+        rows = []
+        fid = 0
+        for _ in range(40):  # 40 clusters of 1-5 members within hamming 0-9
+            base = rng.getrandbits(64)
+            for _ in range(rng.randint(1, 5)):
+                fp = base
+                for _ in range(rng.randint(0, 9)):
+                    fp ^= 1 << rng.randrange(64)
+                # two's-complement into signed int64 (Spark LongType)
+                rows.append((fid, fp - (1 << 64) if fp >= 1 << 63 else fp))
+                fid += 1
+        df = spark.createDataFrame(rows, "fid long, fp long")
+        for t in (1, 3, 5, 8):
+            got = {
+                (r.id_a, r.id_b, r.hamming)
+                for r in dedup.hamming_neardup_pairs(df, "fid", "fp", t).collect()
+            }
+            want = {
+                (a, b, bin((fa ^ fb) & 0xFFFFFFFFFFFFFFFF).count("1"))
+                for (a, fa) in rows
+                for (b, fb) in rows
+                if a < b and bin((fa ^ fb) & 0xFFFFFFFFFFFFFFFF).count("1") <= t
+            }
+            assert got == want, f"t={t}: {len(got)} got vs {len(want)} want"
+        assert len(want) > 30  # the t=8 scenario is not vacuous
+
+    def test_phash_pairs_drop_undecodable_images(self, spark):
+        """A corrupt image must drop out with no fingerprint (and no
+        exception), never pairing with anything; the surviving planted
+        codec-variant pair is still found."""
+        from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+        base = block_image_record("pd-0")
+        var = block_image_record("pd-0", flip_cells=1, fmt="jpeg")
+        other = block_image_record("pd-other")
+        rows = [
+            ("pd-0", bytearray(base["bytes"])),
+            ("pd-0-v", bytearray(var["bytes"])),
+            ("pd-other", bytearray(other["bytes"])),
+            ("pd-corrupt", bytearray(b"NOTANIMAGE" + base["bytes"][10:])),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.phash_neardup_pairs(df, max_hamming=2).collect()
+        }
+        assert got == {("pd-0", "pd-0-v", 1)}
+
+    def test_phash_pairs_pure_column_path(self, spark):
+        """bytes_col=None trusts the stored phash column — the plan must
+        stay JVM-only (no Python eval nodes)."""
+        import io
+        from contextlib import redirect_stdout
+
+        df = spark.createDataFrame(
+            [("a", 0), ("b", 1), ("c", -1)], "image_id string, phash long"
+        )
+        out = dedup.phash_neardup_pairs(df, bytes_col=None, max_hamming=2)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        txt = buf.getvalue()
+        for forbidden in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert forbidden not in txt
+        assert {(r.id_a, r.id_b, r.hamming) for r in out.collect()} == {("a", "b", 1)}
