@@ -333,6 +333,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labels, _rounds = dedup.connected_components_star(pairs)
         return labels
 
+    # ----------------------------------------------------- dedup keep decision
+    def q_dedup_keep(spark, sf):
+        """End-to-end dedup materialization: MinHash pairs → connected
+        components → ONE kept representative per group over the FULL corpus
+        (highest n_chars, ties to smallest doc_id; singletons keep
+        themselves). The twin recomputes the identical decision from the
+        exact recursive-CTE closure plus a SQL window — so the whole
+        pipeline pairs→groups→keep is value-checked, not just the pair
+        list."""
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
+        )
+        return dedup.keep_canonical(d, pairs)
+
     # ----------------------------------------------------- decontamination
     def q_decontaminate(spark, sf):
         from amazonwebcrawler_spark.operators import corpus
@@ -411,6 +426,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows.append((f"{var['image_id']}-v", bytearray(var["bytes"])))
         images = spark.createDataFrame(rows, "image_id string, bytes binary")
         return dedup.phash_neardup_pairs(images.repartition(8), max_hamming=2)
+
+    # ----------------------------------------------------- image dedup keep (committed golden)
+    def q_image_dedup_keep(spark, sf):
+        """The FULL image dedup pipeline end-to-end: opaque bytes → pHash
+        pairs → connected components → one kept representative per group —
+        the image twin of `dedup_keep`. Quality = byte size, so of each
+        (PNG master, lossy-JPEG re-encode) pair the bigger lossless master
+        is kept and the re-encode is dropped; k=3-flip variants exceed the
+        hamming threshold and survive as their own groups. The golden's
+        capture checker re-derives the whole decision brute-force in
+        Python (pairs → union-find → max-bytes election)."""
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(24):
+            base = world.block_image_record(f"blk-{i}")
+            var = world.block_image_record(f"blk-{i}", flip_cells=i % 4, fmt="jpeg")
+            rows.append((base["image_id"], bytearray(base["bytes"])))
+            rows.append((f"{var['image_id']}-v", bytearray(var["bytes"])))
+        images = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(8)
+        pairs = dedup.phash_neardup_pairs(images, max_hamming=2)
+        docs = images.select("image_id", F.length("bytes").alias("n_bytes"))
+        return dedup.keep_canonical(docs, pairs, id_col="image_id", quality_col="n_bytes")
+
+    # ----------------------------------------------------- image ANN (committed golden)
+    def q_image_ann(spark, sf):
+        """Image retrieval through the ANN family: opaque bytes →
+        deterministic visual embedding (images.embed_image via
+        similarity.image_embedding_table) → exact brute-force cosine top-3.
+        Corpus = 16 block-pattern masters + one lossy re-encode each with
+        i%4 flipped cells; queried on 4 masters, the re-encode must rank
+        first at cosine ≈ 1 while unrelated patterns scatter. The golden's
+        capture checker recomputes embeddings + cosine independently in
+        numpy and re-derives the full top-3 table."""
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(16):
+            base = world.block_image_record(f"ann-{i}")
+            var = world.block_image_record(f"ann-{i}", flip_cells=i % 4, fmt="jpeg")
+            rows.append((base["image_id"], bytearray(base["bytes"])))
+            rows.append((f"{var['image_id']}-v", bytearray(var["bytes"])))
+        images = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(8)
+        emb = similarity.image_embedding_table(images)
+        queries_df = emb.filter(F.col("image_id").isin("ann-0", "ann-1", "ann-2", "ann-3"))
+        out = similarity.brute_force_topk(emb, queries_df, "image_id", "embedding", k=3)
+        return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
 
     # ----------------------------------------------------- embedding near-dup (exact, blocked)
     def q_embedding_neardup(spark, sf):
@@ -836,12 +898,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "dedup_groups_star": q_dedup_groups_star,
+        "dedup_keep": q_dedup_keep,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "hamming_neardup": q_hamming_neardup,
         "dedup_phash": q_dedup_phash,
+        "image_dedup_keep": q_image_dedup_keep,
+        "image_ann": q_image_ann,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1237,6 +1302,34 @@ reach(id, lbl) AS (
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
 )
 SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+""",
+        "dedup_keep": rf"""
+-- pairs → groups → keep decision over the FULL corpus: component id from
+-- the exact transitive closure, winner = highest n_chars (ties: smallest
+-- doc_id), docs outside any pair are their own singleton group and keep
+-- themselves. The window here is the independent re-derivation of the
+-- Spark side's max_by election.
+WITH RECURSIVE {minhash_pairs_ctes},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+groups AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+allg AS (
+  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id, d.n_chars
+  FROM documents d LEFT JOIN groups g ON g.doc_id = d.doc_id
+)
+SELECT doc_id, group_id,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC
+  ) = 1 AS INT) AS keep
+FROM allg
 """,
         "decontaminate": rf"""
 WITH {shingle_cte},

@@ -142,3 +142,32 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def embed_image(pixels: np.ndarray, grid: int = 4) -> list[float]:
+    """Deterministic visual embedding: ``grid×grid`` per-channel box means,
+    centered and L2-normalized → ``3·grid²`` floats (rounded to 6 dp so the
+    vector is bit-stable across numpy versions).
+
+    A stand-in for a real visual encoder — no torch/PIL ships in this
+    container — chosen so near-identical pixels (a PNG master and its lossy
+    re-encode) land at cosine ≈ 1 while unrelated images scatter, which is
+    exactly the geometry the ANN family needs. The Spark-side plumbing
+    (opaque bytes → decode → fixed-dim ``array<float>`` column → every
+    operator in ``operators/similarity.py``) is the real, tested part: swap
+    this kernel for a model call and nothing else changes.
+    """
+    h, w, _ = pixels.shape
+    yb = (np.arange(h) * grid) // h
+    xb = (np.arange(w) * grid) // w
+    cell = (yb[:, None] * grid + xb[None, :]).ravel()
+    flat = pixels.reshape(-1, 3).astype(np.float64)
+    sums = np.zeros((grid * grid, 3))
+    np.add.at(sums, cell, flat)
+    counts = np.bincount(cell, minlength=grid * grid).astype(np.float64)
+    v = (sums / counts[:, None]).ravel()
+    v = v - v.mean()
+    n = float(np.sqrt((v * v).sum()))
+    if n > 0:
+        v = v / n
+    return [float(x) for x in np.round(v, 6)]

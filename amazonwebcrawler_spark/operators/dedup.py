@@ -677,3 +677,60 @@ def phash_neardup_pairs(
             F.col(id_col).alias("image_id"), F.col(phash_col).cast("long").alias("phash")
         ).filter(F.col("phash").isNotNull())
     return hamming_neardup_pairs(keyed, "image_id", "phash", max_hamming)
+
+
+# ----------------------------------------------------------- materialization
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    use_star: bool = False,
+) -> DataFrame:
+    """Materialize the dedup decision: near-dup PAIRS → one kept
+    representative per connected component, over the FULL corpus.
+
+    Pair finding (MinHash/SimHash/pHash/embedding) and grouping
+    (connected components) still leave the question a pipeline actually
+    asks: *which rows survive?* This operator answers it with the standard
+    corpus-dedup policy — keep the highest-``quality_col`` member of each
+    group (ties broken by smallest id, so the decision is total and
+    deterministic); every document outside any pair keeps itself.
+
+    Returns (doc_id, group_id, keep) over ALL of ``docs`` — ``keep`` is
+    int 0/1 (exactly one 1 per group), ``group_id`` the component minimum
+    (own id for singletons). ``filter(keep = 1)`` is the deduplicated
+    corpus; ``filter(keep = 0)`` is the drop list.
+
+    Scale shape: the corpus never enters the CC loop — ``labels`` covers
+    only pair members (near-dup graphs are a sliver of a 10^10-doc corpus),
+    so both joins here are corpus ⋈ tiny (AQE broadcasts them), and the
+    winner election is a map-side-combinable ``max_by`` groupBy on the
+    small labelled slice, not a corpus-wide window sort. Singletons take
+    the left_anti branch and are never shuffled by group.
+
+    ``use_star=True`` routes grouping through the O(log n)
+    large-star/small-star CC for long-chain pair graphs; the default
+    min-label propagation is cheaper on the tiny components LSH emits.
+    """
+    if use_star:
+        labels, _ = connected_components_star(pairs)
+    else:
+        labels = connected_components(pairs)
+    corpus = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q"))
+    labelled = corpus.join(labels, "doc_id")
+    winners = labelled.groupBy("group_id").agg(
+        # min over (-quality, id): highest quality wins, ties to smallest id
+        # — negating quality (numeric by contract) instead of id keeps the
+        # election valid for ANY orderable id type (string image ids too)
+        F.min_by("doc_id", F.struct(-F.col("_q"), F.col("doc_id"))).alias("_keep_id")
+    )
+    decided = labelled.join(winners, "group_id").select(
+        "doc_id",
+        "group_id",
+        (F.col("doc_id") == F.col("_keep_id")).cast("int").alias("keep"),
+    )
+    singletons = corpus.join(labels, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("group_id"), F.lit(1).alias("keep")
+    )
+    return decided.unionByName(singletons)

@@ -307,3 +307,46 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------ image embeddings
+IMAGE_EMBED_SCHEMA = "image_id string, embedding array<float>"
+
+
+def image_embedding_table(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    grid: int = 4,
+) -> DataFrame:
+    """Opaque image ``bytes`` → ``(image_id, embedding array<float>)`` — the
+    bridge from the multimodal table to this module's ANN/near-dup family.
+
+    Decode + :func:`~amazonwebcrawler_spark.functions.images.embed_image`
+    run Arrow-batched in ``mapInPandas`` (the per-image loop is inside one
+    batch, like any codec); undecodable images drop out with no embedding
+    rather than poisoning downstream joins — the same contract as
+    ``phash_neardup_pairs``. The output feeds ``brute_force_topk`` /
+    ``lsh_topk`` / ``ivf_topk`` / ``embedding_neardup_pairs`` unchanged,
+    so image retrieval scales exactly like text-embedding retrieval:
+    corpus scanned once, shuffled once by LSH bucket or IVF cell.
+    """
+
+    def _batches(batches):
+        from amazonwebcrawler_spark.functions.images import decode_image, embed_image
+
+        for pdf in batches:
+            out = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    emb = embed_image(decode_image(bytes(data)), grid=grid)
+                except Exception:  # noqa: BLE001  # corrupt/unknown container
+                    emb = None
+                out.append({"image_id": image_id, "embedding": emb})
+            yield pd.DataFrame(out, columns=["image_id", "embedding"])
+
+    return (
+        images.select(F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"))
+        .mapInPandas(_batches, IMAGE_EMBED_SCHEMA)
+        .filter(F.col("embedding").isNotNull())
+    )

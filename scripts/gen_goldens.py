@@ -58,6 +58,11 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "bytes_md5": "VARCHAR", "n_bytes": "INTEGER",
     },
     "dedup_phash": {"id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "INTEGER"},
+    "image_dedup_keep": {"doc_id": "VARCHAR", "group_id": "VARCHAR", "keep": "INTEGER"},
+    "image_ann": {
+        "query_id": "VARCHAR", "neighbor_id": "VARCHAR",
+        "cos_sim": "DOUBLE", "rank": "INTEGER",
+    },
     "audio_features": {
         "audio_id": "VARCHAR", "duration_sec": "DOUBLE", "rms": "DOUBLE",
         "zero_crossing_rate": "DOUBLE", "peak": "DOUBLE",
@@ -170,6 +175,100 @@ def _check_dedup_phash(rows, ctx):
         assert (planted in got) == (i % 4 <= 2), planted
 
 
+def _check_image_dedup_keep(rows, ctx):
+    """Re-derive the ENTIRE keep decision brute-force (O(n²) pair scan →
+    union-find → max-bytes election, Spark untouched) and assert equality;
+    then pin the planted structure: each k≤2 (master, re-encode) pair forms
+    one group keeping the bigger PNG master, k=3 variants stay singleton."""
+    from amazonwebcrawler_spark.functions.images import decode_image, hamming64, phash64
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    imgs = []
+    for i in range(24):
+        base = block_image_record(f"blk-{i}")
+        var = block_image_record(f"blk-{i}", flip_cells=i % 4, fmt="jpeg")
+        imgs.append((base["image_id"], base["bytes"]))
+        imgs.append((f"{var['image_id']}-v", var["bytes"]))
+    ph = {iid: phash64(decode_image(b)) for iid, b in imgs}
+    parent = {iid: iid for iid, _ in imgs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, _ in imgs:
+        for b, _ in imgs:
+            if a < b and hamming64(ph[a], ph[b]) <= 2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[str, list[str]] = {}
+    for iid, _ in imgs:
+        groups.setdefault(find(iid), []).append(iid)
+    size = {iid: len(b) for iid, b in imgs}
+    expected = set()
+    for members in groups.values():
+        gid = min(members)
+        keeper = min(members, key=lambda m: (-size[m], m))
+        for m in members:
+            expected.add((m, gid, int(m == keeper)))
+    got = {(r["doc_id"], r["group_id"], r["keep"]) for r in rows}
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
+    for i in range(24):
+        master, variant = f"blk-{i}", f"blk-{i}-v"
+        if i % 4 <= 2:  # grouped: lossless master (bigger) kept, re-encode dropped
+            assert (master, master, 1) in got and (variant, master, 0) in got, i
+            assert size[master] > size[variant], i
+        else:  # hamming 3 > t=2 → separate singleton groups, both kept
+            assert (master, master, 1) in got and (variant, variant, 1) in got, i
+
+
+def _check_image_ann(rows, ctx):
+    """Recompute embeddings + cosine independently in numpy (from the same
+    opaque bytes, mirroring the float32 storage cast and 6-dp ranking
+    rounding) and re-derive the full top-3 table; then pin the retrieval
+    semantics: each queried master's nearest neighbor is its lossy
+    re-encode at cosine ≈ 1."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import decode_image, embed_image
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    emb = {}
+    for i in range(16):
+        base = block_image_record(f"ann-{i}")
+        var = block_image_record(f"ann-{i}", flip_cells=i % 4, fmt="jpeg")
+        for iid, data in ((base["image_id"], base["bytes"]), (f"{var['image_id']}-v", var["bytes"])):
+            # mirror IMAGE_EMBED_SCHEMA's array<float>: store f32, rank in f64
+            emb[iid] = np.array(embed_image(decode_image(data)), dtype=np.float32).astype(np.float64)
+
+    def cos(a, b):
+        return float(emb[a] @ emb[b] / (np.linalg.norm(emb[a]) * np.linalg.norm(emb[b])))
+
+    expected = set()
+    top_cos = []
+    for i, q in enumerate(("ann-0", "ann-1", "ann-2", "ann-3")):
+        scored = sorted(
+            ((round(cos(q, n), 6), n) for n in emb if n != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        for rank, (c, n) in enumerate(scored, 1):
+            expected.add((q, n, round(c, 4), rank))
+        # the re-encode always retrieves first; each flipped cell moves one
+        # of the 16 embedding cells, so similarity degrades but stays far
+        # above the unrelated-pattern noise floor (~0)
+        assert scored[0][1] == f"{q}-v" and scored[0][0] > 0.6, (q, scored[0])
+        top_cos.append(scored[0][0])
+    # flip_cells = i for these four queries → strictly decreasing cosine,
+    # with the 0-flip pair at ≈ 1 (lossy codec alone barely moves the vector)
+    assert top_cos[0] > 0.999, top_cos
+    assert all(a > b for a, b in zip(top_cos, top_cos[1:])), top_cos
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows}
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
+
+
 def _check_images_resize(rows, ctx):
     assert len(rows) == 32, len(rows)
     for r in rows:
@@ -214,6 +313,8 @@ CHECKERS = {
     "video_frame_sample": _check_video_frame_sample,
     "images_resize": _check_images_resize,
     "dedup_phash": _check_dedup_phash,
+    "image_dedup_keep": _check_image_dedup_keep,
+    "image_ann": _check_image_ann,
     "audio_features": _check_audio_features,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,

@@ -305,3 +305,109 @@ class TestHammingNeardup:
         for forbidden in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert forbidden not in txt
         assert {(r.id_a, r.id_b, r.hamming) for r in out.collect()} == {("a", "b", 1)}
+
+
+class TestKeepCanonical:
+    def _docs_pairs(self, spark):
+        # components: {1,2,3} chain, {10,11} tie on quality, {20} singleton
+        docs = spark.createDataFrame(
+            [(1, 100), (2, 300), (3, 200), (10, 50), (11, 50), (20, 70)],
+            "doc_id long, n_chars long",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        return docs, pairs
+
+    def test_keep_decision(self, spark):
+        """Highest quality wins, quality ties break to the smallest id,
+        singletons keep themselves; exactly one keep per group; group_id
+        is the component minimum for every member."""
+        docs, pairs = self._docs_pairs(spark)
+        got = {
+            (r.doc_id, r.group_id, r.keep)
+            for r in dedup.keep_canonical(docs, pairs).collect()
+        }
+        assert got == {
+            (1, 1, 0), (2, 1, 1), (3, 1, 0),   # chain collapses; 2 is longest
+            (10, 10, 1), (11, 10, 0),          # tie → smallest id keeps
+            (20, 20, 1),                       # singleton
+        }
+
+    def test_star_path_identical(self, spark):
+        docs, pairs = self._docs_pairs(spark)
+        a = set(map(tuple, dedup.keep_canonical(docs, pairs).collect()))
+        b = set(map(tuple, dedup.keep_canonical(docs, pairs, use_star=True).collect()))
+        assert a == b
+
+    def test_one_keep_per_group_on_lsh_pairs(self, spark, sf_dir):
+        """Over real MinHash pairs: every group elects exactly one keeper,
+        every doc appears exactly once, and kept rows ARE the dedup output."""
+        d = _docs(spark, sf_dir)
+        pairs = dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=16, n_bands=4,
+            threshold=0.5, shingle_n=3, max_bucket=200,
+        )
+        out = dedup.keep_canonical(d, pairs).cache()
+        try:
+            n_docs = d.count()
+            assert out.count() == n_docs
+            assert out.select("doc_id").distinct().count() == n_docs
+            per_group = out.groupBy("group_id").agg(
+                F.sum("keep").alias("n_keep")
+            )
+            assert per_group.filter("n_keep <> 1").count() == 0
+        finally:
+            out.unpersist()
+
+
+class TestImageEmbeddings:
+    def test_kernel_geometry(self):
+        """Unit vector, deterministic, and codec-robust: a master and its
+        lossy re-encode are near-parallel while distinct patterns are not."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import decode_image, embed_image
+        from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+        a = block_image_record("emb-a")
+        a_jpeg = block_image_record("emb-a", fmt="jpeg")
+        b = block_image_record("emb-b")
+        va = np.array(embed_image(decode_image(a["bytes"])))
+        vaj = np.array(embed_image(decode_image(a_jpeg["bytes"])))
+        vb = np.array(embed_image(decode_image(b["bytes"])))
+        assert len(va) == 48
+        assert abs(np.linalg.norm(va) - 1.0) < 1e-4
+        assert va @ vaj > 0.999          # re-encode barely moves the vector
+        assert abs(va @ vb) < 0.8        # unrelated patterns scatter
+        assert embed_image(decode_image(a["bytes"])) == list(va)  # deterministic
+
+    def test_table_drops_undecodable(self, spark):
+        from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+        good = block_image_record("emb-ok")
+        rows = [
+            ("emb-ok", bytearray(good["bytes"])),
+            ("emb-bad", bytearray(b"JUNK" + good["bytes"][4:])),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        out = similarity.image_embedding_table(df).collect()
+        assert [r.image_id for r in out] == ["emb-ok"]
+        assert len(out[0].embedding) == 48
+
+    def test_feeds_ann_family(self, spark):
+        """The embedding table plugs into brute_force_topk unchanged and
+        retrieves each master's re-encode first."""
+        from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+        rows = []
+        for i in range(6):
+            base = block_image_record(f"fam-{i}")
+            var = block_image_record(f"fam-{i}", flip_cells=1, fmt="jpeg")
+            rows.append((base["image_id"], bytearray(base["bytes"])))
+            rows.append((f"{var['image_id']}-v", bytearray(var["bytes"])))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        emb = similarity.image_embedding_table(df)
+        qs = emb.filter(F.col("image_id") == "fam-0")
+        top = similarity.brute_force_topk(emb, qs, "image_id", "embedding", k=1).collect()
+        assert [(r.query_id, r.neighbor_id, r.rank) for r in top] == [("fam-0", "fam-0-v", 1)]
