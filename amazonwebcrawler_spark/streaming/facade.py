@@ -120,3 +120,33 @@ def events_windowed_stream(spark: SparkSession, sf_dir: str, out_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def images_ingest_stream(spark: SparkSession, src_dir: str, out_dir: str):
+    """Streaming multimodal ingest: image+caption rows (input_hint schema)
+    arriving as files are validated with the SAME Arrow kernel the batch
+    side uses — ``operators/images_io.validate_images`` is applied to the
+    streaming DataFrame unchanged (``mapInPandas`` is stream-capable), so
+    every typed field is re-derived from the opaque ``bytes`` column and
+    metadata disagreements are flagged per micro-batch, exactly-once into
+    an append parquet sink. One operator, one contract, batch or stream:
+    a continuously crawling deployment validates screenshots as they land
+    instead of in a nightly sweep, with no second implementation to drift.
+    """
+    from amazonwebcrawler_spark.operators.images_io import validate_images
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches per drain
+        .parquet(src_dir)
+    )
+    validated = validate_images(stream)
+    return (
+        validated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/images_validated")
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -103,3 +103,43 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_images_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming image ingest runs the batch validation kernel unchanged:
+    the drained stream's output must equal validate_images over the same
+    rows as one batch — including the corrupt row's all-false flags and a
+    planted metadata lie (wrong stored phash) being caught mid-stream."""
+    from amazonwebcrawler_spark.operators.images_io import validate_images
+    from amazonwebcrawler_spark.sources.synthetic_world import image_record
+    from amazonwebcrawler_spark.streaming.facade import images_ingest_stream
+
+    src = str(tmp_path / "img_src")
+    out = str(tmp_path / "img_out")
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    # three files → three micro-batches (maxFilesPerTrigger=1)
+    for part in range(3):
+        rows = []
+        for i in range(4):
+            rec = image_record(f"STRM{part}{i}")
+            ph = rec["phash"] + (1 if (part, i) == (1, 2) else 0)  # planted lie
+            rows.append(
+                (f"{rec['image_id']}-{part}", bytearray(rec["bytes"]), rec["w"],
+                 rec["h"], rec["fmt"], rec["caption"], ph)
+            )
+        if part == 2:
+            rows.append(("corrupt", bytearray(b"NOTANIMAGE"), 32, 32, "png", "x", 0))
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = images_ingest_stream(spark, src, out)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(f"{out}/images_validated").collect()))
+    want = sorted(map(tuple, validate_images(spark.read.parquet(src)).collect()))
+    assert got == want and len(got) == 13
+    by_id = {r[0]: r for r in got}
+    assert by_id["corrupt"][1] is False          # decode_ok
+    assert by_id["img-STRM12-1"][4] is False     # phash_ok — the planted lie
+    assert sum(1 for r in got if r[4]) == 11     # every honest row validates
