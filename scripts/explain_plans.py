@@ -42,14 +42,22 @@ CHECKS = {
     # AdaptiveSparkPlan hides codegen ids for every plan containing an
     # Exchange, so the static explain of ANY shuffling query shows 0 spans.
     "dedup_simhash": ["[codegen id :", "HashAggregate", "partial_sum"],
+    # the generic hamming blocking (r4) is pure JVM column math end to end:
+    # chunk explode + equi-join + bit_count verify all inside codegen spans,
+    # no Python eval node anywhere (NEG_CHECKS)
+    "hamming_neardup": ["[codegen id :", "bit_count"],
+    # image ANN: exactly one Python crossing (the Arrow-batched embedding
+    # decode); the retrieval itself broadcasts the query side
+    "image_ann": ["MapInPandas", "BroadcastNestedLoopJoin"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
-NO_AQE = {"dedup_simhash"}
+NO_AQE = {"dedup_simhash", "hamming_neardup"}
 
 NEG_CHECKS = {
     # query -> substrings that must NOT appear in the plan
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
 }
 
 
