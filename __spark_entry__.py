@@ -348,6 +348,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.keep_canonical(d, pairs)
 
+    # ----------------------------------------------------- full corpus-prep composition
+    def q_corpus_pipeline(spark, sf):
+        """The whole training-data prep as ONE declarative plan — quality
+        gate → MinHash dedup keep → benchmark decontamination — with every
+        doc labelled by the FIRST stage that dropped it (or 'kept'). Each
+        stage is the same operator its standalone query checks; this row
+        proves they COMPOSE: the dedup runs only over quality survivors,
+        the contamination scan only over dedup survivors, and the DuckDB
+        twin re-derives the entire cascade from the same CTE fragments.
+        Stage precedence: eval_holdout (doc_id%97==0, the benchmark split)
+        → quality_drop → dup_drop → contaminated (ratio ≥ 0.05) → kept."""
+        from amazonwebcrawler_spark.functions.text import quality_filter
+        from amazonwebcrawler_spark.operators import corpus
+
+        d = _t(spark, sf, "documents")
+        staged = d.select(
+            "doc_id", "text", "n_chars",
+            ((F.col("doc_id") % 97) == 0).alias("_is_eval"),
+            quality_filter(F.col("text"))["keep"].alias("_q_ok"),
+        )
+        qdocs = staged.filter((~F.col("_is_eval")) & F.col("_q_ok"))
+        pairs = dedup.minhash_lsh_pairs(
+            qdocs, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
+        )
+        decision = dedup.keep_canonical(qdocs, pairs)
+        survivors = qdocs.join(
+            decision.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+        )
+        contam = corpus.decontaminate(survivors, staged.filter("_is_eval"), "text", "doc_id")
+        contaminated = (
+            contam.filter(F.col("contamination_ratio") >= 0.05)
+            .select("doc_id").withColumn("_contam", F.lit(True))
+        )
+        dup_drop = (
+            decision.filter(F.col("keep") == 0)
+            .select("doc_id").withColumn("_dup", F.lit(True))
+        )
+        return (
+            staged.join(dup_drop, "doc_id", "left")
+            .join(contaminated, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_is_eval"), F.lit("eval_holdout"))
+                .when(~F.col("_q_ok"), F.lit("quality_drop"))
+                .when(F.coalesce(F.col("_dup"), F.lit(False)), F.lit("dup_drop"))
+                .when(F.coalesce(F.col("_contam"), F.lit(False)), F.lit("contaminated"))
+                .otherwise(F.lit("kept"))
+                .alias("stage"),
+            )
+        )
+
     # ----------------------------------------------------- decontamination
     def q_decontaminate(spark, sf):
         from amazonwebcrawler_spark.operators import corpus
@@ -899,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "dedup_groups_star": q_dedup_groups_star,
         "dedup_keep": q_dedup_keep,
+        "corpus_pipeline": q_corpus_pipeline,
         "decontaminate": q_decontaminate,
         "hash_sample": q_hash_sample,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1109,6 +1161,102 @@ pairs AS (
   LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
   WHERE COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
 )"""
+
+    # full corpus-prep composition twin (corpus_pipeline): quality gate →
+    # MinHash dedup keep → decontamination, built from the SAME fragments
+    # the standalone twins use. sh_all shingles ALL documents (eval grams +
+    # per-stage filtering both need it); the minhash chain's `sh` becomes a
+    # view of it restricted to quality survivors, so the dedup provably runs
+    # only over the docs the quality gate admitted.
+    sh_all_cte = shingle_cte.replace("sh AS (", "sh_all AS (")
+    minhash_tail = minhash_pairs_ctes[len(shingle_cte):]  # ",\n…hs…pairs" (no shingles)
+    corpus_pipeline_sql = rf"""
+WITH RECURSIVE {sh_all_cte},
+qbase AS (SELECT doc_id, text, {norm} AS t FROM documents),
+qtk AS (
+  SELECT doc_id, text,
+    CASE WHEN t = '' THEN []::VARCHAR[] ELSE string_split(t, ' ') END AS toks
+  FROM qbase
+),
+qm AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    CASE WHEN len(toks) > 0
+      THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) ELSE 0.0 END AS rep,
+    CASE WHEN len(toks) > 0 THEN greatest(
+      len(list_filter(toks, x -> list_contains([{stop_en}], x)))::DOUBLE / len(toks),
+      len(list_filter(toks, x -> list_contains([{stop_de}], x)))::DOUBLE / len(toks),
+      len(list_filter(toks, x -> list_contains([{stop_fr}], x)))::DOUBLE / len(toks)
+    ) ELSE 0.0 END AS stop,
+    CASE WHEN len(regexp_replace(text, '\s', '', 'g')) > 0
+      THEN len(regexp_replace(text, '[\w\s]', '', 'g'))::DOUBLE
+           / len(regexp_replace(text, '\s', '', 'g'))
+      ELSE 0.0 END AS punct
+  FROM qtk
+),
+q AS (
+  SELECT doc_id,
+    (concat_ws(',',
+      CASE WHEN n < 16 THEN 'too_short' END,
+      CASE WHEN rep > 0.65 THEN 'repetitive' END,
+      CASE WHEN stop < 0.01 THEN 'low_stopword' END,
+      CASE WHEN punct > 0.2 THEN 'high_punct' END
+    ) = '') AS keep
+  FROM qm
+),
+qdocs AS (
+  SELECT d.doc_id FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE d.doc_id % 97 <> 0 AND q.keep
+),
+sh AS (SELECT * FROM sh_all WHERE doc_id IN (SELECT doc_id FROM qdocs)){minhash_tail},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+groups AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+allq AS (
+  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id, d.n_chars
+  FROM documents d
+  JOIN qdocs ON qdocs.doc_id = d.doc_id
+  LEFT JOIN groups g ON g.doc_id = d.doc_id
+),
+decision AS (
+  SELECT doc_id, (ROW_NUMBER() OVER (
+    PARTITION BY group_id ORDER BY n_chars DESC, doc_id ASC
+  ) = 1) AS dkeep
+  FROM allq
+),
+survivors AS (SELECT doc_id FROM decision WHERE dkeep),
+ev AS (SELECT DISTINCT s FROM sh_all WHERE doc_id % 97 = 0),
+tr AS (SELECT * FROM sh_all WHERE doc_id IN (SELECT doc_id FROM survivors)),
+tsizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM tr GROUP BY doc_id),
+thits AS (
+  SELECT tr.doc_id, COUNT(*) AS n_hits FROM tr JOIN ev ON ev.s = tr.s
+  GROUP BY tr.doc_id
+),
+contaminated AS (
+  SELECT h.doc_id FROM thits h JOIN tsizes s ON s.doc_id = h.doc_id
+  WHERE h.n_hits::DOUBLE / s.n_grams >= 0.05
+)
+SELECT d.doc_id,
+  CASE
+    WHEN d.doc_id % 97 = 0 THEN 'eval_holdout'
+    WHEN NOT q.keep THEN 'quality_drop'
+    WHEN dec.doc_id IS NOT NULL AND NOT dec.dkeep THEN 'dup_drop'
+    WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+    ELSE 'kept'
+  END AS stage
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN decision dec ON dec.doc_id = d.doc_id
+LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+"""
 
     return {
         "rank_encode": """
@@ -1331,6 +1479,7 @@ SELECT doc_id, group_id,
   ) = 1 AS INT) AS keep
 FROM allg
 """,
+        "corpus_pipeline": corpus_pipeline_sql,
         "decontaminate": rf"""
 WITH {shingle_cte},
 ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
