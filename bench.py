@@ -45,6 +45,11 @@ BENCH_QUERIES = (
     "dedup_simhash",  # relational since r3 — timed so the kernel swap shows up
     "ann_topk",
     "text_stats",
+    # the full corpus-prep cascade (quality → dedup keep → decontaminate,
+    # r4) — the flagship data-pipeline plan; includes the eager CC rounds,
+    # so this times the WHOLE materialization, not just the final count.
+    # ~14 s warm at sf0.1/local[32] idle (first rep pays plan warm-up).
+    "corpus_pipeline",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
