@@ -411,3 +411,76 @@ class TestImageEmbeddings:
         qs = emb.filter(F.col("image_id") == "fam-0")
         top = similarity.brute_force_topk(emb, qs, "image_id", "embedding", k=1).collect()
         assert [(r.query_id, r.neighbor_id, r.rank) for r in top] == [("fam-0", "fam-0-v", 1)]
+
+
+    def test_image_embeddings_through_ivf(self, spark):
+        """Composition with the approximate scale path: image embeddings
+        through ivf_topk must reach the same top-1 (the re-encode) as
+        brute force for every query — the IVF plumbing is vector-source
+        agnostic."""
+        from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+        rows = []
+        for i in range(8):
+            base = block_image_record(f"ivf-{i}")
+            var = block_image_record(f"ivf-{i}", flip_cells=1, fmt="jpeg")
+            rows.append((base["image_id"], bytearray(base["bytes"])))
+            rows.append((f"{var['image_id']}-v", bytearray(var["bytes"])))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        emb = similarity.image_embedding_table(df).cache()
+        try:
+            qs = emb.filter(F.col("image_id").isin("ivf-0", "ivf-1"))
+            top = similarity.ivf_topk(
+                emb, qs, "image_id", "embedding", k=1, n_centroids=4, n_probe=2
+            ).collect()
+            assert {(r.query_id, r.neighbor_id) for r in top} == {
+                ("ivf-0", "ivf-0-v"), ("ivf-1", "ivf-1-v"),
+            }
+        finally:
+            emb.unpersist()
+
+class TestKeepCanonicalProperties:
+    def test_random_graphs_match_union_find_oracle(self, spark):
+        """Seeded random corpora + pair graphs: the distributed decision
+        must equal an independent python union-find + election oracle —
+        exactly one keeper per group, keeper = (max quality, min id),
+        group_id = component minimum, singletons untouched."""
+        import random
+
+        for seed in (7, 23, 61):
+            rng = random.Random(seed)
+            n = 80
+            docs = [(i, rng.randrange(1, 200)) for i in range(n)]
+            edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(50)}
+            edges = [(a, b) for a, b in edges if a != b]
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            groups: dict[int, list[int]] = {}
+            for i in range(n):
+                groups.setdefault(find(i), []).append(i)
+            quality = dict(docs)
+            expected = set()
+            for members in groups.values():
+                gid = min(members)
+                keeper = min(members, key=lambda m: (-quality[m], m))
+                for m in members:
+                    expected.add((m, gid, int(m == keeper)))
+
+            docs_df = spark.createDataFrame(docs, "doc_id long, n_chars long")
+            pairs_df = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {
+                (r.doc_id, r.group_id, r.keep)
+                for r in dedup.keep_canonical(docs_df, pairs_df, use_star=True).collect()
+            }
+            assert got == expected, f"seed={seed}"
+
