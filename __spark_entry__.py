@@ -585,6 +585,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qf = quality_filter(F.col("text"))
         return d.select("doc_id", qf["keep"].alias("keep"), qf["reasons"].alias("reasons"))
 
+    # ----------------------------------------------------- tf-idf top terms
+    def q_tfidf_terms(spark, sf):
+        """Per-document top-5 terms by TF-IDF (keyword extraction): tf ×
+        ln(n_docs/df), rounded 6dp, ties to term ascending — every stage a
+        map-side-combinable aggregate or a per-doc window, mirrored 1:1 by
+        the DuckDB twin."""
+        from amazonwebcrawler_spark.functions.text import tfidf_top_terms
+
+        d = _t(spark, sf, "documents")
+        return tfidf_top_terms(d, "text", "doc_id", k=5)
+
     # ----------------------------------------------------- lang id
     def q_lang_id(spark, sf):
         d = _t(spark, sf, "documents")
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
+        "tfidf_terms": q_tfidf_terms,
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1480,6 +1492,25 @@ SELECT doc_id, group_id,
 FROM allg
 """,
         "corpus_pipeline": corpus_pipeline_sql,
+        "tfidf_terms": rf"""
+-- per-doc top-5 TF-IDF terms: tf × ln(n_docs/df) over whitespace tokens of
+-- the normalized text; ties to term ascending make the cut total
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+term_rows AS (SELECT doc_id, u.term FROM tk, UNNEST(toks) AS u(term)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM term_rows GROUP BY 1, 2),
+dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT f.doc_id, f.term, f.tf,
+    round(f.tf * ln(n.n_docs::DOUBLE / d.df_t), 6) AS score
+  FROM tf f JOIN dft d USING (term) CROSS JOIN nd n
+)
+SELECT doc_id, term, tf, score,
+  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+FROM scored
+QUALIFY rank <= 5
+""",
         "decontaminate": rf"""
 WITH {shingle_cte},
 ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),

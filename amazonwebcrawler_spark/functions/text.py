@@ -199,3 +199,42 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the normalized text. md5 (not xxhash64)
     so DuckDB computes the identical value for the oracle check."""
     return F.md5(normalize_text(text))
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
+    """Per-document top-``k`` terms by TF-IDF — the classic corpus-analytics
+    rollup (keyword extraction, index pruning, topic drift monitoring).
+
+    ``score = tf × ln(n_docs / df_t)`` over whitespace tokens of the
+    normalized text; ties broken by term ascending so the cut is total and
+    cross-engine deterministic. Returns (doc_id, term, tf, score, rank).
+
+    Scale shape: term frequencies and document frequencies are both
+    map-side-combinable groupBys on natural keys; the corpus size joins in
+    as a broadcast one-row aggregate (no collect); the top-k cut is a
+    window partitioned by document — never global. Every expression is JVM
+    column math mirrored 1:1 by the DuckDB twin.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401  (Window used below)
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
