@@ -585,6 +585,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qf = quality_filter(F.col("text"))
         return d.select("doc_id", qf["keep"].alias("keep"), qf["reasons"].alias("reasons"))
 
+    # ----------------------------------------------------- stratified sampling
+    def q_stratified_sample(spark, sf):
+        """Deterministic equal-quota sampling per language: the 20 docs
+        with the smallest md5 order in each stratum — skew rebalancing as
+        a pure function of the data; the twin re-derives the same window."""
+        from amazonwebcrawler_spark.operators import corpus
+
+        d = _t(spark, sf, "documents")
+        return corpus.stratified_sample(d, "lang", "doc_id", 20, salt="strat").select(
+            "doc_id", "lang", "sample_rank"
+        )
+
+    # ----------------------------------------------------- corpus shape rollup
+    def q_corpus_stats(spark, sf):
+        """Per-language corpus shape (docs, total tokens, mean + exact
+        median length) — the rollup every curation stage prints; median
+        semantics are interpolated identically in both engines."""
+        from amazonwebcrawler_spark.operators import corpus
+
+        d = _t(spark, sf, "documents")
+        return corpus.corpus_stats(d, "lang", "text", "n_chars")
+
     # ----------------------------------------------------- tf-idf top terms
     def q_tfidf_terms(spark, sf):
         """Per-document top-5 terms by TF-IDF (keyword extraction): tf ×
@@ -978,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "tfidf_terms": q_tfidf_terms,
+        "stratified_sample": q_stratified_sample,
+        "corpus_stats": q_corpus_stats,
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1510,6 +1534,31 @@ SELECT doc_id, term, tf, score,
   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
 FROM scored
 QUALIFY rank <= 5
+""",
+        "stratified_sample": """
+-- per-language equal quota: smallest md5('strat' || doc_id) order wins;
+-- lowercase-hex string ordering is identical across engines
+WITH r AS (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5('strat' || doc_id::VARCHAR) ASC, doc_id ASC
+    ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 20
+""",
+        "corpus_stats": rf"""
+WITH norm AS (SELECT doc_id, lang, n_chars, {norm} AS t FROM documents),
+tk AS (
+  SELECT lang, n_chars,
+    CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_tok
+  FROM norm
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
+  round(AVG(n_chars), 6) AS avg_chars,
+  round(median(n_chars), 6) AS median_chars
+FROM tk GROUP BY lang
 """,
         "decontaminate": rf"""
 WITH {shingle_cte},

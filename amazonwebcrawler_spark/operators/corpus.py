@@ -78,3 +78,53 @@ def hash_sample(
     partitionings and row order — the property a resumable pipeline needs
     (re-running a failed stage must re-select the same rows)."""
     return df.filter(hash_bucket(F.col(key_col), n_buckets, salt) < int(rate * n_buckets))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, n_per_stratum: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic equal-quota sampling: keep the ``n_per_stratum`` rows
+    with the smallest md5 hash order inside each stratum — the standard
+    rebalancing move for skewed corpora (cap the dominant language/source
+    instead of sampling it proportionally).
+
+    Like :func:`hash_sample` the selection is a pure function of the data
+    (md5 of salt||key, ties impossible for distinct keys), so re-runs,
+    repartitions and other engines select the SAME rows. The cut is a
+    window per stratum — strata are the partition key, so the sort never
+    goes global; a hot stratum degrades to one partition's sort, bounded
+    by that stratum's row count.
+
+    Returns the input columns plus ``sample_rank`` (1-based within the
+    stratum).
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def corpus_stats(df: DataFrame, strata_col: str, text_col: str, chars_col: str) -> DataFrame:
+    """Per-stratum corpus shape report: document count, total token count,
+    mean and exact median document length — the rollup a curation run
+    prints before/after every filter stage.
+
+    One map-side-combinable aggregate per stratum; the exact median is
+    Spark's interpolated ``median`` (identical semantics to DuckDB's, so
+    the twin value-checks it bit-for-bit after 6dp rounding).
+    """
+    from amazonwebcrawler_spark.functions.text import token_count
+
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(F.col(text_col))).alias("total_tokens"),
+            F.round(F.avg(chars_col), 6).alias("avg_chars"),
+            F.round(F.median(chars_col), 6).alias("median_chars"),
+        )
+    )

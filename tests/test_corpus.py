@@ -89,3 +89,41 @@ class TestHashSample:
         inter = len(a & b)
         # independent 10% samples overlap ~1%; 5% is a generous noise bound
         assert inter < 0.05 * 5_000
+
+
+class TestStratifiedSample:
+    def test_quota_and_determinism(self, spark):
+        """Every stratum is capped at n; selection is identical across
+        repartitionings (pure function of the data, like hash_sample)."""
+        from amazonwebcrawler_spark.operators.corpus import stratified_sample
+
+        rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)]
+        d = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = stratified_sample(d, "lang", "doc_id", 5)
+        got = sorted((r.lang, r.doc_id, r.sample_rank) for r in out.collect())
+        per = {}
+        for lang, _, rank in got:
+            per.setdefault(lang, []).append(rank)
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+        again = sorted(
+            (r.lang, r.doc_id, r.sample_rank)
+            for r in stratified_sample(d.repartition(7), "lang", "doc_id", 5).collect()
+        )
+        assert got == again
+
+
+class TestCorpusStats:
+    def test_known_values(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import corpus_stats
+
+        rows = [
+            (1, "a b c", "en", 10),
+            (2, "d e", "en", 30),
+            (3, "f", "en", 20),
+            (4, "g h i j", "de", 7),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+        got = {r.lang: r for r in corpus_stats(d, "lang", "text", "n_chars").collect()}
+        en, de = got["en"], got["de"]
+        assert (en.n_docs, en.total_tokens, en.avg_chars, en.median_chars) == (3, 6, 20.0, 20.0)
+        assert (de.n_docs, de.total_tokens, de.avg_chars, de.median_chars) == (1, 4, 7.0, 7.0)
