@@ -585,6 +585,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qf = quality_filter(F.col("text"))
         return d.select("doc_id", qf["keep"].alias("keep"), qf["reasons"].alias("reasons"))
 
+    # ----------------------------------------------------- LM quality signal
+    def q_lm_score(spark, sf):
+        """Self-trained unigram negative log-likelihood per doc (the
+        perplexity-filter stage of corpus curation, relational form)."""
+        from amazonwebcrawler_spark.functions.text import unigram_nll
+
+        d = _t(spark, sf, "documents")
+        return unigram_nll(d, "text", "doc_id")
+
     # ----------------------------------------------------- stratified sampling
     def q_stratified_sample(spark, sf):
         """Deterministic equal-quota sampling per language: the 20 docs
@@ -1000,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "tfidf_terms": q_tfidf_terms,
+        "lm_score": q_lm_score,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
         "fingerprint": q_fingerprint,
@@ -1534,6 +1544,18 @@ SELECT doc_id, term, tf, score,
   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
 FROM scored
 QUALIFY rank <= 5
+""",
+        "lm_score": rf"""
+-- self-trained unigram LM: nll = -avg(ln(count(term)/total_tokens)) per doc
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+term_rows AS (SELECT doc_id, u.term FROM tk, UNNEST(toks) AS u(term)),
+counts AS (SELECT term, COUNT(*) AS cnt FROM term_rows GROUP BY term),
+total AS (SELECT COUNT(*) AS total FROM term_rows)
+SELECT r.doc_id, COUNT(*) AS n_tokens,
+  round(-AVG(ln(c.cnt::DOUBLE / t.total)), 6) AS nll
+FROM term_rows r JOIN counts c USING (term) CROSS JOIN total t
+GROUP BY r.doc_id
 """,
         "stratified_sample": """
 -- per-language equal quota: smallest md5('strat' || doc_id) order wins;

@@ -238,3 +238,36 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def unigram_nll(df, text_col: str, id_col: str):
+    """CCNet-style language-model quality signal with no model artifact:
+    train a unigram LM on the corpus itself (one aggregate) and score each
+    document by the mean negative log-likelihood of its tokens —
+    ``nll = -avg(ln(count(t) / total_tokens))``. Low = built from the
+    corpus's common vocabulary (fluent/typical); high = rare-token soup
+    (gibberish, boilerplate IDs, wrong-language fragments). The standard
+    perplexity-filter stage of corpus curation, here as pure relational
+    algebra: in production the "train" aggregate runs on a held-out slice
+    and broadcasts exactly like the eval grams in decontamination.
+
+    Returns (doc_id, n_tokens, nll). Scale shape: one explode + term
+    groupBy (map-side combinable) trains the LM; the corpus total joins as
+    a broadcast one-row aggregate; scoring is toks ⋈ term-counts (shuffle
+    on the term key, the LM side is vocabulary-sized) + one per-doc
+    aggregate. Every expression is JVM column math, mirrored by the twin.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = toks.select(F.count("*").alias("total"))
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias("nll"),
+        )
+    )
