@@ -585,6 +585,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qf = quality_filter(F.col("text"))
         return d.select("doc_id", qf["keep"].alias("keep"), qf["reasons"].alias("reasons"))
 
+    # ----------------------------------------------------- context-window chunking
+    def q_chunk_documents(spark, sf):
+        """Fixed-token training-sequence windows (64 tokens, 8 overlap);
+        chunk content value-checked via md5 digest."""
+        from amazonwebcrawler_spark.functions.text import chunk_documents
+
+        d = _t(spark, sf, "documents")
+        return chunk_documents(d, "text", "doc_id", max_tokens=64, overlap=8)
+
     # ----------------------------------------------------- LM quality signal
     def q_lm_score(spark, sf):
         """Self-trained unigram negative log-likelihood per doc (the
@@ -1009,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "tfidf_terms": q_tfidf_terms,
+        "chunk_documents": q_chunk_documents,
         "lm_score": q_lm_score,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
@@ -1544,6 +1554,26 @@ SELECT doc_id, term, tf, score,
   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
 FROM scored
 QUALIFY rank <= 5
+""",
+        "chunk_documents": rf"""
+-- context-window chunking: chunk i = tokens [i*56+1 .. i*56+64] (1-based,
+-- step = max_tokens - overlap = 56); >=1 chunk per non-empty doc; content
+-- checked via md5 of the space-joined window
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+nc AS (
+  SELECT doc_id, toks,
+    greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS INT)) AS n_chunks
+  FROM tk
+),
+idx AS (
+  SELECT doc_id, toks, u.chunk_idx
+  FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS u(chunk_idx)
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+  len(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)]) AS n_tokens,
+  md5(array_to_string(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)], ' ')) AS chunk_md5
+FROM idx
 """,
         "lm_score": rf"""
 -- self-trained unigram LM: nll = -avg(ln(count(term)/total_tokens)) per doc

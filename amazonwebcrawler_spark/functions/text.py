@@ -271,3 +271,43 @@ def unigram_nll(df, text_col: str, id_col: str):
             F.round(-F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias("nll"),
         )
     )
+
+
+def chunk_documents(df, text_col: str, id_col: str, max_tokens: int = 64, overlap: int = 8):
+    """Context-window chunking: split each document into fixed-size token
+    windows with ``overlap`` tokens of shared context between consecutive
+    chunks — the stage between curation and tokenization that turns a
+    cleaned corpus into training sequences.
+
+    Chunk ``i`` covers tokens ``[i·step, i·step + max_tokens)`` with
+    ``step = max_tokens − overlap``; every document yields at least one
+    chunk (short docs are a single partial window) and every token is in
+    ≥1 chunk. Returns (doc_id, chunk_idx, n_tokens, chunk_md5) — the
+    digest value-checks chunk CONTENT without shipping the text, and the
+    pipeline that wants the text itself swaps ``chunk_md5`` for the
+    ``concat_ws`` column. Pure column math: tokenize once, explode a
+    per-doc chunk-index sequence, slice — no shuffle at all until the
+    caller aggregates.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap must be < max_tokens, got {overlap} >= {max_tokens}")
+    step = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(float(step))).cast("int")
+    )
+    chunked = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks"), n_chunks.alias("_nc")
+    ).filter(F.size("_toks") > 0).select(
+        "doc_id",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_idx"),
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_idx") * step + 1, max_tokens)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(window).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", window)).alias("chunk_md5"),
+    )

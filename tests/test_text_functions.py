@@ -49,3 +49,40 @@ class TestUnigramNll:
         assert abs(got[1].nll - round(-math.log(8 / total), 6)) < 1e-9
         assert abs(got[3].nll - round(-math.log(1 / total), 6)) < 1e-9
         assert got[3].nll > got[1].nll
+
+
+class TestChunking:
+    def test_window_arithmetic(self, spark):
+        """Exact window coverage: a 150-token doc at (64, 8) yields chunks
+        starting every 56 tokens, full chunks except the tail, consecutive
+        chunks share exactly 8 tokens, and a short doc is one partial
+        chunk."""
+        import hashlib
+
+        from amazonwebcrawler_spark.functions.text import chunk_documents
+
+        toks = [f"t{i}" for i in range(150)]
+        d = spark.createDataFrame(
+            [(1, " ".join(toks)), (2, "a b c")], "doc_id long, text string"
+        )
+        got = {
+            (r.doc_id, r.chunk_idx): r
+            for r in chunk_documents(d, "text", "doc_id", 64, 8).collect()
+        }
+        assert {k for k in got} == {(1, 0), (1, 1), (1, 2), (2, 0)}
+        for idx in range(3):
+            window = toks[idx * 56: idx * 56 + 64]
+            r = got[(1, idx)]
+            assert r.n_tokens == len(window)
+            assert r.chunk_md5 == hashlib.md5(" ".join(window).encode()).hexdigest()
+        assert got[(1, 2)].n_tokens == 150 - 2 * 56  # tail chunk is partial
+        assert got[(2, 0)].n_tokens == 3
+
+    def test_rejects_bad_overlap(self, spark):
+        import pytest
+
+        from amazonwebcrawler_spark.functions.text import chunk_documents
+
+        d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(d, "text", "doc_id", max_tokens=8, overlap=8)
