@@ -49,6 +49,11 @@ CHECKS = {
     # image ANN: exactly one Python crossing (the Arrow-batched embedding
     # decode); the retrieval itself broadcasts the query side
     "image_ann": ["MapInPandas", "BroadcastNestedLoopJoin"],
+    # chunking is shuffle-free pure column math: codegen spans, no exchange,
+    # no Python anywhere
+    "chunk_documents": ["[codegen id :"],
+    # the unigram LM's corpus total must arrive as a broadcast, not a shuffle
+    "lm_score": ["BroadcastNestedLoopJoin", "HashAggregate"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -58,6 +63,8 @@ NEG_CHECKS = {
     # query -> substrings that must NOT appear in the plan
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "chunk_documents": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange"],
+    "lm_score": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
 }
 
 
