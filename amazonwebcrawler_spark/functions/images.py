@@ -158,6 +158,17 @@ def embed_image(pixels: np.ndarray, grid: int = 4) -> list[float]:
     this kernel for a model call and nothing else changes.
     """
     h, w, _ = pixels.shape
+    # images narrower/shorter than the grid would leave cells empty (0/0 →
+    # an all-NaN vector that Spark would sort ABOVE every real cosine);
+    # repeat pixels up to grid size first — box means of the repeated image
+    # are well-defined and identical to nearest-neighbor weighting, and
+    # images already ≥ grid are untouched
+    if h < grid:
+        pixels = np.repeat(pixels, -(-grid // h), axis=0)
+        h = pixels.shape[0]
+    if w < grid:
+        pixels = np.repeat(pixels, -(-grid // w), axis=1)
+        w = pixels.shape[1]
     yb = (np.arange(h) * grid) // h
     xb = (np.arange(w) * grid) // w
     cell = (yb[:, None] * grid + xb[None, :]).ravel()

@@ -215,7 +215,7 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
     window partitioned by document — never global. Every expression is JVM
     column math mirrored 1:1 by the DuckDB twin.
     """
-    from pyspark.sql import DataFrame, Window  # noqa: F401  (Window used below)
+    from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
@@ -280,9 +280,9 @@ def chunk_documents(df, text_col: str, id_col: str, max_tokens: int = 64, overla
     cleaned corpus into training sequences.
 
     Chunk ``i`` covers tokens ``[i·step, i·step + max_tokens)`` with
-    ``step = max_tokens − overlap``; every document yields at least one
-    chunk (short docs are a single partial window) and every token is in
-    ≥1 chunk. Returns (doc_id, chunk_idx, n_tokens, chunk_md5) — the
+    ``step = max_tokens − overlap``; every NON-EMPTY document yields at
+    least one chunk (short docs are a single partial window, empty or
+    whitespace-only docs yield none) and every token is in ≥1 chunk. Returns (doc_id, chunk_idx, n_tokens, chunk_md5) — the
     digest value-checks chunk CONTENT without shipping the text, and the
     pipeline that wants the text itself swaps ``chunk_md5`` for the
     ``concat_ws`` column. Pure column math: tokenize once, explode a

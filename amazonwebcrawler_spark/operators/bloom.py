@@ -211,6 +211,17 @@ def probe_shards(
         cand["maybe_seen"] = _test_bits(shard["bits"].iloc[0], pos)
         if exact:
             key_set = np.frombuffer(shard["keys"].iloc[0] or b"", dtype=np.uint64)
+            # a populated bucket with NO key set means the state was written
+            # without key tracking (seen_table mode, or a pre-r3 checkpoint)
+            # — answering exact_seen=False for already-crawled URLs would
+            # silently re-admit them; fail loudly instead
+            if int(shard["n_items"].iloc[0]) > 0 and not len(key_set):
+                raise ValueError(
+                    "exact probe on a shard with items but no key set — this "
+                    "state was written without track_keys (seen_table mode or "
+                    "a pre-r3 checkpoint); resume shard_sets mode only from a "
+                    "store written with track_keys=True"
+                )
             h1 = cand["h1"].to_numpy().astype(np.uint64)
             if len(key_set):
                 idx = np.searchsorted(key_set, h1)

@@ -593,10 +593,17 @@ def hamming_neardup_pairs(
                     F.struct(
                         F.lit(c).alias("c"),
                         # logical shift: arithmetic shiftright would smear the
-                        # sign bit into the top chunk of negative fingerprints
-                        F.shiftrightunsigned("_fp", off)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("v"),
+                        # sign bit into the top chunk of negative fingerprints.
+                        # width == 64 (t=0, one chunk = whole fingerprint) must
+                        # skip the mask: (1<<64)-1 exceeds Long.MAX_VALUE and
+                        # cannot be a LongType literal
+                        (
+                            F.shiftrightunsigned("_fp", off)
+                            if width == 64
+                            else F.shiftrightunsigned("_fp", off).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            )
+                        ).alias("v"),
                     )
                     for c, (off, width) in enumerate(hamming_chunks(max_hamming + 1))
                 ]

@@ -122,7 +122,15 @@ def events_windowed_stream(spark: SparkSession, sf_dir: str, out_dir: str):
     )
 
 
-def images_ingest_stream(spark: SparkSession, src_dir: str, out_dir: str):
+#: input_hint image-table schema, for starting the ingest stream BEFORE the
+#: first file lands (schema inference over an empty directory fails)
+IMAGE_TABLE_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def images_ingest_stream(spark: SparkSession, src_dir: str, out_dir: str, schema=None):
     """Streaming multimodal ingest: image+caption rows (input_hint schema)
     arriving as files are validated with the SAME Arrow kernel the batch
     side uses — ``operators/images_io.validate_images`` is applied to the
@@ -135,7 +143,10 @@ def images_ingest_stream(spark: SparkSession, src_dir: str, out_dir: str):
     """
     from amazonwebcrawler_spark.operators.images_io import validate_images
 
-    schema = spark.read.parquet(src_dir).schema
+    # pass schema (e.g. IMAGE_TABLE_SCHEMA) to start the stream over a
+    # still-empty source directory — batch inference needs ≥1 file
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # several micro-batches per drain

@@ -619,6 +619,7 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
     detail = {
         "throughput": crawl,
+        "queries": timings,
         "query_samples": query_samples,
         "scaling": scaling,
         "scaling_control": control,
@@ -676,8 +677,11 @@ def main() -> None:
     }
     line = json.dumps(result)
     if len(line) > 1900:  # defensive: never ship an untruncatable line again
-        for k in ("scaling_control", "amort", "ivf_scale"):
-            result.pop(k, None)
+        # drop in reverse order of how cheaply the detail file replaces the
+        # section; "queries" last — and even then the line ends bounded, so
+        # the driver's 2000-char tail capture always parses SOMETHING
+        for k in ("scaling_control", "amort", "ivf_scale", "scaling", "throughput", "queries"):
+            result[k] = "see BENCH_detail.json"
             line = json.dumps(result)
             if len(line) <= 1900:
                 break

@@ -83,3 +83,23 @@ def test_for_capacity_byte_aligned():
             cfg = bloom.BloomConfig.for_capacity(n_items, bits_per_item=bpi, n_buckets=7)
             assert cfg.m_bits % 8 == 0, (n_items, bpi, cfg.m_bits)
             assert cfg.m_bits >= 1 << 14
+
+
+def test_exact_probe_rejects_keyless_state(spark):
+    """Probing exact membership against state written WITHOUT key tracking
+    (seen_table mode / pre-r3 checkpoint) must raise, not silently answer
+    exact_seen=False for already-crawled URLs."""
+    import pytest
+
+    from amazonwebcrawler_spark.operators import bloom
+
+    cfg = bloom.BloomConfig(n_buckets=4, m_bits=1 << 14, track_keys=False)
+    urls = spark.range(0, 200).select(
+        F.concat(F.lit("https://www.amazon.com/dp/K"), F.col("id").cast("string")).alias(
+            "canonical_url"
+        )
+    )
+    keyed = bloom.with_bloom_keys(urls, "canonical_url", cfg)
+    shards = bloom.merge_into_shards(keyed, bloom.empty_shards(spark, cfg), cfg)
+    with pytest.raises(Exception, match="no key set"):
+        bloom.probe_shards(keyed, shards, cfg, exact=True).collect()

@@ -236,7 +236,8 @@ class TestHammingNeardup:
         """Pigeonhole exactness on clustered random fingerprints: the
         blocked operator must return EXACTLY the brute-force O(n²) pair
         set at every threshold — including t where 64 % (t+1) != 0, the
-        unequal-chunk-width path (t=5 → 11/11/11/11/10/10, t=8 → 8+8×7)."""
+        unequal-chunk-width path (t=5 → 11/11/11/11/10/10, t=8 → 8+8×7)
+        — and t=0, the single-64-bit-chunk exact-dup setting."""
         import random
 
         rng = random.Random(421)
@@ -252,7 +253,7 @@ class TestHammingNeardup:
                 rows.append((fid, fp - (1 << 64) if fp >= 1 << 63 else fp))
                 fid += 1
         df = spark.createDataFrame(rows, "fid long, fp long")
-        for t in (1, 3, 5, 8):
+        for t in (0, 1, 3, 5, 8):  # t=0 = exact-dup setting (single 64-bit chunk, no mask)
             got = {
                 (r.id_a, r.id_b, r.hamming)
                 for r in dedup.hamming_neardup_pairs(df, "fid", "fp", t).collect()
@@ -484,3 +485,34 @@ class TestKeepCanonicalProperties:
             }
             assert got == expected, f"seed={seed}"
 
+
+
+class TestEmbedTinyImages:
+    def test_tiny_image_embedding_is_finite(self, spark):
+        """Images smaller than the grid must yield a finite unit vector
+        (empty grid cells used to produce an all-NaN embedding that sorted
+        ABOVE every real cosine in the ANN window), and must not poison
+        retrieval when mixed into a corpus."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import embed_image, encode_png
+        from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+        tiny = np.array([[[10, 20, 30], [200, 100, 50]],
+                         [[0, 255, 128], [90, 90, 90]]], dtype=np.uint8)
+        v = np.array(embed_image(tiny))
+        assert np.isfinite(v).all()
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+        base = block_image_record("tiny-0")
+        var = block_image_record("tiny-0", flip_cells=1, fmt="jpeg")
+        rows = [
+            ("tiny-0", bytearray(base["bytes"])),
+            ("tiny-0-v", bytearray(var["bytes"])),
+            ("tiny-blob", bytearray(encode_png(tiny))),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        emb = similarity.image_embedding_table(df)
+        qs = emb.filter(F.col("image_id") == "tiny-0")
+        top = similarity.brute_force_topk(emb, qs, "image_id", "embedding", k=1).collect()
+        assert [(r.query_id, r.neighbor_id) for r in top] == [("tiny-0", "tiny-0-v")]
