@@ -970,6 +970,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(shards.select("bucket", "n_items"), "bucket")
         )
 
+    # ----------------------------------------------------- link-graph PageRank (W4 offline score)
+    def q_host_rank(spark, sf):
+        """The north-star priority queue's offline "page-rank-like score":
+        5 power iterations with dangling-mass redistribution over a
+        deterministic host link graph derived from orders (two affine edge
+        families; hosts 37-42 appear only as targets → dangling path
+        exercised). The DuckDB twin unrolls the SAME iteration as chained
+        CTEs (linkrank.pagerank_oracle_sql); both sides round to 6dp."""
+        from amazonwebcrawler_spark.operators import linkrank
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.select((k % 37).alias("src"), ((k * 7 + 11) % 37).alias("dst")).unionByName(
+            o.select(((k * 3 + 1) % 29).alias("src"), ((k * 5 + 2) % 43).alias("dst"))
+        )
+        pr = linkrank.pagerank(edges, iters=5)
+        return pr.select("node", F.round("pr", 6).alias("pr"))
+
+    # ----------------------------------------------------- crawler-trap detection
+    def q_trap_detect(spark, sf):
+        """Per-host URL-space explosion stats (functions/urls.host_trap_stats)
+        over a deterministic URL mix from orders: a calendar trap (one path,
+        thousands of query days), a session-key trap (fresh param key per
+        URL), a deep-recursion trap, and a healthy catalog host. The twin
+        re-derives every stat (path parse, depth, param-key entropy) in SQL
+        — not just the expected flags."""
+        from amazonwebcrawler_spark.functions import urls as urls_mod
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        url = (
+            F.when(k % 7 == 0, F.concat(F.lit("https://cal.example/events?day="), (k % 3000).cast("string")))
+            .when(k % 7 == 1, F.concat(F.lit("https://sess.example/p"), (k % 5).cast("string"),
+                                        F.lit("?sid"), k.cast("string"), F.lit("=x&page=1")))
+            .when(k % 7 == 2, F.concat(F.lit("https://deep.example"), F.repeat(F.lit("/d"), (k % 12 + 1).cast("int"))))
+            .otherwise(F.concat(F.lit("https://shop.example/dp/B"), (k % 200).cast("string"),
+                                F.lit("?page="), (k % 3).cast("string")))
+        )
+        return urls_mod.host_trap_stats(o.select(url.alias("canonical_url")))
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1025,6 +1065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "host_rank": q_host_rank,
+        "trap_detect": q_trap_detect,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -1977,6 +2019,68 @@ SELECT 'shard-' || (o_orderkey % 13)::VARCHAR AS host,
   COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_urls
 FROM orders GROUP BY 1
 """,
+        "host_rank": _host_rank_sql(),
+        "trap_detect": _trap_detect_sql(),
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),
     }
+
+
+def _host_rank_sql() -> str:
+    """Twin of q_host_rank: the same 5 power iterations, unrolled."""
+    from amazonwebcrawler_spark.operators.linkrank import pagerank_oracle_sql
+
+    edges = (
+        "SELECT o_orderkey % 37 AS src, (o_orderkey * 7 + 11) % 37 AS dst FROM orders "
+        "UNION ALL "
+        "SELECT (o_orderkey * 3 + 1) % 29 AS src, (o_orderkey * 5 + 2) % 43 AS dst FROM orders"
+    )
+    return pagerank_oracle_sql(edges, iters=5)
+
+
+def _trap_detect_sql() -> str:
+    """Twin of q_trap_detect: re-derives every host_trap_stats signal in
+    SQL (split_part ↔ substring_index, string_split ↔ split, ln ↔ log),
+    thresholds ratio>5.0 / depth>8 / entropy>2.5 as the operator defaults."""
+    return r"""
+WITH u AS (
+  SELECT CASE
+    WHEN o_orderkey % 7 = 0 THEN 'https://cal.example/events?day=' || (o_orderkey % 3000)::VARCHAR
+    WHEN o_orderkey % 7 = 1 THEN 'https://sess.example/p' || (o_orderkey % 5)::VARCHAR
+      || '?sid' || o_orderkey::VARCHAR || '=x&page=1'
+    WHEN o_orderkey % 7 = 2 THEN 'https://deep.example' || repeat('/d', CAST(o_orderkey % 12 + 1 AS INT))
+    ELSE 'https://shop.example/dp/B' || (o_orderkey % 200)::VARCHAR || '?page=' || (o_orderkey % 3)::VARCHAR
+  END AS url
+  FROM orders
+), parsed AS (
+  SELECT
+    lower(regexp_extract(url, '^https?://([^/?#]*)', 1)) AS host,
+    regexp_replace(split_part(url, '?', 1), '^https?://[^/]*', '') AS path,
+    list_filter(
+      string_split(CASE WHEN instr(url, '?') > 0 THEN substr(url, instr(url, '?') + 1) ELSE '' END, '&'),
+      p -> p <> ''
+    ) AS params
+  FROM u
+), per_host AS (
+  SELECT host,
+    count(*) AS n_urls,
+    count(DISTINCT path) AS n_paths,
+    CAST(max(length(path) - length(replace(path, '/', ''))) AS INT) AS max_depth,
+    round(avg(len(params)), 6) AS avg_params,
+    round(count(*)::DOUBLE / count(DISTINCT path), 6) AS url_path_ratio
+  FROM parsed GROUP BY host
+), keys AS (
+  SELECT host, split_part(unnest(params), '=', 1) AS key FROM parsed
+), kc AS (
+  SELECT host, key, count(*) AS c FROM keys GROUP BY host, key
+), ent AS (
+  SELECT host,
+    round(-sum((c::DOUBLE / tot) * ln(c::DOUBLE / tot)), 6) AS key_entropy
+  FROM (SELECT host, key, c, sum(c) OVER (PARTITION BY host) AS tot FROM kc)
+  GROUP BY host
+)
+SELECT p.host, p.n_urls, p.n_paths, p.max_depth, p.avg_params, p.url_path_ratio,
+  COALESCE(e.key_entropy, 0.0) AS key_entropy,
+  (p.url_path_ratio > 5.0 OR p.max_depth > 8 OR COALESCE(e.key_entropy, 0.0) > 2.5) AS is_trap
+FROM per_host p LEFT JOIN ent e ON e.host = p.host
+"""

@@ -22,7 +22,7 @@ no UDF, fully inside whole-stage codegen, pushdown-friendly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: query parameters that never change page identity (P14)
@@ -69,6 +69,85 @@ def url_host(url: Column) -> Column:
 def url_hash(canonical_url: Column) -> Column:
     """64-bit stable hash of the canonical URL — the URL-seen key (P15/J6)."""
     return F.xxhash64(canonical_url)
+
+
+def host_trap_stats(
+    df,
+    url_col: str = "canonical_url",
+    ratio_threshold: float = 5.0,
+    depth_threshold: int = 8,
+    entropy_threshold: float = 2.5,
+):
+    """Per-host crawler-trap detection over a URL table.
+
+    At 10^10 frontier URLs the scheduler's worst enemy is an infinite URL
+    space: calendar pages, session ids in query strings, faceted-search
+    explosions. The reference never needs this (it walks one site's fixed
+    SERP pagination, getRank.py:24-60); a general frontier must starve such
+    hosts before they eat the politeness budget. Signals, all classic:
+
+    * ``url_path_ratio`` — distinct URLs per distinct path. A calendar
+      trap has ONE path and thousands of query spellings → ratio explodes.
+    * ``max_depth`` — path segment depth; infinite-recursion traps grow
+      unbounded directory nesting.
+    * ``key_entropy`` — Shannon entropy (nats) of the query-parameter KEY
+      distribution; session-id/faceted traps mint many distinct keys while
+      a healthy catalog reuses a handful (``page``, ``ref``).
+
+    ``is_trap`` ORs the three thresholds. Everything is one pass of pure
+    column math + two hash aggregations shuffling on ``host`` (the param
+    explode re-aggregates to host before the join, so the join is
+    host-cardinality vs host-cardinality — never URL-sized). No UDFs; the
+    DuckDB twin mirrors every expression 1:1 (split_part ↔
+    substring_index, string_split ↔ split, ln ↔ log). Floats are rounded
+    to 6dp INSIDE the operator so engine-order float noise stays far
+    below the comparison grain.
+    """
+    u = F.col(url_col)
+    base = F.substring_index(u, "?", 1)
+    path = F.regexp_replace(base, r"^https?://[^/]*", "")
+    query = F.when(
+        F.instr(u, "?") > 0, F.substring(u, F.instr(u, "?") + F.lit(1), F.length(u))
+    ).otherwise(F.lit(""))
+    parsed = df.select(
+        url_host(u).alias("host"),
+        path.alias("_path"),
+        (F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))).alias("_depth"),
+        F.filter(F.split(query, "&"), lambda p: p != F.lit("")).alias("_params"),
+    )
+    per_host = parsed.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("_path").alias("n_paths"),
+        F.max("_depth").alias("max_depth"),
+        F.round(F.avg(F.size("_params")), 6).alias("avg_params"),
+        F.round(
+            (F.count("*").cast("double") / F.countDistinct("_path")), 6
+        ).alias("url_path_ratio"),
+    )
+    keys = parsed.select("host", F.explode("_params").alias("_p")).select(
+        "host", F.split("_p", "=")[0].alias("_key")
+    )
+    key_counts = keys.groupBy("host", "_key").agg(F.count("*").alias("_c"))
+    ent = (
+        key_counts.withColumn("_tot", F.sum("_c").over(Window.partitionBy("host")))
+        .groupBy("host")
+        .agg(
+            F.round(
+                -F.sum((F.col("_c") / F.col("_tot")) * F.log(F.col("_c") / F.col("_tot"))),
+                6,
+            ).alias("key_entropy")
+        )
+    )
+    return (
+        per_host.join(ent, "host", "left")
+        .withColumn("key_entropy", F.coalesce("key_entropy", F.lit(0.0)))
+        .withColumn(
+            "is_trap",
+            (F.col("url_path_ratio") > F.lit(ratio_threshold))
+            | (F.col("max_depth") > F.lit(depth_threshold))
+            | (F.col("key_entropy") > F.lit(entropy_threshold)),
+        )
+    )
 
 
 def host_shard(host: Column, canonical_url: Column, n_shards: int = 32, salt_bits: int = 4) -> Column:

@@ -54,13 +54,17 @@ CHECKS = {
     "chunk_documents": ["[codegen id :"],
     # the unigram LM's corpus total must arrive as a broadcast, not a shuffle
     "lm_score": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    # trap detection: two host-keyed hash aggregations of pure column math —
+    # no Python eval node anywhere (NEG_CHECKS)
+    "trap_detect": ["HashAggregate", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
-NO_AQE = {"dedup_simhash", "hamming_neardup"}
+NO_AQE = {"dedup_simhash", "hamming_neardup", "trap_detect"}
 
 NEG_CHECKS = {
     # query -> substrings that must NOT appear in the plan
+    "trap_detect": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "chunk_documents": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange"],
@@ -157,6 +161,38 @@ def check_bucketed_join(spark, sf_dir: str) -> list[str]:
     return []
 
 
+def check_pagerank_iteration(spark) -> list[str]:
+    """One PageRank power iteration must (a) broadcast the 1-row dangling
+    mass (BroadcastNestedLoopJoin — never a shuffled join against a scalar)
+    and (b) combine the contribution sum map-side (partial_sum) before the
+    single dst shuffle. The checkpointed loop result hides this, so the
+    split-out _iterate is explained directly, with AQE off (same reason as
+    dedup_simhash: an un-executed AdaptiveSparkPlan hides codegen ids)."""
+    from amazonwebcrawler_spark.operators import linkrank
+
+    e = spark.range(0, 500).selectExpr("id % 17 AS src", "(id * 3 + 1) % 23 AS dst")
+    nodes = e.selectExpr("src AS node").union(e.selectExpr("dst AS node")).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).count().withColumnRenamed("count", "outdeg")
+    w_edges = e.join(deg.withColumnRenamed("node", "src"), "src").selectExpr(
+        "src", "dst", "1.0 / outdeg AS w"
+    )
+    dangling = nodes.join(deg, "node", "left_anti")
+    ranks = nodes.selectExpr("node", "1.0 / 23 AS pr")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        txt = plan_text(linkrank._iterate(nodes, w_edges, dangling, ranks, 23, 0.85))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    missing = [e_ for e_ in ("BroadcastNestedLoopJoin", "partial_sum", "[codegen id :") if e_ not in txt]
+    forbidden = [e_ for e_ in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas") if e_ in txt]
+    if missing or forbidden:
+        print(f"FAIL pagerank_iteration: missing {missing} forbidden-present {forbidden}")
+        print(txt[:2500])
+        return ["pagerank_iteration"]
+    print("ok   pagerank_iteration: mass broadcasts, contrib combines map-side, pure JVM")
+    return []
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entrymod
@@ -174,6 +210,7 @@ def main() -> int:
     bad = []
     bad += check_no_global_window(spark)
     bad += check_bucketed_join(spark, sf_dir)
+    bad += check_pagerank_iteration(spark)
     for name, expected in CHECKS.items():
         if name in NO_AQE:
             spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -18,3 +18,12 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return os.environ["SPARK_GRAFT_SF_DIR"]
+
+
+@pytest.fixture()
+def duckdb_conn():
+    import duckdb
+
+    conn = duckdb.connect()
+    yield conn
+    conn.close()

@@ -1,0 +1,117 @@
+"""PageRank (operators/linkrank.py) and crawler-trap detection
+(functions/urls.host_trap_stats) — exactness vs independent NumPy/pure-
+Python oracles, plus the invariants the frontier scheduler relies on."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.functions import urls
+from amazonwebcrawler_spark.operators import linkrank
+
+
+def _numpy_pagerank(edges, iters, damping=0.85):
+    """Independent dense-matrix oracle with the same dangling-mass rule."""
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1.0 - damping) / n)
+        mass = sum(pr[idx[v]] for v in nodes if v not in out)
+        nxt += damping * mass / n
+        for s, dsts in out.items():
+            w = pr[idx[s]] / len(dsts)
+            for d in dsts:
+                nxt[idx[d]] += damping * w
+        pr = nxt
+    return {v: pr[idx[v]] for v in nodes}
+
+
+class TestPagerank:
+    def test_matches_numpy_oracle(self, spark):
+        # diamond + chain + dangling sink + a parallel edge (must collapse)
+        edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 1), (1, 2), (4, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.pr for r in linkrank.pagerank(df, iters=8).collect()}
+        want = _numpy_pagerank(edges, iters=8)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), v
+        # dangling mass redistributed -> total rank conserved
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_hub_outranks_leaves(self, spark):
+        # star: every leaf points at the hub; hub links back to all leaves,
+        # so each leaf gets 1/8 of the hub's mass and the hub keeps the sum
+        edges = [(i, 0) for i in range(1, 9)] + [(0, i) for i in range(1, 9)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.pr for r in linkrank.pagerank(df, iters=10).collect()}
+        assert got[0] == max(got.values())
+        assert got[0] > 3 * got[5]
+
+    def test_oracle_sql_twin_matches(self, spark, duckdb_conn):
+        """The unrolled-CTE DuckDB twin reproduces the Spark power
+        iteration to 6dp on a graph with dangling nodes and multi-edges."""
+        edges = [(k % 7, (3 * k + 1) % 9) for k in range(200)] + [(2, 3)] * 5
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.pr
+            for r in linkrank.pagerank(df, iters=5)
+            .select("node", F.round("pr", 6).alias("pr"))
+            .collect()
+        }
+        duckdb_conn.execute(
+            "CREATE OR REPLACE TABLE _e AS SELECT * FROM (VALUES "
+            + ", ".join(f"({s}, {d})" for s, d in edges)
+            + ") t(src, dst)"
+        )
+        sql = linkrank.pagerank_oracle_sql("SELECT src, dst FROM _e", iters=5)
+        want = dict(duckdb_conn.execute(sql).fetchall())
+        assert got == want
+
+
+class TestHostTrapStats:
+    def test_flags_traps_not_catalogs(self, spark):
+        rows = []
+        # calendar trap: ONE path, 60 query spellings
+        for i in range(60):
+            rows.append((f"https://cal.example/events?day={i}",))
+        # session-key trap: every URL mints a fresh param KEY
+        for i in range(40):
+            rows.append((f"https://sess.example/p{i % 4}?sid{i}=x&page=1",))
+        # deep-recursion trap
+        rows.append(("https://deep.example/" + "/".join("d" * 1 for _ in range(12)),))
+        # healthy catalog: distinct paths, few param keys
+        for i in range(50):
+            rows.append((f"https://shop.example/dp/B{i}?page={i % 3}",))
+        df = spark.createDataFrame(rows, "canonical_url string")
+        got = {r.host: r for r in urls.host_trap_stats(df).collect()}
+        assert got["cal.example"].is_trap and got["cal.example"].url_path_ratio == 60.0
+        assert got["sess.example"].is_trap and got["sess.example"].key_entropy > 2.5
+        assert got["deep.example"].is_trap and got["deep.example"].max_depth == 12
+        assert not got["shop.example"].is_trap
+
+    def test_entropy_matches_python(self, spark):
+        import math
+
+        rows = [(f"https://h.example/p?a=1&b={i % 3}&k{i % 5}=z",) for i in range(30)]
+        df = spark.createDataFrame(rows, "canonical_url string")
+        row = urls.host_trap_stats(df).collect()[0]
+        # keys: a ×30, b ×30, k0..k4 ×6 each → entropy over 8 keys, 90 instances
+        counts = [30, 30] + [6] * 5
+        tot = sum(counts)
+        want = -sum(c / tot * math.log(c / tot) for c in counts)
+        assert row.key_entropy == pytest.approx(want, abs=1e-6)
+        assert row.avg_params == pytest.approx(3.0)
+
+    def test_no_params_zero_entropy(self, spark):
+        df = spark.createDataFrame(
+            [("https://plain.example/a",), ("https://plain.example/b",)],
+            "canonical_url string",
+        )
+        row = urls.host_trap_stats(df).collect()[0]
+        assert row.key_entropy == 0.0 and not row.is_trap
