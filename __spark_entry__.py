@@ -970,6 +970,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(shards.select("bucket", "n_items"), "bucket")
         )
 
+    # ----------------------------------------------------- image quality filter
+    def q_image_quality(spark, sf):
+        """Gopher-style quality filter for the IMAGE side of the corpus
+        (functions/images.quality_stats_kernel): luma brightness / RMS
+        contrast / histogram entropy / aspect ratio per image, flagging
+        near-black, near-white, flat-placeholder, and sub-thumbnail rows.
+        Mix: 24 synthetic-world product shots + planted diagnostics (a flat
+        tile, a 50/50 stripe pattern with known exact stats, a tiny image,
+        corrupt bytes). Committed-golden twin; capture asserts the planted
+        stats analytically and recomputes every row independently."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as imgf
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(1, 25):
+            rec = world.image_record(world.asin_for("quality probe", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+        stripe = np.zeros((32, 32, 3), dtype=np.uint8)
+        stripe[::2, :, :] = 255
+        tiny = np.full((4, 12, 3), 200, dtype=np.uint8)
+        rows += [
+            ("diag-flat", bytearray(imgf.encode_png(flat))),
+            ("diag-stripe", bytearray(imgf.encode_png(stripe))),
+            ("diag-tiny", bytearray(imgf.encode_png(tiny))),
+            ("diag-corrupt", bytearray(b"NOTANIMAGE")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        stats = df.repartition(8).mapInPandas(imgf.quality_stats_kernel(), imgf.QUALITY_SCHEMA)
+        # undecodable rows (all-null stats, quarantined by the kernel; the
+        # diag-corrupt plant proves the path) are filtered here: a null in
+        # the value-hash's sort-leading column breaks row ordering in the
+        # driver compare, and the quarantine behavior is pytest-owned
+        return stats.filter(F.col("brightness").isNotNull())
+
     # ----------------------------------------------------- link-graph PageRank (W4 offline score)
     def q_host_rank(spark, sf):
         """The north-star priority queue's offline "page-rank-like score":
@@ -1065,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "image_quality": q_image_quality,
         "host_rank": q_host_rank,
         "trap_detect": q_trap_detect,
         "crawl_rank_wave": q_crawl_rank_wave,

@@ -182,3 +182,77 @@ def embed_image(pixels: np.ndarray, grid: int = 4) -> list[float]:
     if n > 0:
         v = v / n
     return [float(x) for x in np.round(v, 6)]
+
+
+# ------------------------------------------------------- quality filtering
+#: Spark schema of quality_stats_kernel's output
+QUALITY_SCHEMA = (
+    "image_id string, w int, h int, brightness double, contrast double, "
+    "luma_entropy double, aspect_ratio double, is_low_quality boolean"
+)
+
+#: Gopher-style reject thresholds, the image twin of functions/text.py's
+#: quality_filter: near-black / near-white frames, flat (contrast-free)
+#: placeholder tiles, and sub-thumbnail sizes are training-data poison
+QUALITY_MIN_BRIGHTNESS = 0.05
+QUALITY_MAX_BRIGHTNESS = 0.98
+QUALITY_MIN_CONTRAST = 0.02
+QUALITY_MIN_SIDE = 8
+
+
+def quality_stats(pixels: np.ndarray) -> dict:
+    """Per-image quality signals from the luma plane (BT.601 weights, the
+    same ones phash64/embed_image use): mean brightness and RMS contrast
+    normalized to [0,1], Shannon entropy (nats) of the 16-bin luma
+    histogram (a flat placeholder tile has entropy 0; a detailed photo
+    approaches ln 16), and aspect ratio. All floats rounded to 6 dp so the
+    committed golden is bit-stable across numpy versions."""
+    h, w, _ = pixels.shape
+    y = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    brightness = float(y.mean()) / 255.0
+    contrast = float(y.std()) / 255.0
+    bins = np.bincount(
+        (np.clip(y, 0.0, 255.0).astype(np.int64) // 16).ravel(), minlength=16
+    ).astype(np.float64)
+    p = bins[bins > 0] / bins.sum()
+    entropy = float(-(p * np.log(p)).sum())
+    low = (
+        brightness < QUALITY_MIN_BRIGHTNESS
+        or brightness > QUALITY_MAX_BRIGHTNESS
+        or contrast < QUALITY_MIN_CONTRAST
+        or min(w, h) < QUALITY_MIN_SIDE
+    )
+    return {
+        "w": int(w),
+        "h": int(h),
+        "brightness": round(brightness, 6),
+        "contrast": round(contrast, 6),
+        "luma_entropy": round(entropy, 6),
+        "aspect_ratio": round(w / h, 6),
+        "is_low_quality": bool(low),
+    }
+
+
+def quality_stats_kernel():
+    """mapInPandas kernel ``(image_id, bytes) → QUALITY_SCHEMA`` — the same
+    Arrow-batch shape as images_io.validate_images. Undecodable bytes yield
+    a row with null stats and ``is_low_quality=True`` (quarantine, don't
+    crash the wave — same policy as validate_images' decode_ok=False)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    stats = quality_stats(decode_image(bytes(data)))
+                except Exception:
+                    stats = {
+                        "w": None, "h": None, "brightness": None, "contrast": None,
+                        "luma_entropy": None, "aspect_ratio": None,
+                        "is_low_quality": True,
+                    }
+                rows.append({"image_id": iid, **stats})
+            yield pd.DataFrame(rows)
+
+    return gen

@@ -42,7 +42,9 @@ def _norm(v):
 
 def normalize_rows(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # key=repr: total order even when a sort-leading column holds NULLs
+    # (None < float is a TypeError under tuple comparison)
+    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
 
 
 def main() -> int:

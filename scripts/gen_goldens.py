@@ -67,6 +67,11 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "audio_id": "VARCHAR", "duration_sec": "DOUBLE", "rms": "DOUBLE",
         "zero_crossing_rate": "DOUBLE", "peak": "DOUBLE",
     },
+    "image_quality": {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "brightness": "DOUBLE", "contrast": "DOUBLE", "luma_entropy": "DOUBLE",
+        "aspect_ratio": "DOUBLE", "is_low_quality": "BOOLEAN",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -285,6 +290,51 @@ def _check_audio_features(rows, ctx):
         assert all(math.isfinite(r[c]) for c in ("rms", "peak", "zero_crossing_rate"))
 
 
+def _check_image_quality(rows, ctx):
+    """Analytic expectations for the planted diagnostics, then an
+    independent numpy recompute of EVERY decodable row (the statistics are
+    restated here from their definitions, decode aside)."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import decode_image
+    from amazonwebcrawler_spark.sources.synthetic_world import asin_for, image_record
+
+    by_id = {r["image_id"]: r for r in rows}
+    # 24 world images + 3 decodable diagnostics; diag-corrupt is filtered
+    # by the query (all-null quarantine row — pytest owns that path)
+    assert len(rows) == 27 and "diag-corrupt" not in by_id, len(rows)
+    flat = by_id["diag-flat"]
+    assert flat["contrast"] == 0.0 and flat["luma_entropy"] == 0.0, flat
+    assert flat["brightness"] == round(128 / 255, 6) and flat["is_low_quality"], flat
+    stripe = by_id["diag-stripe"]
+    assert stripe["brightness"] == 0.5 and stripe["contrast"] == 0.5, stripe
+    assert stripe["luma_entropy"] == round(math.log(2), 6), stripe
+    assert not stripe["is_low_quality"], stripe
+    tiny = by_id["diag-tiny"]
+    assert tiny["is_low_quality"] and (tiny["w"], tiny["h"]) == (12, 4), tiny
+
+    def recompute(data: bytes) -> dict:
+        px = decode_image(data)
+        h, w, _ = px.shape
+        y = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        bins = np.bincount((np.clip(y, 0, 255).astype(np.int64) // 16).ravel(), minlength=16)
+        p = bins[bins > 0] / bins.sum()
+        return {
+            "w": w, "h": h,
+            "brightness": round(float(y.mean()) / 255.0, 6),
+            "contrast": round(float(y.std()) / 255.0, 6),
+            "luma_entropy": round(float(-(p * np.log(p)).sum()), 6),
+            "aspect_ratio": round(w / h, 6),
+        }
+
+    for i in range(1, 25):
+        rec = image_record(asin_for("quality probe", 1, i))
+        got = by_id[rec["image_id"]]
+        want = recompute(rec["bytes"])
+        for k, v in want.items():
+            assert got[k] == v, (rec["image_id"], k, got[k], v)
+
+
 def _check_bloom_stats(rows, ctx):
     """10 000 planted URLs, zero false negatives — the Bloom contract."""
     assert len(rows) == 8, len(rows)
@@ -316,6 +366,7 @@ CHECKERS = {
     "image_dedup_keep": _check_image_dedup_keep,
     "image_ann": _check_image_ann,
     "audio_features": _check_audio_features,
+    "image_quality": _check_image_quality,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,
 }

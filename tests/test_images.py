@@ -79,3 +79,47 @@ class TestWorldImages:
             assert rec["caption"] == world.detail_page(asin)["title"]
             # canonical phash = phash of the decoded bytes (lossy-safe)
             assert rec["phash"] == phash64(px)
+
+
+class TestQualityStats:
+    def test_planted_analytics(self):
+        import math
+
+        from amazonwebcrawler_spark.functions.images import quality_stats
+
+        flat = quality_stats(np.full((32, 32, 3), 128, dtype=np.uint8))
+        assert flat["contrast"] == 0.0 and flat["luma_entropy"] == 0.0
+        assert flat["brightness"] == round(128 / 255, 6)
+        assert flat["is_low_quality"]  # contrast-free placeholder tile
+
+        stripe = np.zeros((32, 32, 3), dtype=np.uint8)
+        stripe[::2, :, :] = 255  # 50/50 black/white rows: exact closed-form stats
+        s = quality_stats(stripe)
+        assert s["brightness"] == 0.5 and s["contrast"] == 0.5
+        assert s["luma_entropy"] == round(math.log(2), 6)
+        assert not s["is_low_quality"]
+
+        tiny = quality_stats(np.full((4, 12, 3), 200, dtype=np.uint8))
+        assert tiny["is_low_quality"] and (tiny["w"], tiny["h"]) == (12, 4)
+        assert tiny["aspect_ratio"] == 3.0
+
+    def test_kernel_quarantines_undecodable(self, spark):
+        from amazonwebcrawler_spark.functions.images import (
+            QUALITY_SCHEMA,
+            encode_png,
+            quality_stats_kernel,
+        )
+
+        rows = [
+            ("ok", bytearray(encode_png(_pixels(3)))),
+            ("bad", bytearray(b"NOTANIMAGE")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        got = {
+            r.image_id: r
+            for r in df.repartition(2)
+            .mapInPandas(quality_stats_kernel(), QUALITY_SCHEMA)
+            .collect()
+        }
+        assert got["bad"].is_low_quality and got["bad"].brightness is None
+        assert got["ok"].brightness is not None and np.isfinite(got["ok"].contrast)
