@@ -594,6 +594,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return chunk_documents(d, "text", "doc_id", max_tokens=64, overlap=8)
 
+    # ----------------------------------------------------- sequence packing
+    def q_pack_sequences(spark, sf):
+        """GPT-style concat-and-split packing of the chunked corpus into
+        512-token training sequences (functions/text.pack_sequences): the
+        manifest row (seq_id, offsets, token span) for every
+        (sequence, chunk) overlap, positions derived from a per-shard
+        window prefix-sum + broadcast shard offsets — never a global sort.
+        The twin re-derives the identical stream arithmetic in SQL."""
+        from amazonwebcrawler_spark.functions.text import chunk_documents, pack_sequences
+
+        d = _t(spark, sf, "documents")
+        ch = chunk_documents(d, "text", "doc_id", max_tokens=64, overlap=8)
+        return pack_sequences(ch, seq_len=512, n_shards=8).select(
+            "doc_id", "chunk_idx", "n_tokens", "chunk_md5", "seq_id",
+            "offset_in_seq", "offset_in_chunk", "n_seq_tokens",
+        )
+
     # ----------------------------------------------------- LM quality signal
     def q_lm_score(spark, sf):
         """Self-trained unigram negative log-likelihood per doc (the
@@ -1096,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "tfidf_terms": q_tfidf_terms,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
         "stratified_sample": q_stratified_sample,
         "corpus_stats": q_corpus_stats,
@@ -1654,6 +1672,58 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
   len(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)]) AS n_tokens,
   md5(array_to_string(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)], ' ')) AS chunk_md5
 FROM idx
+""",
+        "pack_sequences": rf"""
+-- concat-and-split packing: the corpus is one virtual token stream in
+-- (md5-shard, doc_id, chunk_idx) order, cut every 512 tokens; a chunk's
+-- stream span [gs, ge) maps to sequences gs//512 .. (ge-1)//512
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+nc AS (
+  SELECT doc_id, toks,
+    greatest(1, CAST(ceil((len(toks) - 8) / 56.0) AS INT)) AS n_chunks
+  FROM tk
+),
+idx AS (
+  SELECT doc_id, toks, u.chunk_idx
+  FROM nc, UNNEST(generate_series(0, n_chunks - 1)) AS u(chunk_idx)
+),
+ch AS (
+  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+    len(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)]) AS n_tokens,
+    md5(array_to_string(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)], ' ')) AS chunk_md5
+  FROM idx
+),
+sh AS (
+  SELECT *,
+    CAST(CAST(('0x' || substr(md5('pack' || doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 8 AS INT) AS shard
+  FROM ch WHERE n_tokens > 0
+),
+cum AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (
+    PARTITION BY shard ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS e FROM sh
+),
+tot AS (SELECT shard, SUM(n_tokens) AS t FROM sh GROUP BY shard),
+offs AS (
+  SELECT shard, CAST(COALESCE(SUM(t) OVER (
+    ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+  ), 0) AS BIGINT) AS o FROM tot
+),
+g AS (
+  SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5,
+    o.o + c.e - c.n_tokens AS gs, o.o + c.e AS ge
+  FROM cum c JOIN offs o USING (shard)
+),
+x AS (
+  SELECT g.*, u.seq_id FROM g,
+    UNNEST(generate_series(gs // 512, (ge - 1) // 512)) AS u(seq_id)
+)
+SELECT doc_id, chunk_idx, n_tokens, chunk_md5, seq_id,
+  CAST(greatest(gs, seq_id * 512) - seq_id * 512 AS INT) AS offset_in_seq,
+  CAST(greatest(gs, seq_id * 512) - gs AS INT) AS offset_in_chunk,
+  CAST(least(ge, (seq_id + 1) * 512) - greatest(gs, seq_id * 512) AS INT) AS n_seq_tokens
+FROM x
 """,
         "lm_score": rf"""
 -- self-trained unigram LM: nll = -avg(ln(count(term)/total_tokens)) per doc

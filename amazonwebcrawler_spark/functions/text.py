@@ -311,3 +311,87 @@ def chunk_documents(df, text_col: str, id_col: str, max_tokens: int = 64, overla
         F.size(window).alias("n_tokens"),
         F.md5(F.concat_ws(" ", window)).alias("chunk_md5"),
     )
+
+
+def pack_sequences(
+    chunks,
+    seq_len: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+):
+    """Pack chunked documents into fixed-length training sequences —
+    GPT-style concat-and-split packing: the whole corpus is one virtual
+    token stream in deterministic corpus order, cut every ``seq_len``
+    tokens. Returns a packing MANIFEST: one row per (sequence, chunk)
+    overlap with the input columns plus
+
+    - ``seq_id``        global 0-based training-sequence number
+    - ``offset_in_seq`` where this chunk's contribution starts in the seq
+    - ``offset_in_chunk`` which of the chunk's own tokens that is
+    - ``n_seq_tokens``  how many of the chunk's tokens land in this seq
+
+    so a chunk crossing a boundary appears once per sequence it touches,
+    every sequence except the stream's last is exactly full, and
+    per chunk ``sum(n_seq_tokens) == n_tokens``. The manifest (ints + ids,
+    never text) is what a loader needs to materialize sequences.
+
+    Scale shape: the corpus order is (shard, doc_id, chunk_idx) with
+    shard = md5-bucket of the doc id (engine-portable, all chunks of a doc
+    contiguous), so the prefix sum that defines each chunk's stream
+    position is a WINDOW PARTITIONED BY SHARD — no global sort, no
+    single-task window; a shard's state is its chunk-manifest rows only.
+    Global positions come from per-shard totals: one map-side-combinable
+    aggregate whose collect is bounded by the ``n_shards`` config constant
+    (same justification as politeness.assign_discovery_seq), turned into
+    cumulative offsets and broadcast back. Shard boundaries fall
+    mid-sequence by design — the stream is globally contiguous, so the
+    result is byte-identical to a single global concat, but no machine
+    ever sees more than its shard.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    from pyspark.sql import Window
+
+    from amazonwebcrawler_spark.operators.corpus import hash_bucket
+
+    sh = chunks.filter(F.col(tokens_col) > 0).withColumn(
+        "_shard", hash_bucket(F.col(id_col), n_shards, salt="pack")
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(F.col(id_col).asc(), F.col(idx_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sh.withColumn("_end", F.sum(F.col(tokens_col)).over(w).cast("long"))
+    # shard totals: ≤ n_shards rows (config constant — never data-scale)
+    totals = {
+        r["_shard"]: r["t"]
+        for r in sh.groupBy("_shard").agg(F.sum(tokens_col).alias("t")).collect()
+    }
+    acc = 0
+    offs = []
+    for shard in sorted(totals):
+        offs.append((int(shard), acc))
+        acc += int(totals[shard])
+    spark = chunks.sparkSession
+    off_df = spark.createDataFrame(offs or [(0, 0)], "_shard int, _off long")
+    L = F.lit(seq_len).cast("long")
+    g = (
+        cum.join(F.broadcast(off_df), "_shard")
+        .withColumn("_gs", F.col("_off") + F.col("_end") - F.col(tokens_col))
+        .withColumn("_ge", F.col("_off") + F.col("_end"))
+    )
+    x = g.withColumn(
+        "seq_id",
+        F.explode(F.sequence(F.floor(F.col("_gs") / L), F.floor((F.col("_ge") - 1) / L))),
+    )
+    lo = F.greatest(F.col("_gs"), F.col("seq_id") * L)
+    hi = F.least(F.col("_ge"), (F.col("seq_id") + 1) * L)
+    return (
+        x.withColumn("offset_in_seq", (lo - F.col("seq_id") * L).cast("int"))
+        .withColumn("offset_in_chunk", (lo - F.col("_gs")).cast("int"))
+        .withColumn("n_seq_tokens", (hi - lo).cast("int"))
+        .drop("_shard", "_end", "_off", "_gs", "_ge")
+    )

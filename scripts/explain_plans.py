@@ -57,10 +57,14 @@ CHECKS = {
     # trap detection: two host-keyed hash aggregations of pure column math —
     # no Python eval node anywhere (NEG_CHECKS)
     "trap_detect": ["HashAggregate", "[codegen id :"],
+    # sequence packing: the stream prefix-sum is a SHARD-partitioned window
+    # and the global offsets arrive via broadcast — never a global sort
+    # (no SinglePartition exchange, NEG_CHECKS), no Python anywhere
+    "pack_sequences": ["Window", "BroadcastHashJoin", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
-NO_AQE = {"dedup_simhash", "hamming_neardup", "trap_detect"}
+NO_AQE = {"dedup_simhash", "hamming_neardup", "trap_detect", "pack_sequences"}
 
 NEG_CHECKS = {
     # query -> substrings that must NOT appear in the plan
@@ -69,6 +73,9 @@ NEG_CHECKS = {
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "chunk_documents": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange"],
     "lm_score": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "pack_sequences": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange SinglePartition",
+    ],
 }
 
 

@@ -86,3 +86,77 @@ class TestChunking:
         d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(d, "text", "doc_id", max_tokens=8, overlap=8)
+
+
+class TestPackSequences:
+    def _chunks(self, spark, rows, parts=1):
+        df = spark.createDataFrame(
+            rows, "doc_id long, chunk_idx int, n_tokens int, chunk_md5 string"
+        )
+        return df.repartition(parts) if parts > 1 else df
+
+    def test_stream_arithmetic_and_invariants(self, spark):
+        """Closed-form check with one shard: docs in order, seq_len=10.
+        Chunk spans follow the running prefix sum; every sequence except the
+        last is exactly full; per-chunk contributions cover the chunk."""
+        from amazonwebcrawler_spark.functions.text import pack_sequences
+
+        rows = [
+            (1, 0, 7, "a"), (1, 1, 7, "b"),  # doc 1: spans [0,7), [7,14)
+            (2, 0, 4, "c"),                  # doc 2: [14,18)
+            (3, 0, 12, "d"),                 # doc 3: [18,30) — crosses 2 cuts
+        ]
+        out = pack_sequences(
+            self._chunks(spark, rows), seq_len=10, n_shards=1
+        ).collect()
+        got = {(r.doc_id, r.chunk_idx, r.seq_id): r for r in out}
+        # chunk (1,1) covers stream [7,14): split 3 tokens in seq 0 + 4 in seq 1
+        a = got[(1, 1, 0)]
+        assert (a.offset_in_seq, a.offset_in_chunk, a.n_seq_tokens) == (7, 0, 3)
+        b = got[(1, 1, 1)]
+        assert (b.offset_in_seq, b.offset_in_chunk, b.n_seq_tokens) == (0, 3, 4)
+        # chunk (3,0) covers [18,30): 2 tokens in seq 1, 10 in seq 2
+        assert got[(3, 0, 1)].n_seq_tokens == 2 and got[(3, 0, 2)].n_seq_tokens == 10
+        # invariants: per-chunk coverage + all sequences full except the last
+        by_chunk = {}
+        by_seq = {}
+        for r in out:
+            by_chunk[(r.doc_id, r.chunk_idx)] = by_chunk.get((r.doc_id, r.chunk_idx), 0) + r.n_seq_tokens
+            by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_seq_tokens
+        assert by_chunk == {(1, 0): 7, (1, 1): 7, (2, 0): 4, (3, 0): 12}
+        last = max(by_seq)
+        assert all(v == 10 for s, v in by_seq.items() if s != last)
+        assert by_seq[last] == 30 - 10 * last
+
+    def test_partitioning_invariance_and_global_contiguity(self, spark):
+        """The manifest is a pure function of the data: identical under
+        repartitioning, and the multi-shard global stream is contiguous
+        (offsets tile [0, total) with no gaps or overlaps)."""
+        from amazonwebcrawler_spark.functions.text import pack_sequences
+
+        rows = [(d, i, 5 + (d * 7 + i) % 9, f"m{d}-{i}") for d in range(20) for i in range(3)]
+        a = sorted(
+            map(tuple, pack_sequences(self._chunks(spark, rows), 16, n_shards=4).collect())
+        )
+        b = sorted(
+            map(tuple, pack_sequences(self._chunks(spark, rows, parts=7), 16, n_shards=4).collect())
+        )
+        assert a == b and len(a) > len(rows)  # some chunks must straddle cuts
+        total = sum(r[2] for r in rows)
+        covered = sorted(
+            (r.seq_id * 16 + r.offset_in_seq, r.n_seq_tokens)
+            for r in pack_sequences(self._chunks(spark, rows), 16, n_shards=4).collect()
+        )
+        pos = 0
+        for start, n in covered:
+            assert start == pos, (start, pos)
+            pos += n
+        assert pos == total
+
+    def test_rejects_bad_seq_len(self, spark):
+        import pytest
+
+        from amazonwebcrawler_spark.functions.text import pack_sequences
+
+        with pytest.raises(ValueError, match="seq_len"):
+            pack_sequences(self._chunks(spark, [(1, 0, 1, "x")]), 0)
