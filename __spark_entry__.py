@@ -1024,6 +1024,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver compare, and the quarantine behavior is pytest-owned
         return stats.filter(F.col("brightness").isNotNull())
 
+    # ----------------------------------------------------- aspect-ratio bucketing
+    def q_aspect_buckets(spark, sf):
+        """SDXL/NovelAI-style aspect bucketing for multimodal training
+        batches (operators/images_io.aspect_buckets): nearest-log-aspect
+        bucket from a fixed ladder + integer-exact cover-resize and
+        center-crop, all pure codegen column math (argmin = array_min over
+        a literal struct array; zero joins, zero shuffles). Dims are
+        synthesized deterministically from part keys so BOTH engines build
+        the identical input; the twin re-derives the argmin with a
+        windowed rank over the same ladder."""
+        from amazonwebcrawler_spark.operators.images_io import aspect_buckets
+
+        p = _t(spark, sf, "part").select(
+            F.concat(F.lit("img-"), F.col("p_partkey").cast("string")).alias("image_id"),
+            (F.lit(16) + F.col("p_partkey") % 93).cast("int").alias("w"),
+            (F.lit(16) + (F.col("p_partkey") * 7) % 77).cast("int").alias("h"),
+        )
+        return aspect_buckets(p)
+
     # ----------------------------------------------------- link-graph PageRank (W4 offline score)
     def q_host_rank(spark, sf):
         """The north-star priority queue's offline "page-rank-like score":
@@ -1121,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
         "image_quality": q_image_quality,
+        "aspect_buckets": q_aspect_buckets,
         "host_rank": q_host_rank,
         "trap_detect": q_trap_detect,
         "crawl_rank_wave": q_crawl_rank_wave,
@@ -1672,6 +1692,34 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
   len(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)]) AS n_tokens,
   md5(array_to_string(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)], ' ')) AS chunk_md5
 FROM idx
+""",
+        "aspect_buckets": """
+-- aspect bucketing: nearest log-aspect bucket (6dp-rounded distance, ties
+-- to the lower bucket_id), then integer-exact cover-resize + center-crop
+WITH dims AS (
+  SELECT 'img-' || p_partkey::VARCHAR AS image_id,
+    16 + (p_partkey % 93) AS w, 16 + ((p_partkey * 7) % 77) AS h
+  FROM part
+),
+b(bucket_id, bucket_w, bucket_h) AS (
+  VALUES (0,64,64),(1,80,48),(2,48,80),(3,96,40),(4,40,96),(5,72,56),(6,56,72)
+),
+scored AS (
+  SELECT d.image_id, d.w, d.h, b.bucket_id, b.bucket_w, b.bucket_h,
+    row_number() OVER (
+      PARTITION BY d.image_id
+      ORDER BY round(abs(ln(d.w::DOUBLE / d.h) - ln(b.bucket_w::DOUBLE / b.bucket_h)), 6) ASC,
+               b.bucket_id ASC
+    ) AS rk
+  FROM dims d CROSS JOIN b
+)
+SELECT image_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+  bucket_id, bucket_w, bucket_h,
+  CAST(greatest(bucket_w, (w * bucket_h + h - 1) // h) AS INT) AS resize_w,
+  CAST(greatest(bucket_h, (h * bucket_w + w - 1) // w) AS INT) AS resize_h,
+  CAST((greatest(bucket_w, (w * bucket_h + h - 1) // h) - bucket_w) // 2 AS INT) AS crop_x,
+  CAST((greatest(bucket_h, (h * bucket_w + w - 1) // w) - bucket_h) // 2 AS INT) AS crop_y
+FROM scored WHERE rk = 1
 """,
         "pack_sequences": rf"""
 -- concat-and-split packing: the corpus is one virtual token stream in

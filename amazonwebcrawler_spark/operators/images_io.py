@@ -64,3 +64,79 @@ def validate_images(images: DataFrame) -> DataFrame:
     return images.select(
         "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
     ).mapInPandas(_validate_batches, VALIDATE_SCHEMA)
+
+
+#: default training buckets (w, h) — a small SDXL-style ladder around one
+#: megapixel scaled down to this repo's synthetic sizes; square first so the
+#: index tiebreak prefers it at equal aspect distance
+DEFAULT_ASPECT_BUCKETS = (
+    (64, 64), (80, 48), (48, 80), (96, 40), (40, 96), (72, 56), (56, 72),
+)
+
+
+def aspect_buckets(
+    images: DataFrame,
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal training batches (the
+    NovelAI/SDXL move): assign every image to the fixed bucket whose aspect
+    ratio is nearest in log space, and derive the cover-resize + center-crop
+    that maps the image onto the bucket — so a training loader can batch
+    same-bucket rows without padding or distortion.
+
+    Pure JVM column math over the table's typed metadata ``(w, h)`` — no
+    decode, no join, no shuffle: the argmin over the (constant) bucket
+    ladder is ``array_min`` of a literal struct array ordered by
+    (distance, bucket index), so ties go to the earlier bucket and the
+    whole assignment stays inside whole-stage codegen. Distance is rounded
+    to 6 dp to keep the argmin engine-portable (the DuckDB twin re-derives
+    it with a windowed rank over the same ladder).
+
+    Resize is integer-exact: ``resize = max(bucket_dim, ceil(cover))`` in
+    each axis, ``crop = (resize - bucket) // 2``; resized dims always cover
+    the bucket so the crop is non-negative.
+
+    Returns ``(id, w, h, bucket_id, bucket_w, bucket_h, resize_w, resize_h,
+    crop_x, crop_y)``.
+    """
+    from pyspark.sql import functions as F
+
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    cands = [
+        F.struct(
+            F.round(F.abs(F.log(w / h) - F.log(F.lit(bw / bh))), 6).alias("dist"),
+            F.lit(i).alias("bucket_id"),
+            F.lit(bw).alias("bucket_w"),
+            F.lit(bh).alias("bucket_h"),
+        )
+        for i, (bw, bh) in enumerate(buckets)
+    ]
+    best = F.array_min(F.array(*cands))
+    bw = F.col("_b.bucket_w").cast("long")
+    bh = F.col("_b.bucket_h").cast("long")
+    rw = F.greatest(bw, F.floor((w * bh + h - 1) / h))
+    rh = F.greatest(bh, F.floor((h * bw + w - 1) / w))
+    return (
+        images.select(
+            F.col(id_col),
+            w.cast("int").alias("w"),
+            h.cast("int").alias("h"),
+            best.alias("_b"),
+        )
+        .select(
+            id_col,
+            "w",
+            "h",
+            F.col("_b.bucket_id").alias("bucket_id"),
+            F.col("_b.bucket_w").alias("bucket_w"),
+            F.col("_b.bucket_h").alias("bucket_h"),
+            rw.cast("int").alias("resize_w"),
+            rh.cast("int").alias("resize_h"),
+            F.floor((rw - bw) / 2).cast("int").alias("crop_x"),
+            F.floor((rh - bh) / 2).cast("int").alias("crop_y"),
+        )
+    )

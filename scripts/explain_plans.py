@@ -61,6 +61,9 @@ CHECKS = {
     # and the global offsets arrive via broadcast — never a global sort
     # (no SinglePartition exchange, NEG_CHECKS), no Python anywhere
     "pack_sequences": ["Window", "BroadcastHashJoin", "[codegen id :"],
+    # aspect bucketing: argmin over a literal struct array — one codegen'd
+    # projection, zero joins/exchanges/Python (NEG_CHECKS)
+    "aspect_buckets": ["[codegen id :", "array_min"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -75,6 +78,9 @@ NEG_CHECKS = {
     "lm_score": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "pack_sequences": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange SinglePartition",
+    ],
+    "aspect_buckets": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join",
     ],
 }
 

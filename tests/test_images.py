@@ -123,3 +123,41 @@ class TestQualityStats:
         }
         assert got["bad"].is_low_quality and got["bad"].brightness is None
         assert got["ok"].brightness is not None and np.isfinite(got["ok"].contrast)
+
+
+class TestAspectBuckets:
+    def test_planted_assignments(self, spark):
+        """Analytic cases: exact square → bucket 0 identity; a 2:1 image is
+        EXACTLY ln(6/5) from both the 5:3 and 12:5 buckets (ln2−ln(5/3) =
+        ln(12/5)−ln2), so the tie must break to the lower bucket_id; a wide
+        100×30 image covers (96,40) via resize (134,40), crop (19,0)."""
+        from amazonwebcrawler_spark.operators.images_io import aspect_buckets
+
+        df = spark.createDataFrame(
+            [("sq", 64, 64), ("two2one", 90, 45), ("wide", 100, 30)],
+            "image_id string, w int, h int",
+        )
+        got = {r.image_id: r for r in aspect_buckets(df).collect()}
+        sq = got["sq"]
+        assert (sq.bucket_w, sq.bucket_h, sq.resize_w, sq.resize_h) == (64, 64, 64, 64)
+        assert (sq.crop_x, sq.crop_y) == (0, 0)
+        assert got["two2one"].bucket_id == 1  # (80,48) beats (96,40) on the tie
+        wide = got["wide"]
+        assert (wide.bucket_w, wide.bucket_h) == (96, 40)
+        assert (wide.resize_w, wide.resize_h) == (134, 40)  # ceil(100*40/30)=134
+        assert (wide.crop_x, wide.crop_y) == (19, 0)
+
+    def test_cover_and_crop_invariants(self, spark):
+        """For arbitrary dims: the resize always covers the bucket, crops
+        are non-negative and centered, and the cropped window is exactly
+        the bucket."""
+        from amazonwebcrawler_spark.operators.images_io import aspect_buckets
+
+        rows = [(f"i{k}", 8 + (k * 13) % 120, 8 + (k * 29) % 97) for k in range(200)]
+        df = spark.createDataFrame(rows, "image_id string, w int, h int")
+        for r in aspect_buckets(df).collect():
+            assert r.resize_w >= r.bucket_w and r.resize_h >= r.bucket_h
+            assert r.crop_x == (r.resize_w - r.bucket_w) // 2 >= 0
+            assert r.crop_y == (r.resize_h - r.bucket_h) // 2 >= 0
+            # binding axis scales exactly to the bucket (cover semantics)
+            assert r.resize_w == r.bucket_w or r.resize_h == r.bucket_h
