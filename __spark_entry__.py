@@ -1024,6 +1024,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver compare, and the quarantine behavior is pytest-owned
         return stats.filter(F.col("brightness").isNotNull())
 
+    # ----------------------------------------------------- multimodal alignment filter
+    def q_alignment_filter(spark, sf):
+        """CLIP-score-style alignment filtering
+        (operators/similarity.alignment_filter): row-wise cosine + keep
+        decision over paired embedding columns — the LAION curation shape.
+        Pairs are built relationally from the embeddings table so both
+        engines construct identical inputs: 'same' (vector with itself,
+        score 1.0), 'mix' (vector vs its average with the next vector — a
+        mid-band score), 'other' (vector vs the next vector — unaligned).
+        threshold 0.9 keeps 'same' and the aligned tail of 'mix'."""
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+        )
+        from amazonwebcrawler_spark.operators.similarity import alignment_filter
+
+        a = e.alias("a")
+        b = e.select(
+            (F.col("vec_id") - 1).alias("_join_id"), F.col("emb").alias("emb_b")
+        ).alias("b")
+        ab = a.join(b, F.col("a.vec_id") == F.col("_join_id")).select(
+            "a.vec_id", F.col("a.emb").alias("emb_a"), "emb_b"
+        )
+        mix = F.zip_with("emb_a", "emb_b", lambda x, y: (x + y) / 2)
+        pairs = (
+            e.select("vec_id", F.lit("same").alias("kind"),
+                     F.col("emb").alias("emb_a"), F.col("emb").alias("emb_b"))
+            .unionByName(ab.select("vec_id", F.lit("mix").alias("kind"),
+                                   "emb_a", mix.alias("emb_b")))
+            .unionByName(ab.select("vec_id", F.lit("other").alias("kind"),
+                                   "emb_a", "emb_b"))
+        )
+        return alignment_filter(pairs, "emb_a", "emb_b", 0.9).select(
+            "vec_id", "kind", "alignment", "keep"
+        )
+
     # ----------------------------------------------------- aspect-ratio bucketing
     def q_aspect_buckets(spark, sf):
         """SDXL/NovelAI-style aspect bucketing for multimodal training
@@ -1141,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "image_quality": q_image_quality,
         "aspect_buckets": q_aspect_buckets,
+        "alignment_filter": q_alignment_filter,
         "host_rank": q_host_rank,
         "trap_detect": q_trap_detect,
         "crawl_rank_wave": q_crawl_rank_wave,
@@ -1692,6 +1728,35 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
   len(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)]) AS n_tokens,
   md5(array_to_string(toks[(chunk_idx * 56 + 1):(chunk_idx * 56 + 64)], ' ')) AS chunk_md5
 FROM idx
+""",
+        "alignment_filter": """
+-- CLIP-score-style alignment filter: row-wise cosine over paired embedding
+-- columns (double math, 6dp round, zero-denominator -> 0), keep at >= 0.9
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+ab AS (
+  SELECT a.vec_id, a.emb AS emb_a, b.emb AS emb_b
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+),
+p AS (
+  SELECT vec_id, 'same' AS kind, emb AS emb_a, emb AS emb_b FROM e
+  UNION ALL
+  SELECT vec_id, 'mix', emb_a,
+    list_transform(list_zip(emb_a, emb_b), x -> (x[1] + x[2]) / 2)
+  FROM ab
+  UNION ALL
+  SELECT vec_id, 'other', emb_a, emb_b FROM ab
+),
+scored AS (
+  SELECT vec_id, kind,
+    list_sum(list_transform(list_zip(emb_a, emb_b), x -> x[1] * x[2])) AS dot,
+    sqrt(list_sum(list_transform(emb_a, v -> v * v)))
+      * sqrt(list_sum(list_transform(emb_b, v -> v * v))) AS den
+  FROM p
+)
+SELECT vec_id, kind,
+  round(CASE WHEN den > 0 THEN dot / den ELSE 0.0 END, 6) AS alignment,
+  (round(CASE WHEN den > 0 THEN dot / den ELSE 0.0 END, 6) >= 0.9) AS keep
+FROM scored
 """,
         "aspect_buckets": """
 -- aspect bucketing: nearest log-aspect bucket (6dp-rounded distance, ties

@@ -350,3 +350,29 @@ def image_embedding_table(
         .mapInPandas(_batches, IMAGE_EMBED_SCHEMA)
         .filter(F.col("embedding").isNotNull())
     )
+
+
+def alignment_filter(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float,
+    score_col: str = "alignment",
+) -> DataFrame:
+    """CLIP-score-style multimodal alignment filter (the LAION curation
+    move): row-wise cosine between two embedding columns of the SAME row —
+    e.g. the image-encoder and text-encoder outputs for an image+caption
+    pair — plus the keep decision at ``threshold``.
+
+    Pure column math (``zip_with`` + ``aggregate``, double-cast per element
+    like every cosine here), rounded to 6 dp for engine portability. The
+    scale shape is the whole point: alignment filtering is a MAP-ONLY pass
+    over the pair table — no join, no shuffle, no Python — because the two
+    vectors already live on the same row; at 100 TB it pipelines behind
+    whatever produced the embeddings. Swap the upstream encoders for real
+    CLIP towers and this operator is unchanged.
+    """
+    s = F.round(cosine(F.col(a_col), F.col(b_col)), 6)
+    return pairs.withColumn(score_col, s).withColumn(
+        "keep", F.col(score_col) >= F.lit(threshold)
+    )

@@ -516,3 +516,44 @@ class TestEmbedTinyImages:
         qs = emb.filter(F.col("image_id") == "tiny-0")
         top = similarity.brute_force_topk(emb, qs, "image_id", "embedding", k=1).collect()
         assert [(r.query_id, r.neighbor_id) for r in top] == [("tiny-0", "tiny-0-v")]
+
+
+class TestAlignmentFilter:
+    def test_closed_form_scores_and_threshold(self, spark):
+        from amazonwebcrawler_spark.operators.similarity import alignment_filter
+
+        rows = [
+            ("same", [1.0, 2.0, 2.0], [2.0, 4.0, 4.0]),   # colinear -> 1.0
+            ("orth", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),   # orthogonal -> 0.0
+            ("anti", [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),  # opposite -> -1.0
+            ("zero", [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),   # zero norm -> 0.0 guard
+            ("half", [1.0, 0.0], [1.0, 1.0]),             # cos 45deg
+        ]
+        df = spark.createDataFrame(
+            rows, "pair_id string, a array<double>, b array<double>"
+        )
+        got = {r.pair_id: r for r in alignment_filter(df, "a", "b", 0.7).collect()}
+        assert got["same"].alignment == 1.0 and got["same"].keep
+        assert got["orth"].alignment == 0.0 and not got["orth"].keep
+        assert got["anti"].alignment == -1.0
+        assert got["zero"].alignment == 0.0
+        assert got["half"].alignment == round(2 ** -0.5, 6) and got["half"].keep
+
+    def test_map_only_plan(self, spark):
+        """The filter must be a pure projection over the pair table — no
+        exchange, no join, no Python node: at 100 TB it pipelines behind
+        the encoder stage."""
+        import io
+        from contextlib import redirect_stdout
+
+        from amazonwebcrawler_spark.operators.similarity import alignment_filter
+
+        df = spark.createDataFrame(
+            [("x", [1.0], [1.0])], "pair_id string, a array<double>, b array<double>"
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            alignment_filter(df, "a", "b", 0.5).explain("formatted")
+        txt = buf.getvalue()
+        for bad in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert bad not in txt, bad
