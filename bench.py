@@ -50,6 +50,9 @@ BENCH_QUERIES = (
     # so this times the WHOLE materialization, not just the final count.
     # ~14 s warm at sf0.1/local[32] idle (first rep pays plan warm-up).
     "corpus_pipeline",
+    # chunk → pack manifest (r4): the training-sequence prep stage; times
+    # the sharded prefix-sum + explode (includes the bounded totals collect)
+    "pack_sequences",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
