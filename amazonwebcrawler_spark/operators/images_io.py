@@ -100,10 +100,13 @@ def aspect_buckets(
     the bucket so the crop is non-negative.
 
     Returns ``(id, w, h, bucket_id, bucket_w, bucket_h, resize_w, resize_h,
-    crop_x, crop_y)``.
+    crop_x, crop_y)``. Rows with non-positive dims are dropped — their
+    log-aspect is undefined, and an image without valid dimensions cannot
+    have decoded (``validate_images`` flags such rows upstream).
     """
     from pyspark.sql import functions as F
 
+    images = images.filter((F.col(w_col) > 0) & (F.col(h_col) > 0))
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
     cands = [

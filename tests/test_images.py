@@ -161,3 +161,12 @@ class TestAspectBuckets:
             assert r.crop_y == (r.resize_h - r.bucket_h) // 2 >= 0
             # binding axis scales exactly to the bucket (cover semantics)
             assert r.resize_w == r.bucket_w or r.resize_h == r.bucket_h
+
+    def test_drops_nonpositive_dims(self, spark):
+        from amazonwebcrawler_spark.operators.images_io import aspect_buckets
+
+        df = spark.createDataFrame(
+            [("ok", 64, 64), ("zero", 0, 10), ("neg", 12, -3)],
+            "image_id string, w int, h int",
+        )
+        assert [r.image_id for r in aspect_buckets(df).collect()] == ["ok"]
