@@ -501,6 +501,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = images.select("image_id", F.length("bytes").alias("n_bytes"))
         return dedup.keep_canonical(docs, pairs, id_col="image_id", quality_col="n_bytes")
 
+    # ----------------------------------------------------- image pipeline (committed golden)
+    def q_image_pipeline(spark, sf):
+        """The composed image-curation cascade (operators/images_io.
+        image_pipeline) — the image twin of `corpus_pipeline`: decode +
+        quality + pHash + size in ONE Arrow pass (curate_stats_kernel),
+        then quality gate → near-dup keep → aspect bucket, every image
+        labelled with its FIRST-drop stage. Fixture: 20 block masters with
+        lossy re-encodes at i%4 flipped cells (15 pairs within hamming ≤2
+        → dup_drop of the smaller re-encode; 5 at k=3 survive) + the flat
+        tile and tiny diagnostics (low_quality) + corrupt bytes (invalid).
+        The golden's capture checker re-derives every stage brute-force:
+        decode, quality thresholds, O(n²) pair scan → union-find →
+        max-bytes election, and the bucket/resize/crop arithmetic."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as imgf
+        from amazonwebcrawler_spark.operators.images_io import image_pipeline
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(20):
+            base = world.block_image_record(f"pipe-{i}")
+            var = world.block_image_record(f"pipe-{i}", flip_cells=i % 4, fmt="jpeg")
+            rows.append((base["image_id"], bytearray(base["bytes"])))
+            rows.append((f"{var['image_id']}-v", bytearray(var["bytes"])))
+        flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+        tiny = np.full((4, 12, 3), 200, dtype=np.uint8)
+        rows += [
+            ("diag-flat", bytearray(imgf.encode_png(flat))),
+            ("diag-tiny", bytearray(imgf.encode_png(tiny))),
+            ("diag-corrupt", bytearray(b"NOTANIMAGE")),
+        ]
+        images = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(8)
+        return image_pipeline(images, max_hamming=2)
+
     # ----------------------------------------------------- image ANN (committed golden)
     def q_image_ann(spark, sf):
         """Image retrieval through the ANN family: opaque bytes →
@@ -1157,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_neardup": q_hamming_neardup,
         "dedup_phash": q_dedup_phash,
         "image_dedup_keep": q_image_dedup_keep,
+        "image_pipeline": q_image_pipeline,
         "image_ann": q_image_ann,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,

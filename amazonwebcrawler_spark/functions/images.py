@@ -256,3 +256,47 @@ def quality_stats_kernel():
             yield pd.DataFrame(rows)
 
     return gen
+
+
+#: Spark schema of curate_stats_kernel's output — quality_stats plus the
+#: perceptual hash and byte size, so the whole image-curation cascade
+#: (validate → quality gate → near-dup → bucket) needs ONE decode pass
+CURATE_SCHEMA = QUALITY_SCHEMA + ", phash long, n_bytes int"
+
+
+def curate_stats_kernel():
+    """mapInPandas kernel ``(image_id, bytes) → CURATE_SCHEMA`` — the fused
+    single-decode form of :func:`quality_stats_kernel`: every signal the
+    curation pipeline consumes (quality stats, pHash for near-dup pairing,
+    byte size for canonical election) from one decode per image, so the
+    composed ``operators/images_io.image_pipeline`` crosses into Python
+    exactly once. Undecodable bytes quarantine the same way (null stats,
+    null phash, ``is_low_quality=True``); ``n_bytes`` is always real."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                raw = bytes(data)
+                try:
+                    px = decode_image(raw)
+                    stats = quality_stats(px)
+                    stats["phash"] = phash64(px)  # already signed int64
+                except Exception:
+                    stats = {
+                        "w": None, "h": None, "brightness": None, "contrast": None,
+                        "luma_entropy": None, "aspect_ratio": None,
+                        "is_low_quality": True, "phash": None,
+                    }
+                rows.append({"image_id": iid, **stats, "n_bytes": len(raw)})
+            out = pd.DataFrame(rows)
+            # a quarantine row's None phash coerces the column to float64
+            # at DataFrame construction, silently corrupting int64 hash
+            # bits for every other row in the batch (cuckoo learned this
+            # the hard way) — rebuild it nullable-integer from the
+            # UNCOERCED python values
+            out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
+            yield out
+
+    return gen

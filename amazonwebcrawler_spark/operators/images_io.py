@@ -107,6 +107,29 @@ def aspect_buckets(
     from pyspark.sql import functions as F
 
     images = images.filter((F.col(w_col) > 0) & (F.col(h_col) > 0))
+    out = with_aspect_buckets(images, w_col=w_col, h_col=h_col, buckets=buckets)
+    return out.select(
+        id_col,
+        F.col(w_col).cast("int").alias("w"),
+        F.col(h_col).cast("int").alias("h"),
+        "bucket_id", "bucket_w", "bucket_h",
+        "resize_w", "resize_h", "crop_x", "crop_y",
+    )
+
+
+def with_aspect_buckets(
+    df: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS,
+) -> DataFrame:
+    """The composable form of :func:`aspect_buckets`: ADD the bucket /
+    resize / crop columns to ``df`` (all other columns pass through).
+    Caller guarantees positive dims — non-positive dims yield null
+    ``bucket_id`` (undefined log-aspect), which :func:`aspect_buckets`
+    avoids by filtering first."""
+    from pyspark.sql import functions as F
+
     w = F.col(w_col).cast("long")
     h = F.col(h_col).cast("long")
     cands = [
@@ -124,22 +147,91 @@ def aspect_buckets(
     rw = F.greatest(bw, F.floor((w * bh + h - 1) / h))
     rh = F.greatest(bh, F.floor((h * bw + w - 1) / w))
     return (
-        images.select(
-            F.col(id_col),
-            w.cast("int").alias("w"),
-            h.cast("int").alias("h"),
-            best.alias("_b"),
-        )
-        .select(
-            id_col,
-            "w",
-            "h",
-            F.col("_b.bucket_id").alias("bucket_id"),
-            F.col("_b.bucket_w").alias("bucket_w"),
-            F.col("_b.bucket_h").alias("bucket_h"),
-            rw.cast("int").alias("resize_w"),
-            rh.cast("int").alias("resize_h"),
-            F.floor((rw - bw) / 2).cast("int").alias("crop_x"),
-            F.floor((rh - bh) / 2).cast("int").alias("crop_y"),
-        )
+        df.withColumn("_b", best)
+        .withColumn("bucket_id", F.col("_b.bucket_id"))
+        .withColumn("bucket_w", F.col("_b.bucket_w"))
+        .withColumn("bucket_h", F.col("_b.bucket_h"))
+        .withColumn("resize_w", rw.cast("int"))
+        .withColumn("resize_h", rh.cast("int"))
+        .withColumn("crop_x", F.floor((rw - bw) / 2).cast("int"))
+        .withColumn("crop_y", F.floor((rh - bh) / 2).cast("int"))
+        .drop("_b")
+    )
+
+
+def image_pipeline(
+    images: DataFrame,
+    max_hamming: int = 2,
+    buckets: tuple[tuple[int, int], ...] = DEFAULT_ASPECT_BUCKETS,
+) -> DataFrame:
+    """The whole image-curation cascade as ONE composed plan — the image
+    twin of the ``corpus_pipeline`` driver query — labelling every image
+    with the FIRST stage that dropped it:
+
+    - ``invalid``      bytes do not decode (the curate kernel's quarantine)
+    - ``low_quality``  Gopher-style image gate (``images.quality_stats``)
+    - ``dup_drop``     pHash near-dup, non-canonical member — dedup only
+                       ever runs over quality survivors
+    - ``kept``         survivor; carries its aspect bucket + resize plan
+                       (bucket columns are null off the kept path)
+
+    Scale shape: ONE Python crossing for everything — the fused
+    ``curate_stats_kernel`` decodes each image once and emits quality
+    stats + pHash + byte size; the stats table (a row of scalars per
+    image, no pixels) is eagerly localCheckpoint'ed so its three
+    downstream consumers (labels, pair finding, election) never re-decode.
+    Near-dup pairing is the pure-JVM pigeonhole hamming join on the phash
+    column; the keep election joins the corpus only against pair-member
+    slivers; bucketing is inline column math nulled off the kept path —
+    no corpus-wide join anywhere past the kernel.
+
+    Returns ``(image_id, stage, bucket_id, bucket_w, bucket_h, resize_w,
+    resize_h, crop_x, crop_y)``.
+    """
+    from pyspark.sql import functions as F
+
+    from amazonwebcrawler_spark.functions.images import CURATE_SCHEMA, curate_stats_kernel
+    from amazonwebcrawler_spark.operators import dedup
+
+    stats = images.mapInPandas(curate_stats_kernel(), CURATE_SCHEMA)
+    # scalars-only table, reused by 3 sub-DAGs — checkpoint so the decode
+    # kernel runs once (same eager-release pattern as minhash_lsh_pairs)
+    stats = stats.localCheckpoint(eager=True)
+
+    survivors = stats.filter(F.col("brightness").isNotNull() & ~F.col("is_low_quality"))
+    pairs = dedup.phash_neardup_pairs(
+        survivors, id_col="image_id", bytes_col=None, phash_col="phash",
+        max_hamming=max_hamming,
+    )
+    decision = dedup.keep_canonical(
+        survivors.select("image_id", "n_bytes"), pairs,
+        id_col="image_id", quality_col="n_bytes",
+    )
+    dup_drop = (
+        decision.filter(F.col("keep") == 0)  # keep_canonical returns doc_id
+        .select(F.col("doc_id").alias("image_id"))
+        .withColumn("_dup", F.lit(True))
+    )
+    labelled = stats.join(dup_drop, "image_id", "left").withColumn(
+        "stage",
+        F.when(F.col("brightness").isNull(), F.lit("invalid"))
+        .when(F.col("is_low_quality"), F.lit("low_quality"))
+        .when(F.coalesce(F.col("_dup"), F.lit(False)), F.lit("dup_drop"))
+        .otherwise(F.lit("kept")),
+    )
+    kept = F.col("stage") == "kept"
+    bucketed = with_aspect_buckets(
+        # dims guaranteed positive on decodable rows; placeholder 1s keep
+        # the log math null-free on rows whose bucket we null out anyway
+        labelled.withColumn("_bw", F.when(kept, F.col("w")).otherwise(F.lit(1)))
+        .withColumn("_bh", F.when(kept, F.col("h")).otherwise(F.lit(1))),
+        w_col="_bw", h_col="_bh", buckets=buckets,
+    )
+    null_unless_kept = lambda c: F.when(kept, F.col(c)).otherwise(F.lit(None)).alias(c)  # noqa: E731
+    return bucketed.select(
+        "image_id", "stage",
+        *[null_unless_kept(c) for c in (
+            "bucket_id", "bucket_w", "bucket_h",
+            "resize_w", "resize_h", "crop_x", "crop_y",
+        )],
     )

@@ -72,6 +72,12 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "brightness": "DOUBLE", "contrast": "DOUBLE", "luma_entropy": "DOUBLE",
         "aspect_ratio": "DOUBLE", "is_low_quality": "BOOLEAN",
     },
+    "image_pipeline": {
+        "image_id": "VARCHAR", "stage": "VARCHAR",
+        "bucket_id": "INTEGER", "bucket_w": "INTEGER", "bucket_h": "INTEGER",
+        "resize_w": "INTEGER", "resize_h": "INTEGER",
+        "crop_x": "INTEGER", "crop_y": "INTEGER",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -335,6 +341,103 @@ def _check_image_quality(rows, ctx):
             assert got[k] == v, (rec["image_id"], k, got[k], v)
 
 
+def _check_image_pipeline(rows, ctx):
+    """Re-derive the ENTIRE cascade brute-force, Spark untouched: decode →
+    quality thresholds → O(n²) hamming pair scan among survivors →
+    union-find → max-bytes election → nearest-log-aspect bucket + cover
+    resize/crop for kept rows; then pin the planted stage counts."""
+    import math as _math
+
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import (
+        decode_image,
+        encode_png,
+        hamming64,
+        phash64,
+        quality_stats,
+    )
+    from amazonwebcrawler_spark.operators.images_io import DEFAULT_ASPECT_BUCKETS
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    imgs = []
+    for i in range(20):
+        base = block_image_record(f"pipe-{i}")
+        var = block_image_record(f"pipe-{i}", flip_cells=i % 4, fmt="jpeg")
+        imgs.append((base["image_id"], base["bytes"]))
+        imgs.append((f"{var['image_id']}-v", var["bytes"]))
+    imgs += [
+        ("diag-flat", encode_png(np.full((32, 32, 3), 128, dtype=np.uint8))),
+        ("diag-tiny", encode_png(np.full((4, 12, 3), 200, dtype=np.uint8))),
+        ("diag-corrupt", b"NOTANIMAGE"),
+    ]
+    stage: dict[str, str] = {}
+    ph: dict[str, int] = {}
+    dims: dict[str, tuple[int, int]] = {}
+    size = {iid: len(b) for iid, b in imgs}
+    for iid, b in imgs:
+        try:
+            px = decode_image(b)
+        except Exception:
+            stage[iid] = "invalid"
+            continue
+        q = quality_stats(px)
+        dims[iid] = (q["w"], q["h"])
+        if q["is_low_quality"]:
+            stage[iid] = "low_quality"
+        else:
+            ph[iid] = phash64(px)
+    survivors = sorted(ph)
+    parent = {iid: iid for iid in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in survivors:
+        for b in survivors:
+            if a < b and hamming64(ph[a], ph[b]) <= 2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[str, list[str]] = {}
+    for iid in survivors:
+        groups.setdefault(find(iid), []).append(iid)
+    for members in groups.values():
+        keeper = min(members, key=lambda m: (-size[m], m))
+        for m in members:
+            stage[m] = "kept" if m == keeper else "dup_drop"
+
+    expected = set()
+    for iid, _ in imgs:
+        st = stage[iid]
+        if st != "kept":
+            expected.add((iid, st, None, None, None, None, None, None, None))
+            continue
+        w, h = dims[iid]
+        bid, (bw, bh) = min(
+            enumerate(DEFAULT_ASPECT_BUCKETS),
+            key=lambda e: (round(abs(_math.log(w / h) - _math.log(e[1][0] / e[1][1])), 6), e[0]),
+        )
+        rw = max(bw, (w * bh + h - 1) // h)
+        rh = max(bh, (h * bw + w - 1) // w)
+        expected.add((iid, "kept", bid, bw, bh, rw, rh, (rw - bw) // 2, (rh - bh) // 2))
+    got = {
+        (r["image_id"], r["stage"], r["bucket_id"], r["bucket_w"], r["bucket_h"],
+         r["resize_w"], r["resize_h"], r["crop_x"], r["crop_y"])
+        for r in rows
+    }
+    assert got == expected, (sorted(got - expected)[:5], sorted(expected - got)[:5])
+    counts = {}
+    for _, st, *_rest in got:
+        counts[st] = counts.get(st, 0) + 1
+    # 15 re-encodes within hamming<=2 of their master drop; 20 masters +
+    # 5 k=3 variants survive; flat+tiny gate out; corrupt quarantines
+    assert counts == {"invalid": 1, "low_quality": 2, "dup_drop": 15, "kept": 25}, counts
+
+
 def _check_bloom_stats(rows, ctx):
     """10 000 planted URLs, zero false negatives — the Bloom contract."""
     assert len(rows) == 8, len(rows)
@@ -367,6 +470,7 @@ CHECKERS = {
     "image_ann": _check_image_ann,
     "audio_features": _check_audio_features,
     "image_quality": _check_image_quality,
+    "image_pipeline": _check_image_pipeline,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,
 }

@@ -170,3 +170,50 @@ class TestAspectBuckets:
             "image_id string, w int, h int",
         )
         assert [r.image_id for r in aspect_buckets(df).collect()] == ["ok"]
+
+
+class TestImagePipeline:
+    def test_stage_precedence_and_single_crossing(self, spark):
+        """Two identical flat tiles are near-dups AND low quality — the
+        quality gate must claim them first (dedup never sees them); corrupt
+        bytes land in 'invalid'; a (master, re-encode) pair keeps the
+        bigger PNG master; the k=3 variant survives as its own group. The
+        returned plan contains NO MapInPandas node: the fused curate kernel
+        already ran behind the eager localCheckpoint — one Python crossing
+        for the whole cascade."""
+        import io
+        from contextlib import redirect_stdout
+
+        from amazonwebcrawler_spark.functions.images import encode_png
+        from amazonwebcrawler_spark.operators.images_io import image_pipeline
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        base = world.block_image_record("tpipe-0")
+        dup = world.block_image_record("tpipe-0", flip_cells=1, fmt="jpeg")
+        solo = world.block_image_record("tpipe-1", flip_cells=3, fmt="jpeg")
+        flat = encode_png(np.full((32, 32, 3), 128, dtype=np.uint8))
+        rows = [
+            (base["image_id"], bytearray(base["bytes"])),
+            ("tpipe-0-v", bytearray(dup["bytes"])),
+            ("tpipe-1-solo", bytearray(solo["bytes"])),
+            ("flat-a", bytearray(flat)),
+            ("flat-b", bytearray(flat)),
+            ("corrupt", bytearray(b"xx")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(3)
+        out = image_pipeline(df, max_hamming=2)
+        got = {r.image_id: r for r in out.collect()}
+        assert got["corrupt"].stage == "invalid"
+        assert got["flat-a"].stage == "low_quality" and got["flat-b"].stage == "low_quality"
+        assert got[base["image_id"]].stage == "kept"  # bigger PNG master wins
+        assert got["tpipe-0-v"].stage == "dup_drop"
+        assert got["tpipe-1-solo"].stage == "kept"  # k=3 exceeds hamming<=2
+        # bucket fields only on kept rows; 32x32 -> square bucket identity
+        assert got["tpipe-0-v"].bucket_id is None and got["corrupt"].bucket_id is None
+        k = got[base["image_id"]]
+        assert (k.bucket_id, k.bucket_w, k.bucket_h) == (0, 64, 64)
+        assert (k.resize_w, k.resize_h, k.crop_x, k.crop_y) == (64, 64, 0, 0)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        assert "MapInPandas" not in buf.getvalue()
