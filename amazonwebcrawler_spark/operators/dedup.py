@@ -561,7 +561,11 @@ def hamming_chunks(n_chunks: int) -> list[tuple[int, int]]:
 
 
 def hamming_neardup_pairs(
-    keyed: DataFrame, id_col: str, fp_col: str, max_hamming: int = 3
+    keyed: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column by hamming
     distance ≤ ``max_hamming`` — the generic pigeonhole-blocked form shared
@@ -575,6 +579,17 @@ def hamming_neardup_pairs(
     ``bit_count(xor)`` verify, which is pure JVM column math. Shuffle
     volume is ``(t+1) × rows`` — at 10^10 images and t=4 that is one
     5×-exploded exchange on a 2-int key, the same shape as LSH banding.
+
+    ``max_bucket`` is the skew guard for degenerate fingerprint clusters
+    (e.g. millions of solid-color thumbnails sharing one pHash — a cluster
+    of n identical fingerprints is n²/2 candidate pairs). When set, chunk
+    buckets larger than ``max_bucket`` are dropped before the self-join —
+    the same graceful degradation as ``minhash_lsh_pairs``: a pair is
+    missed only if EVERY chunk the two fingerprints share lives in an
+    oversized bucket, so diverse pairs are unaffected. Default ``None``
+    keeps the operator EXACT (and is right whenever a quality gate runs
+    first, as in ``images_io.image_pipeline`` — flat/near-black images are
+    exactly what the gate removes).
 
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming: int.
     """
@@ -610,6 +625,12 @@ def hamming_neardup_pairs(
             )
         ).alias("ch"),
     ).select("_id", "_fp", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    if max_bucket is not None:
+        ok = (
+            chunks.groupBy("c", "v").count()
+            .filter(F.col("count") <= max_bucket).drop("count")
+        )
+        chunks = chunks.join(ok, ["c", "v"])  # same key as the pair join below
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.v") == F.col("b.v")) & (F.col("a._id") < F.col("b._id")))

@@ -557,3 +557,21 @@ class TestAlignmentFilter:
         txt = buf.getvalue()
         for bad in ("Exchange", "Join", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert bad not in txt, bad
+
+
+class TestHammingMaxBucket:
+    def test_degenerate_cluster_guard(self, spark):
+        """A 50-strong identical-fingerprint cluster floods every chunk
+        bucket; with max_bucket set its intra-cluster pairs are dropped
+        while a diverse near-pair elsewhere is still found. Default (None)
+        stays exact and returns the full quadratic cluster."""
+        from amazonwebcrawler_spark.operators.dedup import hamming_neardup_pairs
+
+        rows = [(f"c{k}", 0x0F0F0F0F0F0F0F0F) for k in range(50)]
+        rows += [("a", 0x1234567890ABCDEF), ("b", 0x1234567890ABCDEE)]  # hamming 1
+        df = spark.createDataFrame(rows, "id string, fp long").repartition(4)
+        guarded = hamming_neardup_pairs(df, "id", "fp", max_hamming=2, max_bucket=10)
+        got = {(r.id_a, r.id_b) for r in guarded.collect()}
+        assert got == {("a", "b")}
+        exact = hamming_neardup_pairs(df, "id", "fp", max_hamming=2)
+        assert exact.count() == 50 * 49 // 2 + 1
