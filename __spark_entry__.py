@@ -458,6 +458,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         keyed = d.select(F.col("doc_id").alias("_id"), fp.alias("_fp"))
         return dedup.hamming_neardup_pairs(keyed, "_id", "_fp", max_hamming=2)
 
+    # ----------------------------------------------------- dedup: incremental ingest
+    def q_dedup_incremental(spark, sf):
+        """Incremental near-dup ingest (dedup.hamming_neardup_join): pairs
+        between a NEW batch (doc_id%7==0) and the accumulated corpus (the
+        rest) ONLY — the crawl-time dedup shape where the corpus chunk
+        table is persisted state re-JOINED per wave, never re-paired. Same
+        planted fingerprints as `hamming_neardup` (50 md5 group bases XOR
+        doc_id%16); the twin is an INDEPENDENT exhaustive batch×corpus
+        scan, so cross-table blocking exactness is value-checked."""
+        d = _t(spark, sf, "documents")
+        hexv = F.md5(F.concat(F.lit("hamgrp-"), (F.col("doc_id") % 50).cast("string")))
+        hi = F.conv(F.substring(hexv, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hexv, 9, 8), 16, 10).cast("long")
+        fp = (
+            F.shiftleft(hi, 32)
+            .bitwiseOR(lo)
+            .bitwiseXOR((F.col("doc_id") % 16).cast("long"))
+        )
+        keyed = d.select(F.col("doc_id").alias("_id"), fp.alias("_fp"))
+        new = keyed.filter(F.col("_id") % 7 == 0)
+        corpus = keyed.filter(F.col("_id") % 7 != 0)
+        return dedup.hamming_neardup_join(new, corpus, "_id", "_fp", max_hamming=2)
+
     # ----------------------------------------------------- dedup: image phash (committed golden)
     def q_dedup_phash(spark, sf):
         """Image near-dup by perceptual hash over OPAQUE bytes: 24 block
@@ -1190,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "hamming_neardup": q_hamming_neardup,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_phash": q_dedup_phash,
         "image_dedup_keep": q_image_dedup_keep,
         "image_pipeline": q_image_pipeline,
@@ -2138,6 +2162,25 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= 2
+""",
+        "dedup_incremental": """
+-- Incremental-ingest twin: INDEPENDENT exhaustive batch×corpus scan over
+-- the same planted fingerprints — checks the cross-table pigeonhole
+-- blocking for exactness (batch = doc_id%7==0, corpus = the rest; no
+-- batch-internal or corpus-internal pair may appear); 7 is coprime with
+-- the 50-group cycle, so groups straddle the split
+WITH fps AS (
+  SELECT doc_id,
+    xor(
+      CAST(('0x' || substr(md5('hamgrp-' || (doc_id % 50)::VARCHAR), 1, 16)) AS UBIGINT),
+      CAST(doc_id % 16 AS UBIGINT)
+    ) AS fp
+  FROM documents
+)
+SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+       CAST(bit_count(xor(n.fp, c.fp)) AS INT) AS hamming
+FROM fps n JOIN fps c ON n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+WHERE bit_count(xor(n.fp, c.fp)) <= 2
 """,
         "dedup_simhash": r"""
 -- SimHash twin: md5-derived 64-bit token hashes, ±1 bit votes, sign →

@@ -560,6 +560,43 @@ def hamming_chunks(n_chunks: int) -> list[tuple[int, int]]:
     return list(zip(offsets, widths))
 
 
+def _fp_chunks(keyed: DataFrame, id_col: str, fp_col: str, max_hamming: int) -> DataFrame:
+    """Explode a 64-bit fingerprint column into its ``max_hamming + 1``
+    pigeonhole chunks → ``(_id, _fp, c, v)`` — the blocking key shared by
+    the self-join (:func:`hamming_neardup_pairs`) and the incremental
+    cross-join (:func:`hamming_neardup_join`) forms."""
+    # normalize names in their own projection: referencing "_fp" inside the
+    # explode of the SAME select would be a lateral column alias (Spark
+    # internal error when the input column isn't already named _fp)
+    keyed = keyed.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    return keyed.select(
+        "_id",
+        "_fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        # logical shift: arithmetic shiftright would smear the
+                        # sign bit into the top chunk of negative fingerprints.
+                        # width == 64 (t=0, one chunk = whole fingerprint) must
+                        # skip the mask: (1<<64)-1 exceeds Long.MAX_VALUE and
+                        # cannot be a LongType literal
+                        (
+                            F.shiftrightunsigned("_fp", off)
+                            if width == 64
+                            else F.shiftrightunsigned("_fp", off).bitwiseAND(
+                                F.lit((1 << width) - 1)
+                            )
+                        ).alias("v"),
+                    )
+                    for c, (off, width) in enumerate(hamming_chunks(max_hamming + 1))
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "_fp", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+
+
 def hamming_neardup_pairs(
     keyed: DataFrame,
     id_col: str,
@@ -595,36 +632,7 @@ def hamming_neardup_pairs(
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
-    # normalize names in their own projection: referencing "_fp" inside the
-    # explode of the SAME select would be a lateral column alias (Spark
-    # internal error when the input column isn't already named _fp)
-    keyed = keyed.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
-    chunks = keyed.select(
-        "_id",
-        "_fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        # logical shift: arithmetic shiftright would smear the
-                        # sign bit into the top chunk of negative fingerprints.
-                        # width == 64 (t=0, one chunk = whole fingerprint) must
-                        # skip the mask: (1<<64)-1 exceeds Long.MAX_VALUE and
-                        # cannot be a LongType literal
-                        (
-                            F.shiftrightunsigned("_fp", off)
-                            if width == 64
-                            else F.shiftrightunsigned("_fp", off).bitwiseAND(
-                                F.lit((1 << width) - 1)
-                            )
-                        ).alias("v"),
-                    )
-                    for c, (off, width) in enumerate(hamming_chunks(max_hamming + 1))
-                ]
-            )
-        ).alias("ch"),
-    ).select("_id", "_fp", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    chunks = _fp_chunks(keyed, id_col, fp_col, max_hamming)
     if max_bucket is not None:
         ok = (
             chunks.groupBy("c", "v").count()
@@ -640,6 +648,54 @@ def hamming_neardup_pairs(
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def hamming_neardup_join(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup ingest: pairs between a NEW batch and the
+    accumulated corpus only — never corpus×corpus, never new×new. This is
+    how near-dup dedup runs at crawl time: the corpus's pigeonhole chunk
+    table ``(id, fp, chunk_idx, chunk_value)`` is persistable state,
+    written once and appended per wave, and each wave shuffles only
+    ``(max_hamming + 1) × |new|`` chunk rows against it — the 10^10-image
+    corpus is re-joined by key, not re-paired (|corpus|² never appears in
+    any stage). Same EXACT pigeonhole blocking + ``bit_count`` verify as
+    :func:`hamming_neardup_pairs`; ``max_bucket`` (measured on the corpus
+    side, where the degenerate mass lives) degrades identically.
+
+    Returns ``(new_id, corpus_id, hamming)`` — every corpus row within
+    ``max_hamming`` of each new row; a new row with no match is novel and
+    enters the corpus.
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n = _fp_chunks(new, id_col, fp_col, max_hamming)
+    c = _fp_chunks(corpus, id_col, fp_col, max_hamming)
+    if max_bucket is not None:
+        ok = (
+            c.groupBy("c", "v").count()
+            .filter(F.col("count") <= max_bucket).drop("count")
+        )
+        c = c.join(ok, ["c", "v"])
+    cand = (
+        n.alias("n")
+        .join(c.alias("cp"), (F.col("n.c") == F.col("cp.c")) & (F.col("n.v") == F.col("cp.v")))
+        .select(
+            F.col("n._id").alias("new_id"), F.col("cp._id").alias("corpus_id"),
+            F.col("n._fp").alias("fp_n"), F.col("cp._fp").alias("fp_c"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_n").bitwiseXOR(F.col("fp_c"))).cast("int")
+    return cand.select("new_id", "corpus_id", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:

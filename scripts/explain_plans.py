@@ -46,6 +46,8 @@ CHECKS = {
     # chunk explode + equi-join + bit_count verify all inside codegen spans,
     # no Python eval node anywhere (NEG_CHECKS)
     "hamming_neardup": ["[codegen id :", "bit_count"],
+    # incremental ingest: same pure-JVM chunk blocking, cross-table form
+    "dedup_incremental": ["[codegen id :", "bit_count"],
     # image ANN: exactly one Python crossing (the Arrow-batched embedding
     # decode); the retrieval itself broadcasts the query side
     "image_ann": ["MapInPandas", "BroadcastNestedLoopJoin"],
@@ -67,13 +69,17 @@ CHECKS = {
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
-NO_AQE = {"dedup_simhash", "hamming_neardup", "trap_detect", "pack_sequences"}
+NO_AQE = {
+    "dedup_simhash", "hamming_neardup", "dedup_incremental",
+    "trap_detect", "pack_sequences",
+}
 
 NEG_CHECKS = {
     # query -> substrings that must NOT appear in the plan
     "trap_detect": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "chunk_documents": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange"],
     "lm_score": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "pack_sequences": [

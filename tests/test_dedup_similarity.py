@@ -575,3 +575,50 @@ class TestHammingMaxBucket:
         assert got == {("a", "b")}
         exact = hamming_neardup_pairs(df, "id", "fp", max_hamming=2)
         assert exact.count() == 50 * 49 // 2 + 1
+
+
+class TestHammingIncrementalJoin:
+    def test_cross_only_and_exact(self, spark):
+        """Batch×corpus pairs only (no intra-side pair may appear), and the
+        pair set equals the brute-force cross scan."""
+        from amazonwebcrawler_spark.functions.images import hamming64
+        from amazonwebcrawler_spark.operators.dedup import hamming_neardup_join
+
+        new_rows = [("n0", 0x00FF00FF00FF00FF), ("n1", 0x00FF00FF00FF00FE),
+                    ("n2", 0x7777777777777777)]
+        corpus_rows = [("c0", 0x00FF00FF00FF00FF),   # hamming 0 to n0, 1 to n1
+                       ("c1", 0x00FF00FF00FF00FC),   # 2 to n0, 1 to n1
+                       ("c2", 0x1111111111111111)]   # far from everything
+        nd = spark.createDataFrame(new_rows, "id string, fp long")
+        cd = spark.createDataFrame(corpus_rows, "id string, fp long")
+        got = {
+            (r.new_id, r.corpus_id, r.hamming)
+            for r in hamming_neardup_join(nd, cd, "id", "fp", max_hamming=2).collect()
+        }
+        want = {
+            (a, b, hamming64(fa, fb))
+            for a, fa in new_rows
+            for b, fb in corpus_rows
+            if hamming64(fa, fb) <= 2
+        }
+        assert got == want and all(a.startswith("n") and b.startswith("c") for a, b, _ in got)
+
+    def test_corpus_side_bucket_guard(self, spark):
+        """max_bucket measured on the corpus side: a degenerate corpus
+        cluster is skipped, a diverse corpus match still lands."""
+        from amazonwebcrawler_spark.operators.dedup import hamming_neardup_join
+
+        nd = spark.createDataFrame(
+            [("n0", 0x0F0F0F0F0F0F0F0F), ("n1", 0x1234567890ABCDEF)],
+            "id string, fp long",
+        )
+        corpus_rows = [(f"c{k}", 0x0F0F0F0F0F0F0F0F) for k in range(40)]
+        corpus_rows.append(("match", 0x1234567890ABCDEE))
+        cd = spark.createDataFrame(corpus_rows, "id string, fp long")
+        got = {
+            (r.new_id, r.corpus_id)
+            for r in hamming_neardup_join(
+                nd, cd, "id", "fp", max_hamming=2, max_bucket=10
+            ).collect()
+        }
+        assert got == {("n1", "match")}
