@@ -161,3 +161,49 @@ def images_ingest_stream(spark: SparkSession, src_dir: str, out_dir: str, schema
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    corpus_dir: str,
+    out_dir: str,
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
+    schema=None,
+):
+    """Streaming incremental near-dup ingest: fingerprinted rows
+    ``(id, fp)`` arriving as files are paired against the ACCUMULATED
+    corpus with the same cross-table pigeonhole join the batch side uses
+    (``dedup.hamming_neardup_join`` inside ``foreachBatch``) — the
+    crawl-time dedup shape: each micro-batch shuffles only
+    ``(t+1) × |batch|`` chunk rows against the persisted corpus, never
+    corpus×corpus. Matches append exactly-once to
+    ``{out_dir}/neardup_matches``; rows with no match are the novel set a
+    deployment would then append to the corpus (kept a caller decision
+    here so the corpus snapshot stays under the state store's commit
+    protocol, not the stream's).
+    """
+    from amazonwebcrawler_spark.operators.dedup import hamming_neardup_join
+
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    corpus = spark.read.parquet(corpus_dir)
+
+    def process_batch(batch_df, _batch_id):
+        hamming_neardup_join(
+            batch_df, corpus, "id", "fp",
+            max_hamming=max_hamming, max_bucket=max_bucket,
+        ).write.mode("append").parquet(f"{out_dir}/neardup_matches")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -143,3 +143,45 @@ def test_images_ingest_stream_matches_batch(spark, tmp_path):
     assert by_id["corrupt"][1] is False          # decode_ok
     assert by_id["img-STRM12-1"][4] is False     # phash_ok — the planted lie
     assert sum(1 for r in got if r[4]) == 11     # every honest row validates
+
+
+def test_neardup_ingest_stream_matches_batch(spark, tmp_path):
+    """Incremental near-dup ingest over a stream of fingerprint batches
+    equals the one-shot batch join of all new rows against the same static
+    corpus — micro-batches are independent against fixed state, so the
+    drained union must be exact (including a batch with zero matches)."""
+    from amazonwebcrawler_spark.operators.dedup import hamming_neardup_join
+    from amazonwebcrawler_spark.streaming.facade import neardup_ingest_stream
+
+    corpus_dir = str(tmp_path / "corpus")
+    src = str(tmp_path / "new_src")
+    out = str(tmp_path / "dedup_out")
+    corpus_rows = [(f"c{k}", (0x5A5A5A5A5A5A5A00 | k)) for k in range(8)]
+    spark.createDataFrame(corpus_rows, "id string, fp long").write.parquet(corpus_dir)
+    # three files → three micro-batches; batch 1 has no matches at all
+    batches = [
+        [("n0", 0x5A5A5A5A5A5A5A00), ("n1", 0x5A5A5A5A5A5A5A03)],
+        [("far", 0x0123456789ABCDEF)],
+        [("n2", (0x5A5A5A5A5A5A5A00 | 7) ^ 0b11)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "id string, fp long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = neardup_ingest_stream(spark, src, corpus_dir, out, max_hamming=2)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(f"{out}/neardup_matches").collect()))
+    want = sorted(
+        map(
+            tuple,
+            hamming_neardup_join(
+                spark.read.parquet(src),
+                spark.read.parquet(corpus_dir),
+                "id", "fp", max_hamming=2,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert not any(a == "far" for a, _, _ in got)
