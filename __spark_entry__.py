@@ -1176,6 +1176,142 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return urls_mod.host_trap_stats(o.select(url.alias("canonical_url")))
 
+    # ----------------------------------------------------- as-of join (point-in-time)
+    def q_asof_join(spark, sf):
+        """Backward as-of join (operators/temporal.asof_join): each purchase
+        event picks up the same user's LATEST view event at-or-before its
+        timestamp — the reference's "rank as of the previous crawl run"
+        workbook comparison (getRank.py:333-356) as a point-in-time join.
+        One hash shuffle (union-tag + running last-ignorenulls window), no
+        inequality join. The DuckDB twin is a native ASOF LEFT JOIN."""
+        from amazonwebcrawler_spark.operators.temporal import asof_join, epoch_us
+
+        e = _t(spark, sf, "events")
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts"
+        )
+        views = e.filter(F.col("event_type") == "view").select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("view_cents"),
+        )
+        r = asof_join(
+            purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_cols=["view_event_id", "view_cents"],
+        )
+        return r.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "view_event_id",
+            "view_cents",
+            (epoch_us(F.col("ts")) - epoch_us(F.col("ts_r"))).alias("gap_us"),
+        )
+
+    # ----------------------------------------------------- range join (bounded interval)
+    def q_range_join(spark, sf):
+        """Bucketized interval join (operators/temporal.range_join_pairs):
+        per event, how many events (any user) started in the preceding
+        hour — the politeness scheduler's "concurrent load in the last
+        window" question. Equi hash join on time buckets + exact epoch
+        filter; the twin is DuckDB's native inequality (IE) join."""
+        from amazonwebcrawler_spark.operators.temporal import range_join_pairs
+
+        e = _t(spark, sf, "events")
+        left = e.select("event_id", "ts")
+        right = e.select(F.col("event_id").alias("rid"), F.col("ts").alias("rts"))
+        pairs = range_join_pairs(
+            left, right, "ts", "rts", lower_us=-3_600_000_000, upper_us=-1
+        )
+        counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_prev_hour"))
+        return (
+            e.select("event_id")
+            .join(counts, "event_id", "left")
+            .select("event_id", F.coalesce("n_prev_hour", F.lit(0)).alias("n_prev_hour"))
+        )
+
+    # ----------------------------------------------------- skew-salted join
+    def q_skew_join_salted(spark, sf):
+        """Hot-key equi join via deterministic fact salting + dim
+        replication (operators/skew.salted_equi_join): 70% of fact rows
+        share one customer key (the single-host crawl shape, SURVEY §6);
+        the salted plan spreads that key over 8 reducers. Result contract:
+        identical to the plain join — the twin IS the plain join."""
+        from amazonwebcrawler_spark.operators.skew import salted_equi_join
+
+        e = _t(spark, sf, "events")
+        fact = e.select(
+            "event_id",
+            F.when(F.col("event_id") % 10 < 7, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("long")
+            .alias("c_custkey"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        dim = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+        joined = salted_equi_join(
+            fact, dim, "c_custkey", salt_expr=F.col("event_id"), n_salts=8
+        )
+        return joined.groupBy("c_nationkey").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("cents")
+        )
+
+    # ----------------------------------------------------- rollup (multi-dim agg)
+    def q_rollup_metrics(spark, sf):
+        """Multi-dimensional crawl-metrics aggregate: ROLLUP over
+        (returnflag, linestatus) with grouping_id marking subtotal levels —
+        one hash-agg pass (map-side partial over all grouping sets), the
+        per-host/per-depth/global metrics rollup a 1000-executor crawl
+        dashboard reads. Twin: GROUP BY ROLLUP + GROUPING() in DuckDB
+        (same bitmask convention, first column = MSB)."""
+        li = _t(spark, sf, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+        return li.rollup("l_returnflag", "l_linestatus").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("price_cents"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+
+    # ----------------------------------------------------- Z-order layout key
+    def q_zorder_layout(spark, sf):
+        """Morton (Z-order) clustering key (functions/layout.zorder_key):
+        pure shift/mask/or column math, whole-stage codegen. At write time
+        the frontier sorts by this key so parquet min/max stats prune scans
+        on EITHER of (host_bits, depth); here the key itself is
+        value-checked — the twin is generated from the SAME bit loop
+        (layout.zorder_key_sql)."""
+        from amazonwebcrawler_spark.functions.layout import zorder_key
+
+        li = _t(spark, sf, "lineitem")
+        x = F.col("l_partkey") % 1024
+        y = F.col("l_suppkey") % 1024
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            x.cast("long").alias("x"),
+            y.cast("long").alias("y"),
+            zorder_key(x, y, bits=10).alias("zkey"),
+        )
+
+    # ----------------------------------------------------- rank delta (date-over-date)
+    def q_rank_delta(spark, sf):
+        """Date-over-date rank movement — the reference's per-run workbook
+        column appended by getRank.py:333-356, diffed: rank event types by
+        daily volume (dense_rank, count-desc with name tiebreak), then
+        lag() per type across days. Two partitioned windows, no global
+        sort."""
+        e = _t(spark, sf, "events")
+        day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        counts = e.groupBy(day.alias("day"), "event_type").agg(F.count("*").alias("n"))
+        wr = Window.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type").asc())
+        wd = Window.partitionBy("event_type").orderBy("day")
+        return (
+            counts.withColumn("rnk", F.dense_rank().over(wr))
+            .withColumn("delta", F.col("rnk") - F.lag("rnk").over(wd))
+            .select("day", "event_type", "n", "rnk", "delta")
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1239,6 +1375,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alignment_filter": q_alignment_filter,
         "host_rank": q_host_rank,
         "trap_detect": q_trap_detect,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "skew_join_salted": q_skew_join_salted,
+        "rollup_metrics": q_rollup_metrics,
+        "zorder_layout": q_zorder_layout,
+        "rank_delta": q_rank_delta,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2321,9 +2463,77 @@ FROM orders GROUP BY 1
 """,
         "host_rank": _host_rank_sql(),
         "trap_detect": _trap_detect_sql(),
+        "asof_join": """
+WITH p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, event_id AS view_event_id, ts,
+    CAST(ROUND(value * 100) AS BIGINT) AS view_cents
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.event_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+  v.view_event_id, v.view_cents,
+  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+        "range_join": """
+SELECT a.event_id, count(b.event_id) AS n_prev_hour
+FROM events a
+LEFT JOIN events b ON b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts < a.ts
+GROUP BY a.event_id
+""",
+        "skew_join_salted": """
+WITH fact AS (
+  SELECT event_id,
+    CASE WHEN event_id % 10 < 7 THEN 0 ELSE user_id END AS c_custkey,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT c.c_nationkey, COUNT(*) AS n, CAST(SUM(f.cents) AS BIGINT) AS cents
+FROM fact f JOIN customer c USING (c_custkey)
+GROUP BY 1
+""",
+        "rollup_metrics": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "zorder_layout": f"""
+SELECT l_orderkey, l_linenumber,
+  CAST(l_partkey % 1024 AS BIGINT) AS x,
+  CAST(l_suppkey % 1024 AS BIGINT) AS y,
+  CAST({_zorder_sql_expr()} AS BIGINT) AS zkey
+FROM lineitem
+""",
+        "rank_delta": """
+WITH c AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+    COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, dense_rank() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+  FROM c
+)
+SELECT day, event_type, n, rnk,
+  rnk - lag(rnk) OVER (PARTITION BY event_type ORDER BY day) AS delta
+FROM r
+""",
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),
     }
+
+
+def _zorder_sql_expr() -> str:
+    """The DuckDB twin of q_zorder_layout's key — generated from the SAME
+    bit loop as the Spark expression (functions/layout.zorder_key_sql), so
+    the two engines share one definition of the interleave."""
+    from amazonwebcrawler_spark.functions.layout import zorder_key_sql
+
+    return zorder_key_sql("l_partkey % 1024", "l_suppkey % 1024", bits=10)
 
 
 def _host_rank_sql() -> str:

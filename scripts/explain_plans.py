@@ -66,12 +66,31 @@ CHECKS = {
     # aspect bucketing: argmin over a literal struct array — one codegen'd
     # projection, zero joins/exchanges/Python (NEG_CHECKS)
     "aspect_buckets": ["[codegen id :", "array_min"],
+    # as-of join (union-tag + running last-ignorenulls): ONE hash shuffle
+    # feeding a partitioned Window — and NO join node of any kind (the
+    # whole point: a point-in-time join without an inequality join)
+    "asof_join": ["Window", "Union", "[codegen id :"],
+    # range join: bucketized to an equi HASH join — Catalyst's default for
+    # a pure inequality predicate would be a nested-loop (NEG_CHECKS)
+    "range_join": ["HashJoin", "Generate", "[codegen id :"],
+    # salted skew join: dim replication is an explode Generate; the salt
+    # rides the join key so the hot key spreads across reducers
+    "skew_join_salted": ["Generate", "HashAggregate", "[codegen id :"],
+    # ROLLUP = one Expand + one hash agg with map-side partials — all
+    # grouping sets in a single pass, never one job per level
+    "rollup_metrics": ["Expand", "HashAggregate", "partial_count", "[codegen id :"],
+    # Z-order key: a pure codegen'd projection over a 4-column scan
+    "zorder_layout": ["[codegen id :", "ReadSchema: struct<l_orderkey:bigint,l_partkey"],
+    # rank delta: both windows are partitioned (day / event_type) — the
+    # date-over-date diff never needs a global sort (NEG_CHECKS)
+    "rank_delta": ["Window", "HashAggregate", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
 NO_AQE = {
     "dedup_simhash", "hamming_neardup", "dedup_incremental",
     "trap_detect", "pack_sequences",
+    "asof_join", "range_join", "skew_join_salted", "rollup_metrics", "rank_delta",
 }
 
 NEG_CHECKS = {
@@ -87,6 +106,24 @@ NEG_CHECKS = {
     ],
     "aspect_buckets": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join",
+    ],
+    "asof_join": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join",
+        "Exchange SinglePartition",
+    ],
+    "range_join": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian",
+    ],
+    "skew_join_salted": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian",
+    ],
+    "rollup_metrics": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join"],
+    "zorder_layout": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
+    "rank_delta": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
     ],
 }
 

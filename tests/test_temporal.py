@@ -1,0 +1,216 @@
+"""Temporal joins (as-of / range), salted skew join, Z-order layout key.
+
+Each operator is checked against a naive in-Python oracle on small
+deterministic data — independent of the DuckDB driver twins, which check
+the same operators over the full events table (queries ``asof_join``,
+``range_join``, ``skew_join_salted``, ``zorder_layout``).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.operators.skew import salted_equi_join
+from amazonwebcrawler_spark.operators.temporal import asof_join, range_join_pairs
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return EPOCH + dt.timedelta(minutes=minutes)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        # two keys; key 1 has out-of-order inserts and an exact-tie
+        # timestamp; key 2 has a left row BEFORE any right row
+        left = spark.createDataFrame(
+            [
+                (1, _ts(10), "l-a"),
+                (1, _ts(25), "l-b"),
+                (1, _ts(5), "l-c"),
+                (2, _ts(1), "l-d"),
+                (2, _ts(50), "l-e"),
+            ],
+            "k int, ts timestamp_ntz, lbl string",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts(5), 100),
+                (1, _ts(20), 200),
+                (2, _ts(2), 300),
+                (2, _ts(40), 400),
+            ],
+            "k int, ts timestamp_ntz, price int",
+        )
+        return left, right
+
+    def test_backward_matches_naive(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on=["k"], right_cols=["price"])
+        got = {r["lbl"]: (r["price"], r["ts_r"]) for r in out.collect()}
+        assert got == {
+            "l-a": (100, _ts(5)),  # latest right <= 10 min
+            "l-b": (200, _ts(20)),
+            "l-c": (100, _ts(5)),  # tie: right row at the SAME instant matches
+            "l-d": (None, None),  # no right row yet
+            "l-e": (400, _ts(40)),
+        }
+
+    def test_tolerance_drops_stale(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on=["k"], right_cols=["price"], tolerance_s=6 * 60)
+        got = {r["lbl"]: r["price"] for r in out.collect()}
+        # l-a's match is 5 min old (fresh); l-b's is 5 min (fresh);
+        # l-c's 0 min; l-e's 10 min > 6 min tolerance → dropped to null
+        assert got == {"l-a": 100, "l-b": 200, "l-c": 100, "l-d": None, "l-e": None}
+
+    def test_row_count_and_columns(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on=["k"], right_cols=["price"])
+        assert out.count() == left.count()
+        assert out.columns == ["k", "ts", "lbl", "price", "ts_r"]
+
+    def test_equal_ts_right_rows_pick_greatest_payload(self, spark):
+        left = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp_ntz")
+        right = spark.createDataFrame(
+            [(1, _ts(3), 7), (1, _ts(3), 9), (1, _ts(3), 8)],
+            "k int, ts timestamp_ntz, price int",
+        )
+        out = asof_join(left, right, on=["k"], right_cols=["price"])
+        # deterministic tiebreak: greatest payload struct wins
+        assert out.collect()[0]["price"] == 9
+
+
+class TestRangeJoin:
+    def test_matches_naive_all_alignments(self, spark):
+        # timestamps straddle bucket boundaries for every alignment of a
+        # 7-minute window over 3-minute spacing
+        lrows = [(i, _ts(3 * i)) for i in range(12)]
+        rrows = [(100 + j, _ts(2 * j + 0.5)) for j in range(18)]
+        left = spark.createDataFrame(lrows, "lid int, ts timestamp_ntz")
+        right = spark.createDataFrame(rrows, "rid int, rts timestamp_ntz")
+        lo, hi = -7 * 60_000_000, -1  # [ts-7min, ts) in µs
+        pairs = range_join_pairs(left, right, "ts", "rts", lo, hi)
+        got = sorted((r["lid"], r["rid"]) for r in pairs.collect())
+        want = sorted(
+            (li, rj)
+            for li, lt in lrows
+            for rj, rt in rrows
+            if lt + dt.timedelta(microseconds=lo) <= rt <= lt + dt.timedelta(microseconds=hi)
+        )
+        assert got == want and len(want) > 0
+
+    def test_extra_equi_key(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", _ts(10)), (2, "b", _ts(10))], "lid int, g string, ts timestamp_ntz"
+        )
+        right = spark.createDataFrame(
+            [(7, "a", _ts(9)), (8, "b", _ts(9)), (9, "a", _ts(1))],
+            "rid int, g string, rts timestamp_ntz",
+        )
+        pairs = range_join_pairs(
+            left, right, "ts", "rts", -5 * 60_000_000, 0, on=["g"]
+        )
+        got = sorted((r["lid"], r["rid"]) for r in pairs.collect())
+        assert got == [(1, 7), (2, 8)]  # rid 9 out of range, cross-group blocked
+
+    def test_empty_interval_raises(self, spark):
+        left = spark.createDataFrame([(1, _ts(0))], "lid int, ts timestamp_ntz")
+        with pytest.raises(ValueError, match="empty interval"):
+            range_join_pairs(left, left, "ts", "ts", 5, 4)
+
+    def test_no_nested_loop_join_in_plan(self, spark):
+        left = spark.createDataFrame([(1, _ts(0))], "lid int, ts timestamp_ntz")
+        right = spark.createDataFrame([(2, _ts(0))], "rid int, rts timestamp_ntz")
+        pairs = range_join_pairs(left, right, "ts", "rts", -60_000_000, 0)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark):
+        # 70% of fact rows share key 0 (hot key)
+        fact = spark.range(200).select(
+            F.col("id").alias("fid"),
+            F.when(F.col("id") % 10 < 7, 0).otherwise(F.col("id") % 20).alias("k"),
+        )
+        dim = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 11).alias("v"))
+        salted = salted_equi_join(fact, dim, "k", salt_expr=F.col("fid"), n_salts=4)
+        plain = fact.join(dim, "k", "inner").select("fid", "k", "v")
+        assert sorted(map(tuple, salted.select("fid", "k", "v").collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_left_join_keeps_unmatched(self, spark):
+        fact = spark.range(10).select(F.col("id").alias("fid"), (F.col("id") + 100).alias("k"))
+        dim = spark.range(1).select(F.lit(100).alias("k"), F.lit("hit").alias("v"))
+        out = salted_equi_join(fact, dim, "k", salt_expr=F.col("fid"), n_salts=3, how="left")
+        rows = {r["fid"]: r["v"] for r in out.collect()}
+        assert rows[0] == "hit" and all(rows[i] is None for i in range(1, 10))
+
+    def test_rejects_unsupported_how(self, spark):
+        df = spark.range(1).select(F.col("id").alias("k"))
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_equi_join(df, df, "k", salt_expr=F.col("k"), how="outer")
+
+
+class TestZorder:
+    def test_interleave_roundtrip(self, spark):
+        from amazonwebcrawler_spark.functions.layout import zorder_key
+
+        n, bits = 500, 8
+        df = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") * 37 % 256).alias("x"),
+            (F.col("id") * 101 % 256).alias("y"),
+            zorder_key(F.col("id") * 37 % 256, F.col("id") * 101 % 256, bits=8).alias("z"),
+        )
+        for r in df.collect():
+            x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(bits))
+            y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(bits))
+            assert (x, y) == (r["x"], r["y"])
+
+    def test_locality_beats_linear_sort(self, spark):
+        """The point of the key: sorting by z clusters BOTH dims. Compare
+        max per-chunk y-spread under z-sort vs (x, y)-sort — the
+        lexicographic sort leaves y unclustered whenever x varies."""
+        from amazonwebcrawler_spark.functions.layout import zorder_key
+
+        rows = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+        )
+        z = rows.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=6).alias("k"))
+        lex = rows.select("x", "y", (F.col("x") * 64 + F.col("y")).alias("k"))
+
+        def max_chunk_spread(df, chunk=256):
+            data = sorted((r["k"], r["y"]) for r in df.collect())
+            spreads = []
+            for s in range(0, len(data), chunk):
+                ys = [y for _, y in data[s : s + chunk]]
+                spreads.append(max(ys) - min(ys))
+            return max(spreads)
+
+        assert max_chunk_spread(z) < max_chunk_spread(lex)
+
+    def test_bits_bounds(self):
+        from amazonwebcrawler_spark.functions.layout import zorder_key
+
+        with pytest.raises(ValueError, match="bits"):
+            zorder_key(F.lit(1), F.lit(1), bits=0)
+
+    def test_sql_twin_matches(self, spark, duckdb_conn):
+        from amazonwebcrawler_spark.functions.layout import zorder_key, zorder_key_sql
+
+        got = spark.range(300).select(
+            zorder_key(F.col("id") % 32, (F.col("id") * 7) % 32, bits=5).alias("z")
+        ).collect()
+        want = duckdb_conn.execute(
+            "SELECT "
+            + zorder_key_sql("gs % 32", "(gs * 7) % 32", bits=5)
+            + " AS z FROM (SELECT unnest(generate_series(0, 299)) AS gs)"
+        ).fetchall()
+        assert [r["z"] for r in got] == [r[0] for r in want]
