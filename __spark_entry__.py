@@ -1312,6 +1312,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("day", "event_type", "n", "rnk", "delta")
         )
 
+    # ----------------------------------------------------- mixture resampling
+    def q_mixture_sample(spark, sf):
+        """Training-mixture resampling (operators/corpus.mixture_sample):
+        per-source sampling weights à la Pile/RedPajama — rate<1
+        downsamples via the md5 hash gate, rate>1 duplicates with a
+        fractional extra copy; broadcast weight table + explode, zero
+        corpus shuffles. Rates are binary-exact so the twin reproduces the
+        truncation arithmetic bit-for-bit."""
+        from amazonwebcrawler_spark.operators.corpus import mixture_sample
+
+        d = _t(spark, sf, "documents")
+        weights = {"src0": 2.5, "src1": 1.5, "src2": 1.0, "src3": 0.5, "src4": 0.25}
+        return mixture_sample(d, "source", "doc_id", weights, salt="mix").select(
+            "doc_id", "source", "copy"
+        )
+
+    # ----------------------------------------------------- contrastive negatives
+    def q_negative_pairs(spark, sf):
+        """Deterministic in-batch negative sampling for contrastive
+        training (operators/similarity.negative_pairs): md5 pseudo-batches,
+        cyclic partner-j-ahead within each bucket; one window shuffle + one
+        equi self-join, never a cross join. The twin re-derives the exact
+        same pairs with SQL window functions."""
+        from amazonwebcrawler_spark.operators.similarity import negative_pairs
+
+        d = _t(spark, sf, "documents")
+        return negative_pairs(d.select("doc_id"), "doc_id", k=2, n_buckets=16, salt="neg")
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1381,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_metrics": q_rollup_metrics,
         "zorder_layout": q_zorder_layout,
         "rank_delta": q_rank_delta,
+        "mixture_sample": q_mixture_sample,
+        "negative_pairs": q_negative_pairs,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2521,6 +2551,44 @@ r AS (
 SELECT day, event_type, n, rnk,
   rnk - lag(rnk) OVER (PARTITION BY event_type ORDER BY day) AS delta
 FROM r
+""",
+        "mixture_sample": """
+WITH w(source, rate) AS (
+  VALUES ('src0', 2.5), ('src1', 1.5), ('src2', 1.0), ('src3', 0.5), ('src4', 0.25)
+),
+b AS (
+  SELECT d.doc_id, d.source, w.rate,
+    CAST(CAST(('0x' || substr(md5('mix' || d.doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 10000 AS INT) AS bucket
+  FROM documents d JOIN w USING (source)
+),
+n AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(rate) AS INT)
+      + CASE WHEN bucket < CAST(FLOOR((rate % 1.0) * 10000) AS INT) THEN 1 ELSE 0 END AS n_copies
+  FROM b
+)
+SELECT doc_id, source, UNNEST(generate_series(1, n_copies)) AS copy
+FROM n WHERE n_copies > 0
+""",
+        "negative_pairs": """
+WITH b AS (
+  SELECT doc_id,
+    CAST(CAST(('0x' || substr(md5('neg' || doc_id::VARCHAR), 1, 8)) AS UBIGINT) % 16 AS INT) AS bkt,
+    md5('neg' || doc_id::VARCHAR) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, bkt,
+    row_number() OVER (PARTITION BY bkt ORDER BY h, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY bkt) AS cnt
+  FROM b
+),
+a AS (
+  SELECT r.*, js.j FROM r CROSS JOIN (SELECT UNNEST(generate_series(1, 2)) AS j) js
+)
+SELECT a.doc_id AS anchor_id, a.j, p.doc_id AS negative_id
+FROM a JOIN r p ON p.bkt = a.bkt AND p.rn = (a.rn - 1 + a.j) % a.cnt + 1
+WHERE p.doc_id <> a.doc_id
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

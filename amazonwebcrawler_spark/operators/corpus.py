@@ -108,6 +108,53 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    n_buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic mixture resampling — the Pile/RedPajama "sampling
+    weight per source" step: each source's rows are kept/duplicated so the
+    output mixture matches the target rates. Rate < 1 downsamples (hash
+    gate, same math as :func:`hash_sample`); rate > 1 upsamples —
+    ``floor(rate)`` guaranteed copies plus one more when the row's hash
+    falls under the fractional part. Sources absent from ``weights`` are
+    dropped (inner join against the weight table).
+
+    Output: the input columns + ``copy`` (1-based duplicate index) — a
+    downstream trainer shuffles on (key, copy). Selection is a pure
+    function of the data: re-runs, repartitions and other engines produce
+    the SAME multiset (the resumability contract every sampler here obeys).
+
+    Plan: the weight table is a handful of rows → broadcast join; the copy
+    fan-out is ``explode(sequence(...))`` — no shuffle of the corpus at
+    all. Rates should be binary-exact fractions (0.25, 1.5, …) if an
+    external SQL engine must reproduce the truncation arithmetic.
+    """
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(s, float(r)) for s, r in sorted(weights.items())],
+            f"{source_col} string, _rate double",
+        )
+    )
+    frac_thresh = ((F.col("_rate") % 1.0) * n_buckets).cast("int")
+    n_copies = (
+        F.floor("_rate").cast("int")
+        + (hash_bucket(F.col(key_col), n_buckets, salt) < frac_thresh).cast("int")
+    )
+    return (
+        df.join(wdf, source_col, "inner")
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_rate", "_n")
+    )
+
+
 def corpus_stats(df: DataFrame, strata_col: str, text_col: str, chars_col: str) -> DataFrame:
     """Per-stratum corpus shape report: document count, total token count,
     mean and exact median document length — the rollup a curation run

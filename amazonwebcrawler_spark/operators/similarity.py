@@ -376,3 +376,56 @@ def alignment_filter(
     return pairs.withColumn(score_col, s).withColumn(
         "keep", F.col(score_col) >= F.lit(threshold)
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 2,
+    n_buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training
+    (CLIP/InfoNCE): every anchor row gets ``k`` mismatched partners. Rows
+    are hashed into ``n_buckets`` pseudo-batches (md5 — engine-portable,
+    resumable), ordered within the bucket by hash, and partner ``j`` of an
+    anchor is the row ``j`` positions ahead, cyclically. The choice is a
+    pure function of the data: re-runs, repartitions and other engines
+    emit the SAME pairs — the property a resumable training-prep pipeline
+    needs (a ``rand()`` sampler re-draws on every stage retry).
+
+    Output: ``(anchor_id, j, negative_id)``. Anchors alone in their bucket
+    produce no pairs (the cyclic partner would be themselves); buckets
+    with ``1 < cnt <= k`` yield fewer than ``k`` distinct partners —
+    callers that need exactly-k size ``n_buckets`` so buckets hold ≫ k
+    rows.
+
+    Plan: one shuffle to the bucket windows + one equi self-join on
+    ``(bucket, partner_rank)`` — never a cross join; bucket occupancy is
+    ~n/n_buckets by the hash, so there is no skew to salt.
+    """
+    from amazonwebcrawler_spark.operators.corpus import hash_bucket
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    b = df.select(
+        F.col(id_col),
+        hash_bucket(F.col(id_col), n_buckets, salt).alias("_bkt"),
+        h.alias("_h"),
+    )
+    ranked = b.select(
+        id_col,
+        "_bkt",
+        F.row_number().over(Window.partitionBy("_bkt").orderBy("_h", id_col)).alias("_rn"),
+        F.count("*").over(Window.partitionBy("_bkt")).alias("_cnt"),
+    )
+    anchors = ranked.withColumn("j", F.explode(F.sequence(F.lit(1), F.lit(k)))).withColumn(
+        "_prn", (F.col("_rn") - 1 + F.col("j")) % F.col("_cnt") + 1
+    )
+    partners = ranked.select(
+        F.col(id_col).alias("negative_id"), "_bkt", F.col("_rn").alias("_prn")
+    )
+    return (
+        anchors.join(partners, ["_bkt", "_prn"])
+        .filter(F.col("negative_id") != F.col(id_col))
+        .select(F.col(id_col).alias("anchor_id"), "j", "negative_id")
+    )

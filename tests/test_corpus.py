@@ -127,3 +127,53 @@ class TestCorpusStats:
         en, de = got["en"], got["de"]
         assert (en.n_docs, en.total_tokens, en.avg_chars, en.median_chars) == (3, 6, 20.0, 20.0)
         assert (de.n_docs, de.total_tokens, de.avg_chars, de.median_chars) == (1, 4, 7.0, 7.0)
+
+
+class TestMixtureSample:
+    def _docs(self, spark, n=200):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        )
+
+    def test_integer_rate_is_exact_copies(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import mixture_sample
+
+        d = self._docs(spark)
+        out = mixture_sample(d, "source", "doc_id", {"s0": 3.0})
+        per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").count()
+                   .withColumnRenamed("count", "n").collect()}
+        assert set(per_doc.values()) == {3}
+        assert len(per_doc) == 50  # only s0 rows survive; s1-s3 dropped
+        copies = {r["copy"] for r in out.collect()}
+        assert copies == {1, 2, 3}
+
+    def test_zero_rate_drops_source(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import mixture_sample
+
+        d = self._docs(spark)
+        out = mixture_sample(d, "source", "doc_id", {"s0": 0.0, "s1": 1.0})
+        assert {r["source"] for r in out.collect()} == {"s1"}
+
+    def test_fractional_rates_monotone(self, spark):
+        """A doc kept at rate 0.25 must also be kept at 0.5 (same salt) —
+        the hash-gate threshold grows, the bucket doesn't move."""
+        from amazonwebcrawler_spark.operators.corpus import mixture_sample
+
+        d = self._docs(spark)
+        keep = lambda rate: {  # noqa: E731
+            r["doc_id"] for r in mixture_sample(d, "source", "doc_id", {"s0": rate}).collect()
+        }
+        lo, hi = keep(0.25), keep(0.5)
+        assert lo and lo < hi
+
+    def test_deterministic_under_repartition(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import mixture_sample
+
+        d = self._docs(spark)
+        w = {"s0": 1.5, "s1": 0.5}
+        a = sorted(map(tuple, mixture_sample(d, "source", "doc_id", w).collect()))
+        b = sorted(map(tuple, mixture_sample(d.repartition(7), "source", "doc_id", w).collect()))
+        assert a == b and len(a) > 0

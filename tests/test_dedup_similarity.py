@@ -622,3 +622,59 @@ class TestHammingIncrementalJoin:
             ).collect()
         }
         assert got == {("n1", "match")}
+
+
+class TestNegativePairs:
+    def test_matches_python_oracle(self, spark):
+        """The pair choice is a pure function of the data — recompute the
+        bucket/order/cyclic-partner arithmetic in plain Python and demand
+        the identical pair set."""
+        import hashlib
+
+        from amazonwebcrawler_spark.operators.similarity import negative_pairs
+
+        ids = list(range(60))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        k, n_buckets, salt = 2, 4, "t"
+        got = sorted(
+            (r["anchor_id"], r["j"], r["negative_id"])
+            for r in negative_pairs(df, "doc_id", k=k, n_buckets=n_buckets, salt=salt).collect()
+        )
+
+        def h(i):
+            return hashlib.md5((salt + str(i)).encode()).hexdigest()
+
+        want = []
+        buckets = {}
+        for i in ids:
+            buckets.setdefault(int(h(i)[:8], 16) % n_buckets, []).append(i)
+        for members in buckets.values():
+            members.sort(key=lambda i: (h(i), i))
+            n = len(members)
+            for rn, i in enumerate(members):
+                for j in range(1, k + 1):
+                    partner = members[(rn + j) % n]
+                    if partner != i:
+                        want.append((i, j, partner))
+        assert got == sorted(want) and len(got) > 0
+
+    def test_exactly_k_distinct_negatives_in_large_bucket(self, spark):
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.operators.similarity import negative_pairs
+
+        df = spark.range(100).select(F.col("id").alias("doc_id"))
+        out = negative_pairs(df, "doc_id", k=3, n_buckets=1)
+        per_anchor = out.groupBy("anchor_id").agg(
+            F.count("*").alias("n"), F.countDistinct("negative_id").alias("nd")
+        )
+        rows = per_anchor.collect()
+        assert len(rows) == 100
+        assert all(r["n"] == 3 and r["nd"] == 3 for r in rows)
+        assert out.filter(F.col("anchor_id") == F.col("negative_id")).count() == 0
+
+    def test_singleton_bucket_yields_no_pairs(self, spark):
+        from amazonwebcrawler_spark.operators.similarity import negative_pairs
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        assert negative_pairs(df, "doc_id", k=2, n_buckets=1).count() == 0

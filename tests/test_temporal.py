@@ -196,6 +196,46 @@ class TestZorder:
 
         assert max_chunk_spread(z) < max_chunk_spread(lex)
 
+    def test_rowgroup_pruning_beats_lex_sort(self, spark, tmp_path):
+        """The operational claim behind the key: a z-sorted parquet file
+        prunes row groups on BOTH dimensions via min/max stats, a
+        lex-sorted one only on the leading column. Write both layouts with
+        small row groups, then count row groups a ``y`` predicate can skip
+        using footer statistics only (what Spark's parquet filter pushdown
+        reads)."""
+        import pyarrow.parquet as pq
+
+        from amazonwebcrawler_spark.functions.layout import zorder_key
+
+        rows = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("int").alias("y")
+        )
+        zs = rows.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=6).alias("k"))
+        lex = rows.select("x", "y", (F.col("x") * 64 + F.col("y")).alias("k"))
+
+        def surviving_groups(df, path):
+            pdf = df.orderBy("k").toPandas()
+            import pyarrow as pa
+
+            pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=256)
+            md = pq.read_metadata(path)
+            alive = 0
+            for g in range(md.num_row_groups):
+                col = md.row_group(g).column(1)  # y
+                lo, hi = col.statistics.min, col.statistics.max
+                if not (hi < 24 or lo > 31):  # predicate: y BETWEEN 24 AND 31
+                    alive += 1
+            return alive, md.num_row_groups
+
+        z_alive, z_total = surviving_groups(zs, str(tmp_path / "z.parquet"))
+        lex_alive, lex_total = surviving_groups(lex, str(tmp_path / "lex.parquet"))
+        assert z_total == lex_total == 16
+        # lex layout: y spans the full 0-63 range in every group → nothing
+        # prunes; z layout: the curve confines y to 16-wide bands → at
+        # least half the groups are skippable on the y predicate
+        assert lex_alive == 16
+        assert z_alive <= 8
+
     def test_bits_bounds(self):
         from amazonwebcrawler_spark.functions.layout import zorder_key
 
