@@ -167,7 +167,7 @@ class StateStore:
         for wave in reversed(self._waves_as_of(as_of_wave)):
             m = self._manifest(wave)
             if name in m["tables"]:
-                return self.spark.read.parquet(m["tables"][name])
+                return self.spark.read.parquet(self._check_live(m["tables"][name]))
         return None
 
     def load_shard_state(self, as_of_wave: int | None = None) -> DataFrame | None:
@@ -184,7 +184,7 @@ class StateStore:
             m = self._manifest(w)
             if "shards" not in m["tables"]:
                 continue
-            versioned.append((w, m["tables"]["shards"]))
+            versioned.append((w, self._check_live(m["tables"]["shards"])))
             if "shards" in m.get("bases", ()):
                 break  # a base wave wrote every bucket — stop descending
         versioned.reverse()
@@ -223,7 +223,7 @@ class StateStore:
             m = self._manifest(w)
             if name not in m["tables"]:
                 continue
-            paths.append(m["tables"][name])
+            paths.append(self._check_live(m["tables"][name]))
             if name in m.get("bases", ()):
                 break
         if not paths:
@@ -233,3 +233,97 @@ class StateStore:
     def _manifest(self, wave: int) -> dict:
         with open(os.path.join(self.root, "_manifests", f"manifest-{wave}.json")) as f:
             return json.load(f)
+
+    # -------------------------------------------------------- expiration
+    def _expired_paths(self) -> set[str]:
+        p = os.path.join(self.root, "_manifests", "expired.json")
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(json.load(f)["paths"])
+
+    def _check_live(self, path: str) -> str:
+        if path in self._expired_paths():
+            raise ValueError(
+                f"snapshot expired: {path} was removed by expire_snapshots(); "
+                "time travel older than the retention horizon is gone"
+            )
+        return path
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Iceberg-style snapshot expiration: delete wave directories no
+        longer REACHABLE from the last ``keep_last`` committed waves, by
+        simulating exactly the loaders' path selection:
+
+        * full-snapshot tables (frontier): each retained wave reads only
+          its latest version — every older full rewrite is garbage. This
+          is where a per-wave-rewritten 10^10-row frontier grows O(waves)
+          disk without expiration.
+        * COW / delta tables: chains stop at the most recent compaction
+          base, so pre-base deltas of ``seen``/``shards``/``seed_flags``
+          expire once a base is inside the retention window. Tables that
+          never compact (results, images, metrics, lineage — their union
+          IS the live table) keep every wave reachable and lose nothing.
+
+        Manifests are kept (delta unions still need them); expired paths
+        are tombstoned in ``_manifests/expired.json`` and any later time
+        travel into them raises instead of reading missing files. Only
+        paths referenced by SOME manifest are ever deleted — a crashed
+        run's uncommitted in-flight wave directory is not touched (it is
+        invisible to resume anyway). Run from the driver while no wave is
+        committing.
+
+        Returns ``{"deleted": [(table, wave), ...], "bytes_reclaimed": n,
+        "retained_waves": [...]}``.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        waves = self.committed_waves()
+        retained = waves[-keep_last:]
+        referenced: set[str] = set()
+        all_paths: dict[str, tuple[str, int]] = {}
+        for w in waves:
+            m = self._manifest(w)
+            for name, path in m["tables"].items():
+                all_paths[path] = (name, w)
+        for name in SNAPSHOT_TABLES:
+            for r in retained:
+                for w in reversed([x for x in waves if x <= r]):
+                    m = self._manifest(w)
+                    if name in m["tables"]:
+                        referenced.add(m["tables"][name])
+                        break
+        for name in COW_TABLES + DELTA_TABLES:
+            for r in retained:
+                for w in reversed([x for x in waves if x <= r]):
+                    m = self._manifest(w)
+                    if name not in m["tables"]:
+                        continue
+                    referenced.add(m["tables"][name])
+                    if name in m.get("bases", ()):
+                        break
+        deleted: list[tuple[str, int]] = []
+        bytes_reclaimed = 0
+        expired = self._expired_paths()
+        for path, (name, w) in sorted(all_paths.items()):
+            if path in referenced or path in expired or not os.path.isdir(path):
+                continue
+            bytes_reclaimed += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dns, fns in os.walk(path)
+                for f in fns
+            )
+            shutil.rmtree(path)
+            deleted.append((name, w))
+            expired.add(path)
+        tmp = os.path.join(self.root, "_manifests", ".expired.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"paths": sorted(expired)}, f)
+        os.rename(tmp, os.path.join(self.root, "_manifests", "expired.json"))
+        return {
+            "deleted": deleted,
+            "bytes_reclaimed": bytes_reclaimed,
+            "retained_waves": retained,
+        }

@@ -53,6 +53,11 @@ BENCH_QUERIES = (
     # chunk → pack manifest (r4): the training-sequence prep stage; times
     # the sharded prefix-sum + explode (includes the bounded totals collect)
     "pack_sequences",
+    # temporal joins (r4 session 5): the one-shuffle union-tag as-of and
+    # the bucketized interval join — both over the full events table, so
+    # the timing is the shuffle+window / equi-join cost, not a toy
+    "asof_join",
+    "range_join",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
