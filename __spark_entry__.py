@@ -1340,6 +1340,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return negative_pairs(d.select("doc_id"), "doc_id", k=2, n_buckets=16, salt="neg")
 
+    # ----------------------------------------------------- snapshot CDC diff
+    def q_snapshot_diff(spark, sf):
+        """Corpus CDC (operators/corpus.snapshot_diff): added / removed /
+        changed / unchanged between two snapshots — digests compared, not
+        payloads, so the one full-outer join shuffles (id, md5) only. Old
+        and new snapshots are derived deterministically from documents so
+        both engines build the identical inputs."""
+        from amazonwebcrawler_spark.operators.corpus import snapshot_diff
+
+        d = _t(spark, sf, "documents")
+        old = d.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+        new = d.filter(F.col("doc_id") % 13 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return snapshot_diff(old, new, "doc_id", ["text"])
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1411,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_delta": q_rank_delta,
         "mixture_sample": q_mixture_sample,
         "negative_pairs": q_negative_pairs,
+        "snapshot_diff": q_snapshot_diff,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2589,6 +2609,22 @@ a AS (
 SELECT a.doc_id AS anchor_id, a.j, p.doc_id AS negative_id
 FROM a JOIN r p ON p.bkt = a.bkt AND p.rn = (a.rn - 1 + a.j) % a.cnt + 1
 WHERE p.doc_id <> a.doc_id
+""",
+        "snapshot_diff": """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+),
+new AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.h <> n.h THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

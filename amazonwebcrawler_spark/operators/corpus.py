@@ -155,6 +155,39 @@ def mixture_sample(
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, content_cols: list[str]
+) -> DataFrame:
+    """CDC between two corpus snapshots: per id, ``added`` / ``removed`` /
+    ``changed`` / ``unchanged`` — the report an incremental re-training
+    decision reads (how much of the corpus actually moved since the last
+    run; which docs need re-embedding/re-deduping).
+
+    Content equality is md5 over the content columns joined with a unit
+    separator (``\\x1f``) — engine-portable, and comparing 32-byte digests
+    instead of multi-KB documents keeps the shuffle narrow: the join
+    carries (id, digest), never the payloads. NULL content cells are
+    skipped by ``concat_ws`` (a NULL and an empty string compare equal) —
+    normalize upstream if that distinction matters.
+
+    Plan: two digest projections + ONE full-outer hash join on id. At
+    100 TB both sides shuffle once on the id — the minimum for any diff —
+    and AQE handles the skewless id distribution.
+    """
+    def digest(df: DataFrame, out: str) -> DataFrame:
+        cols = [F.col(c).cast("string") for c in content_cols]
+        return df.select(F.col(id_col), F.md5(F.concat_ws("\x1f", *cols)).alias(out))
+
+    j = digest(old, "_ho").join(digest(new, "_hn"), id_col, "full_outer")
+    status = (
+        F.when(F.col("_ho").isNull(), "added")
+        .when(F.col("_hn").isNull(), "removed")
+        .when(F.col("_ho") != F.col("_hn"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(id_col, status.alias("status"))
+
+
 def corpus_stats(df: DataFrame, strata_col: str, text_col: str, chars_col: str) -> DataFrame:
     """Per-stratum corpus shape report: document count, total token count,
     mean and exact median document length — the rollup a curation run

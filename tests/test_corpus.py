@@ -177,3 +177,27 @@ class TestMixtureSample:
         a = sorted(map(tuple, mixture_sample(d, "source", "doc_id", w).collect()))
         b = sorted(map(tuple, mixture_sample(d.repartition(7), "source", "doc_id", w).collect()))
         assert a == b and len(a) > 0
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")], "id long, t string, u string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b", "y"), (3, "C", "z"), (4, "d", "w")], "id long, t string, u string"
+        )
+        got = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", ["t", "u"]).collect()}
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_multi_column_separator_prevents_concat_collisions(self, spark):
+        """('ab','c') and ('a','bc') must NOT digest equal — the unit
+        separator keeps column boundaries in the hash."""
+        from amazonwebcrawler_spark.operators.corpus import snapshot_diff
+
+        old = spark.createDataFrame([(1, "ab", "c")], "id long, t string, u string")
+        new = spark.createDataFrame([(1, "a", "bc")], "id long, t string, u string")
+        got = snapshot_diff(old, new, "id", ["t", "u"]).collect()
+        assert got[0]["status"] == "changed"
