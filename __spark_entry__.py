@@ -1359,6 +1359,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return snapshot_diff(old, new, "doc_id", ["text"])
 
+    # ----------------------------------------------------- sketch accuracy
+    def q_sketch_distinct(spark, sf):
+        """Sketch-vs-exact certification: per host shard, HyperLogLog++
+        distinct customers (approx_count_distinct) and an approximate
+        median (percentile_approx) are computed alongside their exact
+        twins, and the OUTPUT is the exact values + error-bound booleans.
+        The DuckDB twin re-derives the exact values independently with
+        literal-true flags — if the sketch ever exceeds its error bound
+        the flag flips and the row goes red. (The raw estimates are not
+        emitted: Spark's datasketches HLL estimate is partition-order
+        dependent, measured 815 vs 822 for the same set, so pinning it
+        would be flaky by construction; the BOUND is the stable contract.
+        The 5%/2% margins are ~3× the observed error at this cardinality.)
+        At 10^10 URLs this is the frontier dashboard's distinct-per-host
+        counter: one map-side-combinable sketch instead of a countDistinct
+        re-shuffle."""
+        o = _t(spark, sf, "orders")
+        host = F.concat(F.lit("shard-"), (F.col("o_orderkey") % 13).cast("string"))
+        g = (
+            o.select(host.alias("host"), "o_custkey", "o_totalprice")
+            .groupBy("host")
+            .agg(
+                # rsd=0.01: the DEFAULT 0.05 makes a 5% bound a 1-sigma
+                # coin flip (measured 6.8% error on an 811-distinct shard);
+                # at 1% rsd the 5% margin is 5 sigma
+                F.approx_count_distinct("o_custkey", 0.01).alias("_acd"),
+                F.countDistinct("o_custkey").alias("n_custs_exact"),
+                F.percentile_approx("o_totalprice", 0.5).alias("_amed"),
+                F.expr("percentile(o_totalprice, 0.5)").alias("_med_exact"),
+                F.count("*").alias("n_orders"),
+            )
+        )
+        return g.select(
+            "host",
+            "n_custs_exact",
+            F.round("_med_exact", 6).alias("median_price_exact"),
+            "n_orders",
+            (
+                F.abs(F.col("_acd") - F.col("n_custs_exact"))
+                <= 0.05 * F.col("n_custs_exact")
+            ).alias("distinct_within_5pct"),
+            (
+                F.abs(F.col("_amed") - F.col("_med_exact")) <= 0.02 * F.col("_med_exact")
+            ).alias("median_within_2pct"),
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1431,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "negative_pairs": q_negative_pairs,
         "snapshot_diff": q_snapshot_diff,
+        "sketch_distinct": q_sketch_distinct,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2625,6 +2672,15 @@ SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
        WHEN o.h <> n.h THEN 'changed'
        ELSE 'unchanged' END AS status
 FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+""",
+        "sketch_distinct": """
+SELECT 'shard-' || (o_orderkey % 13)::VARCHAR AS host,
+  COUNT(DISTINCT o_custkey) AS n_custs_exact,
+  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price_exact,
+  COUNT(*) AS n_orders,
+  TRUE AS distinct_within_5pct,
+  TRUE AS median_within_2pct
+FROM orders GROUP BY 1
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

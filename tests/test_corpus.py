@@ -201,3 +201,35 @@ class TestSnapshotDiff:
         new = spark.createDataFrame([(1, "a", "bc")], "id long, t string, u string")
         got = snapshot_diff(old, new, "id", ["t", "u"]).collect()
         assert got[0]["status"] == "changed"
+
+
+class TestSketchAccuracy:
+    def test_error_flags_hold_at_test_scale(self, spark, sf_dir):
+        import __spark_entry__ as m
+
+        rows = m.queries()["sketch_distinct"](spark, sf_dir).collect()
+        assert len(rows) == 13
+        assert all(r["distinct_within_5pct"] for r in rows)
+        assert all(r["median_within_2pct"] for r in rows)
+
+    def test_approx_count_distinct_partition_invariant(self, spark, sf_dir):
+        """The sketch is mergeable with a commutative register-max — the
+        estimate must not depend on how the input was partitioned (the
+        property that makes it safe as a map-side-combinable dashboard
+        counter; Spark's hll_sketch_agg does NOT have this, measured, and
+        is deliberately not used)."""
+        from pyspark.sql import functions as F
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+        def est(df):
+            return sorted(
+                map(
+                    tuple,
+                    df.groupBy((F.col("o_orderkey") % 13).alias("s"))
+                    .agg(F.approx_count_distinct("o_custkey").alias("acd"))
+                    .collect(),
+                )
+            )
+
+        assert est(o) == est(o.repartition(17)) == est(o.repartition(3, "o_custkey"))
