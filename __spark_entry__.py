@@ -1405,6 +1405,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("median_within_2pct"),
         )
 
+    # ----------------------------------------------------- expectations gate
+    def q_expectations(spark, sf):
+        """Deequ-style data-quality gate (operators/corpus.
+        expectations_report): declared constraints over the corpus, ALL
+        evaluated in one aggregation pass, one output row per constraint
+        (constraint, metric, passed) — the report that admits or blocks a
+        crawl drop before training. The twin re-derives every metric with
+        plain SQL aggregates and unpivots via UNION ALL."""
+        from amazonwebcrawler_spark.operators.corpus import (
+            c_count_between,
+            c_in_set,
+            c_max_le,
+            c_min_ge,
+            c_not_null,
+            c_unique,
+            expectations_report,
+        )
+
+        d = _t(spark, sf, "documents")
+        return expectations_report(
+            d,
+            [
+                c_not_null("text"),
+                c_unique("doc_id"),
+                c_in_set("lang", ("en", "de", "fr", "es", "zh")),
+                c_min_ge("n_chars", 1.0),
+                c_max_le("n_chars", 100000.0),
+                c_count_between(1, 10**9),
+            ],
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1478,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_pairs": q_negative_pairs,
         "snapshot_diff": q_snapshot_diff,
         "sketch_distinct": q_sketch_distinct,
+        "expectations": q_expectations,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2681,6 +2713,26 @@ SELECT 'shard-' || (o_orderkey % 13)::VARCHAR AS host,
   TRUE AS distinct_within_5pct,
   TRUE AS median_within_2pct
 FROM orders GROUP BY 1
+""",
+        "expectations": """
+WITH m AS (
+  SELECT
+    AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) AS m0,
+    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS DOUBLE) AS m1,
+    CAST(SUM(CASE WHEN lang IS NOT NULL
+                   AND lang NOT IN ('en','de','fr','es','zh')
+             THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS m2,
+    CAST(MIN(n_chars) AS DOUBLE) AS m3,
+    CAST(MAX(n_chars) AS DOUBLE) AS m4,
+    CAST(COUNT(*) AS DOUBLE) AS m5
+  FROM documents
+)
+SELECT 'not_null(text)' AS "constraint", ROUND(m0, 6) AS metric, m0 <= 0.0 AS passed FROM m
+UNION ALL SELECT 'unique(doc_id)', ROUND(m1, 6), m1 = 0.0 FROM m
+UNION ALL SELECT 'in_set(lang)', ROUND(m2, 6), m2 = 0.0 FROM m
+UNION ALL SELECT 'min_ge(n_chars,1)', ROUND(m3, 6), m3 >= 1.0 FROM m
+UNION ALL SELECT 'max_le(n_chars,100000)', ROUND(m4, 6), m4 <= 100000.0 FROM m
+UNION ALL SELECT 'count_between(1,1000000000)', ROUND(m5, 6), m5 BETWEEN 1 AND 1000000000 FROM m
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

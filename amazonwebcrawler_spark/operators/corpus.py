@@ -155,6 +155,81 @@ def mixture_sample(
     )
 
 
+def c_not_null(col: str, tol: float = 0.0):
+    """Expectation: null fraction of ``col`` ≤ ``tol``."""
+    return (
+        f"not_null({col})",
+        F.coalesce(F.avg(F.col(col).isNull().cast("double")), F.lit(0.0)),
+        lambda m: m <= tol,
+    )
+
+
+def c_unique(col: str):
+    """Expectation: ``col`` has no duplicate values (metric = dup rows)."""
+    return (
+        f"unique({col})",
+        (F.count(col) - F.count_distinct(F.col(col))).cast("double"),
+        lambda m: m == 0.0,
+    )
+
+
+def c_in_set(col: str, values: tuple[str, ...]):
+    """Expectation: every non-null value of ``col`` is in ``values``
+    (metric = violating rows)."""
+    return (
+        f"in_set({col})",
+        F.sum((~F.col(col).isin(*values) & F.col(col).isNotNull()).cast("double")),
+        lambda m: m == 0.0,
+    )
+
+
+def c_min_ge(col: str, bound: float):
+    """Expectation: min(col) ≥ bound (metric = the min)."""
+    return (f"min_ge({col},{bound:g})", F.min(col).cast("double"), lambda m: m >= bound)
+
+
+def c_max_le(col: str, bound: float):
+    """Expectation: max(col) ≤ bound (metric = the max)."""
+    return (f"max_le({col},{bound:g})", F.max(col).cast("double"), lambda m: m <= bound)
+
+
+def c_count_between(lo: int, hi: int):
+    """Expectation: lo ≤ row count ≤ hi (metric = the count)."""
+    return (
+        f"count_between({lo},{hi})",
+        F.count(F.lit(1)).cast("double"),
+        lambda m: (m >= lo) & (m <= hi),
+    )
+
+
+def expectations_report(df: DataFrame, checks) -> DataFrame:
+    """Deequ-style data-quality gate: evaluate a set of declared
+    expectations (``c_not_null`` / ``c_unique`` / ``c_in_set`` /
+    ``c_min_ge`` / ``c_max_le`` / ``c_count_between``) and emit one row
+    per constraint: ``(constraint, metric, passed)`` — the report a
+    training pipeline checks before admitting a new crawl drop into the
+    corpus.
+
+    Scale shape: ALL metrics evaluate in ONE aggregation pass over the
+    table (a single global hash-agg with map-side partials — the multiple
+    ``count_distinct``s expand to one extra shuffle each, the rest
+    combine); the per-constraint rows then come from exploding a literal
+    struct array over that single-row result. Never one job per
+    constraint.
+    """
+    metric_cols = [m.alias(f"_m{i}") for i, (_n, m, _p) in enumerate(checks)]
+    agg = df.groupBy().agg(*metric_cols)
+    structs = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.round(F.col(f"_m{i}"), 6).alias("metric"),
+            passed(F.col(f"_m{i}")).alias("passed"),
+        )
+        for i, (name, _m, passed) in enumerate(checks)
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("_c")).select("_c.*")
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, id_col: str, content_cols: list[str]
 ) -> DataFrame:

@@ -233,3 +233,55 @@ class TestSketchAccuracy:
             )
 
         assert est(o) == est(o.repartition(17)) == est(o.repartition(3, "o_custkey"))
+
+
+class TestExpectations:
+    def test_planted_violations_localized(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import (
+            c_count_between,
+            c_in_set,
+            c_max_le,
+            c_min_ge,
+            c_not_null,
+            c_unique,
+            expectations_report,
+        )
+
+        rows = [
+            (1, "ok", "en", 10),
+            (2, None, "de", 20),   # null text
+            (2, "dup", "fr", 30),  # duplicate id
+            (4, "bad", "xx", 0),   # out-of-set lang, n_chars below bound
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+        got = {
+            r["constraint"]: (r["metric"], r["passed"])
+            for r in expectations_report(
+                df,
+                [
+                    c_not_null("text"),
+                    c_unique("doc_id"),
+                    c_in_set("lang", ("en", "de", "fr")),
+                    c_min_ge("n_chars", 1.0),
+                    c_max_le("n_chars", 100.0),
+                    c_count_between(1, 3),
+                ],
+            ).collect()
+        }
+        assert got["not_null(text)"] == (0.25, False)
+        assert got["unique(doc_id)"] == (1.0, False)
+        assert got["in_set(lang)"] == (1.0, False)
+        assert got["min_ge(n_chars,1)"] == (0.0, False)
+        assert got["max_le(n_chars,100)"] == (30.0, True)
+        assert got["count_between(1,3)"] == (4.0, False)
+
+    def test_clean_table_all_pass(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import (
+            c_not_null,
+            c_unique,
+            expectations_report,
+        )
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        rows = expectations_report(df, [c_not_null("text"), c_unique("doc_id")]).collect()
+        assert all(r["passed"] for r in rows) and len(rows) == 2
