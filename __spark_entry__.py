@@ -1436,6 +1436,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
         )
 
+    # ----------------------------------------------------- outlier clipping
+    def q_winsorize(spark, sf):
+        """Per-language winsorization of document length
+        (operators/corpus.winsorize): exact [p5, p95] clamp + outlier flag;
+        bounds agg → broadcast join back, the corpus never shuffles. Twin
+        uses DuckDB quantile_cont (same linear interpolation as Spark's
+        exact percentile, parity proven at 6dp by corpus_stats)."""
+        from amazonwebcrawler_spark.operators.corpus import winsorize
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        return winsorize(d, "lang", "n_chars", lo=0.05, hi=0.95)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1510,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "sketch_distinct": q_sketch_distinct,
         "expectations": q_expectations,
+        "winsorize": q_winsorize,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2733,6 +2746,16 @@ UNION ALL SELECT 'in_set(lang)', ROUND(m2, 6), m2 = 0.0 FROM m
 UNION ALL SELECT 'min_ge(n_chars,1)', ROUND(m3, 6), m3 >= 1.0 FROM m
 UNION ALL SELECT 'max_le(n_chars,100000)', ROUND(m4, 6), m4 <= 100000.0 FROM m
 UNION ALL SELECT 'count_between(1,1000000000)', ROUND(m5, 6), m5 BETWEEN 1 AND 1000000000 FROM m
+""",
+        "winsorize": """
+WITH b AS (
+  SELECT lang, quantile_cont(n_chars, 0.05) AS lo, quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+  ROUND(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 6) AS clipped,
+  (d.n_chars < b.lo OR d.n_chars > b.hi) AS is_outlier
+FROM documents d JOIN b USING (lang)
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

@@ -230,6 +230,37 @@ def expectations_report(df: DataFrame, checks) -> DataFrame:
     return agg.select(F.explode(F.array(*structs)).alias("_c")).select("_c.*")
 
 
+def winsorize(
+    df: DataFrame, group_col: str, value_col: str, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Per-group outlier clipping: values outside the group's exact
+    [lo, hi] percentiles are clamped to the boundary and flagged — the
+    standard length/score normalization before loss weighting or bucketed
+    batching (one 10M-char document must not dominate its batch).
+
+    Exact interpolated ``percentile`` (NOT ``percentile_approx``: the
+    sketch is partitioning-sensitive, see q_sketch_distinct) — identical
+    semantics to DuckDB's ``quantile_cont``, so the twin value-checks the
+    boundaries bit-for-bit at 6dp.
+
+    Plan: one hash-agg for the per-group bounds (groups ≪ rows), broadcast
+    join back, pure column clamp — the big side never shuffles.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn("clipped", F.round(clipped, 6))
+        .withColumn(
+            "is_outlier", (F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi"))
+        )
+        .drop("_lo", "_hi")
+    )
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame, id_col: str, content_cols: list[str]
 ) -> DataFrame:

@@ -285,3 +285,30 @@ class TestExpectations:
         df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
         rows = expectations_report(df, [c_not_null("text"), c_unique("doc_id")]).collect()
         assert all(r["passed"] for r in rows) and len(rows) == 2
+
+
+class TestWinsorize:
+    def test_clamp_and_flags(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import winsorize
+
+        # 0..100 in one group: p5=5, p95=95 exactly (101 evenly spaced values)
+        df = spark.range(101).selectExpr("'g' AS grp", "id AS v")
+        out = {r["v"]: (r["clipped"], r["is_outlier"]) for r in winsorize(df, "grp", "v").collect()}
+        assert out[0] == (5.0, True) and out[3] == (5.0, True)
+        assert out[5] == (5.0, False)
+        assert out[50] == (50.0, False)
+        assert out[95] == (95.0, False)
+        assert out[100] == (95.0, True)
+        assert sum(1 for _, o in out.values() if o) == 10  # 0-4 and 96-100
+
+    def test_groups_independent(self, spark):
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.operators.corpus import winsorize
+
+        a = spark.range(101).selectExpr("'a' AS grp", "id AS v")
+        b = spark.range(101).selectExpr("'b' AS grp", "id * 10 AS v")
+        out = winsorize(a.unionByName(b), "grp", "v")
+        hi = {r["grp"]: r["clipped"] for r in out.filter(~F.col("is_outlier")).groupBy("grp")
+              .agg(F.max("clipped").alias("clipped")).collect()}
+        assert hi == {"a": 95.0, "b": 950.0}
