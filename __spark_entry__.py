@@ -1448,6 +1448,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
         return winsorize(d, "lang", "n_chars", lo=0.05, hi=0.95)
 
+    # ----------------------------------------------------- exponential decay
+    def q_ema_score(spark, sf):
+        """Recency-weighted score (operators/temporal.ema): exact EMA per
+        user over the event timeline as two partitioned running window
+        sums (the b^n factor cancels — no recursion, no UDF). Both
+        engines run the window sums in the same defined order, so the
+        twin matches at 6dp."""
+        from amazonwebcrawler_spark.operators.temporal import ema
+
+        e = _t(spark, sf, "events").select(
+            "user_id", "event_id", "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        out = ema(e, ["user_id"], "ts", "cents", alpha=0.25)
+        return out.select("user_id", "event_id", F.round("ema", 6).alias("ema_cents"))
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1523,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": q_sketch_distinct,
         "expectations": q_expectations,
         "winsorize": q_winsorize,
+        "ema_score": q_ema_score,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2756,6 +2773,22 @@ SELECT d.doc_id, d.lang, d.n_chars,
   ROUND(LEAST(GREATEST(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 6) AS clipped,
   (d.n_chars < b.lo OR d.n_chars > b.hi) AS is_outlier
 FROM documents d JOIN b USING (lang)
+""",
+        "ema_score": """
+WITH w AS (
+  SELECT user_id, event_id,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+    power(0.75, -CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE)) AS wt,
+    ts
+  FROM events
+)
+SELECT user_id, event_id,
+  ROUND(
+    SUM(cents * wt) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    / SUM(wt) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema_cents
+FROM w
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

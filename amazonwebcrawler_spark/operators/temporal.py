@@ -114,6 +114,53 @@ def asof_join(
     )
 
 
+def ema(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ema",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, as PURE window math —
+    no recursion, no UDF, no driver loop.
+
+    The recurrence ``y_n = α·x_n + (1-α)·y_{n-1}`` (pandas ``ewm(adjust=
+    True)`` semantics: weights ``(1-α)^k`` at lag k, normalized) unrolls to
+    a ratio of two running sums::
+
+        y_n = Σ_{i≤n} x_i·b^{-i} / Σ_{i≤n} b^{-i}      (b = 1-α)
+
+    because the common ``b^n`` factor cancels — so two partitioned
+    cumulative sums over ``x·pow(b, -rn)`` and ``pow(b, -rn)`` give the
+    exact EMA in one shuffle. Both engines evaluate running window sums in
+    the same defined order, so the DuckDB twin is bit-identical.
+
+    Numeric bound: ``b^{-rn}`` grows to ``b^{-n}`` for a key with n rows —
+    doubles overflow past ~700·ln10/-ln(b) rows (α=0.25 → ~2,400 rows;
+    α=0.1 → ~6,700). For longer keys, segment the timeline and rescale per
+    segment (the cancellation argument applies blockwise); the recency-
+    weighted crawl-priority use case re-anchors each wave anyway.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    b = 1.0 - alpha
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rn = F.row_number().over(Window.partitionBy(*key_cols).orderBy(order_col))
+    weighted = df.withColumn("_w", F.pow(F.lit(b), -rn))
+    return (
+        weighted.withColumn(
+            out_col,
+            F.sum(F.col(value_col) * F.col("_w")).over(w) / F.sum("_w").over(w),
+        )
+        .drop("_w")
+    )
+
+
 def range_join_pairs(
     left: DataFrame,
     right: DataFrame,

@@ -254,3 +254,32 @@ class TestZorder:
             + " AS z FROM (SELECT unnest(generate_series(0, 299)) AS gs)"
         ).fetchall()
         assert [r["z"] for r in got] == [r[0] for r in want]
+
+
+class TestEma:
+    def test_matches_pandas_ewm(self, spark):
+        """pandas ewm(adjust=True) is the independent oracle for the
+        window-sum formulation."""
+        import pandas as pd
+
+        rows = [(k, i, float((i * 7 + k * 3) % 23)) for k in (1, 2) for i in range(40)]
+        df = spark.createDataFrame(rows, "k int, seq int, v double")
+        got = {
+            (r["k"], r["seq"]): r["ema"]
+            for r in __import__("amazonwebcrawler_spark.operators.temporal", fromlist=["ema"])
+            .ema(df, ["k"], "seq", "v", alpha=0.3)
+            .collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["k", "seq", "v"]).sort_values(["k", "seq"])
+        for k, grp in pdf.groupby("k"):
+            want = grp["v"].ewm(alpha=0.3, adjust=True).mean().tolist()
+            for (_, row), w in zip(grp.iterrows(), want):
+                assert abs(got[(k, row["seq"])] - w) < 1e-9, (k, row["seq"])
+
+    def test_first_row_is_value_and_alpha_validated(self, spark):
+        from amazonwebcrawler_spark.operators.temporal import ema
+
+        df = spark.createDataFrame([(1, 1, 42.0)], "k int, seq int, v double")
+        assert ema(df, ["k"], "seq", "v", alpha=0.5).collect()[0]["ema"] == 42.0
+        with pytest.raises(ValueError, match="alpha"):
+            ema(df, ["k"], "seq", "v", alpha=1.0)
