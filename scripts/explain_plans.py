@@ -84,6 +84,24 @@ CHECKS = {
     # rank delta: both windows are partitioned (day / event_type) — the
     # date-over-date diff never needs a global sort (NEG_CHECKS)
     "rank_delta": ["Window", "HashAggregate", "[codegen id :"],
+    # mixture resampling: broadcast weight table + explode — the corpus
+    # itself is never shuffled (no Exchange on the big side would be ideal
+    # to assert, but the broadcast build shows as its own exchange; the
+    # Generate & BHJ are the plan signature)
+    "mixture_sample": ["BroadcastHashJoin", "Generate", "[codegen id :"],
+    # in-batch negatives: bucket windows + ONE equi self-join
+    "negative_pairs": ["Window", "HashJoin", "[codegen id :"],
+    # CDC diff: digests joined, not payloads; full outer on the id
+    "snapshot_diff": ["FullOuter", "[codegen id :"],
+    # sketch certification: one hash agg (map-side partials)
+    "sketch_distinct": ["HashAggregate", "[codegen id :"],
+    # expectations: ONE aggregation pass + one struct-array explode —
+    # never a job per constraint, no join anywhere (NEG)
+    "expectations": ["HashAggregate", "Generate", "[codegen id :"],
+    # winsorization: bounds broadcast back — the corpus never shuffles
+    "winsorize": ["BroadcastHashJoin", "[codegen id :"],
+    # EMA: partitioned running windows only — no global sort (NEG)
+    "ema_score": ["Window", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -91,6 +109,8 @@ NO_AQE = {
     "dedup_simhash", "hamming_neardup", "dedup_incremental",
     "trap_detect", "pack_sequences",
     "asof_join", "range_join", "skew_join_salted", "rollup_metrics", "rank_delta",
+    "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
+    "expectations", "winsorize", "ema_score",
 }
 
 NEG_CHECKS = {
@@ -122,6 +142,19 @@ NEG_CHECKS = {
     "rollup_metrics": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join"],
     "zorder_layout": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
     "rank_delta": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
+    ],
+    "mixture_sample": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "negative_pairs": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian",
+    ],
+    "snapshot_diff": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "NestedLoop"],
+    "sketch_distinct": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join"],
+    "expectations": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Join"],
+    "winsorize": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "NestedLoop"],
+    "ema_score": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "Join",
     ],
