@@ -7,9 +7,9 @@ twin of each — the SQL mirrors the Spark column math exactly (same hash
 functions — md5; same double-precision order of operations; FLOOR instead
 of engine-specific casts) so the value-hash comparison is meaningful.
 
-Rows-only entries (no oracle): the stateful crawl wave, Bloom-filter probe,
-image decode plumbing, SimHash, and LSH-approximate ANN (their exactness is
-asserted against in-repo oracles in tests/ instead).
+Every query carries a twin — plain SQL where expressible, otherwise a
+committed self-checking golden (scripts/gen_goldens.py) rendered as a
+typed VALUES table: zero rows-only entries remain.
 """
 
 from __future__ import annotations
