@@ -657,6 +657,7 @@ def hamming_neardup_join(
     fp_col: str,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    corpus_chunked: bool = False,
 ) -> DataFrame:
     """Incremental near-dup ingest: pairs between a NEW batch and the
     accumulated corpus only — never corpus×corpus, never new×new. This is
@@ -672,11 +673,18 @@ def hamming_neardup_join(
     Returns ``(new_id, corpus_id, hamming)`` — every corpus row within
     ``max_hamming`` of each new row; a new row with no match is novel and
     enters the corpus.
+
+    ``corpus_chunked=True`` takes ``corpus`` as an ALREADY-exploded chunk
+    table ``(_id, _fp, c, v)`` — i.e. the persisted state written by
+    :func:`write_chunk_table`. Bucketed+sorted on ``(c, v)``, that table
+    joins with ZERO corpus-side shuffle: only the ``(t+1) × |new|`` batch
+    chunk rows exchange to the bucket layout each wave (plan-asserted in
+    tests/test_dedup_similarity.py::TestBucketedChunkTable).
     """
     if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     n = _fp_chunks(new, id_col, fp_col, max_hamming)
-    c = _fp_chunks(corpus, id_col, fp_col, max_hamming)
+    c = corpus if corpus_chunked else _fp_chunks(corpus, id_col, fp_col, max_hamming)
     if max_bucket is not None:
         ok = (
             c.groupBy("c", "v").count()
@@ -707,6 +715,44 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 
     """
     keyed = with_simhash64(df, text_col, id_col)
     return hamming_neardup_pairs(keyed, "_id", "_fp", max_hamming)
+
+
+def write_chunk_table(
+    corpus: DataFrame,
+    id_col: str,
+    fp_col: str,
+    table: str,
+    max_hamming: int = 3,
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> None:
+    """Persist the corpus pigeonhole chunk table as a BUCKETED+SORTED
+    Spark table on the blocking key ``(c, v)`` — the state-table form of
+    incremental near-dup dedup at 10^10 images.
+
+    Why bucketed: the per-wave ingest join (:func:`hamming_neardup_join`
+    with ``corpus_chunked=True``) then reads the corpus pre-partitioned on
+    the join key — the 10^10-row side is NEVER shuffled again; each wave
+    exchanges only its own ``(t+1) × |batch|`` chunk rows to the bucket
+    layout. Without bucketing, every wave would re-shuffle the entire
+    corpus chunk table just to co-locate it with a batch 10^6× smaller.
+
+    ``path`` makes it an external table (data at ``path``, catalog entry
+    only in the metastore) — on a real cluster this is the Iceberg/Hive
+    table the state store tracks; size ``n_buckets`` ≈ corpus chunk rows /
+    target partition rows. New waves' novel rows append with the SAME
+    bucket spec (``insertInto`` preserves bucketing).
+    """
+    chunks = _fp_chunks(corpus, id_col, fp_col, max_hamming)
+    w = (
+        chunks.write.bucketBy(n_buckets, "c", "v")
+        .sortBy("c", "v")
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
 
 
 # ------------------------------------------------------------- image near-dup

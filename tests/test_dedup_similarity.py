@@ -678,3 +678,68 @@ class TestNegativePairs:
 
         df = spark.createDataFrame([(1,)], "doc_id long")
         assert negative_pairs(df, "doc_id", k=2, n_buckets=1).count() == 0
+
+
+class TestBucketedChunkTable:
+    """write_chunk_table + corpus_chunked join: same pairs as the inline
+    path, with ZERO corpus-side shuffle (the 10^10-row side is read
+    pre-partitioned on the blocking key)."""
+
+    def _data(self, spark):
+        from pyspark.sql import functions as F
+
+        corpus = spark.range(200).select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("id"),
+            ((F.col("id") * 2654435761) % (1 << 62)).alias("fp"),
+        )
+        # batch: half exact corpus fingerprints, half 2-bit flips, a few novel
+        new = spark.range(30).select(
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias("id"),
+            F.when(F.col("id") % 3 == 0, (F.col("id") * 2654435761) % (1 << 62))
+            .when(F.col("id") % 3 == 1,
+                  ((F.col("id") * 2654435761) % (1 << 62)).bitwiseXOR(F.lit(0b101)))
+            .otherwise(F.lit((1 << 61) + 12345) + F.col("id"))
+            .alias("fp"),
+        )
+        return corpus, new
+
+    def test_bucketed_join_same_pairs_no_corpus_shuffle(self, spark, tmp_path):
+        from amazonwebcrawler_spark.operators import dedup
+
+        corpus, new = self._data(spark)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS awc_test LOCATION '{tmp_path}/db'")
+        spark.sql("DROP TABLE IF EXISTS awc_test.chunks")
+        dedup.write_chunk_table(
+            corpus, "id", "fp", "awc_test.chunks",
+            max_hamming=2, n_buckets=8, path=f"{tmp_path}/chunks",
+        )
+        chunks = spark.table("awc_test.chunks")
+
+        want = sorted(
+            map(tuple, dedup.hamming_neardup_join(new, corpus, "id", "fp", max_hamming=2).collect())
+        )
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            out = dedup.hamming_neardup_join(
+                new, chunks, "id", "fp", max_hamming=2, corpus_chunked=True
+            )
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            got = sorted(map(tuple, out.collect()))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+        assert got == want and len(got) > 0
+        assert "SortMergeJoin" in plan
+        # exactly ONE exchange on the blocking key (c, v) — the batch side
+        # moving to the bucket layout; the corpus scan is pre-partitioned
+        # (Bucketed: true). The only other exchange is the post-join
+        # distinct, sized by candidate pairs, never by the corpus.
+        import re
+
+        chunk_exchanges = re.findall(r"Exchange hashpartitioning\(c#\d+L?, v#\d+L?", plan)
+        assert len(chunk_exchanges) == 1, plan[:1500]
+        assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+        assert "Bucketed: true" in plan
