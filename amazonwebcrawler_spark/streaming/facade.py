@@ -171,6 +171,7 @@ def neardup_ingest_stream(
     max_hamming: int = 2,
     max_bucket: int | None = None,
     schema=None,
+    corpus_table: str | None = None,
 ):
     """Streaming incremental near-dup ingest: fingerprinted rows
     ``(id, fp)`` arriving as files are paired against the ACCUMULATED
@@ -183,17 +184,27 @@ def neardup_ingest_stream(
     deployment would then append to the corpus (kept a caller decision
     here so the corpus snapshot stays under the state store's commit
     protocol, not the stream's).
+
+    ``corpus_table`` switches the corpus side to a pre-built bucketed
+    chunk table (``dedup.write_chunk_table``): each micro-batch then
+    exchanges ONLY its own chunk rows — the accumulated corpus is read
+    pre-partitioned on the blocking key, never re-shuffled per batch
+    (``corpus_dir`` is ignored in that mode).
     """
     from amazonwebcrawler_spark.operators.dedup import hamming_neardup_join
 
     if schema is None:
         schema = spark.read.parquet(src_dir).schema
-    corpus = spark.read.parquet(corpus_dir)
+    if corpus_table is not None:
+        corpus, chunked = spark.table(corpus_table), True
+    else:
+        corpus, chunked = spark.read.parquet(corpus_dir), False
 
     def process_batch(batch_df, _batch_id):
         hamming_neardup_join(
             batch_df, corpus, "id", "fp",
             max_hamming=max_hamming, max_bucket=max_bucket,
+            corpus_chunked=chunked,
         ).write.mode("append").parquet(f"{out_dir}/neardup_matches")
 
     stream = (

@@ -185,3 +185,50 @@ def test_neardup_ingest_stream_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert not any(a == "far" for a, _, _ in got)
+
+
+def test_neardup_ingest_stream_bucketed_corpus(spark, tmp_path):
+    """The bucketed-corpus mode (corpus_table= pointing at a
+    dedup.write_chunk_table state table) must drain to the identical match
+    set as the parquet-corpus mode — the zero-corpus-shuffle plan is a
+    physical change only."""
+    from amazonwebcrawler_spark.operators.dedup import hamming_neardup_join, write_chunk_table
+    from amazonwebcrawler_spark.streaming.facade import neardup_ingest_stream
+
+    corpus_dir = str(tmp_path / "corpus")
+    src = str(tmp_path / "new_src")
+    out = str(tmp_path / "dedup_out_b")
+    corpus_rows = [(f"c{k}", (0x5A5A5A5A5A5A5A00 | k)) for k in range(8)]
+    corpus = spark.createDataFrame(corpus_rows, "id string, fp long")
+    corpus.write.parquet(corpus_dir)
+    batches = [
+        [("n0", 0x5A5A5A5A5A5A5A00), ("n1", 0x5A5A5A5A5A5A5A03)],
+        [("far", 0x0123456789ABCDEF)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "id string, fp long").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS awc_stream LOCATION '{tmp_path}/db'")
+    spark.sql("DROP TABLE IF EXISTS awc_stream.chunks")
+    write_chunk_table(
+        corpus, "id", "fp", "awc_stream.chunks",
+        max_hamming=2, n_buckets=4, path=f"{tmp_path}/chunks",
+    )
+    q = neardup_ingest_stream(
+        spark, src, corpus_dir="IGNORED", out_dir=out,
+        max_hamming=2, corpus_table="awc_stream.chunks",
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(f"{out}/neardup_matches").collect()))
+    want = sorted(
+        map(
+            tuple,
+            hamming_neardup_join(
+                spark.read.parquet(src), corpus, "id", "fp", max_hamming=2
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
