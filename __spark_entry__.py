@@ -1464,6 +1464,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = ema(e, ["user_id"], "ts", "cents", alpha=0.25)
         return out.select("user_id", "event_id", F.round("ema", 6).alias("ema_cents"))
 
+    # ----------------------------------------------------- int8 quantization
+    def q_embed_quantize(spark, sf):
+        """Symmetric int8 embedding quantization (operators/similarity.
+        quantize_embeddings) — the 4× storage cut for a 10^10-vector
+        corpus. The twin re-derives scale + quantized vector with the
+        identical arithmetic (both engines read the SAME stored float32s,
+        so every double is bit-equal); vectors are certified through
+        derived scalars (sum / L1 / max of the int8 codes)."""
+        from amazonwebcrawler_spark.operators.similarity import quantize_embeddings
+
+        e = _t(spark, sf, "embeddings")
+        qd = quantize_embeddings(e, "vec_id", "embedding")
+        as_int = lambda c: c.cast("int")  # noqa: E731
+        return qd.select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            F.aggregate("q", F.lit(0), lambda a, v: a + as_int(v)).alias("q_sum"),
+            F.aggregate("q", F.lit(0), lambda a, v: a + F.abs(as_int(v))).alias("q_l1"),
+            F.array_max("q").cast("int").alias("q_max"),
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1540,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "winsorize": q_winsorize,
         "ema_score": q_ema_score,
+        "embed_quantize": q_embed_quantize,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2789,6 +2811,26 @@ SELECT user_id, event_id,
     / SUM(wt) OVER (PARTITION BY user_id ORDER BY ts
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema_cents
 FROM w
+""",
+        "embed_quantize": """
+WITH s AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax, embedding
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+    CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS sc,
+    list_transform(embedding, x -> CAST(ROUND(
+      CAST(x AS DOUBLE) * (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END)
+    ) AS TINYINT)) AS qv
+  FROM s
+)
+SELECT vec_id, ROUND(sc, 6) AS scale,
+  CAST(list_sum(list_transform(qv, v -> CAST(v AS INT))) AS INT) AS q_sum,
+  CAST(list_sum(list_transform(qv, v -> abs(CAST(v AS INT)))) AS INT) AS q_l1,
+  CAST(list_max(list_transform(qv, v -> CAST(v AS INT))) AS INT) AS q_max
+FROM q
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

@@ -429,3 +429,30 @@ def negative_pairs(
         .filter(F.col("negative_id") != F.col(id_col))
         .select(F.col(id_col).alias("anchor_id"), "j", "negative_id")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, emb_col: str, out_col: str = "q"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the 4× storage
+    cut that makes a 10^10-vector corpus hold resident: per-vector scale
+    ``s = 127 / max(|x|)``, ``q_i = round(x_i · s)`` stored as
+    ``array<tinyint>``, dequantize with ``q_i / s``. Dot products on int8
+    preserve ranking to ~1% at 128 dims — retrieval shortlists on the
+    quantized corpus, then re-scores survivors at full precision.
+
+    Pure column math (``transform``/``aggregate`` — CodegenFallback, fine
+    for a once-per-corpus storage pass; swap in an Arrow kernel via
+    ``mapInPandas`` if quantization lands in a per-wave hot path). The
+    all-zero vector keeps scale 0 and quantizes to zeros (guarded
+    division). Columns out: ``(id, q, scale)``; ``scale`` is the
+    DIVISOR applied at dequantize time (x ≈ q / scale).
+    """
+    x = F.transform(F.col(emb_col), lambda v: v.cast("double"))
+    amax = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = F.when(amax > 0.0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+    q = F.transform(x, lambda v: F.round(v * F.col("_s")).cast("tinyint"))
+    return (
+        df.select(F.col(id_col), F.col(emb_col), scale.alias("_s"))
+        .select(F.col(id_col), q.alias(out_col), F.col("_s").alias("scale"))
+    )

@@ -11,7 +11,7 @@ crawl state — both resume independently and idempotently (new seeds that
 are already in the URL-seen set are dropped by the same bloom/anti-join
 path as any rediscovered URL).
 
-Also provides ``events_stream_demo`` — a watermarked windowed aggregation
+Also provides ``events_windowed_stream`` — a watermarked windowed aggregation
 over the testdata ``events`` table replayed as a stream, demonstrating the
 late-data semantics (C8) the batch engine does not otherwise need.
 """

@@ -743,3 +743,32 @@ class TestBucketedChunkTable:
         assert len(chunk_exchanges) == 1, plan[:1500]
         assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
         assert "Bucketed: true" in plan
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_preserves_cosine(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.operators.similarity import quantize_embeddings
+
+        rows = [(i, [math.sin(i * 13 + d) for d in range(16)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: (list(r["q"]), r["scale"]) for r in
+               quantize_embeddings(df, "vec_id", "embedding").collect()}
+        for i, emb in rows:
+            q, s = out[i]
+            assert all(-127 <= v <= 127 for v in q)
+            deq = [v / s for v in q]
+            dot = sum(a * b for a, b in zip(emb, deq))
+            na = math.sqrt(sum(a * a for a in emb))
+            nb = math.sqrt(sum(b * b for b in deq))
+            assert dot / (na * nb) > 0.999  # int8 keeps cosine to ~0.1%
+
+    def test_zero_vector_guard(self, spark):
+        from amazonwebcrawler_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+        r = quantize_embeddings(df, "vec_id", "embedding").collect()[0]
+        assert list(r["q"]) == [0, 0, 0] and r["scale"] == 0.0
