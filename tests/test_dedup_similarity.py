@@ -772,3 +772,31 @@ class TestQuantizeEmbeddings:
         df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
         r = quantize_embeddings(df, "vec_id", "embedding").collect()[0]
         assert list(r["q"]) == [0, 0, 0] and r["scale"] == 0.0
+
+    def test_int8_shortlist_recall(self, spark, sf_dir):
+        """The operational claim: retrieval shortlists computed on the
+        int8 codes recover the exact top-1 neighbor for ≥90% of queries
+        (rescore-at-full-precision then fixes the rest)."""
+        import math
+
+        from amazonwebcrawler_spark.operators.similarity import quantize_embeddings
+
+        e = _emb(spark, sf_dir).limit(300)
+        rows = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+        qz = {r["vec_id"]: (list(r["q"]), r["scale"]) for r in
+              quantize_embeddings(e, "vec_id", "embedding").collect()}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)) + 1e-12)
+
+        hits = 0
+        queries = sorted(rows)[:20]
+        for qid in queries:
+            exact = max((i for i in rows if i != qid), key=lambda i: cos(rows[qid], rows[i]))
+            int8 = max(
+                (i for i in qz if i != qid),
+                key=lambda i: cos([float(v) for v in qz[qid][0]], [float(v) for v in qz[i][0]]),
+            )
+            hits += int(exact == int8)
+        assert hits >= 18, f"int8 top-1 recall {hits}/20"
