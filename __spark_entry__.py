@@ -1485,6 +1485,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.array_max("q").cast("int").alias("q_max"),
         )
 
+    # ----------------------------------------------------- weighted sampling
+    def q_weighted_sample(spark, sf):
+        """Deterministic weighted sampling without replacement per
+        language (operators/corpus.weighted_sample, Efraimidis–Spirakis):
+        longer documents draw proportionally more often, reproducibly —
+        the curriculum-reweighting sampler. Twin re-derives ln(u)/w and
+        the per-stratum rank with identical arithmetic."""
+        from amazonwebcrawler_spark.operators.corpus import weighted_sample
+
+        d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        return weighted_sample(d, "lang", "doc_id", "n_chars", k=5, salt="ws")
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1562,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "ema_score": q_ema_score,
         "embed_quantize": q_embed_quantize,
+        "weighted_sample": q_weighted_sample,
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
         "dead_letter": q_dead_letter,
@@ -2831,6 +2844,20 @@ SELECT vec_id, ROUND(sc, 6) AS scale,
   CAST(list_sum(list_transform(qv, v -> abs(CAST(v AS INT)))) AS INT) AS q_l1,
   CAST(list_max(list_transform(qv, v -> CAST(v AS INT))) AS INT) AS q_max
 FROM q
+""",
+        "weighted_sample": """
+WITH e AS (
+  SELECT doc_id, lang, n_chars,
+    ln((CAST(('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 8)) AS UBIGINT) + 0.5)
+       / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS sample_rank
+  FROM e
+)
+SELECT doc_id, lang, n_chars, sample_rank, ROUND(es, 6) AS es_key
+FROM r WHERE sample_rank <= 5
 """,
         "ann_lsh": _ann_lsh_sql(),
         **_golden_sql(),

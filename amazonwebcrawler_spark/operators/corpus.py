@@ -108,6 +108,47 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, ``k`` rows per
+    stratum (Efraimidis–Spirakis A-ES): each row draws a reproducible
+    uniform ``u`` from its key's md5 and is ranked by ``ln(u) / w`` —
+    the top-k per stratum is an exact weighted sample without
+    replacement. Rows with non-positive weight are excluded.
+
+    Like every sampler here the draw is a pure function of the data (no
+    ``rand()``): re-runs, repartitions and other engines select the SAME
+    rows — and the selection shifts smoothly as weights change, which is
+    what curriculum reweighting between training runs needs.
+
+    Plan: a pure projection + one window per stratum (the same bounded
+    shape as :func:`stratified_sample`). Returns the input columns plus
+    ``es_key`` (6dp) and ``sample_rank``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 32))  # (0, 1), never exactly 0/1
+    es = F.ln(u) / F.col(weight_col).cast("double")  # maximize ⇔ u^(1/w)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col("_es").desc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es", es)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("es_key", F.round("_es", 6))
+        .drop("_es")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     source_col: str,

@@ -312,3 +312,53 @@ class TestWinsorize:
         hi = {r["grp"]: r["clipped"] for r in out.filter(~F.col("is_outlier")).groupBy("grp")
               .agg(F.max("clipped").alias("clipped")).collect()}
         assert hi == {"a": 95.0, "b": 950.0}
+
+
+class TestWeightedSample:
+    @staticmethod
+    def _mirror(ids_weights, k, salt):
+        """Python mirror of the operator's exact arithmetic."""
+        import hashlib
+        import math
+
+        def es(i, w):
+            h = int(hashlib.md5((salt + str(i)).encode()).hexdigest()[:8], 16)
+            return math.log((h + 0.5) / 2**32) / float(w)
+
+        ranked = sorted(ids_weights, key=lambda t: (-es(*t), t[0]))
+        return [i for i, _ in ranked[:k]]
+
+    def test_matches_python_mirror_and_repartition_stable(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import weighted_sample
+
+        rows = [(i, "g", float(1 + i % 7)) for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+        got = sorted(
+            r["doc_id"]
+            for r in weighted_sample(df, "grp", "doc_id", "w", k=10, salt="t").collect()
+        )
+        got_rep = sorted(
+            r["doc_id"]
+            for r in weighted_sample(df.repartition(7), "grp", "doc_id", "w", k=10, salt="t").collect()
+        )
+        want = sorted(self._mirror([(i, w) for i, _, w in rows], 10, "t"))
+        assert got == got_rep == want
+
+    def test_selection_frequency_tracks_weights(self):
+        """A-ES with k=1 selects item i with probability w_i/Σw exactly —
+        across many salts the weight-3 item must win ~75% of draws."""
+        wins = sum(
+            1
+            for s in range(2000)
+            if self._mirror([(1, 3.0), (2, 1.0)], 1, f"s{s}")[0] == 1
+        )
+        assert 0.70 <= wins / 2000 <= 0.80, wins
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, "g", 2.0), (2, "g", 0.0), (3, "g", -1.0)], "doc_id long, grp string, w double"
+        )
+        got = [r["doc_id"] for r in weighted_sample(df, "grp", "doc_id", "w", k=5).collect()]
+        assert got == [1]
