@@ -693,8 +693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ----------------------------------------------------- corpus shape rollup
     def q_corpus_stats(spark, sf):
         """Per-language corpus shape (docs, total tokens, mean + exact
-        median length) — the rollup every curation stage prints; median
-        semantics are interpolated identically in both engines."""
+        median length) — the rollup every curation stage prints. Length
+        stats are exact BIGINTs (integer-division micro mean, 2×median):
+        interpolated-median semantics match across engines and the
+        integer contract makes the driver's exact value hash
+        environment-proof (r4 driver flipped on a rounded DOUBLE)."""
         from amazonwebcrawler_spark.operators import corpus
 
         d = _t(spark, sf, "documents")
@@ -1049,7 +1052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_image_quality(spark, sf):
         """Gopher-style quality filter for the IMAGE side of the corpus
         (functions/images.quality_stats_kernel): luma brightness / RMS
-        contrast / histogram entropy / aspect ratio per image, flagging
+        contrast / histogram entropy / aspect ratio per image — all exact
+        micro-unit BIGINTs (integer luma, exact sums; r4's driver hash
+        flipped on a BLAS-order-dependent rounded DOUBLE) — flagging
         near-black, near-white, flat-placeholder, and sub-thumbnail rows.
         Mix: 24 synthetic-world product shots + planted diagnostics (a flat
         tile, a 50/50 stripe pattern with known exact stats, a tiny image,
@@ -1080,7 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diag-corrupt plant proves the path) are filtered here: a null in
         # the value-hash's sort-leading column breaks row ordering in the
         # driver compare, and the quarantine behavior is pytest-owned
-        return stats.filter(F.col("brightness").isNotNull())
+        return stats.filter(F.col("brightness_micro").isNotNull())
 
     # ----------------------------------------------------- multimodal alignment filter
     def q_alignment_filter(spark, sf):
@@ -2267,8 +2272,8 @@ tk AS (
   FROM norm
 )
 SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
-  round(AVG(n_chars), 6) AS avg_chars,
-  round(median(n_chars), 6) AS median_chars
+  CAST((SUM(CAST(n_chars AS BIGINT)) * 1000000) // COUNT(*) AS BIGINT) AS avg_chars_micro,
+  CAST(round(median(n_chars) * 2) AS BIGINT) AS median_chars_x2
 FROM tk GROUP BY lang
 """,
         "decontaminate": rf"""

@@ -185,50 +185,77 @@ def embed_image(pixels: np.ndarray, grid: int = 4) -> list[float]:
 
 
 # ------------------------------------------------------- quality filtering
-#: Spark schema of quality_stats_kernel's output
+#: Spark schema of quality_stats_kernel's output. Every stat is a
+#: micro-unit BIGINT, not a DOUBLE: r4's driver gate hash-flipped on a
+#: last-ulp rounded double (the float luma matmul was BLAS-order
+#: dependent), so the contract is now exact integer arithmetic end to end.
 QUALITY_SCHEMA = (
-    "image_id string, w int, h int, brightness double, contrast double, "
-    "luma_entropy double, aspect_ratio double, is_low_quality boolean"
+    "image_id string, w int, h int, brightness_micro long, contrast_micro long, "
+    "luma_entropy_micro long, aspect_micro long, is_low_quality boolean"
 )
 
 #: Gopher-style reject thresholds, the image twin of functions/text.py's
 #: quality_filter: near-black / near-white frames, flat (contrast-free)
-#: placeholder tiles, and sub-thumbnail sizes are training-data poison
-QUALITY_MIN_BRIGHTNESS = 0.05
-QUALITY_MAX_BRIGHTNESS = 0.98
-QUALITY_MIN_CONTRAST = 0.02
+#: placeholder tiles, and sub-thumbnail sizes are training-data poison.
+#: Thresholds compare in micro space so the keep/drop decision is a pure
+#: integer predicate (0.05 → 50_000 etc.).
+QUALITY_MIN_BRIGHTNESS_MICRO = 50_000
+QUALITY_MAX_BRIGHTNESS_MICRO = 980_000
+QUALITY_MIN_CONTRAST_MICRO = 20_000
 QUALITY_MIN_SIDE = 8
 
 
 def quality_stats(pixels: np.ndarray) -> dict:
     """Per-image quality signals from the luma plane (BT.601 weights, the
-    same ones phash64/embed_image use): mean brightness and RMS contrast
-    normalized to [0,1], Shannon entropy (nats) of the 16-bin luma
-    histogram (a flat placeholder tile has entropy 0; a detailed photo
-    approaches ln 16), and aspect ratio. All floats rounded to 6 dp so the
-    committed golden is bit-stable across numpy versions."""
+    same ones phash64/embed_image use), all emitted as exact micro-unit
+    BIGINTs so the committed golden is bit-stable across numpy/BLAS/libm
+    builds:
+
+    - ``brightness_micro``: mean luma / 255 in [0, 1_000_000] — pure
+      integer arithmetic (milli-luma ``299R+587G+114B`` summed in int64,
+      then one integer floor-division). No float is ever constructed.
+    - ``contrast_micro``: RMS contrast / 255. The variance numerator
+      ``n·Σy² − (Σy)²`` is an exact Python int; the only float ops are one
+      ``math.sqrt`` (IEEE correctly-rounded, bit-identical everywhere) and
+      a division/multiply chain of correctly-rounded IEEE ops.
+    - ``luma_entropy_micro``: Shannon entropy (micro-nats) of the 16-bin
+      milli-luma histogram, via ``H = ln n − (Σ cᵢ ln cᵢ)/n`` over EXACT
+      integer bin counts — ``math.log`` drift is ≤1 ulp per term, ~1e-15
+      absolute over ≤16 terms, i.e. ~1e-9 odds of straddling a micro
+      rounding boundary (vs the old float-histogram path whose inputs
+      already differed across BLAS builds). A flat placeholder tile has
+      entropy 0; a detailed photo approaches ln 16 ≈ 2_772_589.
+    - ``aspect_micro``: ``w·1_000_000 // h`` — exact floor division.
+
+    Int64 bounds: milli-luma ≤ 255_000 per pixel, so Σy² fits int64 up to
+    ~140 MP per image; the variance numerator is computed in unbounded
+    Python ints regardless."""
+    import math
+
     h, w, _ = pixels.shape
-    y = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    brightness = float(y.mean()) / 255.0
-    contrast = float(y.std()) / 255.0
-    bins = np.bincount(
-        (np.clip(y, 0.0, 255.0).astype(np.int64) // 16).ravel(), minlength=16
-    ).astype(np.float64)
-    p = bins[bins > 0] / bins.sum()
-    entropy = float(-(p * np.log(p)).sum())
+    px = pixels.astype(np.int64)
+    luma_milli = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+    n = int(luma_milli.size)
+    s1 = int(luma_milli.sum())
+    s2 = int((luma_milli * luma_milli).sum())
+    brightness_micro = (s1 * 1_000_000) // (n * 255_000)
+    var_num = n * s2 - s1 * s1  # n² · variance, exact
+    contrast_micro = int(round(math.sqrt(float(var_num)) / (n * 255_000) * 1_000_000))
+    counts = np.bincount((luma_milli // 16_000).ravel(), minlength=16)
+    entropy = math.log(n) - sum(int(c) * math.log(int(c)) for c in counts if c > 0) / n
     low = (
-        brightness < QUALITY_MIN_BRIGHTNESS
-        or brightness > QUALITY_MAX_BRIGHTNESS
-        or contrast < QUALITY_MIN_CONTRAST
+        brightness_micro < QUALITY_MIN_BRIGHTNESS_MICRO
+        or brightness_micro > QUALITY_MAX_BRIGHTNESS_MICRO
+        or contrast_micro < QUALITY_MIN_CONTRAST_MICRO
         or min(w, h) < QUALITY_MIN_SIDE
     )
     return {
         "w": int(w),
         "h": int(h),
-        "brightness": round(brightness, 6),
-        "contrast": round(contrast, 6),
-        "luma_entropy": round(entropy, 6),
-        "aspect_ratio": round(w / h, 6),
+        "brightness_micro": brightness_micro,
+        "contrast_micro": contrast_micro,
+        "luma_entropy_micro": int(round(entropy * 1_000_000)),
+        "aspect_micro": (w * 1_000_000) // h,
         "is_low_quality": bool(low),
     }
 
@@ -248,12 +275,18 @@ def quality_stats_kernel():
                     stats = quality_stats(decode_image(bytes(data)))
                 except Exception:
                     stats = {
-                        "w": None, "h": None, "brightness": None, "contrast": None,
-                        "luma_entropy": None, "aspect_ratio": None,
-                        "is_low_quality": True,
+                        "w": None, "h": None, "brightness_micro": None,
+                        "contrast_micro": None, "luma_entropy_micro": None,
+                        "aspect_micro": None, "is_low_quality": True,
                     }
                 rows.append({"image_id": iid, **stats})
-            yield pd.DataFrame(rows)
+            out = pd.DataFrame(rows)
+            # None in an int64 column coerces it to float64 at DataFrame
+            # construction — harmless for these small magnitudes but the
+            # nullable-integer rebuild keeps the Arrow schema honest
+            for c in ("brightness_micro", "contrast_micro", "luma_entropy_micro", "aspect_micro"):
+                out[c] = pd.array([r[c] for r in rows], dtype="Int64")
+            yield out
 
     return gen
 
@@ -285,18 +318,20 @@ def curate_stats_kernel():
                     stats["phash"] = phash64(px)  # already signed int64
                 except Exception:
                     stats = {
-                        "w": None, "h": None, "brightness": None, "contrast": None,
-                        "luma_entropy": None, "aspect_ratio": None,
-                        "is_low_quality": True, "phash": None,
+                        "w": None, "h": None, "brightness_micro": None,
+                        "contrast_micro": None, "luma_entropy_micro": None,
+                        "aspect_micro": None, "is_low_quality": True, "phash": None,
                     }
                 rows.append({"image_id": iid, **stats, "n_bytes": len(raw)})
             out = pd.DataFrame(rows)
             # a quarantine row's None phash coerces the column to float64
             # at DataFrame construction, silently corrupting int64 hash
             # bits for every other row in the batch (cuckoo learned this
-            # the hard way) — rebuild it nullable-integer from the
+            # the hard way) — rebuild nullable-integer columns from the
             # UNCOERCED python values
-            out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
+            for c in ("phash", "brightness_micro", "contrast_micro",
+                      "luma_entropy_micro", "aspect_micro"):
+                out[c] = pd.array([r[c] for r in rows], dtype="Int64")
             yield out
 
     return gen

@@ -340,9 +340,16 @@ def corpus_stats(df: DataFrame, strata_col: str, text_col: str, chars_col: str) 
     mean and exact median document length — the rollup a curation run
     prints before/after every filter stage.
 
-    One map-side-combinable aggregate per stratum; the exact median is
-    Spark's interpolated ``median`` (identical semantics to DuckDB's, so
-    the twin value-checks it bit-for-bit after 6dp rounding).
+    One map-side-combinable aggregate per stratum. Both length stats are
+    emitted as exact BIGINTs so the cross-engine value hash is
+    environment-proof (r4's driver gate flipped on a last-ulp rounded
+    DOUBLE): ``avg_chars_micro`` is pure integer arithmetic
+    (``sum*1_000_000 DIV count`` — floor semantics, no float ever built;
+    overflows BIGINT only past ~9e12 total chars per stratum, at which
+    point switch the sum to DECIMAL), and ``median_chars_x2`` is
+    ``2 × median`` — exactly integral for integer lengths because the
+    interpolated median is either a data value or the midpoint of two, so
+    ``round()`` only strips float noise, never decides a half-boundary.
     """
     from amazonwebcrawler_spark.functions.text import token_count
 
@@ -351,7 +358,14 @@ def corpus_stats(df: DataFrame, strata_col: str, text_col: str, chars_col: str) 
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(token_count(F.col(text_col))).alias("total_tokens"),
-            F.round(F.avg(chars_col), 6).alias("avg_chars"),
-            F.round(F.median(chars_col), 6).alias("median_chars"),
+            F.sum(F.col(chars_col).cast("long")).alias("_sum_chars"),
+            F.median(chars_col).alias("_median"),
+        )
+        .select(
+            strata_col,
+            "n_docs",
+            "total_tokens",
+            F.expr("(_sum_chars * 1000000L) DIV n_docs").alias("avg_chars_micro"),
+            F.round(F.col("_median") * 2).cast("long").alias("median_chars_x2"),
         )
     )

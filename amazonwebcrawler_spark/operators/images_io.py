@@ -198,7 +198,7 @@ def image_pipeline(
     # kernel runs once (same eager-release pattern as minhash_lsh_pairs)
     stats = stats.localCheckpoint(eager=True)
 
-    survivors = stats.filter(F.col("brightness").isNotNull() & ~F.col("is_low_quality"))
+    survivors = stats.filter(F.col("brightness_micro").isNotNull() & ~F.col("is_low_quality"))
     pairs = dedup.phash_neardup_pairs(
         survivors, id_col="image_id", bytes_col=None, phash_col="phash",
         max_hamming=max_hamming,
@@ -214,7 +214,7 @@ def image_pipeline(
     )
     labelled = stats.join(dup_drop, "image_id", "left").withColumn(
         "stage",
-        F.when(F.col("brightness").isNull(), F.lit("invalid"))
+        F.when(F.col("brightness_micro").isNull(), F.lit("invalid"))
         .when(F.col("is_low_quality"), F.lit("low_quality"))
         .when(F.coalesce(F.col("_dup"), F.lit(False)), F.lit("dup_drop"))
         .otherwise(F.lit("kept")),

@@ -69,8 +69,9 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     },
     "image_quality": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
-        "brightness": "DOUBLE", "contrast": "DOUBLE", "luma_entropy": "DOUBLE",
-        "aspect_ratio": "DOUBLE", "is_low_quality": "BOOLEAN",
+        "brightness_micro": "BIGINT", "contrast_micro": "BIGINT",
+        "luma_entropy_micro": "BIGINT", "aspect_micro": "BIGINT",
+        "is_low_quality": "BOOLEAN",
     },
     "image_pipeline": {
         "image_id": "VARCHAR", "stage": "VARCHAR",
@@ -310,27 +311,36 @@ def _check_image_quality(rows, ctx):
     # by the query (all-null quarantine row — pytest owns that path)
     assert len(rows) == 27 and "diag-corrupt" not in by_id, len(rows)
     flat = by_id["diag-flat"]
-    assert flat["contrast"] == 0.0 and flat["luma_entropy"] == 0.0, flat
-    assert flat["brightness"] == round(128 / 255, 6) and flat["is_low_quality"], flat
+    assert flat["contrast_micro"] == 0 and flat["luma_entropy_micro"] == 0, flat
+    # mean luma 128/255 → floor(128e9 / 255e3 / 1e0)… = 501960 (floor-div)
+    assert flat["brightness_micro"] == (128_000 * 1_000_000) // 255_000, flat
+    assert flat["is_low_quality"], flat
     stripe = by_id["diag-stripe"]
-    assert stripe["brightness"] == 0.5 and stripe["contrast"] == 0.5, stripe
-    assert stripe["luma_entropy"] == round(math.log(2), 6), stripe
+    assert stripe["brightness_micro"] == 500_000 and stripe["contrast_micro"] == 500_000, stripe
+    assert stripe["luma_entropy_micro"] == round(math.log(2) * 1_000_000), stripe
     assert not stripe["is_low_quality"], stripe
     tiny = by_id["diag-tiny"]
     assert tiny["is_low_quality"] and (tiny["w"], tiny["h"]) == (12, 4), tiny
+    assert tiny["aspect_micro"] == 3_000_000, tiny
 
     def recompute(data: bytes) -> dict:
-        px = decode_image(data)
+        # independent restatement of the integer-exact definitions:
+        # milli-luma ints, floor-div mean, exact variance numerator,
+        # entropy from exact bin counts (numpy float64 reduction here vs
+        # math.log loop in the kernel — agreement IS the cross-impl check)
+        px = decode_image(data).astype(np.int64)
         h, w, _ = px.shape
-        y = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-        bins = np.bincount((np.clip(y, 0, 255).astype(np.int64) // 16).ravel(), minlength=16)
-        p = bins[bins > 0] / bins.sum()
+        y = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+        n = y.size
+        s1, s2 = int(y.sum()), int((y * y).sum())
+        bins = np.bincount((y // 16_000).ravel(), minlength=16)
+        p = bins[bins > 0] / n
         return {
             "w": w, "h": h,
-            "brightness": round(float(y.mean()) / 255.0, 6),
-            "contrast": round(float(y.std()) / 255.0, 6),
-            "luma_entropy": round(float(-(p * np.log(p)).sum()), 6),
-            "aspect_ratio": round(w / h, 6),
+            "brightness_micro": (s1 * 1_000_000) // (n * 255_000),
+            "contrast_micro": int(round(math.sqrt(float(n * s2 - s1 * s1)) / (n * 255_000) * 1e6)),
+            "luma_entropy_micro": int(round(float(-(p * np.log(p)).sum()) * 1_000_000)),
+            "aspect_micro": (w * 1_000_000) // h,
         }
 
     for i in range(1, 25):

@@ -125,8 +125,20 @@ class TestCorpusStats:
         d = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
         got = {r.lang: r for r in corpus_stats(d, "lang", "text", "n_chars").collect()}
         en, de = got["en"], got["de"]
-        assert (en.n_docs, en.total_tokens, en.avg_chars, en.median_chars) == (3, 6, 20.0, 20.0)
-        assert (de.n_docs, de.total_tokens, de.avg_chars, de.median_chars) == (1, 4, 7.0, 7.0)
+        assert (en.n_docs, en.total_tokens, en.avg_chars_micro, en.median_chars_x2) == (
+            3, 6, 20_000_000, 40,
+        )
+        assert (de.n_docs, de.total_tokens, de.avg_chars_micro, de.median_chars_x2) == (
+            1, 4, 7_000_000, 14,
+        )
+        # interpolated-median case: even count ⇒ median is a .5 midpoint,
+        # so median_chars_x2 is odd — the exactly-integral contract holds
+        d2 = spark.createDataFrame(
+            [(1, "a", "fr", 10), (2, "b", "fr", 13)],
+            "doc_id long, text string, lang string, n_chars long",
+        )
+        fr = corpus_stats(d2, "lang", "text", "n_chars").collect()[0]
+        assert (fr.avg_chars_micro, fr.median_chars_x2) == (11_500_000, 23)
 
 
 class TestMixtureSample:

@@ -88,20 +88,21 @@ class TestQualityStats:
         from amazonwebcrawler_spark.functions.images import quality_stats
 
         flat = quality_stats(np.full((32, 32, 3), 128, dtype=np.uint8))
-        assert flat["contrast"] == 0.0 and flat["luma_entropy"] == 0.0
-        assert flat["brightness"] == round(128 / 255, 6)
+        assert flat["contrast_micro"] == 0 and flat["luma_entropy_micro"] == 0
+        # mean milli-luma 128_000 / 255_000 in micro, floor-div exact
+        assert flat["brightness_micro"] == (128_000 * 1_000_000) // 255_000 == 501_960
         assert flat["is_low_quality"]  # contrast-free placeholder tile
 
         stripe = np.zeros((32, 32, 3), dtype=np.uint8)
         stripe[::2, :, :] = 255  # 50/50 black/white rows: exact closed-form stats
         s = quality_stats(stripe)
-        assert s["brightness"] == 0.5 and s["contrast"] == 0.5
-        assert s["luma_entropy"] == round(math.log(2), 6)
+        assert s["brightness_micro"] == 500_000 and s["contrast_micro"] == 500_000
+        assert s["luma_entropy_micro"] == round(math.log(2) * 1_000_000) == 693_147
         assert not s["is_low_quality"]
 
         tiny = quality_stats(np.full((4, 12, 3), 200, dtype=np.uint8))
         assert tiny["is_low_quality"] and (tiny["w"], tiny["h"]) == (12, 4)
-        assert tiny["aspect_ratio"] == 3.0
+        assert tiny["aspect_micro"] == 3_000_000
 
     def test_kernel_quarantines_undecodable(self, spark):
         from amazonwebcrawler_spark.functions.images import (
@@ -121,8 +122,8 @@ class TestQualityStats:
             .mapInPandas(quality_stats_kernel(), QUALITY_SCHEMA)
             .collect()
         }
-        assert got["bad"].is_low_quality and got["bad"].brightness is None
-        assert got["ok"].brightness is not None and np.isfinite(got["ok"].contrast)
+        assert got["bad"].is_low_quality and got["bad"].brightness_micro is None
+        assert got["ok"].brightness_micro is not None and got["ok"].contrast_micro >= 0
 
 
 class TestAspectBuckets:
