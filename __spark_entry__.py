@@ -566,9 +566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         similarity.image_embedding_table) → exact brute-force cosine top-3.
         Corpus = 16 block-pattern masters + one lossy re-encode each with
         i%4 flipped cells; queried on 4 masters, the re-encode must rank
-        first at cosine ≈ 1 while unrelated patterns scatter. The golden's
-        capture checker recomputes embeddings + cosine independently in
-        numpy and re-derives the full top-3 table."""
+        first at cosine ≈ 1 while unrelated patterns scatter. Emitted as
+        an e4-unit BIGINT (round(cos·1e4) — the looser 4dp grid absorbs
+        numpy reduction drift across boxes, and the integer hashes
+        identically everywhere). The golden's capture checker recomputes
+        embeddings + cosine independently in numpy and re-derives the
+        full top-3 table."""
         from amazonwebcrawler_spark.sources import synthetic_world as world
 
         rows = []
@@ -581,7 +584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = similarity.image_embedding_table(images)
         queries_df = emb.filter(F.col("image_id").isin("ann-0", "ann-1", "ann-2", "ann-3"))
         out = similarity.brute_force_topk(emb, queries_df, "image_id", "embedding", k=3)
-        return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rank")
+        return out.select(
+            "query_id", "neighbor_id",
+            # micro -> e4: round to the 4dp grid the golden tolerates
+            F.round(F.col("cos_sim_micro") / 100).cast("long").alias("cos_sim_e4"),
+            "rank",
+        )
 
     # ----------------------------------------------------- embedding near-dup (exact, blocked)
     def q_embedding_neardup(spark, sf):
@@ -595,9 +603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 F.col("a.vec_id").alias("id_a"),
                 F.col("b.vec_id").alias("id_b"),
-                F.round(similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+                F.round(
+                    F.round(similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+                    * 10000
+                ).cast("long").alias("cos_sim_e4"),
             )
-            .filter(F.col("cos_sim") >= 0.4)  # 0.8 was vacuous on this data
+            .filter(F.col("cos_sim_e4") >= 4000)  # 0.4; 0.8 was vacuous on this data
         )
 
     # ----------------------------------------------------- ANN: brute-force top-k
@@ -1118,8 +1129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(ab.select("vec_id", F.lit("other").alias("kind"),
                                    "emb_a", "emb_b"))
         )
-        return alignment_filter(pairs, "emb_a", "emb_b", 0.9).select(
-            "vec_id", "kind", "alignment", "keep"
+        return alignment_filter(pairs, "emb_a", "emb_b", 0.9, score_col="alignment_micro").select(
+            "vec_id", "kind", "alignment_micro", "keep"
         )
 
     # ----------------------------------------------------- aspect-ratio bucketing
@@ -1484,7 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         as_int = lambda c: c.cast("int")  # noqa: E731
         return qd.select(
             "vec_id",
-            F.round("scale", 6).alias("scale"),
+            F.round(F.col("scale") * 1_000_000).cast("long").alias("scale_micro"),
             F.aggregate("q", F.lit(0), lambda a, v: a + as_int(v)).alias("q_sum"),
             F.aggregate("q", F.lit(0), lambda a, v: a + F.abs(as_int(v))).alias("q_l1"),
             F.array_max("q").cast("int").alias("q_max"),
@@ -1694,10 +1705,10 @@ cand AS (
   WHERE c.neighbor_id <> p.query_id
 ),
 scored AS (
-  SELECT query_id, neighbor_id, round({cos}, 6) AS cos_sim FROM cand
+  SELECT query_id, neighbor_id, CAST(round(({cos}) * 1000000) AS BIGINT) AS cos_sim_micro FROM cand
 )
-SELECT query_id, neighbor_id, cos_sim,
-  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+SELECT query_id, neighbor_id, cos_sim_micro,
+  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim_micro DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= {k}
 """
@@ -2132,7 +2143,8 @@ FROM idx
 """,
         "alignment_filter": """
 -- CLIP-score-style alignment filter: row-wise cosine over paired embedding
--- columns (double math, 6dp round, zero-denominator -> 0), keep at >= 0.9
+-- columns (double math, micro-unit BIGINT contract, zero-denominator -> 0),
+-- keep at >= 900000 micro (0.9)
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 ab AS (
   SELECT a.vec_id, a.emb AS emb_a, b.emb AS emb_b
@@ -2155,8 +2167,8 @@ scored AS (
   FROM p
 )
 SELECT vec_id, kind,
-  round(CASE WHEN den > 0 THEN dot / den ELSE 0.0 END, 6) AS alignment,
-  (round(CASE WHEN den > 0 THEN dot / den ELSE 0.0 END, 6) >= 0.9) AS keep
+  CAST(round((CASE WHEN den > 0 THEN dot / den ELSE 0.0 END) * 1000000) AS BIGINT) AS alignment_micro,
+  (CAST(round((CASE WHEN den > 0 THEN dot / den ELSE 0.0 END) * 1000000) AS BIGINT) >= 900000) AS keep
 FROM scored
 """,
         "aspect_buckets": """
@@ -2320,30 +2332,30 @@ WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.3
         "embedding_neardup": """
 WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    round(
+    CAST(round(round(
       list_sum(list_transform(list_zip(a.embedding, b.embedding),
         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
       / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
        * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-    4) AS cos_sim
+    4) * 10000) AS BIGINT) AS cos_sim_e4
   FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+SELECT id_a, id_b, cos_sim_e4 FROM pairs WHERE cos_sim_e4 >= 4000
 """,
         "ann_topk": """
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-    round(
+    CAST(round(
       list_sum(list_transform(list_zip(q.embedding, c.embedding),
         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
       / (sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
-       * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
-    6) AS cos_sim
+       * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+      * 1000000) AS BIGINT) AS cos_sim_micro
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < 5
 )
-SELECT query_id, neighbor_id, cos_sim,
-  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+SELECT query_id, neighbor_id, cos_sim_micro,
+  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim_micro DESC, neighbor_id) AS rank
 FROM scored
 QUALIFY rank <= 10
 """,
@@ -2844,7 +2856,7 @@ q AS (
     ) AS TINYINT)) AS qv
   FROM s
 )
-SELECT vec_id, ROUND(sc, 6) AS scale,
+SELECT vec_id, CAST(ROUND(sc * 1000000) AS BIGINT) AS scale_micro,
   CAST(list_sum(list_transform(qv, v -> CAST(v AS INT))) AS INT) AS q_sum,
   CAST(list_sum(list_transform(qv, v -> abs(CAST(v AS INT)))) AS INT) AS q_l1,
   CAST(list_max(list_transform(qv, v -> CAST(v AS INT))) AS INT) AS q_max
@@ -2861,7 +2873,7 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY es DESC, doc_id) AS sample_rank
   FROM e
 )
-SELECT doc_id, lang, n_chars, sample_rank, ROUND(es, 6) AS es_key
+SELECT doc_id, lang, n_chars, sample_rank, CAST(ROUND(es * 1000000) AS BIGINT) AS es_key_micro
 FROM r WHERE sample_rank <= 5
 """,
         "ann_lsh": _ann_lsh_sql(),

@@ -128,35 +128,45 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def audio_features_kernel():
-    """mapInPandas kernel: (audio_id, bytes) → (audio_id, duration_sec, rms,
-    zero_crossing_rate, peak). Real DSP over PCM, vectorized per batch."""
+    """mapInPandas kernel: (audio_id, bytes) → (audio_id, duration_us,
+    rms_micro, zcr_micro, peak_micro). Real DSP over PCM, vectorized per
+    batch. Every feature is an exact/micro-unit BIGINT (the committed
+    golden must hash identically on any box — the r4 image_quality
+    lesson): duration, zero-crossing rate and peak are pure integer
+    arithmetic over the int16 samples; RMS needs one ``math.sqrt`` of an
+    exact integer mean-square (IEEE correctly rounded — deterministic
+    across libms)."""
+    import math
 
     def kernel(batches):
         for pdf in batches:
             rows = []
             for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
                 samples, rate = decode_audio(bytes(data))
-                x = samples.astype(np.float64) / 32768.0
+                n = len(samples)
+                s = samples.astype(np.int64)
+                s2 = int((s * s).sum()) if n else 0  # exact; int16² ≤ 2³⁰
+                flips = int(np.count_nonzero(np.diff(np.signbit(s)))) if n > 1 else 0
                 rows.append(
                     {
                         "audio_id": aid,
-                        "duration_sec": round(len(x) / rate, 6),
-                        "rms": round(float(np.sqrt(np.mean(x**2))), 6) if len(x) else 0.0,
-                        "zero_crossing_rate": round(
-                            float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))), 6
-                        ) if len(x) > 1 else 0.0,
-                        "peak": round(float(np.max(np.abs(x))), 6) if len(x) else 0.0,
+                        "duration_us": (n * 1_000_000) // rate,
+                        # rms of x = samples/32768: sqrt(s2/n)/32768 in micro
+                        "rms_micro": int(round(math.sqrt(s2 / n) / 32768 * 1_000_000))
+                        if n else 0,
+                        "zcr_micro": (flips * 1_000_000) // (n - 1) if n > 1 else 0,
+                        "peak_micro": (int(np.abs(s).max()) * 1_000_000) // 32768 if n else 0,
                     }
                 )
             yield pd.DataFrame(
-                rows, columns=["audio_id", "duration_sec", "rms", "zero_crossing_rate", "peak"]
+                rows, columns=["audio_id", "duration_us", "rms_micro", "zcr_micro", "peak_micro"]
             )
 
     return kernel
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "audio_id string, duration_sec double, rms double, zero_crossing_rate double, peak double"
+    "audio_id string, duration_us long, rms_micro long, zcr_micro long, peak_micro long"
 )
 
 

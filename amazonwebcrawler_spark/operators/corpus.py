@@ -129,7 +129,10 @@ def weighted_sample(
 
     Plan: a pure projection + one window per stratum (the same bounded
     shape as :func:`stratified_sample`). Returns the input columns plus
-    ``es_key`` (6dp) and ``sample_rank``.
+    ``es_key_micro`` (micro-unit BIGINT — ``ln`` drift across engines is
+    ≤1 ulp, far inside a micro cell; the integer hashes identically
+    everywhere) and ``sample_rank``. Ranking uses the raw double key —
+    both engines compute the identical expression over the same data.
     """
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8), 16, 10
@@ -144,7 +147,7 @@ def weighted_sample(
         .withColumn("_es", es)
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
-        .withColumn("es_key", F.round("_es", 6))
+        .withColumn("es_key_micro", F.round(F.col("_es") * 1_000_000).cast("long"))
         .drop("_es")
     )
 

@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Two paths, same results contract (query_id, neighbor_id, cos_sim, rank):
+Two paths, same results contract (query_id, neighbor_id, cos_sim_micro, rank):
 
 * ``brute_force_topk`` — broadcast the (small) query set against the corpus,
   exact cosine via ``zip_with`` + ``aggregate`` (pure JVM column math — no
@@ -44,6 +44,16 @@ def cosine(a, b):
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_micro(a, b):
+    """Cosine similarity as an exact BIGINT in micro units
+    (``round(cos·1e6)``) — the cross-engine value contract. A rounded
+    DOUBLE is one last-ulp of engine drift away from hashing differently
+    on the driver's exact-value gate (r4's corpus_stats/image_quality
+    lesson); an integer micro value hashes identically everywhere, and
+    rank windows ordering by it are deterministic by construction."""
+    return F.round(cosine(a, b) * F.lit(1_000_000.0)).cast("long")
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10
 ) -> DataFrame:
@@ -63,10 +73,12 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cos_sim_micro"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_micro").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -138,10 +150,12 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cos_sim_micro"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_micro").desc(), F.col("neighbor_id").asc()
+    )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -273,11 +287,13 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cos_sim_micro"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_micro").desc(), F.col("neighbor_id").asc()
+    )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -303,9 +319,9 @@ def embedding_neardup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+            cosine_micro(F.col("a._v"), F.col("b._v")).alias("cos_sim_micro"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(F.col("cos_sim_micro") >= int(round(threshold * 1_000_000)))
     )
 
 
@@ -365,16 +381,18 @@ def alignment_filter(
     pair — plus the keep decision at ``threshold``.
 
     Pure column math (``zip_with`` + ``aggregate``, double-cast per element
-    like every cosine here), rounded to 6 dp for engine portability. The
+    like every cosine here), emitted as a micro-unit BIGINT (integer value
+    contract — see :func:`cosine_micro`); the keep decision compares in
+    micro space so it is a pure integer predicate. The
     scale shape is the whole point: alignment filtering is a MAP-ONLY pass
     over the pair table — no join, no shuffle, no Python — because the two
     vectors already live on the same row; at 100 TB it pipelines behind
     whatever produced the embeddings. Swap the upstream encoders for real
     CLIP towers and this operator is unchanged.
     """
-    s = F.round(cosine(F.col(a_col), F.col(b_col)), 6)
+    s = cosine_micro(F.col(a_col), F.col(b_col))
     return pairs.withColumn(score_col, s).withColumn(
-        "keep", F.col(score_col) >= F.lit(threshold)
+        "keep", F.col(score_col) >= F.lit(int(round(threshold * 1_000_000)))
     )
 
 

@@ -33,12 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     "crawl_rank_wave": {"seed_id": "BIGINT", "keyword": "VARCHAR", "rank_string": "VARCHAR"},
     # IVF ANN is deterministic end to end (ordered bounded sample, seeded
-    # k-means, cos_sim rounded to 6dp, total (sim desc, id) tiebreak), so
+    # k-means, micro-unit integer cos_sim, total (sim desc, id) tiebreak), so
     # the iterative k-means gets a committed golden instead of staying a
     # rows-only row
     "ann_ivf": {
         "query_id": "BIGINT", "neighbor_id": "BIGINT",
-        "cos_sim": "DOUBLE", "rank": "INTEGER",
+        "cos_sim_micro": "BIGINT", "rank": "INTEGER",
     },
     "images_decode": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER", "fmt": "VARCHAR",
@@ -61,11 +61,11 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     "image_dedup_keep": {"doc_id": "VARCHAR", "group_id": "VARCHAR", "keep": "INTEGER"},
     "image_ann": {
         "query_id": "VARCHAR", "neighbor_id": "VARCHAR",
-        "cos_sim": "DOUBLE", "rank": "INTEGER",
+        "cos_sim_e4": "BIGINT", "rank": "INTEGER",
     },
     "audio_features": {
-        "audio_id": "VARCHAR", "duration_sec": "DOUBLE", "rms": "DOUBLE",
-        "zero_crossing_rate": "DOUBLE", "peak": "DOUBLE",
+        "audio_id": "VARCHAR", "duration_us": "BIGINT", "rms_micro": "BIGINT",
+        "zcr_micro": "BIGINT", "peak_micro": "BIGINT",
     },
     "image_quality": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
@@ -124,7 +124,7 @@ def _check_ann_ivf(rows, ctx):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ann_ivf recall@10 vs exact = {recall:.2f} < 0.5"
     for r in rows:
-        assert 1 <= r["rank"] <= 10 and -1.0 <= r["cos_sim"] <= 1.0 + 1e-9, r
+        assert 1 <= r["rank"] <= 10 and -1_000_000 <= r["cos_sim_micro"] <= 1_000_001, r
 
 
 def _check_images_decode(rows, ctx):
@@ -239,10 +239,10 @@ def _check_image_dedup_keep(rows, ctx):
 
 def _check_image_ann(rows, ctx):
     """Recompute embeddings + cosine independently in numpy (from the same
-    opaque bytes, mirroring the float32 storage cast and 6-dp ranking
-    rounding) and re-derive the full top-3 table; then pin the retrieval
-    semantics: each queried master's nearest neighbor is its lossy
-    re-encode at cosine ≈ 1."""
+    opaque bytes, mirroring the float32 storage cast and the micro-int
+    ranking contract) and re-derive the full top-3 table; then pin the
+    retrieval semantics: each queried master's nearest neighbor is its
+    lossy re-encode at cosine ≈ 1."""
     import numpy as np
 
     from amazonwebcrawler_spark.functions.images import decode_image, embed_image
@@ -263,21 +263,21 @@ def _check_image_ann(rows, ctx):
     top_cos = []
     for i, q in enumerate(("ann-0", "ann-1", "ann-2", "ann-3")):
         scored = sorted(
-            ((round(cos(q, n), 6), n) for n in emb if n != q),
+            ((int(round(cos(q, n) * 1_000_000)), n) for n in emb if n != q),
             key=lambda t: (-t[0], t[1]),
         )[:3]
         for rank, (c, n) in enumerate(scored, 1):
-            expected.add((q, n, round(c, 4), rank))
+            expected.add((q, n, int(round(c / 100)), rank))
         # the re-encode always retrieves first; each flipped cell moves one
         # of the 16 embedding cells, so similarity degrades but stays far
         # above the unrelated-pattern noise floor (~0)
-        assert scored[0][1] == f"{q}-v" and scored[0][0] > 0.6, (q, scored[0])
+        assert scored[0][1] == f"{q}-v" and scored[0][0] > 600_000, (q, scored[0])
         top_cos.append(scored[0][0])
     # flip_cells = i for these four queries → strictly decreasing cosine,
     # with the 0-flip pair at ≈ 1 (lossy codec alone barely moves the vector)
-    assert top_cos[0] > 0.999, top_cos
+    assert top_cos[0] > 999_000, top_cos
     assert all(a > b for a, b in zip(top_cos, top_cos[1:])), top_cos
-    got = {(r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"]) for r in rows}
+    got = {(r["query_id"], r["neighbor_id"], r["cos_sim_e4"], r["rank"]) for r in rows}
     assert got == expected, (sorted(got - expected), sorted(expected - got))
 
 
@@ -291,10 +291,11 @@ def _check_images_resize(rows, ctx):
 def _check_audio_features(rows, ctx):
     assert len(rows) == 16, len(rows)
     for r in rows:
-        assert r["duration_sec"] > 0, r
-        assert 0.0 <= r["rms"] <= r["peak"] <= 1.0 + 1e-9, r
-        assert 0.0 <= r["zero_crossing_rate"] <= 1.0, r
-        assert all(math.isfinite(r[c]) for c in ("rms", "peak", "zero_crossing_rate"))
+        assert r["duration_us"] > 0, r
+        # floor-div peak vs half-up rms can cross by <1 micro at the edge,
+        # hence the +1 slack; int16 full-scale |−32768|/32768 can hit 1.0
+        assert 0 <= r["rms_micro"] <= r["peak_micro"] + 1 <= 1_000_001, r
+        assert 0 <= r["zcr_micro"] <= 1_000_000, r
 
 
 def _check_image_quality(rows, ctx):

@@ -139,7 +139,7 @@ class TestSimilarity:
         for q, rs in by_q.items():
             ranks = sorted(r.rank for r in rs)
             assert ranks == [1, 2, 3, 4, 5]
-            sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+            sims = [r.cos_sim_micro for r in sorted(rs, key=lambda r: r.rank)]
             assert sims == sorted(sims, reverse=True)
             assert all(r.neighbor_id != q for r in rs)
 
@@ -186,8 +186,8 @@ class TestIVFAssignPaths:
                                   n_probe=4, assign="literal")
         pan = similarity.ivf_topk(e, qs, "vec_id", "embedding", k=10, n_centroids=16,
                                   n_probe=4, assign="pandas")
-        rows_lit = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in lit.collect())
-        rows_pan = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim) for r in pan.collect())
+        rows_lit = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim_micro) for r in lit.collect())
+        rows_pan = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim_micro) for r in pan.collect())
         assert rows_lit == rows_pan
 
 
@@ -533,11 +533,11 @@ class TestAlignmentFilter:
             rows, "pair_id string, a array<double>, b array<double>"
         )
         got = {r.pair_id: r for r in alignment_filter(df, "a", "b", 0.7).collect()}
-        assert got["same"].alignment == 1.0 and got["same"].keep
-        assert got["orth"].alignment == 0.0 and not got["orth"].keep
-        assert got["anti"].alignment == -1.0
-        assert got["zero"].alignment == 0.0
-        assert got["half"].alignment == round(2 ** -0.5, 6) and got["half"].keep
+        assert got["same"].alignment == 1_000_000 and got["same"].keep
+        assert got["orth"].alignment == 0 and not got["orth"].keep
+        assert got["anti"].alignment == -1_000_000
+        assert got["zero"].alignment == 0
+        assert got["half"].alignment == round(2 ** -0.5 * 1e6) and got["half"].keep
 
     def test_map_only_plan(self, spark):
         """The filter must be a pure projection over the pair table — no

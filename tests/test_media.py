@@ -73,6 +73,6 @@ class TestSparkPlumbing:
         rows = {r.audio_id: r for r in out.collect()}
         assert len(rows) == 6
         for r in rows.values():
-            assert r.duration_sec == 1.0
-            assert 0.2 < r.rms < 0.6  # a sine at 0.5 amplitude + small noise
-            assert 0 < r.zero_crossing_rate < 0.5
+            assert r.duration_us == 1_000_000
+            assert 200_000 < r.rms_micro < 600_000  # sine at 0.5 amplitude + noise
+            assert 0 < r.zcr_micro < 500_000
