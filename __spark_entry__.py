@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fingerprint,
         lang_id,
         punct_ratio,
-        quality_score,
+        quality_score_raw,
         repetition_ratio,
         stopword_ratio,
         token_count,
@@ -358,7 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the contamination scan only over dedup survivors, and the DuckDB
         twin re-derives the entire cascade from the same CTE fragments.
         Stage precedence: eval_holdout (doc_id%97==0, the benchmark split)
-        → quality_drop → dup_drop → contaminated (ratio ≥ 0.05) → kept."""
+        → quality_drop → dup_drop → contaminated (micro ≥ 50000) → kept."""
         from amazonwebcrawler_spark.functions.text import quality_filter
         from amazonwebcrawler_spark.operators import corpus
 
@@ -378,7 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         contam = corpus.decontaminate(survivors, staged.filter("_is_eval"), "text", "doc_id")
         contaminated = (
-            contam.filter(F.col("contamination_ratio") >= 0.05)
+            contam.filter(F.col("contamination_micro") >= 50_000)
             .select("doc_id").withColumn("_contam", F.lit(True))
         )
         dup_drop = (
@@ -412,7 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "n_contaminated_grams",
             "n_grams",
-            F.round("contamination_ratio", 6).alias("contamination_ratio"),
+            "contamination_micro",
         )
 
     # ----------------------------------------------------- hash sampling
@@ -636,14 +636,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_text_stats(spark, sf):
         d = _t(spark, sf, "documents")
         t = F.col("text")
+        micro = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
         return d.select(
             "doc_id",
             token_count(t).alias("n_tokens"),
             F.size(word_tokens(t)).alias("n_word_tokens"),
-            F.round(punct_ratio(t), 6).alias("punct_ratio"),
-            F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
-            F.round(repetition_ratio(t), 6).alias("repetition_ratio"),
-            quality_score(t).alias("quality"),
+            micro(punct_ratio(t)).alias("punct_ratio_micro"),
+            micro(stopword_ratio(t)).alias("stopword_ratio_micro"),
+            micro(repetition_ratio(t)).alias("repetition_ratio_micro"),
+            micro(quality_score_raw(t)).alias("quality_micro"),
         )
 
     # ----------------------------------------------------- quality filter
@@ -1776,12 +1777,12 @@ inter AS (
 ),
 pairs AS (
   SELECT c.id_a, c.id_b,
-    COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard_sim
+    CAST((COALESCE(i.n_inter, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS jaccard_micro
   FROM cand c
   JOIN sizes sa ON sa.doc_id = c.id_a
   JOIN sizes sb ON sb.doc_id = c.id_b
   LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-  WHERE COALESCE(i.n_inter, 0)::DOUBLE / (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 0.5
+  WHERE (COALESCE(i.n_inter, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 500000
 )"""
 
     # full corpus-prep composition twin (corpus_pipeline): quality gate →
@@ -1864,7 +1865,7 @@ thits AS (
 ),
 contaminated AS (
   SELECT h.doc_id FROM thits h JOIN tsizes s ON s.doc_id = h.doc_id
-  WHERE h.n_hits::DOUBLE / s.n_grams >= 0.05
+  WHERE (h.n_hits * 1000000) // s.n_grams >= 50000
 )
 SELECT d.doc_id,
   CASE
@@ -2039,7 +2040,7 @@ GROUP BY d
 """,
         "dedup_minhash_lsh": rf"""
 WITH {minhash_pairs_ctes}
-SELECT id_a, id_b, jaccard_sim FROM pairs
+SELECT id_a, id_b, jaccard_micro FROM pairs
 """,
         "dedup_groups": rf"""
 -- pairs → connected components: transitive closure by label propagation
@@ -2113,11 +2114,11 @@ dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
   SELECT f.doc_id, f.term, f.tf,
-    round(f.tf * ln(n.n_docs::DOUBLE / d.df_t), 6) AS score
+    CAST(round(f.tf * ln(n.n_docs::DOUBLE / d.df_t) * 1000000) AS BIGINT) AS score_micro
   FROM tf f JOIN dft d USING (term) CROSS JOIN nd n
 )
-SELECT doc_id, term, tf, score,
-  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+SELECT doc_id, term, tf, score_micro,
+  row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rank
 FROM scored
 QUALIFY rank <= 5
 """,
@@ -2259,7 +2260,7 @@ term_rows AS (SELECT doc_id, u.term FROM tk, UNNEST(toks) AS u(term)),
 counts AS (SELECT term, COUNT(*) AS cnt FROM term_rows GROUP BY term),
 total AS (SELECT COUNT(*) AS total FROM term_rows)
 SELECT r.doc_id, COUNT(*) AS n_tokens,
-  round(-AVG(ln(c.cnt::DOUBLE / t.total)), 6) AS nll
+  CAST(round(-AVG(ln(c.cnt::DOUBLE / t.total)) * 1000000) AS BIGINT) AS nll_micro
 FROM term_rows r JOIN counts c USING (term) CROSS JOIN total t
 GROUP BY r.doc_id
 """,
@@ -2299,7 +2300,7 @@ hits AS (
   GROUP BY tr.doc_id
 )
 SELECT h.doc_id, h.n_contaminated_grams, s.n_grams,
-  ROUND(h.n_contaminated_grams::DOUBLE / s.n_grams, 6) AS contamination_ratio
+  CAST((h.n_contaminated_grams * 1000000) // s.n_grams AS BIGINT) AS contamination_micro
 FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
 """,
         "hash_sample": """
@@ -2323,11 +2324,11 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
-  i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) AS jaccard_sim
+  CAST((i.n_inter * 1000000) // (sa.n + sb.n - i.n_inter) AS BIGINT) AS jaccard_micro
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.3
+WHERE (i.n_inter * 1000000) // (sa.n + sb.n - i.n_inter) >= 300000
 """,
         "embedding_neardup": """
 WITH pairs AS (
@@ -2386,14 +2387,14 @@ r AS (
   FROM m
 )
 SELECT doc_id, n_tokens, n_word_tokens,
-  round(pr, 6) AS punct_ratio,
-  round(sr, 6) AS stopword_ratio,
-  round(rr, 6) AS repetition_ratio,
-  round(
+  CAST(round(pr * 1000000) AS BIGINT) AS punct_ratio_micro,
+  CAST(round(sr * 1000000) AS BIGINT) AS stopword_ratio_micro,
+  CAST(round(rr * 1000000) AS BIGINT) AS repetition_ratio_micro,
+  CAST(round((
     least(n_tokens / 100.0, 1.0) * 0.4
     + greatest(0.0, 1.0 - pr * 4) * 0.3
-    + least(sr * 5, 1.0) * 0.3,
-  6) AS quality
+    + least(sr * 5, 1.0) * 0.3
+  ) * 1000000) AS BIGINT) AS quality_micro
 FROM r
 """,
         "lang_id": rf"""

@@ -99,15 +99,23 @@ def stopword_ratio(text: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Colum
     return F.when(n > 0, _stopword_hits(tokens(text), words) / n).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score_raw(text: Column) -> Column:
     """Deterministic [0,1] quality heuristic: rewards mid-length docs with
     normal punctuation and some stopwords (boilerplate/code/gibberish score
-    low). Weights are fixed so the DuckDB oracle reproduces it exactly."""
+    low). Weights are fixed and the expression order is mirrored term for
+    term by the DuckDB oracle, so the double is bit-identical across
+    engines (pure IEEE arithmetic over integer-derived ratios). Emit it
+    through ``round(x·1e6)::BIGINT`` in value contracts."""
     n = token_count(text)
     len_score = F.least(n / F.lit(100.0), F.lit(1.0))
     punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
     stop_score = F.least(stopword_ratio(text) * 5, F.lit(1.0))
-    return F.round(len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3, 6)
+    return len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3
+
+
+def quality_score(text: Column) -> Column:
+    """6dp-rounded :func:`quality_score_raw` — kept for float consumers."""
+    return F.round(quality_score_raw(text), 6)
 
 
 def quality_filter(text: Column) -> Column:
@@ -207,7 +215,12 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
 
     ``score = tf × ln(n_docs / df_t)`` over whitespace tokens of the
     normalized text; ties broken by term ascending so the cut is total and
-    cross-engine deterministic. Returns (doc_id, term, tf, score, rank).
+    cross-engine deterministic. The score is emitted (and ranked) as a
+    micro-unit BIGINT — cross-engine ``ln`` drift is ≤1 ulp (~1e-16
+    relative), so the odds of a value straddling a micro rounding
+    boundary are ~1e-10 per row, vs certain-failure-class hashing of
+    engine-rounded DOUBLEs. Returns (doc_id, term, tf, score_micro,
+    rank).
 
     Scale shape: term frequencies and document frequencies are both
     map-side-combinable groupBys on natural keys; the corpus size joins in
@@ -230,10 +243,12 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
             "doc_id",
             "term",
             "tf",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6).alias("score"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")) * 1_000_000
+            ).cast("long").alias("score_micro"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -251,7 +266,9 @@ def unigram_nll(df, text_col: str, id_col: str):
     algebra: in production the "train" aggregate runs on a held-out slice
     and broadcasts exactly like the eval grams in decontamination.
 
-    Returns (doc_id, n_tokens, nll). Scale shape: one explode + term
+    Returns (doc_id, n_tokens, nll_micro) — micro-unit BIGINT; the mean
+    of per-token ``ln`` terms carries summation-order drift ~1e-13
+    relative, far inside a micro cell. Scale shape: one explode + term
     groupBy (map-side combinable) trains the LM; the corpus total joins as
     a broadcast one-row aggregate; scoring is toks ⋈ term-counts (shuffle
     on the term key, the LM side is vocabulary-sized) + one per-doc
@@ -268,7 +285,8 @@ def unigram_nll(df, text_col: str, id_col: str):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(-F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias("nll"),
+            F.round(-F.avg(F.log(F.col("cnt") / F.col("total"))) * 1_000_000)
+            .cast("long").alias("nll_micro"),
         )
     )
 

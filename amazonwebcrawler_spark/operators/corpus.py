@@ -33,9 +33,12 @@ def decontaminate(
     """Per-training-doc contamination report: how many of its distinct word
     n-grams appear anywhere in the eval set.
 
-    Returns (doc_id, n_contaminated_grams, n_grams, contamination_ratio) for
-    contaminated docs ONLY (inner semi-structure) — the caller anti-joins
-    this against the corpus to drop or quarantine.
+    Returns (doc_id, n_contaminated_grams, n_grams, contamination_micro)
+    for contaminated docs ONLY (inner semi-structure) — the caller
+    anti-joins this against the corpus to drop or quarantine.
+    ``contamination_micro`` is the exact integer ``(hits·1e6) DIV grams``
+    (bit-stable across engines; threshold comparisons move to micro
+    space, exactly equivalent for integral-micro thresholds).
 
     Plan: shingle both sides (codegen explode, see shingle_rows), distinct
     the eval grams, broadcast them, inner-join + count per doc. The big
@@ -57,7 +60,7 @@ def decontaminate(
             F.col("_id").alias(id_col),
             "n_contaminated_grams",
             "n_grams",
-            (F.col("n_contaminated_grams") / F.col("n_grams")).alias("contamination_ratio"),
+            F.expr("(n_contaminated_grams * 1000000L) DIV n_grams").alias("contamination_micro"),
         )
     )
 

@@ -74,11 +74,24 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     return pos.select("_id", gram.alias("_s")).distinct()
 
 
-def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two string arrays (already distinct)."""
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+def jaccard_micro(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (already distinct) as
+    an exact micro-unit BIGINT: ``(|∩|·1e6) DIV |∪|`` — pure integer
+    arithmetic, so the value hashes identically on every engine (the
+    DOUBLE ratio was one engine-rounding quirk away from a driver hash
+    flip). For any threshold with integral micro (0.3, 0.5, 0.8 …),
+    ``jaccard_micro >= round(t·1e6)`` is EXACTLY equivalent to the real
+    ``j >= t``: j ≥ t ⇒ j·1e6 ≥ t_micro ⇒ floor ≥ t_micro, and j < t ⇒
+    floor ≤ t_micro − 1."""
+    inter = F.size(F.array_intersect(a, b)).cast("long")
+    union = F.size(F.array_union(a, b)).cast("long")
+    num = inter * F.lit(1_000_000).cast("long")
+    # exact floor division without DIV-on-expr plumbing: subtract the
+    # remainder first, then the float division is exact (numerator is an
+    # exact multiple of the divisor, both well under 2^53)
+    return F.when(union > 0, ((num - F.pmod(num, union)) / union).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
 
 
 # -------------------------------------------------------------- exact dedup
@@ -173,8 +186,12 @@ def minhash_lsh_pairs(
     generation inside each bucket → exact-Jaccard filter ≥ threshold →
     distinct pairs. Buckets above ``max_bucket`` are dropped (logged
     upstream) — the standard guard against degenerate all-same buckets.
-    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+    Returns (id_a, id_b, jaccard_micro) with id_a < id_b —
+    ``jaccard_micro`` is the exact integer ``(|∩|·1e6) DIV |∪|`` (see
+    :func:`jaccard_micro`); the threshold filter compares in micro space,
+    exactly equivalent for integral-micro thresholds.
     """
+    threshold_micro = int(round(threshold * 1_000_000))
     rows_per_band = k // n_bands
     # a documents table often arrives as ONE small parquet file = one input
     # partition; the shingle/signature work is the CPU-heavy step, so spread
@@ -242,9 +259,9 @@ def minhash_lsh_pairs(
         .select(
             "id_a",
             "id_b",
-            (F.col("_ni") / (F.col("_na") + F.col("_nb") - F.col("_ni"))).alias("jaccard_sim"),
+            F.expr("(_ni * 1000000L) DIV (_na + _nb - _ni)").alias("jaccard_micro"),
         )
-        .filter(F.col("jaccard_sim") >= threshold)
+        .filter(F.col("jaccard_micro") >= threshold_micro)
     )
     # pairs are tiny (candidate near-dups); materialize them eagerly so the
     # shingle cache can be released HERE instead of leaking per call (the
@@ -267,7 +284,9 @@ def ngram_jaccard_pairs(
 
     Blocked self-join — the exactness oracle for the MinHash path. At scale
     only viable with tight blocks; that is the point of the block_col.
+    Emits ``jaccard_micro`` (exact integer — see :func:`jaccard_micro`).
     """
+    threshold_micro = int(round(threshold * 1_000_000))
     keyed = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
@@ -279,9 +298,9 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            jaccard(F.col("a._sh"), F.col("b._sh")).alias("jaccard_sim"),
+            jaccard_micro(F.col("a._sh"), F.col("b._sh")).alias("jaccard_micro"),
         )
-        .filter(F.col("jaccard_sim") >= threshold)
+        .filter(F.col("jaccard_micro") >= threshold_micro)
     )
 
 

@@ -58,7 +58,7 @@ class TestDecontaminate:
         rows = {r.doc_id: r for r in rep.collect()}
         assert set(rows) == {2}  # only the contaminated doc is reported
         assert rows[2].n_contaminated_grams >= 5
-        assert 0 < rows[2].contamination_ratio <= 1
+        assert 0 < rows[2].contamination_micro <= 1_000_000
 
     def test_clean_corpus_empty_report(self, spark):
         ev = spark.createDataFrame([(1, "aa bb cc dd")], "doc_id long, text string")

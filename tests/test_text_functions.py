@@ -23,9 +23,9 @@ class TestTfidf:
             by_doc.setdefault(r.doc_id, []).append(r)
         top1 = {d_: sorted(rs, key=lambda r: r.rank)[0] for d_, rs in by_doc.items()}
         assert top1[1].term == "zebra"
-        assert abs(top1[1].score - round(1 * math.log(3 / 1), 6)) < 1e-9
+        assert top1[1].score_micro == round(1 * math.log(3 / 1) * 1_000_000)
         # 'common' is in every doc → idf 0 → score 0 everywhere
-        assert all(r.score == 0.0 for r in out if r.term == "common")
+        assert all(r.score_micro == 0 for r in out if r.term == "common")
         assert all(len(rs) <= 2 for rs in by_doc.values())
 
 
@@ -46,9 +46,9 @@ class TestUnigramNll:
         got = {r.doc_id: r for r in unigram_nll(d, "text", "doc_id").collect()}
         total = 10  # 8 'the' + 2 unique
         assert got[1].n_tokens == 4
-        assert abs(got[1].nll - round(-math.log(8 / total), 6)) < 1e-9
-        assert abs(got[3].nll - round(-math.log(1 / total), 6)) < 1e-9
-        assert got[3].nll > got[1].nll
+        assert got[1].nll_micro == round(-math.log(8 / total) * 1_000_000)
+        assert got[3].nll_micro == round(-math.log(1 / total) * 1_000_000)
+        assert got[3].nll_micro > got[1].nll_micro
 
 
 class TestChunking:
