@@ -77,7 +77,7 @@ def host_trap_stats(
     ratio_threshold: float = 5.0,
     depth_threshold: int = 8,
     entropy_threshold: float = 2.5,
-):
+):  # thresholds are converted to micro units internally (see docstring)
     """Per-host crawler-trap detection over a URL table.
 
     At 10^10 frontier URLs the scheduler's worst enemy is an infinite URL
@@ -94,14 +94,20 @@ def host_trap_stats(
       distribution; session-id/faceted traps mint many distinct keys while
       a healthy catalog reuses a handful (``page``, ``ref``).
 
-    ``is_trap`` ORs the three thresholds. Everything is one pass of pure
-    column math + two hash aggregations shuffling on ``host`` (the param
-    explode re-aggregates to host before the join, so the join is
-    host-cardinality vs host-cardinality — never URL-sized). No UDFs; the
-    DuckDB twin mirrors every expression 1:1 (split_part ↔
-    substring_index, string_split ↔ split, ln ↔ log). Floats are rounded
-    to 6dp INSIDE the operator so engine-order float noise stays far
-    below the comparison grain.
+    ``is_trap`` ORs the three thresholds, compared in micro space.
+    Everything is one pass of pure column math + two hash aggregations
+    shuffling on ``host`` (the param explode re-aggregates to host before
+    the join, so the join is host-cardinality vs host-cardinality — never
+    URL-sized). No UDFs; the DuckDB twin mirrors every expression 1:1
+    (split_part ↔ substring_index, string_split ↔ split, ln ↔ log).
+
+    Value contract: the ratio stats are EXACT integer micro values
+    (floor division of integer counts — for rational r with denominator
+    ≤ 1e6, ``floor(r·1e6) > t·1e6`` ⟺ ``r > t``, so the integer
+    thresholds preserve the float semantics exactly); ``key_entropy`` is
+    ``round(H·1e6)`` whose cross-engine ``ln`` drift (~1e-15) sits far
+    inside a micro cell. Integers hash identically on every engine —
+    rounded DOUBLEs don't (the r4 corpus_stats lesson).
     """
     u = F.col(url_col)
     base = F.substring_index(u, "?", 1)
@@ -119,10 +125,11 @@ def host_trap_stats(
         F.count("*").alias("n_urls"),
         F.countDistinct("_path").alias("n_paths"),
         F.max("_depth").alias("max_depth"),
-        F.round(F.avg(F.size("_params")), 6).alias("avg_params"),
-        F.round(
-            (F.count("*").cast("double") / F.countDistinct("_path")), 6
-        ).alias("url_path_ratio"),
+        F.sum(F.size("_params")).alias("_n_params"),
+    ).select(
+        "host", "n_urls", "n_paths", "max_depth",
+        F.expr("(_n_params * 1000000L) DIV n_urls").alias("avg_params_micro"),
+        F.expr("(n_urls * 1000000L) DIV n_paths").alias("url_path_ratio_micro"),
     )
     keys = parsed.select("host", F.explode("_params").alias("_p")).select(
         "host", F.split("_p", "=")[0].alias("_key")
@@ -133,19 +140,19 @@ def host_trap_stats(
         .groupBy("host")
         .agg(
             F.round(
-                -F.sum((F.col("_c") / F.col("_tot")) * F.log(F.col("_c") / F.col("_tot"))),
-                6,
-            ).alias("key_entropy")
+                -F.sum((F.col("_c") / F.col("_tot")) * F.log(F.col("_c") / F.col("_tot")))
+                * 1_000_000
+            ).cast("long").alias("key_entropy_micro")
         )
     )
     return (
         per_host.join(ent, "host", "left")
-        .withColumn("key_entropy", F.coalesce("key_entropy", F.lit(0.0)))
+        .withColumn("key_entropy_micro", F.coalesce("key_entropy_micro", F.lit(0).cast("long")))
         .withColumn(
             "is_trap",
-            (F.col("url_path_ratio") > F.lit(ratio_threshold))
+            (F.col("url_path_ratio_micro") > F.lit(int(round(ratio_threshold * 1_000_000))))
             | (F.col("max_depth") > F.lit(depth_threshold))
-            | (F.col("key_entropy") > F.lit(entropy_threshold)),
+            | (F.col("key_entropy_micro") > F.lit(int(round(entropy_threshold * 1_000_000)))),
         )
     )
 

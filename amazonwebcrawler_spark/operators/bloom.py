@@ -129,9 +129,15 @@ def merge_into_shards(
     Key-set accumulation is gated on ``cfg.track_keys``: with it off the
     ``keys`` column is written empty (lean shard state for the seen_table
     confirm mode, which never reads it). NOTE a merge with ``track_keys
-    False`` also drops any EXISTING key set on the buckets it touches —
+    False`` also drops any EXISTING key set on the buckets it touched —
     switching a live store from shard_sets to seen_table mode and back
     leaves the sets incomplete; use a fresh store when changing modes.
+    This is ENFORCED, not just documented: a ``track_keys=True`` merge
+    that meets a populated bucket with an empty stored key set raises —
+    unioning new keys onto that empty set would produce a non-empty but
+    INCOMPLETE set that passes probe_shards' emptiness guard and silently
+    answers ``exact_seen=False`` for every pre-switch URL (re-admitting
+    already-crawled pages).
     """
     k, m, track = cfg.k, cfg.m_bits, cfg.track_keys
 
@@ -154,6 +160,15 @@ def merge_into_shards(
                 if track
                 else np.array([], dtype=np.uint64)
             )
+            if track and n_items > 0 and not len(key_set):
+                raise ValueError(
+                    f"track_keys merge onto bucket {bucket} with {n_items} items "
+                    "but NO stored key set — this store was written with "
+                    "track_keys=False (seen_table mode); resuming it in "
+                    "shard_sets mode would build an incomplete key set that "
+                    "silently re-admits pre-switch URLs. Use a fresh store "
+                    "when changing confirm modes."
+                )
         if not keys.empty:
             h1 = keys["h1"].to_numpy()
             pos = _positions(h1, keys["h2"].to_numpy(), k, m)

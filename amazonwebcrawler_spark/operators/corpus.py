@@ -269,7 +269,7 @@ def expectations_report(df: DataFrame, checks) -> DataFrame:
     structs = [
         F.struct(
             F.lit(name).alias("constraint"),
-            F.round(F.col(f"_m{i}"), 6).alias("metric"),
+            F.round(F.col(f"_m{i}") * 1_000_000).cast("long").alias("metric_micro"),
             passed(F.col(f"_m{i}")).alias("passed"),
         )
         for i, (name, _m, passed) in enumerate(checks)
@@ -287,8 +287,9 @@ def winsorize(
 
     Exact interpolated ``percentile`` (NOT ``percentile_approx``: the
     sketch is partitioning-sensitive, see q_sketch_distinct) — identical
-    semantics to DuckDB's ``quantile_cont``, so the twin value-checks the
-    boundaries bit-for-bit at 6dp.
+    interpolation formula (hence bit-identical IEEE doubles) to DuckDB's
+    ``quantile_cont``; ``clipped_micro`` is the micro-unit BIGINT value
+    contract.
 
     Plan: one hash-agg for the per-group bounds (groups ≪ rows), broadcast
     join back, pure column clamp — the big side never shuffles.
@@ -300,7 +301,7 @@ def winsorize(
     clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.col("_lo")), F.col("_hi"))
     return (
         df.join(F.broadcast(bounds), group_col)
-        .withColumn("clipped", F.round(clipped, 6))
+        .withColumn("clipped_micro", F.round(clipped * 1_000_000).cast("long"))
         .withColumn(
             "is_outlier", (F.col(value_col) < F.col("_lo")) | (F.col(value_col) > F.col("_hi"))
         )

@@ -119,13 +119,16 @@ def _iterate(
 
 
 def pagerank_oracle_sql(
-    edges_sql: str, iters: int = 5, damping: float = 0.85, round_dp: int = 6
+    edges_sql: str, iters: int = 5, damping: float = 0.85
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the SAME power iteration unrolled
     into ``iters`` chained CTEs (recursive CTEs dedupe rows — wrong tool
     for a numeric fixpoint). ``edges_sql`` must yield columns (src, dst);
-    the result is ``(node, pr)`` with pr rounded, so callers round the
-    Spark side identically."""
+    the result is ``(node, pr_micro)`` — a micro-unit BIGINT, because the
+    contribution sums carry ~1e-14 cross-engine summation drift: an
+    integer a micro cell wide absorbs it, where a 6dp-rounded DOUBLE can
+    hash differently. Callers emit ``round(pr·1e6)::long`` on the Spark
+    side identically."""
     d = damping
     parts = [
         f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
@@ -148,4 +151,6 @@ def pagerank_oracle_sql(
             f"LEFT JOIN deg ON deg.node = r.node WHERE deg.node IS NULL) dm),"
         )
     body = "\n".join(parts).rstrip(",")
-    return f"{body}\nSELECT node, round(pr, {round_dp}) AS pr FROM r{iters}"
+    return (
+        f"{body}\nSELECT node, CAST(round(pr * 1000000) AS BIGINT) AS pr_micro FROM r{iters}"
+    )

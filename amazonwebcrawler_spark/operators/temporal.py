@@ -117,7 +117,7 @@ def asof_join(
 def ema(
     df: DataFrame,
     key_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     alpha: float,
     out_col: str = "ema",
@@ -141,16 +141,23 @@ def ema(
     α=0.1 → ~6,700). For longer keys, segment the timeline and rescale per
     segment (the cancellation argument applies blockwise); the recency-
     weighted crawl-priority use case re-anchors each wave anyway.
+
+    ``order_col`` may be a list — pass a unique tiebreak column (e.g.
+    ``["ts", "event_id"]``) whenever duplicate (key, order) rows are
+    possible: a non-total order makes the row_number weights (and hence
+    the EMA) partition-layout dependent, and lets a DuckDB twin disagree
+    even though both engines are individually deterministic.
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     b = 1.0 - alpha
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    rn = F.row_number().over(Window.partitionBy(*key_cols).orderBy(order_col))
+    rn = F.row_number().over(Window.partitionBy(*key_cols).orderBy(*order_cols))
     weighted = df.withColumn("_w", F.pow(F.lit(b), -rn))
     return (
         weighted.withColumn(

@@ -307,7 +307,15 @@ class StateStore:
         deleted: list[tuple[str, int]] = []
         bytes_reclaimed = 0
         expired = self._expired_paths()
+        # conservative never-delete default: reachability above is computed
+        # ONLY for table names in the three known lists — a table committed
+        # under any other name (a future commit_wave addition, an external
+        # caller) has no loader chain here, so treating it as unreferenced
+        # would delete live data. Skip it instead.
+        known = set(SNAPSHOT_TABLES) | set(COW_TABLES) | set(DELTA_TABLES)
         for path, (name, w) in sorted(all_paths.items()):
+            if name not in known:
+                continue
             if path in referenced or path in expired or not os.path.isdir(path):
                 continue
             bytes_reclaimed += sum(

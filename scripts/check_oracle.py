@@ -19,7 +19,17 @@ TABLES = (
 )
 
 
-def _norm(v):
+#: queries whose floats may legitimately differ in the last ulp between
+#: engines, compared at 6dp instead of exactly. EMPTY by design since r5:
+#: every query contract emits integers (micro-unit BIGINTs) precisely so
+#: the driver's exact value hash is environment-proof — a query added here
+#: would pass locally but stay one rounding boundary away from a driver
+#: hash flip (the r4 corpus_stats/image_quality failure this gate used to
+#: mask by blanket-rounding all floats to 6dp).
+FLOAT_TOLERANT: frozenset[str] = frozenset()
+
+
+def _norm(v, tolerant: bool = False):
     if v is None:
         return None
     if isinstance(v, bool):
@@ -27,24 +37,26 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        # strict mode mirrors the driver: exact value identity (repr keeps
+        # every bit of a double; round() would hide cross-engine drift)
+        return round(v, 6) if tolerant else repr(v)
     if isinstance(v, int):
         return int(v)
     try:  # Decimal
         from decimal import Decimal
 
         if isinstance(v, Decimal):
-            return round(float(v), 6)
+            return round(float(v), 6) if tolerant else repr(float(v))
     except ImportError:
         pass
     return str(v)
 
 
-def normalize_rows(rows, colnames):
+def normalize_rows(rows, colnames, tolerant: bool = False):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     # key=repr: total order even when a sort-leading column holds NULLs
     # (None < float is a TypeError under tuple comparison)
-    return sorted((tuple(_norm(r[i]) for i in order) for r in rows), key=repr)
+    return sorted((tuple(_norm(r[i], tolerant) for i in order) for r in rows), key=repr)
 
 
 def main() -> int:
@@ -111,8 +123,9 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")
             continue
-        sn = normalize_rows(srows, scols)
-        dn = normalize_rows(drows, dcols)
+        tolerant = name in FLOAT_TOLERANT
+        sn = normalize_rows(srows, scols, tolerant)
+        dn = normalize_rows(drows, dcols, tolerant)
         if len(sn) != len(dn):
             failures.append(name)
             print(f"FAIL  {name}: row counts spark={len(sn)} duck={len(dn)}")

@@ -103,3 +103,38 @@ def test_exact_probe_rejects_keyless_state(spark):
     shards = bloom.merge_into_shards(keyed, bloom.empty_shards(spark, cfg), cfg)
     with pytest.raises(Exception, match="no key set"):
         bloom.probe_shards(keyed, shards, cfg, exact=True).collect()
+
+
+def test_track_keys_merge_rejects_keyless_state(spark):
+    """ADVICE r4: resuming a store written with track_keys=False under
+    shard_sets mode must fail AT MERGE TIME — unioning new keys onto the
+    empty stored set would build a non-empty but incomplete key set that
+    passes the probe-side emptiness guard and silently re-admits every
+    pre-switch URL."""
+    import pytest
+
+    from amazonwebcrawler_spark.operators import bloom
+
+    off = bloom.BloomConfig(n_buckets=4, m_bits=1 << 14, track_keys=False)
+    on = bloom.BloomConfig(n_buckets=4, m_bits=1 << 14, track_keys=True)
+    batch1 = spark.createDataFrame([(f"a{i}",) for i in range(64)], "canonical_url string")
+    batch2 = spark.createDataFrame([(f"b{i}",) for i in range(64)], "canonical_url string")
+    keyless = bloom.merge_into_shards(
+        bloom.with_bloom_keys(batch1, "canonical_url", off), bloom.empty_shards(spark, off), off
+    ).localCheckpoint()
+    with pytest.raises(Exception, match="track_keys"):
+        bloom.merge_into_shards(
+            bloom.with_bloom_keys(batch2, "canonical_url", on), keyless, on
+        ).collect()
+    # a store written WITH tracking keeps accepting tracked merges
+    tracked = bloom.merge_into_shards(
+        bloom.with_bloom_keys(batch1, "canonical_url", on), bloom.empty_shards(spark, on), on
+    )
+    merged = bloom.merge_into_shards(
+        bloom.with_bloom_keys(batch2, "canonical_url", on), tracked, on
+    )
+    probed = bloom.probe_shards(
+        bloom.with_bloom_keys(batch1.unionByName(batch2), "canonical_url", on), merged, on,
+        exact=True,
+    )
+    assert probed.filter(~F.col("exact_seen")).count() == 0

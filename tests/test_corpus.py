@@ -267,7 +267,7 @@ class TestExpectations:
         ]
         df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
         got = {
-            r["constraint"]: (r["metric"], r["passed"])
+            r["constraint"]: (r["metric_micro"], r["passed"])
             for r in expectations_report(
                 df,
                 [
@@ -280,12 +280,12 @@ class TestExpectations:
                 ],
             ).collect()
         }
-        assert got["not_null(text)"] == (0.25, False)
-        assert got["unique(doc_id)"] == (1.0, False)
-        assert got["in_set(lang)"] == (1.0, False)
-        assert got["min_ge(n_chars,1)"] == (0.0, False)
-        assert got["max_le(n_chars,100)"] == (30.0, True)
-        assert got["count_between(1,3)"] == (4.0, False)
+        assert got["not_null(text)"] == (250_000, False)
+        assert got["unique(doc_id)"] == (1_000_000, False)
+        assert got["in_set(lang)"] == (1_000_000, False)
+        assert got["min_ge(n_chars,1)"] == (0, False)
+        assert got["max_le(n_chars,100)"] == (30_000_000, True)
+        assert got["count_between(1,3)"] == (4_000_000, False)
 
     def test_clean_table_all_pass(self, spark):
         from amazonwebcrawler_spark.operators.corpus import (
@@ -305,12 +305,12 @@ class TestWinsorize:
 
         # 0..100 in one group: p5=5, p95=95 exactly (101 evenly spaced values)
         df = spark.range(101).selectExpr("'g' AS grp", "id AS v")
-        out = {r["v"]: (r["clipped"], r["is_outlier"]) for r in winsorize(df, "grp", "v").collect()}
-        assert out[0] == (5.0, True) and out[3] == (5.0, True)
-        assert out[5] == (5.0, False)
-        assert out[50] == (50.0, False)
-        assert out[95] == (95.0, False)
-        assert out[100] == (95.0, True)
+        out = {r["v"]: (r["clipped_micro"], r["is_outlier"]) for r in winsorize(df, "grp", "v").collect()}
+        assert out[0] == (5_000_000, True) and out[3] == (5_000_000, True)
+        assert out[5] == (5_000_000, False)
+        assert out[50] == (50_000_000, False)
+        assert out[95] == (95_000_000, False)
+        assert out[100] == (95_000_000, True)
         assert sum(1 for _, o in out.values() if o) == 10  # 0-4 and 96-100
 
     def test_groups_independent(self, spark):
@@ -321,9 +321,9 @@ class TestWinsorize:
         a = spark.range(101).selectExpr("'a' AS grp", "id AS v")
         b = spark.range(101).selectExpr("'b' AS grp", "id * 10 AS v")
         out = winsorize(a.unionByName(b), "grp", "v")
-        hi = {r["grp"]: r["clipped"] for r in out.filter(~F.col("is_outlier")).groupBy("grp")
-              .agg(F.max("clipped").alias("clipped")).collect()}
-        assert hi == {"a": 95.0, "b": 950.0}
+        hi = {r["grp"]: r["clipped_micro"] for r in out.filter(~F.col("is_outlier")).groupBy("grp")
+              .agg(F.max("clipped_micro").alias("clipped_micro")).collect()}
+        assert hi == {"a": 95_000_000, "b": 950_000_000}
 
 
 class TestWeightedSample:

@@ -661,3 +661,34 @@ class TestExpiration:
         store = self._run(spark, "/tmp/crawl_expire_val", max_waves=2)
         with pytest.raises(ValueError, match="keep_last"):
             store.expire_snapshots(keep_last=0)
+
+    def test_unknown_table_never_deleted(self, spark):
+        """ADVICE r4: reachability is computed only for the known table
+        lists — a table committed under any OTHER name (a future
+        commit_wave addition, an external caller) has no loader chain, so
+        expiration must skip it (conservative never-delete), not treat it
+        as unreachable garbage."""
+        import json
+        import os
+
+        store = self._run(spark, "/tmp/crawl_expire_unknown", max_waves=6)
+        waves = store.committed_waves()
+        old = waves[0]
+        # plant a table name outside SNAPSHOT/COW/DELTA_TABLES in an OLD
+        # wave's manifest, pointing at a real directory with a real file
+        side_dir = os.path.join(store.root, "side_metrics", f"wave={old}")
+        os.makedirs(side_dir, exist_ok=True)
+        with open(os.path.join(side_dir, "part-0.json"), "w") as f:
+            f.write('{"x": 1}')
+        mpath = os.path.join(store.root, "_manifests", f"manifest-{old}.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m["tables"]["side_metrics"] = side_dir
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+
+        out = store.expire_snapshots(keep_last=2)
+        assert os.path.isdir(side_dir), "unknown table was deleted while live"
+        assert "side_metrics" not in {t for t, _ in out["deleted"]}
+        # the known garbage is still reclaimed
+        assert "frontier" in {t for t, _ in out["deleted"]}

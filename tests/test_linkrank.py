@@ -90,8 +90,8 @@ class TestHostTrapStats:
             rows.append((f"https://shop.example/dp/B{i}?page={i % 3}",))
         df = spark.createDataFrame(rows, "canonical_url string")
         got = {r.host: r for r in urls.host_trap_stats(df).collect()}
-        assert got["cal.example"].is_trap and got["cal.example"].url_path_ratio == 60.0
-        assert got["sess.example"].is_trap and got["sess.example"].key_entropy > 2.5
+        assert got["cal.example"].is_trap and got["cal.example"].url_path_ratio_micro == 60_000_000
+        assert got["sess.example"].is_trap and got["sess.example"].key_entropy_micro > 2_500_000
         assert got["deep.example"].is_trap and got["deep.example"].max_depth == 12
         assert not got["shop.example"].is_trap
 
@@ -105,8 +105,8 @@ class TestHostTrapStats:
         counts = [30, 30] + [6] * 5
         tot = sum(counts)
         want = -sum(c / tot * math.log(c / tot) for c in counts)
-        assert row.key_entropy == pytest.approx(want, abs=1e-6)
-        assert row.avg_params == pytest.approx(3.0)
+        assert row.key_entropy_micro == round(want * 1_000_000)
+        assert row.avg_params_micro == 3_000_000
 
     def test_no_params_zero_entropy(self, spark):
         df = spark.createDataFrame(
@@ -114,4 +114,4 @@ class TestHostTrapStats:
             "canonical_url string",
         )
         row = urls.host_trap_stats(df).collect()[0]
-        assert row.key_entropy == 0.0 and not row.is_trap
+        assert row.key_entropy_micro == 0 and not row.is_trap
