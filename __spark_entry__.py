@@ -2690,10 +2690,20 @@ FROM orders GROUP BY 1
 WITH p AS (
   SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
 ),
-v AS (
+v0 AS (
   SELECT user_id, event_id AS view_event_id, ts,
     CAST(ROUND(value * 100) AS BIGINT) AS view_cents
   FROM events WHERE event_type = 'view'
+),
+-- DuckDB ASOF picks an ARBITRARY row among equal right timestamps; the
+-- Spark operator's contract is max-payload-struct (rts, view_event_id,
+-- view_cents) — dedup the right side to that winner first so the twin is
+-- deterministic even with duplicate (user_id, ts) views (ADVICE r4)
+v AS (
+  SELECT * FROM v0
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, ts ORDER BY view_event_id DESC, view_cents DESC
+  ) = 1
 )
 SELECT p.user_id, p.event_id,
   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,

@@ -84,6 +84,39 @@ class TestAsofJoin:
         # deterministic tiebreak: greatest payload struct wins
         assert out.collect()[0]["price"] == 9
 
+    def test_equal_ts_tiebreak_stable_under_repartition_and_tolerance(self, spark):
+        """VERDICT r4 hardening: the struct tiebreak must hold on EVERY
+        physical layout (the window-sort path is the only ordering), and
+        the tolerance filter must evaluate against the tie WINNER's
+        timestamp. 40 left rows × keys with 3 equal-ts right rows each,
+        collected under four different partitionings, must be identical."""
+        lrows = [(k, _ts(10 + i), i) for k in (1, 2, 3) for i in range(14)]
+        left = spark.createDataFrame(lrows, "k int, ts timestamp_ntz, seq int")
+        rrows = [
+            (k, _ts(t), 100 * k + t * 10 + j)
+            for k in (1, 2, 3)
+            for t in (4, 9, 15)
+            for j in range(3)  # three right rows per (k, ts)
+        ]
+        right = spark.createDataFrame(rrows, "k int, ts timestamp_ntz, price int")
+
+        def run(ldf, rdf, tol=None):
+            out = asof_join(ldf, rdf, on=["k"], right_cols=["price"], tolerance_s=tol)
+            return sorted((r["k"], str(r["ts"]), r["seq"], r["price"]) for r in out.collect())
+
+        base = run(left, right)
+        # the max price among the 3 equal-ts rows always wins
+        assert all(p is None or p % 10 == 2 for (_k, _t, _s, p) in base)
+        for n in (1, 7, 32):
+            assert run(left.repartition(n), right.repartition(n, "price")) == base
+        # tolerance evaluated on the winner's rts: 2-minute window drops
+        # matches older than 120 s but keeps the rows (null payload)
+        tol = run(left, right, tol=120.0)
+        assert len(tol) == len(base)
+        assert any(p is None for (_k, _t, _s, p) in tol)
+        for (_k, _t, _s, p) in tol:
+            assert p is None or p % 10 == 2
+
 
 class TestRangeJoin:
     def test_matches_naive_all_alignments(self, spark):
@@ -117,6 +150,36 @@ class TestRangeJoin:
         )
         got = sorted((r["lid"], r["rid"]) for r in pairs.collect())
         assert got == [(1, 7), (2, 8)]  # rid 9 out of range, cross-group blocked
+
+    def test_bucket_boundary_timestamps(self, spark):
+        """VERDICT r4 hardening: rows whose timestamps sit EXACTLY on the
+        bucket grid (ts % bucket_width == 0) and interval endpoints that
+        land exactly on a boundary must match the naive O(n²) oracle —
+        off-by-one in the ≤2-bucket explode shows up precisely here."""
+        width_us = 7 * 60_000_000  # upper-lower span picks the bucket width
+        lo, hi = -width_us, 0  # closed [ts-7min, ts]: endpoints inclusive
+        # timestamps at exact multiples of 7 minutes plus a ±1 µs fringe
+        lrows, rrows = [], []
+        i = 0
+        for mult in range(6):
+            base = dt.timedelta(microseconds=mult * width_us)
+            for jitter in (-1, 0, 1):
+                t = EPOCH + base + dt.timedelta(microseconds=jitter)
+                if t >= EPOCH:
+                    lrows.append((i, t)); rrows.append((1000 + i, t)); i += 1
+        left = spark.createDataFrame(lrows, "lid int, ts timestamp_ntz")
+        right = spark.createDataFrame(rrows, "rid int, rts timestamp_ntz")
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join_pairs(left, right, "ts", "rts", lo, hi).collect()
+        )
+        want = sorted(
+            (li, rj)
+            for li, lt in lrows
+            for rj, rt in rrows
+            if lt + dt.timedelta(microseconds=lo) <= rt <= lt + dt.timedelta(microseconds=hi)
+        )
+        assert got == want and len(want) > len(lrows)  # self + neighbors
 
     def test_empty_interval_raises(self, spark):
         left = spark.createDataFrame([(1, _ts(0))], "lid int, ts timestamp_ntz")
