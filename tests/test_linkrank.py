@@ -55,13 +55,14 @@ class TestPagerank:
 
     def test_oracle_sql_twin_matches(self, spark, duckdb_conn):
         """The unrolled-CTE DuckDB twin reproduces the Spark power
-        iteration to 6dp on a graph with dangling nodes and multi-edges."""
+        iteration at micro-int precision on a graph with dangling nodes
+        and multi-edges."""
         edges = [(k % 7, (3 * k + 1) % 9) for k in range(200)] + [(2, 3)] * 5
         df = spark.createDataFrame(edges, "src long, dst long")
         got = {
-            r.node: r.pr
+            r.node: r.pr_micro
             for r in linkrank.pagerank(df, iters=5)
-            .select("node", F.round("pr", 6).alias("pr"))
+            .select("node", F.round(F.col("pr") * 1_000_000).cast("long").alias("pr_micro"))
             .collect()
         }
         duckdb_conn.execute(
