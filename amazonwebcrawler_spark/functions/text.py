@@ -413,3 +413,155 @@ def pack_sequences(
         .withColumn("n_seq_tokens", (hi - lo).cast("int"))
         .drop("_shard", "_end", "_off", "_gs", "_ge")
     )
+
+
+# --------------------------------------------------------------- repetition
+def _token_chunks(toks: Column, chunk: int) -> Column:
+    """Non-overlapping ``chunk``-token segments of a token array, each
+    re-joined with single spaces (the short tail stays a segment). The
+    segment is the unit of line/paragraph-style repetition analysis for
+    documents that carry no newlines — the analogue of Gopher's
+    duplicate-line rule over a normalized token stream."""
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(chunk)).cast("int")
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, F.lit(chunk)), " "),
+        )
+    )
+
+
+def gopher_repetition_signals(df, text_col: str, id_col: str, chunk: int = 10):
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 —
+    duplicate line / paragraph fractions and most-common-2-gram character
+    fraction), adapted to newline-free token streams: the "line" is a
+    non-overlapping ``chunk``-token segment.
+
+    Per document:
+
+    * ``n_tokens``, ``n_chunks`` — sizes.
+    * ``dup_chunk_frac_micro`` — fraction of segments that repeat an
+      earlier segment, ``(n_chunks - n_distinct) · 1e6 DIV n_chunks``.
+    * ``dup_chunk_char_frac_micro`` — fraction of segment characters
+      inside repeated occurrences (Gopher's char-weighted variant).
+    * ``top_bigram``, ``top_bigram_count`` — the most frequent adjacent
+      token pair (ties → lexicographically smallest).
+    * ``top_bigram_char_frac_micro`` — characters covered by occurrences
+      of that bigram over the normalized text length.
+
+    Scale shape: the segment statistics are PURE ARRAY MATH in one
+    projection — zero shuffles, whole-stage codegen. Only the top-bigram
+    mode needs an explode + (doc, bigram) hash aggregate + a window
+    partitioned by doc — one shuffle on doc_id, never global. All
+    fractions are exact integer floor-division micro units (the r4
+    corpus_stats lesson: integers hash identically on every engine).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    chunks = _token_chunks(toks, chunk)
+    distinct = F.array_distinct(chunks)
+    chars = F.aggregate(chunks, F.lit(0).cast("long"), lambda a, c: a + F.length(c))
+    dchars = F.aggregate(distinct, F.lit(0).cast("long"), lambda a, c: a + F.length(c))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(chunks).alias("n_chunks"),
+        F.length(normalize_text(F.col(text_col))).cast("long").alias("_n_text_chars"),
+        chars.alias("_chunk_chars"),
+        dchars.alias("_distinct_chars"),
+        F.size(distinct).alias("_n_distinct"),
+        toks.alias("_toks"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.concat(
+                        F.element_at("_toks", i), F.lit(" "), F.element_at("_toks", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_c").desc(), F.col("bigram").asc())
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("bigram").alias("top_bigram"), F.col("_c").alias("top_bigram_count"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chunks",
+            F.when(
+                F.col("n_chunks") > 0,
+                F.expr("((n_chunks - _n_distinct) * 1000000L) DIV n_chunks"),
+            ).otherwise(F.lit(0)).cast("long").alias("dup_chunk_frac_micro"),
+            F.when(
+                F.col("_chunk_chars") > 0,
+                F.expr("((_chunk_chars - _distinct_chars) * 1000000L) DIV _chunk_chars"),
+            ).otherwise(F.lit(0)).cast("long").alias("dup_chunk_char_frac_micro"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_count", F.lit(0).cast("long")).alias("top_bigram_count"),
+            F.when(
+                F.col("_n_text_chars") > 0,
+                F.expr(
+                    "(coalesce(top_bigram_count, 0L) * length(coalesce(top_bigram, ''))"
+                    " * 1000000L) DIV _n_text_chars"
+                ),
+            ).otherwise(F.lit(0)).cast("long").alias("top_bigram_char_frac_micro"),
+        )
+    )
+
+
+def self_dedup_chunks(df, text_col: str, id_col: str, chunk: int = 10):
+    """Intra-document repetition removal (the self-dedup half of
+    'Deduplicating Training Data Makes Language Models Better', Lee et al.
+    2022): drop every ``chunk``-token segment that exactly repeats an
+    earlier segment of the SAME document, keeping first occurrences in
+    order, and re-join the survivors.
+
+    Returns (doc_id, n_chunks, n_kept, clean_text).
+
+    Scale shape: pure array math — ``array_distinct`` preserves
+    first-occurrence order, so the whole operator is ONE projection with
+    zero shuffles and zero Python; at 100 TB it pipelines behind the scan.
+    """
+    toks = tokens(F.col(text_col))
+    chunks = _token_chunks(toks, chunk)
+    kept = F.array_distinct(chunks)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(chunks).alias("n_chunks"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def vocab_topk(df, text_col: str, id_col: str, k: int = 100):
+    """Global vocabulary head: the ``k`` most frequent whitespace tokens of
+    the normalized corpus with term count and document frequency — the
+    tokenizer-training / stopword-discovery primitive.
+
+    Returns (token, tf, doc_freq) with the cut totally ordered by
+    (tf desc, token asc) so the boundary is cross-engine deterministic.
+
+    Scale shape: explode → ONE map-side-combinable hash aggregate on token
+    (df via count(distinct doc) inside the same agg) → global top-k. The
+    top-k is a TakeOrderedAndProject (per-partition heaps + a k-row driver
+    merge), never a full sort — the classic 100 TB-safe head query.
+    """
+    rows = df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("token"))
+    agg = rows.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("_id").alias("doc_freq")
+    )
+    return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)

@@ -167,3 +167,43 @@ def host_shard(host: Column, canonical_url: Column, n_shards: int = 32, salt_bit
     """
     salt = F.pmod(F.xxhash64(canonical_url), F.lit(2**salt_bits))
     return F.pmod(F.xxhash64(host, salt), F.lit(n_shards)).cast("int")
+
+
+def extract_links(html: Column, base_scheme_host: Column) -> Column:
+    """Ordered hrefs of an HTML page, resolved and canonicalized — the
+    frontier-feeding link extraction step (reference getStockNumber.py:67
+    concatenates ``'https://www.amazon.com' + item.a['href']``; this is the
+    declarative form over a page-HTML column).
+
+    * ``href="..."`` values are pulled with one vectorized
+      ``regexp_extract_all`` — never an HTML parser in the hot path.
+    * root-relative links (``/path``) resolve against
+      ``base_scheme_host``; absolute ``http(s)://`` links pass through;
+      anything else (mailto:, javascript:, fragments) is dropped.
+    * every survivor is canonicalized by :func:`canonicalize_url`, so the
+      output is directly usable as the URL-seen / frontier key.
+
+    Returns an ``array<string>`` column (order = document order). Pure
+    column math — whole-stage codegen, no UDF; the DuckDB twin mirrors the
+    same regex + resolution rules 1:1.
+    """
+    hrefs = F.regexp_extract_all(html, F.lit(r'href="([^"]*)"'), 1)
+
+    def _lower_scheme(h: Column) -> Column:
+        # 'HTTPS://Host/x' → 'https://Host/x' (host case is canonicalize's
+        # job; the scheme must be lowercase for its anchored regexes)
+        return F.concat(
+            F.lower(F.substring_index(h, "://", 1)),
+            F.lit("://"),
+            F.substring(h, F.instr(h, "://") + F.lit(3), F.length(h)),
+        )
+
+    resolved = F.transform(
+        hrefs,
+        lambda h: F.when(h.rlike("^(?i)https?://"), _lower_scheme(h))
+        .when(h.startswith("/"), F.concat(base_scheme_host, h))
+        .otherwise(F.lit(None)),
+    )
+    return F.transform(
+        F.filter(resolved, lambda u: u.isNotNull()), lambda u: canonicalize_url(u)
+    )

@@ -102,6 +102,19 @@ CHECKS = {
     "winsorize": ["BroadcastHashJoin", "[codegen id :"],
     # EMA: partitioned running windows only — no global sort (NEG)
     "ema_score": ["Window", "[codegen id :"],
+    # Gopher repetition: segment stats are pure array math; only the
+    # top-bigram mode shuffles, on doc_id — the window is doc-partitioned
+    # (no SinglePartition, NEG), no Python anywhere
+    "gopher_signals": ["HashAggregate", "Window", "[codegen id :"],
+    # intra-doc self-dedup: ONE codegen'd projection — zero shuffles,
+    # zero joins, zero Python (NEG forbids all three)
+    "selfdedup_clean": ["[codegen id :"],
+    # vocabulary head: map-side-combinable agg + TakeOrderedAndProject
+    # (per-partition heaps) — never a global Sort
+    "vocab_topk": ["TakeOrderedAndProject", "HashAggregate", "[codegen id :"],
+    # link extraction: regexp + resolve + canonicalize all in one
+    # codegen'd projection over a Generate — no join, no shuffle, no Python
+    "link_extract": ["Generate", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -111,6 +124,7 @@ NO_AQE = {
     "asof_join", "range_join", "skew_join_salted", "rollup_metrics", "rank_delta",
     "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
     "expectations", "winsorize", "ema_score",
+    "gopher_signals", "vocab_topk",
 }
 
 NEG_CHECKS = {
@@ -158,6 +172,13 @@ NEG_CHECKS = {
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "Join",
     ],
+    "gopher_signals": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition",
+    ],
+    "selfdedup_clean": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
+    "vocab_topk": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Sort "],
+    "link_extract": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
 }
 
 

@@ -157,3 +157,42 @@ class TestQualityFilter:
         }
         for i, _t, keep, reasons in cases:
             assert got[i] == (keep, reasons), f"doc {i}: {got[i]}"
+
+
+class TestExtractLinks:
+    def test_resolution_and_canonicalization(self, spark):
+        """Root-relative links resolve against the base, absolute links
+        pass through with the scheme lowercased, non-web schemes drop, and
+        every survivor is canonicalized (tracking params stripped, params
+        sorted, fragment dropped) — in document order."""
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.functions.urls import extract_links
+
+        html = (
+            '<a href="/dp/B1/ref=sr_1_2?qid=9&p=3">a</a>'
+            '<a href="HTTPS://WWW.AMAZON.COM/gp/x?tag=t&b=2">b</a>'
+            '<a href="mailto:x@example.com">m</a>'
+            '<a href="javascript:void(0)">j</a>'
+            '<a href="/s?k=yoga+mat&ref=nb#frag">s</a>'
+        )
+        d = spark.createDataFrame([(html,)], "html string")
+        got = d.select(
+            extract_links(F.col("html"), F.lit("https://www.amazon.com")).alias("links")
+        ).collect()[0].links
+        assert got == [
+            "https://www.amazon.com/dp/B1?p=3",
+            "https://www.amazon.com/gp/x?b=2",
+            "https://www.amazon.com/s?k=yoga+mat",
+        ]
+
+    def test_no_links_and_empty_html(self, spark):
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.functions.urls import extract_links
+
+        d = spark.createDataFrame([("<p>no anchors</p>",), ("",)], "html string")
+        rows = d.select(
+            extract_links(F.col("html"), F.lit("https://www.amazon.com")).alias("links")
+        ).collect()
+        assert all(r.links == [] for r in rows)

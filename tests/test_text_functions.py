@@ -160,3 +160,85 @@ class TestPackSequences:
 
         with pytest.raises(ValueError, match="seq_len"):
             pack_sequences(self._chunks(spark, [(1, 0, 1, "x")]), 0)
+
+
+class TestGopherRepetition:
+    def test_hand_computed_signals(self, spark):
+        """Chunk and bigram fractions match hand-derived exact values."""
+        from amazonwebcrawler_spark.functions.text import gopher_repetition_signals
+
+        docs = [
+            # 22 tokens → chunks [a..j]×2 + [k l]: 1 of 3 chunks repeats;
+            # chunk chars 19+19+3=41, dup chars 19
+            (1, "a b c d e f g h i j a b c d e f g h i j k l"),
+            (2, "x y"),
+            (3, ""),
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               gopher_repetition_signals(d, "text", "doc_id", chunk=10).collect()}
+        r1 = got[1]
+        assert (r1.n_tokens, r1.n_chunks) == (22, 3)
+        assert r1.dup_chunk_frac_micro == (1 * 1_000_000) // 3
+        assert r1.dup_chunk_char_frac_micro == (19 * 1_000_000) // 41
+        assert r1.top_bigram == "a b" and r1.top_bigram_count == 2
+        # normalized text is 43 chars; 'a b' (3 chars) occurs twice
+        assert r1.top_bigram_char_frac_micro == (2 * 3 * 1_000_000) // 43
+        r2 = got[2]
+        assert (r2.n_chunks, r2.dup_chunk_frac_micro) == (1, 0)
+        assert r2.top_bigram == "x y" and r2.top_bigram_char_frac_micro == 1_000_000
+        r3 = got[3]
+        assert (r3.n_tokens, r3.n_chunks, r3.top_bigram) == (0, 0, "")
+        assert r3.dup_chunk_frac_micro == 0 and r3.top_bigram_count == 0
+
+    def test_tie_breaks_to_smallest_bigram(self, spark):
+        from amazonwebcrawler_spark.functions.text import gopher_repetition_signals
+
+        d = spark.createDataFrame([(1, "z q z q")], "doc_id long, text string")
+        # bigrams: 'z q'×2? no — 'z q', 'q z', 'z q' → 'z q' wins at 2
+        r = gopher_repetition_signals(d, "text", "doc_id").collect()[0]
+        assert r.top_bigram == "z q" and r.top_bigram_count == 2
+        d2 = spark.createDataFrame([(1, "b a c")], "doc_id long, text string")
+        r2 = gopher_repetition_signals(d2, "text", "doc_id").collect()[0]
+        # 'b a' and 'a c' both count 1 → lexicographically smallest wins
+        assert r2.top_bigram == "a c"
+
+
+class TestSelfDedupChunks:
+    def test_first_occurrence_order_preserved(self, spark):
+        from amazonwebcrawler_spark.functions.text import self_dedup_chunks
+
+        text = " ".join(
+            ["a"] * 10 + ["b"] * 10 + ["a"] * 10 + ["c"] * 10 + ["b"] * 10
+        )
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = self_dedup_chunks(d, "text", "doc_id", chunk=10).collect()[0]
+        assert (r.n_chunks, r.n_kept) == (5, 3)
+        assert r.clean_text == " ".join(["a"] * 10 + ["b"] * 10 + ["c"] * 10)
+
+    def test_idempotent(self, spark):
+        """Cleaning a cleaned doc is a no-op (chunk-aligned by construction)."""
+        from amazonwebcrawler_spark.functions.text import self_dedup_chunks
+
+        text = " ".join(["a"] * 10 + ["b"] * 10 + ["a"] * 10)
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        once = self_dedup_chunks(d, "text", "doc_id", chunk=10)
+        d2 = once.select("doc_id", once.clean_text.alias("text"))
+        twice = self_dedup_chunks(d2, "text", "doc_id", chunk=10).collect()[0]
+        assert twice.n_chunks == twice.n_kept == 2
+        assert twice.clean_text == " ".join(["a"] * 10 + ["b"] * 10)
+
+
+class TestVocabTopk:
+    def test_counts_and_cut_order(self, spark):
+        from amazonwebcrawler_spark.functions.text import vocab_topk
+
+        docs = [(1, "the cat the dog"), (2, "the cat"), (3, "zebra ant")]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = vocab_topk(d, "text", "doc_id", k=3).collect()
+        assert [(r.token, r.tf, r.doc_freq) for r in rows] == [
+            ("the", 3, 2),
+            ("cat", 2, 2),
+            # tf=1 tie bucket cuts lexicographically: ant < dog < zebra
+            ("ant", 1, 1),
+        ]
