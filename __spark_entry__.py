@@ -1604,6 +1604,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_host(F.col("canonical_url")).alias("host"),
         )
 
+    def q_image_patches(spark, sf):
+        """ViT-style patch extraction (functions/images.patch_stats_kernel):
+        4×4 integer-boundary patch grid per image, per-patch exact integer
+        channel means / luma / RMS contrast / flat flag — the patch-token
+        primitive for masked-autoencoder curation (patch masking,
+        flat-patch filtering, patch dedup). ONE Arrow crossing, fan-out 16
+        rows per image; undecodable bytes yield zero rows. Committed
+        golden; the capture checker re-derives every patch in numpy and
+        pins closed-form diagnostics (flat tile, aligned half-split)."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as fi
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(1, 25):
+            rec = world.image_record(world.asin_for("patch probe", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+        half = np.zeros((8, 8, 3), dtype=np.uint8)
+        half[:, 4:] = 255  # left half black, right half white — patch-aligned
+        rows.append(("diag-flat", bytearray(fi.encode_png(flat))))
+        rows.append(("diag-half", bytearray(fi.encode_png(half))))
+        rows.append(("diag-corrupt", bytearray(b"NOTANIMAGE")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        return df.repartition(8).mapInPandas(fi.patch_stats_kernel(4), fi.PATCH_SCHEMA)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1624,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selfdedup_clean": q_selfdedup_clean,
         "vocab_topk": q_vocab_topk,
         "link_extract": q_link_extract,
+        "image_patches": q_image_patches,
         "crawl_shard_sets": q_crawl_shard_sets,
         "host_rank": q_host_rank,
         "trap_detect": q_trap_detect,

@@ -335,3 +335,99 @@ def curate_stats_kernel():
             yield out
 
     return gen
+
+
+# ------------------------------------------------------- patch extraction
+#: Spark schema of patch_stats_kernel's output — one row per ViT-style
+#: patch. Stats are exact integer milli/micro units (same contract as
+#: QUALITY_SCHEMA: no DOUBLE ever reaches a value-hashed column).
+PATCH_SCHEMA = (
+    "image_id string, patch_row int, patch_col int, px_w int, px_h int, "
+    "mean_r_milli long, mean_g_milli long, mean_b_milli long, "
+    "luma_micro long, contrast_micro long, is_flat boolean"
+)
+
+
+def patch_grid_stats(pixels: np.ndarray, grid: int = 4) -> list[dict]:
+    """ViT-style patchification: split the image into a ``grid×grid`` cell
+    grid (integer boundaries ``r·h//grid``, so uneven dimensions distribute
+    remainder pixels deterministically) and emit per-patch statistics —
+    the patch-token primitive for masked-autoencoder-style curation
+    (patch-level masking, flat-patch filtering, patch dedup).
+
+    Per patch: exact integer channel means (milli units, floor division of
+    int64 sums), patch luma brightness (micro, same BT.601 integer
+    arithmetic as :func:`quality_stats`), RMS contrast (micro; the variance
+    numerator ``n·Σy²−(Σy)²`` is an exact int, one IEEE sqrt), and an
+    ``is_flat`` flag (zero variance — the placeholder/padding signal).
+
+    Images smaller than the grid are pixel-repeated up to grid size first
+    (same policy as :func:`embed_image` — cells stay non-empty)."""
+    import math
+
+    h, w, _ = pixels.shape
+    if h < grid:
+        pixels = np.repeat(pixels, -(-grid // h), axis=0)
+        h = pixels.shape[0]
+    if w < grid:
+        pixels = np.repeat(pixels, -(-grid // w), axis=1)
+        w = pixels.shape[1]
+    px = pixels.astype(np.int64)
+    out = []
+    for r in range(grid):
+        y0, y1 = (r * h) // grid, ((r + 1) * h) // grid
+        for c in range(grid):
+            x0, x1 = (c * w) // grid, ((c + 1) * w) // grid
+            cell = px[y0:y1, x0:x1]
+            n = int(cell.shape[0] * cell.shape[1])
+            sr = int(cell[..., 0].sum())
+            sg = int(cell[..., 1].sum())
+            sb = int(cell[..., 2].sum())
+            luma = 299 * cell[..., 0] + 587 * cell[..., 1] + 114 * cell[..., 2]
+            s1 = int(luma.sum())
+            s2 = int((luma * luma).sum())
+            var_num = n * s2 - s1 * s1
+            out.append(
+                {
+                    "patch_row": r,
+                    "patch_col": c,
+                    "px_w": int(x1 - x0),
+                    "px_h": int(y1 - y0),
+                    "mean_r_milli": (sr * 1_000) // n,
+                    "mean_g_milli": (sg * 1_000) // n,
+                    "mean_b_milli": (sb * 1_000) // n,
+                    "luma_micro": (s1 * 1_000_000) // (n * 255_000),
+                    "contrast_micro": int(
+                        round(math.sqrt(float(var_num)) / (n * 255_000) * 1_000_000)
+                    ),
+                    "is_flat": var_num == 0,
+                }
+            )
+    return out
+
+
+def patch_stats_kernel(grid: int = 4):
+    """mapInPandas kernel ``(image_id, bytes) → PATCH_SCHEMA`` (fan-out
+    ``grid²`` rows per image). Undecodable bytes yield ZERO rows — patch
+    consumers never see quarantine placeholders (the validate/quality
+    stages own that signal)."""
+    import pandas as pd
+
+    cols = [
+        "patch_row", "patch_col", "px_w", "px_h", "mean_r_milli", "mean_g_milli",
+        "mean_b_milli", "luma_micro", "contrast_micro", "is_flat",
+    ]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(bytes(data))
+                except Exception:
+                    continue
+                for p in patch_grid_stats(px, grid):
+                    rows.append({"image_id": iid, **p})
+            yield pd.DataFrame(rows, columns=["image_id", *cols])
+
+    return gen

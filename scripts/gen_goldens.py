@@ -79,6 +79,12 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "resize_w": "INTEGER", "resize_h": "INTEGER",
         "crop_x": "INTEGER", "crop_y": "INTEGER",
     },
+    "image_patches": {
+        "image_id": "VARCHAR", "patch_row": "INTEGER", "patch_col": "INTEGER",
+        "px_w": "INTEGER", "px_h": "INTEGER",
+        "mean_r_milli": "BIGINT", "mean_g_milli": "BIGINT", "mean_b_milli": "BIGINT",
+        "luma_micro": "BIGINT", "contrast_micro": "BIGINT", "is_flat": "BOOLEAN",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -449,6 +455,74 @@ def _check_image_pipeline(rows, ctx):
     assert counts == {"invalid": 1, "low_quality": 2, "dup_drop": 15, "kept": 25}, counts
 
 
+def _check_image_patches(rows, ctx):
+    """Independent restatement of the integer-exact patch definitions
+    (slicing boundaries, int64 sums, floor-div means, one IEEE sqrt) over
+    every decodable input, plus closed-form pins for the planted
+    diagnostics: the flat tile (all 16 patches flat at mean 77), the
+    patch-aligned half-split (8 black flats + 8 white flats), and the
+    corrupt row contributing ZERO rows."""
+    import math as _math
+
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+    from amazonwebcrawler_spark.sources.synthetic_world import asin_for, image_record
+
+    imgs = {}
+    for i in range(1, 25):
+        rec = image_record(asin_for("patch probe", 1, i))
+        imgs[rec["image_id"]] = rec["bytes"]
+    imgs["diag-flat"] = encode_png(np.full((16, 16, 3), 77, dtype=np.uint8))
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[:, 4:] = 255
+    imgs["diag-half"] = encode_png(half)
+
+    expected = set()
+    for iid, data in imgs.items():
+        px = decode_image(data).astype(np.int64)
+        h, w, _ = px.shape
+        assert h >= 4 and w >= 4, (iid, h, w)  # no repeat path in this fixture
+        for r in range(4):
+            y0, y1 = (r * h) // 4, ((r + 1) * h) // 4
+            for c in range(4):
+                x0, x1 = (c * w) // 4, ((c + 1) * w) // 4
+                cell = px[y0:y1, x0:x1]
+                n = cell.shape[0] * cell.shape[1]
+                sr, sg, sb = (int(cell[..., k].sum()) for k in range(3))
+                y = 299 * cell[..., 0] + 587 * cell[..., 1] + 114 * cell[..., 2]
+                s1, s2 = int(y.sum()), int((y * y).sum())
+                vn = n * s2 - s1 * s1
+                expected.add((
+                    iid, r, c, x1 - x0, y1 - y0,
+                    (sr * 1_000) // n, (sg * 1_000) // n, (sb * 1_000) // n,
+                    (s1 * 1_000_000) // (n * 255_000),
+                    int(round(_math.sqrt(float(vn)) / (n * 255_000) * 1e6)),
+                    vn == 0,
+                ))
+    got = {
+        (r["image_id"], r["patch_row"], r["patch_col"], r["px_w"], r["px_h"],
+         r["mean_r_milli"], r["mean_g_milli"], r["mean_b_milli"],
+         r["luma_micro"], r["contrast_micro"], r["is_flat"])
+        for r in rows
+    }
+    assert len(rows) == 26 * 16 and got == expected, (
+        len(rows), sorted(got - expected)[:3], sorted(expected - got)[:3])
+    flats = [r for r in rows if r["image_id"] == "diag-flat"]
+    assert len(flats) == 16 and all(
+        r["is_flat"] and r["mean_r_milli"] == 77_000 and r["contrast_micro"] == 0
+        and r["luma_micro"] == (77_000 * 1_000_000) // 255_000
+        for r in flats
+    ), flats[:2]
+    halves = [r for r in rows if r["image_id"] == "diag-half"]
+    blacks = [r for r in halves if r["patch_col"] <= 1]
+    whites = [r for r in halves if r["patch_col"] >= 2]
+    assert len(blacks) == len(whites) == 8
+    assert all(r["is_flat"] and r["luma_micro"] == 0 for r in blacks), blacks[:2]
+    assert all(r["is_flat"] and r["luma_micro"] == 1_000_000 for r in whites), whites[:2]
+    assert not any(r["image_id"] == "diag-corrupt" for r in rows)
+
+
 def _check_bloom_stats(rows, ctx):
     """10 000 planted URLs, zero false negatives — the Bloom contract."""
     assert len(rows) == 8, len(rows)
@@ -482,6 +556,7 @@ CHECKERS = {
     "audio_features": _check_audio_features,
     "image_quality": _check_image_quality,
     "image_pipeline": _check_image_pipeline,
+    "image_patches": _check_image_patches,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,
 }

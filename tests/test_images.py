@@ -218,3 +218,80 @@ class TestImagePipeline:
         with redirect_stdout(buf):
             out.explain("formatted")
         assert "MapInPandas" not in buf.getvalue()
+
+
+class TestPatchGrid:
+    def test_flat_and_half_closed_form(self, spark):
+        """Flat tile: every patch flat at the exact integer means; aligned
+        half-split: black flats left, white flats right."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import patch_grid_stats
+
+        flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+        ps = patch_grid_stats(flat, grid=4)
+        assert len(ps) == 16
+        assert all(
+            p["is_flat"] and p["mean_g_milli"] == 77_000 and p["contrast_micro"] == 0
+            and p["luma_micro"] == (77_000 * 1_000_000) // 255_000
+            and (p["px_w"], p["px_h"]) == (4, 4)
+            for p in ps
+        )
+        half = np.zeros((8, 8, 3), dtype=np.uint8)
+        half[:, 4:] = 255
+        hs = {(p["patch_row"], p["patch_col"]): p for p in patch_grid_stats(half, grid=4)}
+        for (r, c), p in hs.items():
+            assert p["is_flat"]
+            assert p["luma_micro"] == (1_000_000 if c >= 2 else 0), (r, c, p)
+
+    def test_uneven_dims_partition_exactly(self, spark):
+        """10×7 image, grid 4: patch widths/heights are the integer-boundary
+        remainder distribution and tile the image exactly; global luma sum
+        is conserved across patches."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import patch_grid_stats
+
+        rng_free = (np.arange(10 * 7 * 3, dtype=np.uint8).reshape(7, 10, 3) * 37) % 251
+        ps = patch_grid_stats(rng_free.astype(np.uint8), grid=4)
+        widths = sorted({p["px_w"] for p in ps})
+        heights = sorted({p["px_h"] for p in ps})
+        assert sum(p["px_w"] for p in ps if p["patch_row"] == 0) == 10
+        assert sum(p["px_h"] for p in ps if p["patch_col"] == 0) == 7
+        assert widths == [2, 3] and heights == [1, 2]
+
+    def test_kernel_skips_undecodable_and_fans_out(self, spark):
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import (
+            PATCH_SCHEMA,
+            encode_png,
+            patch_stats_kernel,
+        )
+
+        rows = [
+            ("ok", bytearray(encode_png(np.full((8, 8, 3), 10, dtype=np.uint8)))),
+            ("bad", bytearray(b"NOTANIMAGE")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        got = df.repartition(2).mapInPandas(patch_stats_kernel(4), PATCH_SCHEMA).collect()
+        assert len(got) == 16 and {r.image_id for r in got} == {"ok"}
+
+    def test_small_image_repeat_policy(self, spark):
+        """A 2×2 image repeats up to the 4×4 grid — every patch is 1×1 and
+        carries the repeated pixel's exact channel means."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import patch_grid_stats
+
+        tiny = np.array(
+            [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+            dtype=np.uint8,
+        )
+        ps = {(p["patch_row"], p["patch_col"]): p for p in patch_grid_stats(tiny, grid=4)}
+        assert len(ps) == 16 and all(
+            (p["px_w"], p["px_h"]) == (1, 1) and p["is_flat"] for p in ps.values()
+        )
+        # top-left quadrant of the repeated image is pixel (0,0)
+        assert ps[(0, 0)]["mean_r_milli"] == 10_000
+        assert ps[(3, 3)]["mean_b_milli"] == 120_000
