@@ -1604,6 +1604,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_host(F.col("canonical_url")).alias("host"),
         )
 
+    def q_sitemap_extract(spark, sf):
+        """Sitemap-protocol frontier seeding with lastmod-driven recrawl
+        (functions/urls.parse_sitemap_entries): <url> blocks via one
+        vectorized non-greedy regexp, <loc> canonicalized into frontier
+        keys, <lastmod> (optional) driving the classic incremental-recrawl
+        predicate — fetch when modified since the cutoff OR when the
+        sitemap gives no date (conservative). Synthetic sitemap XML is
+        derived from orders on BOTH engine sides (o_orderdate as lastmod),
+        so block splitting, field extraction, canonicalization, and the
+        recrawl decision are all value-checked. Pure codegen; dates ride
+        as ISO strings (lexicographic compare ≡ date compare)."""
+        from amazonwebcrawler_spark.functions.urls import canonicalize_url, parse_sitemap_entries
+
+        o = _t(spark, sf, "orders")
+        key = F.col("o_orderkey").cast("string")
+        lastmod = F.date_format("o_orderdate", "yyyy-MM-dd")
+        xml = F.concat(
+            F.lit("<urlset><url><loc> https://WWW.Amazon.com/dp/S"), key,
+            F.lit("/ref=sm </loc><lastmod>"), lastmod,
+            F.lit("</lastmod></url><url><loc>https://www.amazon.com/s?k=i"),
+            (F.col("o_orderkey") % 13).cast("string"),
+            F.lit("&qid=3</loc></url></urlset>"),
+        )
+        ex = o.select(
+            "o_orderkey", F.posexplode(parse_sitemap_entries(xml)).alias("sitemap_pos", "e")
+        )
+        lm = F.col("e.lastmod")
+        return ex.select(
+            "o_orderkey",
+            F.col("sitemap_pos").cast("int").alias("sitemap_pos"),
+            canonicalize_url(F.col("e.loc")).alias("canonical_url"),
+            F.when(lm == "", F.lit(None).cast("string")).otherwise(lm).alias("lastmod"),
+            ((lm == "") | (lm >= "1995-01-01")).alias("needs_fetch"),
+        )
+
     def q_image_patches(spark, sf):
         """ViT-style patch extraction (functions/images.patch_stats_kernel):
         4×4 integer-boundary patch grid per image, per-patch exact integer
@@ -1651,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selfdedup_clean": q_selfdedup_clean,
         "vocab_topk": q_vocab_topk,
         "link_extract": q_link_extract,
+        "sitemap_extract": q_sitemap_extract,
         "image_patches": q_image_patches,
         "crawl_shard_sets": q_crawl_shard_sets,
         "host_rank": q_host_rank,
@@ -2166,6 +2202,51 @@ canon AS (
 SELECT o_orderkey, link_pos, canonical_url,
   lower(regexp_extract(canonical_url, '^https?://([^/?#]*)', 1)) AS host
 FROM canon
+""",
+        "sitemap_extract": r"""
+WITH raw AS (
+  SELECT o_orderkey,
+    '<urlset><url><loc> https://WWW.Amazon.com/dp/S' || o_orderkey::VARCHAR ||
+    '/ref=sm </loc><lastmod>' || strftime(o_orderdate, '%Y-%m-%d') ||
+    '</lastmod></url><url><loc>https://www.amazon.com/s?k=i' || (o_orderkey % 13)::VARCHAR ||
+    '&qid=3</loc></url></urlset>' AS xml
+  FROM orders
+),
+blk AS (
+  SELECT o_orderkey, CAST(i - 1 AS INT) AS sitemap_pos, list_extract(bs, i) AS b
+  FROM (SELECT o_orderkey, regexp_extract_all(xml, '<url>(.*?)</url>', 1) AS bs FROM raw),
+       UNNEST(generate_series(1, len(bs))) AS u(i)
+  WHERE len(bs) >= 1
+),
+fld AS (
+  SELECT o_orderkey, sitemap_pos,
+    trim(regexp_extract(b, '<loc>([^<]+)</loc>', 1)) AS loc,
+    regexp_extract(b, '<lastmod>([^<]+)</lastmod>', 1) AS lm
+  FROM blk
+),
+s1 AS (SELECT o_orderkey, sitemap_pos, lm, regexp_replace(loc, '#.*$', '') AS u FROM fld),
+sp AS (
+  SELECT o_orderkey, sitemap_pos, lm,
+    CASE WHEN strpos(u, '?') > 0 THEN substr(u, 1, strpos(u, '?') - 1) ELSE u END AS base,
+    CASE WHEN strpos(u, '?') > 0 THEN substr(u, strpos(u, '?') + 1) ELSE '' END AS q
+  FROM s1
+),
+p AS (
+  SELECT o_orderkey, sitemap_pos, lm,
+    lower(regexp_extract(base, '^(https?://[^/]*)', 1)) AS sh,
+    regexp_replace(regexp_replace(regexp_replace(base, '^https?://[^/]*', ''), '/+$', ''), '/ref=[^/]*$', '') AS path,
+    -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's array_join is ''
+    COALESCE(array_to_string(
+      list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT list_contains(['ref','qid','ie','sr','tag','psc','spIA','rnid'], string_split(x, '=')[1]))),
+      '&'), '') AS qs
+  FROM sp
+)
+SELECT o_orderkey, sitemap_pos,
+  sh || path || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url,
+  CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod,
+  (lm = '' OR lm >= '1995-01-01') AS needs_fetch
+FROM p
 """,
         "rank_encode": """
 SELECT l_orderkey, l_linenumber,

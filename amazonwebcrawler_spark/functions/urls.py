@@ -207,3 +207,27 @@ def extract_links(html: Column, base_scheme_host: Column) -> Column:
     return F.transform(
         F.filter(resolved, lambda u: u.isNotNull()), lambda u: canonicalize_url(u)
     )
+
+
+def parse_sitemap_entries(xml: Column) -> Column:
+    """Sitemap-protocol entries of an XML string column —
+    ``array<struct<loc:string, lastmod:string>>`` in document order.
+
+    The standard frontier-seeding source a large crawl reads before (and
+    instead of) expensive page fetches: ``<url>`` blocks are pulled with
+    one vectorized non-greedy ``regexp_extract_all``, then ``<loc>`` /
+    optional ``<lastmod>`` per block — no XML parser in the hot path,
+    pure codegen (sitemaps are machine-generated and regular; a real
+    deployment would fall back to an XML reader only for the malformed
+    tail). ``lastmod`` is the raw string ('' when absent) so the caller
+    owns date parsing / recrawl policy."""
+    blocks = F.regexp_extract_all(xml, F.lit(r"<url>(.*?)</url>"), 1)
+    return F.transform(
+        blocks,
+        lambda b: F.struct(
+            # plain greedy capture + trim — identical under Java regex and
+            # RE2 (non-greedy-with-boundary patterns are where they drift)
+            F.trim(F.regexp_extract(b, r"<loc>([^<]+)</loc>", 1)).alias("loc"),
+            F.regexp_extract(b, r"<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
+        ),
+    )

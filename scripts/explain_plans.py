@@ -115,6 +115,8 @@ CHECKS = {
     # link extraction: regexp + resolve + canonicalize all in one
     # codegen'd projection over a Generate — no join, no shuffle, no Python
     "link_extract": ["Generate", "[codegen id :"],
+    # sitemap parsing: same codegen-only Generate shape as link_extract
+    "sitemap_extract": ["Generate", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -179,6 +181,7 @@ NEG_CHECKS = {
     "selfdedup_clean": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
     "vocab_topk": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Sort "],
     "link_extract": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
+    "sitemap_extract": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
 }
 
 

@@ -196,3 +196,26 @@ class TestExtractLinks:
             extract_links(F.col("html"), F.lit("https://www.amazon.com")).alias("links")
         ).collect()
         assert all(r.links == [] for r in rows)
+
+
+class TestParseSitemap:
+    def test_blocks_fields_and_trim(self, spark):
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.functions.urls import parse_sitemap_entries
+
+        xml = (
+            "<urlset>"
+            "<url><loc> https://a.example/x </loc><lastmod>2024-05-01</lastmod></url>"
+            "<url><loc>https://a.example/y</loc></url>"
+            "</urlset>"
+        )
+        d = spark.createDataFrame([(xml,), ("<urlset></urlset>",)], "xml string")
+        rows = d.select(parse_sitemap_entries(F.col("xml")).alias("e")).collect()
+        full = rows[0].e if rows[0].e else rows[1].e
+        empty = rows[1].e if rows[0].e else rows[0].e
+        assert empty == []
+        assert [(s.loc, s.lastmod) for s in full] == [
+            ("https://a.example/x", "2024-05-01"),
+            ("https://a.example/y", ""),
+        ]
