@@ -58,6 +58,13 @@ BENCH_QUERIES = (
     # the timing is the shuffle+window / equi-join cost, not a toy
     "asof_join",
     "range_join",
+    # r5 additions: Gopher repetition (array math + one doc-keyed bigram
+    # agg), intra-doc self-dedup (zero-shuffle projection), and HTML link
+    # extraction (codegen Generate over all orders) — timed so the "pure
+    # array math / no shuffle" scale claims carry numbers
+    "gopher_signals",
+    "selfdedup_clean",
+    "link_extract",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
