@@ -1639,6 +1639,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ((lm == "") | (lm >= "1995-01-01")).alias("needs_fetch"),
         )
 
+    def q_recrawl_priority(spark, sf):
+        """Change-rate-driven revisit scheduling (operators/politeness.
+        recrawl_priority, Cho & Garcia-Molina 2003): per-URL change rate
+        from a fetch-observation log → proportional revisit interval with
+        a politeness floor → per-shard priority order. ONE
+        map-side-combinable aggregate + one SHARD-partitioned window
+        (never global); exact integer micro arithmetic end to end.
+        Observations derive from events on both engine sides (change =
+        purchase/signup), so rate, interval, and priority all
+        value-check."""
+        from amazonwebcrawler_spark.operators.politeness import recrawl_priority
+
+        e = _t(spark, sf, "events")
+        obs = e.select(
+            F.col("user_id").alias("url_id"),
+            "ts",
+            F.col("event_type").isin("purchase", "signup").alias("changed"),
+        )
+        out = recrawl_priority(obs)
+        return out.select(
+            "url_id", "n_fetches", "n_changes", "change_rate_micro",
+            "revisit_interval_s", "shard", "priority",
+            F.date_format("last_fetch_ts", "yyyy-MM-dd HH:mm:ss").alias("last_fetch"),
+        )
+
     def q_image_patches(spark, sf):
         """ViT-style patch extraction (functions/images.patch_stats_kernel):
         4×4 integer-boundary patch grid per image, per-patch exact integer
@@ -1687,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "link_extract": q_link_extract,
         "sitemap_extract": q_sitemap_extract,
+        "recrawl_priority": q_recrawl_priority,
         "image_patches": q_image_patches,
         "crawl_shard_sets": q_crawl_shard_sets,
         "host_rank": q_host_rank,
@@ -2247,6 +2273,33 @@ SELECT o_orderkey, sitemap_pos,
   CASE WHEN lm = '' THEN NULL ELSE lm END AS lastmod,
   (lm = '' OR lm >= '1995-01-01') AS needs_fetch
 FROM p
+""",
+        "recrawl_priority": """
+WITH obs AS (
+  SELECT user_id AS url_id, ts,
+    event_type IN ('purchase', 'signup') AS changed
+  FROM events
+),
+agg AS (
+  SELECT url_id, COUNT(*) AS n_fetches,
+    CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+    MAX(ts) AS last_ts
+  FROM obs GROUP BY url_id
+),
+calc AS (
+  SELECT url_id, n_fetches, n_changes,
+    CAST((n_changes * 1000000) // n_fetches AS BIGINT) AS change_rate_micro,
+    CAST(GREATEST(
+      (86400::BIGINT * 1000000) // (1000000 + 3 * ((n_changes * 1000000) // n_fetches)),
+      21600) AS BIGINT) AS revisit_interval_s,
+    CAST(url_id % 16 AS INT) AS shard,
+    strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_fetch
+  FROM agg
+)
+SELECT url_id, n_fetches, n_changes, change_rate_micro, revisit_interval_s, shard,
+  row_number() OVER (PARTITION BY shard ORDER BY revisit_interval_s, url_id) AS priority,
+  last_fetch
+FROM calc
 """,
         "rank_encode": """
 SELECT l_orderkey, l_linenumber,

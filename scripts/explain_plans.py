@@ -117,6 +117,9 @@ CHECKS = {
     "link_extract": ["Generate", "[codegen id :"],
     # sitemap parsing: same codegen-only Generate shape as link_extract
     "sitemap_extract": ["Generate", "[codegen id :"],
+    # revisit scheduling: one map-side-combinable agg + a SHARD-partitioned
+    # window — never a global sort (NEG forbids SinglePartition), no Python
+    "recrawl_priority": ["HashAggregate", "partial_count", "Window", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -126,7 +129,7 @@ NO_AQE = {
     "asof_join", "range_join", "skew_join_salted", "rollup_metrics", "rank_delta",
     "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
     "expectations", "winsorize", "ema_score",
-    "gopher_signals", "vocab_topk",
+    "gopher_signals", "vocab_topk", "recrawl_priority",
 }
 
 NEG_CHECKS = {
@@ -182,6 +185,10 @@ NEG_CHECKS = {
     "vocab_topk": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Sort "],
     "link_extract": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
     "sitemap_extract": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
+    "recrawl_priority": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
+    ],
 }
 
 

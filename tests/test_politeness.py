@@ -55,3 +55,35 @@ def test_unknown_host_gets_default_budget(spark):
     robots = spark.createDataFrame([("other.com", 9.0)], "host string, crawl_delay double")
     batch, _ = select_wave_batch(_frontier(spark, rows), tokens_per_shard=3, robots=robots)
     assert batch.count() == 3
+
+
+class TestRecrawlPriority:
+    def test_closed_form_rates_and_floor(self, spark):
+        """Always-changing URL pins to the base/4 politeness floor;
+        never-changing URL sits at the full base interval; the mixed URL
+        matches the exact integer formula. Priority orders by interval
+        within each shard."""
+        import datetime
+
+        from amazonwebcrawler_spark.operators.politeness import recrawl_priority
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = []
+        for i in range(4):  # url 0: always changes
+            rows.append((0, t0 + datetime.timedelta(hours=i), True))
+        for i in range(4):  # url 16: never changes (same shard as url 0)
+            rows.append((16, t0 + datetime.timedelta(hours=i), False))
+        for i in range(4):  # url 32: half change (same shard again)
+            rows.append((32, t0 + datetime.timedelta(hours=i), i % 2 == 0))
+        d = spark.createDataFrame(rows, "url_id long, ts timestamp, changed boolean")
+        got = {r.url_id: r for r in recrawl_priority(d).collect()}
+        assert got[0].change_rate_micro == 1_000_000
+        assert got[0].revisit_interval_s == 86_400 // 4  # clamped to the floor
+        assert got[16].change_rate_micro == 0
+        assert got[16].revisit_interval_s == 86_400
+        assert got[32].change_rate_micro == 500_000
+        assert got[32].revisit_interval_s == (86_400 * 1_000_000) // (1_000_000 + 3 * 500_000)
+        # all three share shard 0: hottest first, coldest last
+        assert (got[0].shard, got[16].shard, got[32].shard) == (0, 0, 0)
+        assert [got[k].priority for k in (0, 32, 16)] == [1, 2, 3]
+        assert all(r.n_fetches == 4 for r in got.values())

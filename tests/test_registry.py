@@ -7,7 +7,7 @@ from __future__ import annotations
 
 ROUND5_NEW = (
     "gopher_signals", "selfdedup_clean", "vocab_topk",
-    "link_extract", "sitemap_extract", "image_patches",
+    "link_extract", "sitemap_extract", "recrawl_priority", "image_patches",
 )
 
 #: r4 driver hash-reds — their integer-contract fixes must be value-checked
