@@ -242,3 +242,66 @@ class TestVocabTopk:
             # tf=1 tie bucket cuts lexicographically: ant < dog < zebra
             ("ant", 1, 1),
         ]
+
+
+class TestRepetitionPythonMirror:
+    def test_gopher_and_selfdedup_match_python_reference(self, spark):
+        """Both repetition operators equal an independent Python
+        re-derivation over a mixed corpus (planted dups, tails, short and
+        empty docs, mixed case/whitespace)."""
+        from amazonwebcrawler_spark.functions.text import (
+            gopher_repetition_signals,
+            self_dedup_chunks,
+        )
+
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        docs = []
+        for i in range(40):
+            toks = [vocab[(i * 7 + j * 3) % 5] for j in range(i % 27)]
+            if i % 4 == 0:
+                toks = toks + toks[:10] + toks  # planted repetition
+            text = "  ".join(toks) if i % 5 else " ".join(toks).upper()
+            docs.append((i, text))
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+
+        def norm_toks(text):
+            t = " ".join(text.lower().split())
+            return t.split(" ") if t else []
+
+        def chunks_of(toks, k=10):
+            return [" ".join(toks[i : i + k]) for i in range(0, len(toks), k)]
+
+        g = {r.doc_id: r for r in gopher_repetition_signals(d, "text", "doc_id").collect()}
+        s = {r.doc_id: r for r in self_dedup_chunks(d, "text", "doc_id").collect()}
+        for i, text in docs:
+            toks = norm_toks(text)
+            ch = chunks_of(toks)
+            seen, kept = set(), []
+            for c in ch:
+                if c not in seen:
+                    seen.add(c)
+                    kept.append(c)
+            assert s[i].n_chunks == len(ch) and s[i].n_kept == len(kept), i
+            assert s[i].clean_text == " ".join(kept), i
+            total = sum(len(c) for c in ch)
+            dup = total - sum(len(c) for c in kept)
+            assert g[i].n_tokens == len(toks) and g[i].n_chunks == len(ch), i
+            assert g[i].dup_chunk_frac_micro == (
+                ((len(ch) - len(kept)) * 1_000_000) // len(ch) if ch else 0
+            ), i
+            assert g[i].dup_chunk_char_frac_micro == (
+                (dup * 1_000_000) // total if total else 0
+            ), i
+            bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            if bigrams:
+                counts: dict = {}
+                for b in bigrams:
+                    counts[b] = counts.get(b, 0) + 1
+                top = min(counts, key=lambda b: (-counts[b], b))
+                assert (g[i].top_bigram, g[i].top_bigram_count) == (top, counts[top]), i
+                norm_len = len(" ".join(toks))
+                assert g[i].top_bigram_char_frac_micro == (
+                    counts[top] * len(top) * 1_000_000
+                ) // norm_len, i
+            else:
+                assert g[i].top_bigram == "" and g[i].top_bigram_count == 0, i
