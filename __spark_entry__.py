@@ -1691,6 +1691,203 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame(rows, "image_id string, bytes binary")
         return df.repartition(8).mapInPandas(fi.patch_stats_kernel(4), fi.PATCH_SCHEMA)
 
+    def q_surt_key(spark, sf):
+        """SURT web-archive sort key (functions/urls.surt_key): reversed
+        host labels + ')' + path?query over the CANONICAL url — the CDX
+        ordering that makes one registrable domain's URLs contiguous
+        under a lexicographic sort (range-partitioning the frontier by
+        SURT co-locates each site; a raw-URL sort scatters subdomains).
+        Three host shapes (www-prefixed .com, ccTLD, deep cdn subdomain)
+        exercise the label reversal; the twin mirrors reversal +
+        canonicalization 1:1."""
+        from amazonwebcrawler_spark.functions.urls import canonicalize_url, surt_key
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        url = F.concat(
+            F.lit("https://"),
+            F.when(k % 3 == 0, F.lit("WWW.Amazon.com"))
+            .when(k % 3 == 1, F.lit("smile.amazon.co.uk"))
+            .otherwise(F.lit("media.cdn.Amazon.de")),
+            F.lit("/dp/B"), (k % 997).cast("string"),
+            F.lit("/ref=sr_x?qid=4&page="), (k % 5).cast("string"), F.lit("&ie=UTF8"),
+        )
+        cu = canonicalize_url(url)
+        return o.select("o_orderkey", cu.alias("canonical_url"), surt_key(cu).alias("surt"))
+
+    def q_etld1_domain(spark, sf):
+        """eTLD+1 registrable-domain extraction (functions/urls.
+        registered_domain): broadcast public-suffix join over candidate
+        label suffixes (longest match wins) — the key crawl budgets /
+        robots caches / politeness buckets group by. Hosts derive from
+        custkeys on both engine sides: multi-label suffixes
+        (co.uk, com.au, github.io), nested subdomains, an unknown TLD
+        (NULL path), and a bare-suffix host are all exercised."""
+        from amazonwebcrawler_spark.functions.urls import registered_domain
+
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        host = F.concat(
+            F.when(k % 4 == 0, F.lit("www."))
+            .when(k % 4 == 1, F.lit("img.cdn."))
+            .otherwise(F.lit("")),
+            F.lit("shop"), (k % 97).cast("string"), F.lit("."),
+            F.element_at(
+                F.array(*[F.lit(s) for s in ("com", "co.uk", "org", "github.io", "com.au", "zz")]),
+                (k % 6 + 1).cast("int"),
+            ),
+        )
+        suffixes = spark.createDataFrame(
+            [(s,) for s in ("com", "co.uk", "org", "net", "io", "github.io", "com.au", "uk")],
+            "suffix string",
+        )
+        return registered_domain(c.select(host.alias("host")), suffixes)
+
+    def q_anchor_rollup(spark, sf):
+        """Anchor-text aggregation per link TARGET (functions/urls.
+        extract_anchor_pairs): <a> blocks via one vectorized
+        regexp_extract_all (group 0), per-block href/text pulls,
+        resolution + canonicalization, then a (url, anchor) count with a
+        deterministic top-anchor pick (count desc, text asc) — the
+        off-page relevance signal a ranking/training pipeline feeds on.
+        Non-web schemes drop; HTML derives from orders on both sides."""
+        from amazonwebcrawler_spark.functions.urls import extract_anchor_pairs
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        html = F.concat(
+            F.lit('<p><a href="/dp/B'), (k % 211).cast("string"), F.lit('?qid=7">'),
+            F.element_at(
+                F.array(F.lit("buy now"), F.lit("yoga mat"), F.lit("best seller")),
+                (k % 3 + 1).cast("int"),
+            ),
+            F.lit('</a><a href="HTTPS://www.Amazon.com/s?k=q'), (k % 13).cast("string"),
+            F.lit('">search q'), (k % 13).cast("string"),
+            F.lit('</a><a href="javascript:void(0)">skip</a></p>'),
+        )
+        pairs = extract_anchor_pairs(html, F.lit("https://www.amazon.com"))
+        ex = o.select(F.explode(pairs).alias("p")).select(
+            F.col("p.url").alias("url"), F.col("p.anchor").alias("anchor")
+        )
+        per = ex.groupBy("url", "anchor").agg(F.count("*").alias("cnt"))
+        w = Window.partitionBy("url").orderBy(F.desc("cnt"), F.asc("anchor"))
+        top = (
+            per.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", F.col("anchor").alias("top_anchor"), F.col("cnt").alias("top_cnt"))
+        )
+        totals = per.groupBy("url").agg(
+            F.sum("cnt").alias("n_refs"), F.count("*").alias("n_anchors")
+        )
+        return totals.join(top, "url")
+
+    def q_redirect_resolve(spark, sf):
+        """Redirect-chain resolution by pointer doubling (operators/
+        webgraph.resolve_redirects): O(log max_hops) equi self-joins
+        instead of a per-hop walk — the alias-folding step that runs
+        BEFORE the URL-seen filter so each redirect family is crawled once.
+        Chains derive from orderkeys (descend-until-multiple-of-16, with
+        natural gaps exercising missing-node termination); the twin is a
+        recursive CTE keeping each node's longest walk."""
+        from amazonwebcrawler_spark.operators.webgraph import resolve_redirects
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.filter(k % 16 != 0).select(
+            F.concat(F.lit("https://r.example/u"), k.cast("string")).alias("src"),
+            F.concat(F.lit("https://r.example/u"), (k - 1).cast("string")).alias("dst"),
+        )
+        return resolve_redirects(edges, max_hops=32)
+
+    def q_hits_scores(spark, sf):
+        """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
+        power iterations over a deterministic two-family link graph from
+        orders — the hub signal that finds catalog index pages beside
+        PageRank's authority. Twin = the SAME iteration unrolled as
+        chained CTEs (webgraph.hits_oracle_sql); both sides emit
+        micro-unit BIGINTs (the host_rank drift argument)."""
+        from amazonwebcrawler_spark.operators.webgraph import hits
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.select((k % 31).alias("src"), ((k * 5 + 3) % 41).alias("dst")).unionByName(
+            o.select(((k * 11 + 2) % 23).alias("src"), ((k * 13 + 7) % 31).alias("dst"))
+        )
+        r = hits(edges, iters=5)
+        return r.select(
+            "node",
+            F.round(F.col("hub") * 1_000_000).cast("long").alias("hub_micro"),
+            F.round(F.col("auth") * 1_000_000).cast("long").alias("auth_micro"),
+        )
+
+    def q_bfs_depths(spark, sf):
+        """Seed-distance BFS (operators/webgraph.bfs_depths): level-
+        synchronous frontier expansion with min-depth retention — the
+        offline audit of the crawl's depth-budget column (SURVEY L1).
+        The graph is two FUNCTIONAL edge families (out-degree ≤ 2 per
+        node) so the recursive-CTE twin's path count stays linear; the
+        Spark side is the anti-join expansion that scales to 10^10."""
+        from amazonwebcrawler_spark.operators.webgraph import bfs_depths
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.select((k % 200).alias("src"), ((k * 7 + 11) % 200).alias("dst")).unionByName(
+            o.select(((k % 150) + 1000).alias("src"), (((k * 11 + 3) % 150) + 1000).alias("dst"))
+        ).unionByName(
+            o.filter(k % 5 == 0).select(
+                (k % 200).alias("src"), (((k * 3 + 7) % 150) + 1000).alias("dst")
+            )
+        )
+        seeds = spark.createDataFrame([(0,), (1,)], "node bigint")
+        return bfs_depths(edges, seeds, max_depth=5)
+
+    def q_template_detect(spark, sf):
+        """Per-host boilerplate/template detection (operators/corpus.
+        host_template_stats): shingles carried by ≥ half a host's docs
+        are template (exact integer ceil threshold); the ratio separates
+        site chrome from prose for the quality gate. A host-keyed
+        boilerplate prefix is planted on both engine sides, so df
+        counting, the ceil boundary, and the rollup all value-check."""
+        from amazonwebcrawler_spark.operators.corpus import host_template_stats
+
+        d = _t(spark, sf, "documents")
+        host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".example"))
+        text = F.concat(
+            F.lit("cookie banner site "), (F.col("doc_id") % 7).cast("string"),
+            F.lit(" nav home products contact . "), F.col("text"),
+        )
+        df = d.select("doc_id", host.alias("host"), text.alias("text"))
+        return host_template_stats(df, "host", "doc_id", "text", n=3, min_frac_micro=500_000)
+
+    def q_canonical_group(spark, sf):
+        """Publisher-declared canonical grouping (functions/urls.
+        rel_canonical_href): <link rel=canonical> targets canonicalized
+        and rolled up — n_pages / n_variant_urls / deterministic keeper
+        per target — the dedup a crawler honors BEFORE content
+        fingerprinting (variant query params collapse to one citizen).
+        Page URL and HTML derive from orders on both sides."""
+        from amazonwebcrawler_spark.functions.urls import canonicalize_url, rel_canonical_href
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        html = F.concat(
+            F.lit('<head><link rel="canonical" href="https://www.Amazon.com/dp/B'),
+            (k % 500).cast("string"), F.lit('/ref=c"></head>'),
+        )
+        page_url = F.concat(
+            F.lit("https://www.amazon.com/dp/B"), (k % 500).cast("string"),
+            F.lit("?variant="), (k % 9).cast("string"),
+        )
+        ex = o.select(
+            canonicalize_url(page_url).alias("page_url"),
+            canonicalize_url(rel_canonical_href(html)).alias("canonical_target"),
+        )
+        return ex.groupBy("canonical_target").agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("page_url").alias("n_variants"),
+            F.min("page_url").alias("keeper_url"),
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1707,6 +1904,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (proven in VERDICT r4). Keep never-checked / weakest rows at
         # the FRONT; anything after position 50 gets no driver row this
         # round (all stay covered by scripts/check_oracle.py).
+        "surt_key": q_surt_key,
+        "etld1_domain": q_etld1_domain,
+        "anchor_rollup": q_anchor_rollup,
+        "redirect_resolve": q_redirect_resolve,
+        "hits_scores": q_hits_scores,
+        "bfs_depths": q_bfs_depths,
+        "template_detect": q_template_detect,
+        "canonical_group": q_canonical_group,
         "gopher_signals": q_gopher_signals,
         "selfdedup_clean": q_selfdedup_clean,
         "vocab_topk": q_vocab_topk,
@@ -1907,6 +2112,7 @@ QUALIFY rank <= {k}
 def oracle_sql() -> dict[str, str]:
     from amazonwebcrawler_spark.functions.text import PII_PATTERNS
     from amazonwebcrawler_spark.operators.dedup import MINHASH_P, minhash_perm_consts
+    from amazonwebcrawler_spark.operators.webgraph import hits_oracle_sql
 
     perm_values = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_perm_consts(16))
@@ -1916,6 +2122,24 @@ def oracle_sql() -> dict[str, str]:
     stop_fr = ", ".join(f"'{w}'" for w in STOP_FR)
 
     norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+    def _canon_sel(url_expr: str, out: str = "canonical_url") -> str:
+        """P14 canonicalization of ``url_expr`` as a lateral-alias SELECT
+        fragment (DuckDB resolves earlier aliases in the same list) —
+        mirrors functions/urls.canonicalize_url stage by stage, the same
+        rules the link_extract / sitemap_extract twins spell out as CTEs."""
+        return rf"""
+  regexp_replace({url_expr}, '#.*$', '') AS _u1,
+  CASE WHEN strpos(_u1, '?') > 0 THEN substr(_u1, 1, strpos(_u1, '?') - 1) ELSE _u1 END AS _base,
+  CASE WHEN strpos(_u1, '?') > 0 THEN substr(_u1, strpos(_u1, '?') + 1) ELSE '' END AS _q,
+  lower(regexp_extract(_base, '^(https?://[^/]*)', 1)) AS _sh,
+  regexp_replace(regexp_replace(regexp_replace(_base, '^https?://[^/]*', ''), '/+$', ''), '/ref=[^/]*$', '') AS _path,
+  COALESCE(array_to_string(
+    list_sort(list_filter(string_split(_q, '&'),
+      x -> x <> '' AND NOT list_contains(['ref','qid','ie','sr','tag','psc','spIA','rnid'], string_split(x, '=')[1]))),
+    '&'), '') AS _qs,
+  _sh || _path || CASE WHEN _qs = '' THEN '' ELSE '?' || _qs END AS {out}
+"""
 
     # shared shingle/minhash CTE text (documents, 3-gram, k=16, 4 bands)
     shingle_cte = rf"""
@@ -2174,6 +2398,189 @@ SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS doc_freq
 FROM tok GROUP BY token
 ORDER BY tf DESC, token ASC
 LIMIT 25
+""",
+        "surt_key": rf"""
+WITH raw AS (
+  SELECT o_orderkey,
+    'https://' || CASE WHEN o_orderkey % 3 = 0 THEN 'WWW.Amazon.com'
+                       WHEN o_orderkey % 3 = 1 THEN 'smile.amazon.co.uk'
+                       ELSE 'media.cdn.Amazon.de' END ||
+    '/dp/B' || (o_orderkey % 997)::VARCHAR || '/ref=sr_x?qid=4&page=' ||
+    (o_orderkey % 5)::VARCHAR || '&ie=UTF8' AS url
+  FROM orders
+),
+c AS (SELECT o_orderkey, {_canon_sel("url")} FROM raw)
+SELECT o_orderkey, canonical_url,
+  array_to_string(list_reverse(string_split(
+    regexp_replace(lower(regexp_extract(canonical_url, '^https?://([^/?#]*)', 1)), '^www\.', ''),
+    '.')), ',')
+  || ')' || regexp_replace(canonical_url, '^https?://[^/?#]*', '') AS surt
+FROM c
+""",
+        "etld1_domain": r"""
+WITH hosts AS (
+  SELECT DISTINCT
+    CASE WHEN c_custkey % 4 = 0 THEN 'www.' WHEN c_custkey % 4 = 1 THEN 'img.cdn.' ELSE '' END ||
+    'shop' || (c_custkey % 97)::VARCHAR || '.' ||
+    (['com','co.uk','org','github.io','com.au','zz'])[(c_custkey % 6) + 1] AS host
+  FROM customer
+),
+sfx(suffix) AS (
+  SELECT * FROM (VALUES ('com'),('co.uk'),('org'),('net'),('io'),('github.io'),('com.au'),('uk'))
+),
+lab AS (SELECT host, string_split(host, '.') AS labels FROM hosts),
+cand AS (
+  SELECT host, u.k, array_to_string(labels[(len(labels) - u.k + 1):], '.') AS cand
+  FROM lab, UNNEST([1, 2, 3]) AS u(k)
+  WHERE len(labels) >= u.k
+),
+best AS (
+  SELECT host, cand AS public_suffix, k
+  FROM (SELECT c.host, c.cand, c.k,
+               row_number() OVER (PARTITION BY c.host ORDER BY c.k DESC) AS rn
+        FROM cand c JOIN sfx s ON s.suffix = c.cand)
+  WHERE rn = 1
+)
+SELECT h.host, b.public_suffix,
+  CASE WHEN b.public_suffix IS NOT NULL AND len(string_split(h.host, '.')) > b.k
+       THEN array_to_string((string_split(h.host, '.'))[(len(string_split(h.host, '.')) - b.k):], '.')
+  END AS etld1
+FROM hosts h LEFT JOIN best b USING (host)
+""",
+        "anchor_rollup": rf"""
+WITH raw AS (
+  SELECT o_orderkey,
+    '<p><a href="/dp/B' || (o_orderkey % 211)::VARCHAR || '?qid=7">' ||
+    (['buy now','yoga mat','best seller'])[(o_orderkey % 3) + 1] ||
+    '</a><a href="HTTPS://www.Amazon.com/s?k=q' || (o_orderkey % 13)::VARCHAR ||
+    '">search q' || (o_orderkey % 13)::VARCHAR ||
+    '</a><a href="javascript:void(0)">skip</a></p>' AS html
+  FROM orders
+),
+blk AS (
+  SELECT UNNEST(regexp_extract_all(html, '<a href="[^"]*"[^>]*>[^<]*</a>')) AS b FROM raw
+),
+fld AS (
+  SELECT regexp_extract(b, 'href="([^"]*)"', 1) AS href,
+         regexp_extract(b, '>([^<]*)</a>', 1) AS anchor
+  FROM blk
+),
+res AS (
+  SELECT CASE
+      WHEN regexp_matches(href, '^(?i)https?://')
+        THEN lower(string_split(href, '://')[1]) || '://' || substr(href, strpos(href, '://') + 3)
+      WHEN href LIKE '/%' THEN 'https://www.amazon.com' || href
+      ELSE NULL END AS url,
+    anchor
+  FROM fld
+),
+canon AS (SELECT anchor, {_canon_sel("url")} FROM res WHERE url IS NOT NULL),
+per AS (SELECT canonical_url AS url, anchor, COUNT(*) AS cnt FROM canon GROUP BY 1, 2),
+top AS (
+  SELECT url, anchor AS top_anchor, cnt AS top_cnt
+  FROM (SELECT url, anchor, cnt,
+               row_number() OVER (PARTITION BY url ORDER BY cnt DESC, anchor ASC) AS rn
+        FROM per)
+  WHERE rn = 1
+)
+SELECT s.url, s.n_refs, s.n_anchors, t.top_anchor, t.top_cnt
+FROM (SELECT url, CAST(SUM(cnt) AS BIGINT) AS n_refs, COUNT(*) AS n_anchors FROM per GROUP BY 1) s
+JOIN top t USING (url)
+""",
+        "redirect_resolve": r"""
+WITH RECURSIVE e AS (
+  SELECT 'https://r.example/u' || o_orderkey::VARCHAR AS src,
+         'https://r.example/u' || (o_orderkey - 1)::VARCHAR AS dst
+  FROM orders WHERE o_orderkey % 16 <> 0
+),
+walk AS (
+  SELECT src AS node, dst AS nxt, 1::BIGINT AS hops FROM e
+  UNION ALL
+  SELECT w.node, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.nxt
+)
+SELECT node AS src, nxt AS final_url, hops FROM (
+  SELECT node, nxt, hops,
+         row_number() OVER (PARTITION BY node ORDER BY hops DESC) AS rn
+  FROM walk
+) WHERE rn = 1
+""",
+        "hits_scores": hits_oracle_sql(
+            "SELECT o_orderkey % 31 AS src, (o_orderkey * 5 + 3) % 41 AS dst FROM orders "
+            "UNION ALL "
+            "SELECT (o_orderkey * 11 + 2) % 23, (o_orderkey * 13 + 7) % 31 FROM orders",
+            iters=5,
+        ),
+        "bfs_depths": r"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT o_orderkey % 200 AS src, (o_orderkey * 7 + 11) % 200 AS dst FROM orders
+    UNION ALL
+    SELECT (o_orderkey % 150) + 1000, ((o_orderkey * 11 + 3) % 150) + 1000 FROM orders
+    UNION ALL
+    SELECT o_orderkey % 200, ((o_orderkey * 3 + 7) % 150) + 1000 FROM orders
+    WHERE o_orderkey % 5 = 0
+  )
+),
+walk(node, depth) AS (
+  SELECT node, 0 FROM (VALUES (0::BIGINT), (1::BIGINT)) AS s(node)
+  UNION ALL
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node WHERE w.depth < 5
+)
+SELECT node, CAST(MIN(depth) AS INT) AS depth FROM walk GROUP BY node
+""",
+        "template_detect": r"""
+WITH src AS (
+  SELECT doc_id,
+    'site' || (doc_id % 7)::VARCHAR || '.example' AS host,
+    'cookie banner site ' || (doc_id % 7)::VARCHAR || ' nav home products contact . ' || text AS t0
+  FROM documents
+),
+tnorm AS (
+  SELECT doc_id, host, trim(regexp_replace(lower(t0), '\s+', ' ', 'g')) AS t FROM src
+),
+ttk AS (SELECT doc_id, host, string_split(t, ' ') AS toks FROM tnorm WHERE t <> ''),
+tsh AS (
+  SELECT DISTINCT doc_id, host, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM ttk, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+),
+nd AS (SELECT host, COUNT(DISTINCT doc_id) AS n_docs FROM src GROUP BY 1),
+dfs AS (SELECT host, s, COUNT(*) AS df FROM tsh GROUP BY 1, 2),
+thr AS (SELECT host, (n_docs * 500000 + 999999) // 1000000 AS thr FROM nd),
+agg AS (
+  SELECT d.host, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN d.df >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_template
+  FROM dfs d JOIN thr t USING (host) GROUP BY 1
+)
+SELECT n.host, n.n_docs,
+  COALESCE(a.n_shingles, 0) AS n_shingles,
+  COALESCE(a.n_template, 0) AS n_template,
+  CASE WHEN COALESCE(a.n_shingles, 0) > 0
+       THEN CAST((COALESCE(a.n_template, 0) * 1000000) // a.n_shingles AS BIGINT)
+       ELSE 0 END AS template_ratio_micro
+FROM nd n LEFT JOIN agg a USING (host)
+""",
+        "canonical_group": rf"""
+WITH raw AS (
+  SELECT o_orderkey,
+    '<head><link rel="canonical" href="https://www.Amazon.com/dp/B' ||
+      (o_orderkey % 500)::VARCHAR || '/ref=c"></head>' AS html,
+    'https://www.amazon.com/dp/B' || (o_orderkey % 500)::VARCHAR ||
+      '?variant=' || (o_orderkey % 9)::VARCHAR AS page_raw
+  FROM orders
+),
+x AS (
+  SELECT o_orderkey, page_raw,
+    regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1) AS target_raw
+  FROM raw
+),
+c1r AS (SELECT target_raw, {_canon_sel("page_raw", "page_url")} FROM x),
+-- re-project so c2's lateral aliases (_u1.._qs) can't collide with c1r's
+c1 AS (SELECT target_raw, page_url FROM c1r),
+c2 AS (SELECT page_url, {_canon_sel("target_raw", "canonical_target")} FROM c1)
+SELECT canonical_target, COUNT(*) AS n_pages,
+  COUNT(DISTINCT page_url) AS n_variants, MIN(page_url) AS keeper_url
+FROM c2 GROUP BY 1
 """,
         "link_extract": r"""
 WITH raw AS (

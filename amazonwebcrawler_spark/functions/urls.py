@@ -169,6 +169,123 @@ def host_shard(host: Column, canonical_url: Column, n_shards: int = 32, salt_bit
     return F.pmod(F.xxhash64(host, salt), F.lit(n_shards)).cast("int")
 
 
+def _lower_scheme(h: Column) -> Column:
+    # 'HTTPS://Host/x' → 'https://Host/x' (host case is canonicalize's
+    # job; the scheme must be lowercase for its anchored regexes)
+    return F.concat(
+        F.lower(F.substring_index(h, "://", 1)),
+        F.lit("://"),
+        F.substring(h, F.instr(h, "://") + F.lit(3), F.length(h)),
+    )
+
+
+def _resolve_href(h: Column, base_scheme_host: Column) -> Column:
+    """Root-relative hrefs resolve against the page host; absolute
+    ``http(s)://`` pass through; anything else (mailto:, javascript:,
+    bare fragments) maps to NULL for the caller to filter."""
+    return (
+        F.when(h.rlike("^(?i)https?://"), _lower_scheme(h))
+        .when(h.startswith("/"), F.concat(base_scheme_host, h))
+        .otherwise(F.lit(None))
+    )
+
+
+def surt_key(canonical_url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a canonical
+    URL — ``com,amazon)/dp/B1?page=2`` — the web-archive CDX index
+    ordering (public Wayback/OpenWayback convention). Reversed host
+    labels make one registrable domain's URLs CONTIGUOUS under a plain
+    lexicographic sort, so range-partitioning the frontier by SURT
+    co-locates each site's URLs (per-host politeness reads one
+    partition) while a raw-URL sort scatters subdomains. Leading
+    ``www.`` is dropped (canonicalize keeps it for fetch identity; the
+    archive key folds it). Pure column math, zero UDF."""
+    host = F.regexp_replace(url_host(canonical_url), r"^www\.", "")
+    rest = F.regexp_replace(canonical_url, r"^https?://[^/?#]*", "")
+    return F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), rest)
+
+
+def extract_anchor_pairs(html: Column, base_scheme_host: Column) -> Column:
+    """(target-URL, anchor-text) pairs of a page's ``<a>`` tags, in
+    document order — ``array<struct<url:string, anchor:string>>``.
+
+    Anchor text is the classic off-page relevance signal (it describes
+    the TARGET, not the page it sits on); a crawl that feeds a ranking
+    or training pipeline aggregates it per target URL. Same extraction
+    discipline as :func:`extract_links`: one vectorized
+    ``regexp_extract_all`` for whole ``<a href="...">text</a>`` blocks
+    (group 0), per-block field pulls, resolution, canonicalization —
+    never an HTML parser in the hot path."""
+    blocks = F.regexp_extract_all(html, F.lit(r'<a href="[^"]*"[^>]*>[^<]*</a>'), 0)
+    resolved = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _resolve_href(F.regexp_extract(b, r'href="([^"]*)"', 1), base_scheme_host).alias("url"),
+            F.regexp_extract(b, r">([^<]*)</a>", 1).alias("anchor"),
+        ),
+    )
+    return F.transform(
+        F.filter(resolved, lambda p: p["url"].isNotNull()),
+        lambda p: F.struct(canonicalize_url(p["url"]).alias("url"), p["anchor"].alias("anchor")),
+    )
+
+
+def rel_canonical_href(html: Column) -> Column:
+    """The page's ``<link rel="canonical" href="...">`` target ('' when
+    absent) — the publisher-declared dedup key a crawler honors BEFORE
+    content fingerprinting (one regexp, attribute order as emitted by
+    the page generator)."""
+    return F.regexp_extract(html, r'<link rel="canonical" href="([^"]*)"', 1)
+
+
+def registered_domain(df, suffixes, host_col: str = "host", max_labels: int = 3):
+    """eTLD+1 (registrable domain) per host via a broadcast
+    public-suffix join — the key crawl budgets, robots caches, and
+    politeness buckets actually group by (``a.img.shop.example.co.uk``
+    and ``www.example.co.uk`` are ONE crawl citizen).
+
+    ``suffixes`` is a ``(suffix string)`` dimension (the public-suffix
+    list — thousands of rows in production, always broadcastable). Each
+    host generates its last ``1..max_labels`` label suffixes as
+    candidates (≤ ``max_labels`` rows per DISTINCT host — the explode
+    runs on the deduped host dimension, never the URL table), the
+    longest candidate present in the list wins, and eTLD+1 = one label
+    + that suffix. Hosts matching no suffix, or equal to a bare suffix,
+    yield NULL. Returns ``(host, public_suffix, etld1)``.
+    """
+    labels = F.split(F.col(host_col), r"\.")
+    n = F.size(labels)
+    cands = F.filter(
+        F.array(
+            *[
+                F.when(n >= k, F.array_join(F.slice(labels, -k, k), "."))
+                for k in range(1, max_labels + 1)
+            ]
+        ),
+        lambda c: c.isNotNull(),
+    )
+    hosts = df.select(F.col(host_col).alias("host")).distinct()
+    ex = hosts.select("host", F.explode(cands).alias("cand"))
+    best = (
+        ex.join(F.broadcast(suffixes), ex.cand == suffixes.suffix)
+        .groupBy("host")
+        .agg(F.max_by("cand", F.size(F.split("cand", r"\."))).alias("public_suffix"))
+    )
+    lb = F.split(F.col("host"), r"\.")
+    k_sfx = F.size(F.split("public_suffix", r"\."))
+    return (
+        hosts.join(best, "host", "left")
+        .select(
+            "host",
+            "public_suffix",
+            F.when(
+                F.col("public_suffix").isNotNull() & (F.size(lb) > k_sfx),
+                F.array_join(F.slice(lb, -(k_sfx + F.lit(1)), k_sfx + F.lit(1)), "."),
+            ).alias("etld1"),
+        )
+    )
+
+
 def extract_links(html: Column, base_scheme_host: Column) -> Column:
     """Ordered hrefs of an HTML page, resolved and canonicalized — the
     frontier-feeding link extraction step (reference getStockNumber.py:67
@@ -188,22 +305,7 @@ def extract_links(html: Column, base_scheme_host: Column) -> Column:
     same regex + resolution rules 1:1.
     """
     hrefs = F.regexp_extract_all(html, F.lit(r'href="([^"]*)"'), 1)
-
-    def _lower_scheme(h: Column) -> Column:
-        # 'HTTPS://Host/x' → 'https://Host/x' (host case is canonicalize's
-        # job; the scheme must be lowercase for its anchored regexes)
-        return F.concat(
-            F.lower(F.substring_index(h, "://", 1)),
-            F.lit("://"),
-            F.substring(h, F.instr(h, "://") + F.lit(3), F.length(h)),
-        )
-
-    resolved = F.transform(
-        hrefs,
-        lambda h: F.when(h.rlike("^(?i)https?://"), _lower_scheme(h))
-        .when(h.startswith("/"), F.concat(base_scheme_host, h))
-        .otherwise(F.lit(None)),
-    )
+    resolved = F.transform(hrefs, lambda h: _resolve_href(h, base_scheme_host))
     return F.transform(
         F.filter(resolved, lambda u: u.isNotNull()), lambda u: canonicalize_url(u)
     )

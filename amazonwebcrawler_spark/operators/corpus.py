@@ -376,3 +376,75 @@ def corpus_stats(df: DataFrame, strata_col: str, text_col: str, chars_col: str) 
             F.round(F.col("_median") * 2).cast("long").alias("median_chars_x2"),
         )
     )
+
+
+def host_template_stats(
+    df: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_frac_micro: int = 500_000,
+) -> DataFrame:
+    """Per-host boilerplate/template detection via shingle document
+    frequency — the curation signal that separates a page's CONTENT from
+    its site chrome (nav bars, footers, cookie banners repeat on every
+    page of a host; prose doesn't). Standard pre-training practice:
+    shingles carried by ≥ ``min_frac`` of a host's documents are
+    template, and a host whose shingle space is mostly template is a
+    thin/boilerplate site the quality gate should down-weight.
+
+    A shingle counts as template on a host when its document frequency
+    ≥ ceil(min_frac · n_docs), computed in EXACT integer arithmetic from
+    the micro-unit fraction: ``thr = (min_frac_micro·n_docs + 999_999)
+    DIV 1_000_000`` — for rational min_frac with denominator ≤ 1e6 this
+    is exactly the real ceil, so both engines decide every boundary doc
+    identically. Emits per host: ``n_docs``, ``n_shingles`` (distinct),
+    ``n_template``, ``template_ratio_micro`` (floor micro of
+    template/shingles; 0 for hosts with no shingled doc).
+
+    Scale shape: one explode (shingle_rows, whole-stage codegen) + one
+    (host, shingle) hash agg (map-side combinable — the only big
+    shuffle) + one host-keyed rollup; the threshold join is
+    host-cardinality vs host-cardinality, never shingle-sized.
+    """
+    sh = shingle_rows(df, text_col, id_col, n)
+    hosts = df.select(F.col(id_col).alias("_id"), F.col(host_col).alias("host"))
+    per_host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    df_s = (
+        sh.join(hosts, "_id")
+        .groupBy("host", "_s")
+        .agg(F.count("*").alias("_df"))  # shingle_rows is distinct per (_id,_s)
+    )
+    thr = per_host_docs.select(
+        "host",
+        "n_docs",
+        F.expr(f"(n_docs * {min_frac_micro}L + 999999L) DIV 1000000L").alias("_thr"),
+    )
+    agg = (
+        df_s.join(thr, "host")
+        .groupBy("host")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") >= F.col("_thr"), 1).otherwise(0)).cast("long").alias("n_template"),
+        )
+    )
+    return (
+        per_host_docs.join(agg.drop("n_docs"), "host", "left")
+        .select(
+            "host",
+            "n_docs",
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_template", F.lit(0).cast("long")).alias("n_template"),
+        )
+        .withColumn(
+            "template_ratio_micro",
+            F.when(
+                F.col("n_shingles") > 0,
+                F.expr("(n_template * 1000000L) DIV n_shingles"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )

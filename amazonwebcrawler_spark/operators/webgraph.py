@@ -1,0 +1,235 @@
+"""Web-graph operators for the crawl frontier: redirect-chain resolution,
+HITS hub/authority scoring, and BFS seed-distance — the link-graph signals
+a 10^10-URL scheduler feeds its priority queue beside PageRank
+(operators/linkrank.py).
+
+The reference scraper has none of these (it walks one site's fixed SERP
+pagination, getRank.py:24-60, and follows redirects implicitly inside the
+browser); a general frontier must resolve redirect aliases BEFORE the
+URL-seen filter (or every alias is crawled once), rank hubs to find
+catalog index pages, and know each URL's distance from the seed set for
+depth budgets (SURVEY.md L1).
+
+Scale shapes (the whole point — none of these is a sequential walk):
+
+* ``resolve_redirects`` — **pointer doubling**: O(log max_hops) equi
+  self-joins instead of max_hops sequential joins. Each round shuffles
+  the (node, successor) map once on the successor key; 32-hop chains
+  resolve in 5 rounds. Lineage is truncated per round (localCheckpoint),
+  the connected-components idiom.
+* ``hits`` — per iteration: two edge⋈score joins + two grouped sums
+  (map-side partial) + two 1-row L1-mass broadcasts. No driver-side
+  value except the initial node count.
+* ``bfs_depths`` — per level: frontier⋈edges (shuffles the FRONTIER,
+  never the visited set), distinct, then a left_anti against the
+  accumulated depth table; early-stops on an empty level (one bounded
+  ``limit(1).count()`` scalar per level).
+
+Doubles appear only in HITS; its driver contract is micro-unit BIGINT
+(the host_rank precedent: ~1e-14 cross-engine summation drift sits seven
+orders of magnitude inside a micro cell).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Resolve redirect chains to their terminal URL by pointer doubling.
+
+    ``edges`` is a functional map (one ``dst`` per ``src`` — enforce
+    upstream; HTTP gives one Location per URL). Returns one row per
+    redirecting node: ``(src, final_url, hops)`` where ``final_url`` is
+    the first node in the chain with no outgoing edge and ``hops`` the
+    exact chain length walked. Chains longer than ``max_hops`` return the
+    frontier reached after ``2**ceil(log2(max_hops))`` hops (a real
+    crawler treats those as redirect loops and drops them anyway).
+
+    Each doubling round joins the map against itself on the successor
+    key — ``ceil(log2(max_hops))`` shuffles total, never a per-hop loop.
+    """
+    f = edges.select(
+        F.col(src_col).alias("node"),
+        F.col(dst_col).alias("nxt"),
+        F.lit(1).cast("long").alias("hops"),
+    ).localCheckpoint()
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        g = f.select(
+            F.col("node").alias("g_node"),
+            F.col("nxt").alias("g_nxt"),
+            F.col("hops").alias("g_hops"),
+        )
+        f = (
+            f.join(g, f["nxt"] == g["g_node"], "left")
+            .select(
+                "node",
+                F.coalesce("g_nxt", "nxt").alias("nxt"),
+                (F.col("hops") + F.coalesce("g_hops", F.lit(0).cast("long"))).alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    return f.select(
+        F.col("node").alias("src"),
+        F.col("nxt").alias("final_url"),
+        F.col("hops").cast("long").alias("hops"),
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) over a directed edge
+    list, L1-normalized each half-step (so scores are comparable across
+    graphs and the twin can mirror the arithmetic exactly):
+
+        auth'(v) = Σ_{u→v} hub(u)   then  auth /= Σ auth
+        hub'(u)  = Σ_{u→v} auth(v)  then  hub  /= Σ hub
+
+    Parallel edges collapse (one endorsement, the linkrank.pagerank
+    convention). Returns ``(node, hub, auth)`` raw doubles — callers
+    round to micro-unit BIGINTs for any bit-stable contract.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # the only driver-side scalar
+    hub = nodes.withColumn("hub", F.lit(1.0 / n)).localCheckpoint()
+    auth = nodes.withColumn("auth", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a"))
+        )
+        a_mass = a_raw.agg(F.sum("a").alias("s"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_mass))
+            .select("node", (F.coalesce("a", F.lit(0.0)) / F.col("s")).alias("auth"))
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("h"))
+        )
+        h_mass = h_raw.agg(F.sum("h").alias("s"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_mass))
+            .select("node", (F.coalesce("h", F.lit(0.0)) / F.col("s")).alias("hub"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return hub.join(auth, "node")
+
+
+def hits_oracle_sql(edges_sql: str, iters: int = 5) -> str:
+    """DuckDB twin of :func:`hits`: the SAME L1-normalized iteration
+    unrolled into chained CTEs (the linkrank.pagerank_oracle_sql idiom —
+    recursive CTEs dedupe rows, wrong for a numeric fixpoint). Emits
+    ``(node, hub_micro, auth_micro)`` BIGINTs."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "n AS (SELECT count(*)::DOUBLE AS n FROM nodes),",
+        "h0 AS (SELECT node, 1.0/(SELECT n FROM n) AS hub FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        hp = f"h{k - 1}"
+        parts.append(
+            f"a{k}r AS (SELECT e.dst AS node, SUM(h.hub) AS a "
+            f"FROM e JOIN {hp} h ON h.node = e.src GROUP BY 1),"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT nd.node, COALESCE(r.a, 0.0) / m.s AS auth "
+            f"FROM nodes nd LEFT JOIN a{k}r r ON r.node = nd.node "
+            f"CROSS JOIN (SELECT SUM(a) AS s FROM a{k}r) m),"
+        )
+        parts.append(
+            f"h{k}r AS (SELECT e.src AS node, SUM(a.auth) AS h "
+            f"FROM e JOIN a{k} a ON a.node = e.dst GROUP BY 1),"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT nd.node, COALESCE(r.h, 0.0) / m.s AS hub "
+            f"FROM nodes nd LEFT JOIN h{k}r r ON r.node = nd.node "
+            f"CROSS JOIN (SELECT SUM(h) AS s FROM h{k}r) m),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\n"
+        f"SELECT h.node, CAST(round(h.hub * 1000000) AS BIGINT) AS hub_micro, "
+        f"CAST(round(a.auth * 1000000) AS BIGINT) AS auth_micro "
+        f"FROM h{iters} h JOIN a{iters} a ON a.node = h.node"
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    max_depth: int = 6,
+) -> DataFrame:
+    """Minimum hop distance from the seed set over a directed link graph
+    — the frontier's exact ``depth`` column (SURVEY.md L1 page budget)
+    computed offline for budget auditing and trap forensics.
+
+    Level-synchronous BFS: each level semi-joins the edge table against
+    the CURRENT frontier (AQE broadcasts the small frontier side),
+    dedupes, and anti-joins the accumulated depth table so a node keeps
+    its first (minimal) depth. Both sides of the anti-join hash on
+    ``node`` — at 10^10 nodes the depth table would be bucketed on
+    ``node`` so only the new level moves. Stops at ``max_depth`` or an
+    empty level (one bounded 1-row count per level). Returns
+    ``(node, depth)`` for every node reachable within ``max_depth``.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct().persist()
+    depths = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = depths
+    for d in range(1, max_depth + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("src")),
+                "src",
+                "left_semi",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(depths, "node", "left_anti")
+            .withColumn("depth", F.lit(d))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        depths = depths.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return depths.select("node", F.col("depth").cast("int").alias("depth"))

@@ -1,0 +1,243 @@
+"""Web-graph operators (operators/webgraph.py) and the URL/web functions
+added beside them (surt_key, registered_domain, extract_anchor_pairs,
+rel_canonical_href, corpus.host_template_stats) — exactness vs independent
+pure-Python oracles plus the structural invariants the frontier relies on."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.functions import urls
+from amazonwebcrawler_spark.operators import webgraph
+from amazonwebcrawler_spark.operators.corpus import host_template_stats
+
+
+def _py_resolve(edges: dict, node: str):
+    hops = 0
+    while node in edges:
+        node = edges[node]
+        hops += 1
+    return node, hops
+
+
+class TestResolveRedirects:
+    def test_matches_python_walk(self, spark):
+        # chains with gaps, a fork-free tree, and terminal nodes
+        edges = {f"u{k}": f"u{k - 1}" for k in range(1, 40) if k % 7 != 0}
+        edges["x1"] = "x2"
+        edges["x2"] = "x3"  # 2-hop chain into a terminal
+        df = spark.createDataFrame(list(edges.items()), "src string, dst string")
+        got = {r.src: (r.final_url, r.hops) for r in webgraph.resolve_redirects(df, max_hops=64).collect()}
+        assert set(got) == set(edges)
+        for s in edges:
+            final, hops = _py_resolve(edges, s)
+            assert got[s] == (final, hops), s
+
+    def test_long_chain_needs_log_rounds(self, spark):
+        # a 30-hop chain resolves fully with max_hops=32 (5 doubling rounds)
+        edges = [(f"n{i}", f"n{i + 1}") for i in range(30)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.src: (r.final_url, r.hops) for r in webgraph.resolve_redirects(df, max_hops=32).collect()}
+        assert got["n0"] == ("n30", 30)
+
+
+def _py_hits(edges, iters):
+    nodes = sorted({u for e in set(edges) for u in e})
+    out, into = {}, {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+        into.setdefault(d, set()).add(s)
+    hub = {v: 1.0 / len(nodes) for v in nodes}
+    auth = dict(hub)
+    for _ in range(iters):
+        auth = {v: sum(hub[u] for u in into.get(v, ())) for v in nodes}
+        s = sum(auth.values())
+        auth = {v: a / s for v, a in auth.items()}
+        hub = {v: sum(auth[u] for u in out.get(v, ())) for v in nodes}
+        s = sum(hub.values())
+        hub = {v: h / s for v, h in hub.items()}
+    return hub, auth
+
+
+class TestHits:
+    def test_matches_python_oracle(self, spark):
+        edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 5), (5, 1), (1, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = webgraph.hits(df, iters=6).collect()
+        hub, auth = _py_hits(edges, iters=6)
+        got_h = {r.node: r.hub for r in rows}
+        got_a = {r.node: r.auth for r in rows}
+        assert set(got_h) == set(hub)
+        for v in hub:
+            assert got_h[v] == pytest.approx(hub[v], abs=1e-12), ("hub", v)
+            assert got_a[v] == pytest.approx(auth[v], abs=1e-12), ("auth", v)
+        # L1 normalization holds on both score vectors
+        assert sum(got_h.values()) == pytest.approx(1.0, abs=1e-9)
+        assert sum(got_a.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_hub_vs_authority_roles(self, spark):
+        # directory page 0 links to every leaf AND the sink, so its hub
+        # strictly dominates the leaves' (which only link to the sink)
+        edges = (
+            [(0, i) for i in range(1, 6)] + [(0, 99)] + [(i, 99) for i in range(1, 6)]
+        )
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = {r.node: r for r in webgraph.hits(df, iters=8).collect()}
+        assert rows[0].hub == max(r.hub for r in rows.values())
+        assert rows[99].auth == max(r.auth for r in rows.values())
+
+
+def _py_bfs(edges, seeds, max_depth):
+    adj = {}
+    for s, d in set(edges):
+        adj.setdefault(s, set()).add(d)
+    depth = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, max_depth + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ())} - set(depth)
+        if not nxt:
+            break
+        depth.update({v: d for v in nxt})
+        frontier = nxt
+    return depth
+
+
+class TestBfsDepths:
+    def test_matches_python_bfs(self, spark):
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (0, 10), (10, 3), (7, 8)]
+        seeds = [0]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        got = {r.node: r.depth for r in webgraph.bfs_depths(e, s, max_depth=4).collect()}
+        assert got == _py_bfs(edges, seeds, 4)
+        # min-depth retention: node 3 is depth 2 via 0->10->3, not 3 via chain
+        assert got[3] == 2
+        # ... which pulls 5 in at depth 4 via the shortcut
+        assert got[5] == 4
+        # budget respected: node 6 is depth 5, outside max_depth=4
+        assert 6 not in got
+        # disconnected component never appears
+        assert 7 not in got and 8 not in got
+
+
+class TestSurtKey:
+    @pytest.mark.parametrize(
+        "url,want",
+        [
+            ("https://www.amazon.com/dp/B1?page=2", "com,amazon)/dp/B1?page=2"),
+            ("https://smile.amazon.co.uk/s?k=x", "uk,co,amazon,smile)/s?k=x"),
+            ("https://example.org", "org,example)"),
+        ],
+    )
+    def test_vectors(self, spark, url, want):
+        got = (
+            spark.createDataFrame([(url,)], "u string")
+            .select(urls.surt_key(F.col("u")).alias("s"))
+            .collect()[0][0]
+        )
+        assert got == want
+
+    def test_domain_urls_sort_contiguously(self, spark):
+        raw = [
+            "https://a.shop.example/1",
+            "https://zzz.other/x",
+            "https://b.shop.example/2",
+            "https://shop.example/root",
+        ]
+        df = spark.createDataFrame([(u,) for u in raw], "u string")
+        surts = [r[0] for r in df.select(urls.surt_key(F.col("u")).alias("s")).collect()]
+        ordered = sorted(surts)
+        ex_positions = [i for i, s in enumerate(ordered) if s.startswith("example,shop")]
+        assert ex_positions == list(range(ex_positions[0], ex_positions[0] + 3))
+
+
+class TestRegisteredDomain:
+    def test_vectors(self, spark):
+        hosts = [
+            "www.example.co.uk",
+            "a.b.shop5.github.io",
+            "example.com",
+            "weird.zz",
+            "co.uk",  # bare suffix -> NULL etld1
+        ]
+        sfx = spark.createDataFrame(
+            [(s,) for s in ("com", "co.uk", "uk", "io", "github.io")], "suffix string"
+        )
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        got = {r.host: (r.public_suffix, r.etld1) for r in urls.registered_domain(df, sfx).collect()}
+        assert got["www.example.co.uk"] == ("co.uk", "example.co.uk")
+        assert got["a.b.shop5.github.io"] == ("github.io", "shop5.github.io")
+        assert got["example.com"] == ("com", "example.com")
+        assert got["weird.zz"] == (None, None)
+        assert got["co.uk"] == ("co.uk", None)
+
+
+class TestAnchorsAndCanonical:
+    def test_anchor_pairs_vector(self, spark):
+        html = (
+            '<p><a href="/dp/B1?qid=3">buy now</a>'
+            '<a href="HTTPS://WWW.Amazon.com/s?k=mat">mats</a>'
+            '<a href="mailto:x@y.z">mail</a></p>'
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        rows = (
+            df.select(
+                F.explode(
+                    urls.extract_anchor_pairs(F.col("html"), F.lit("https://www.amazon.com"))
+                ).alias("p")
+            )
+            .select("p.url", "p.anchor")
+            .collect()
+        )
+        assert [(r.url, r.anchor) for r in rows] == [
+            ("https://www.amazon.com/dp/B1", "buy now"),
+            ("https://www.amazon.com/s?k=mat", "mats"),
+        ]
+
+    def test_rel_canonical_vector(self, spark):
+        html = '<head><link rel="canonical" href="https://e.x/a"></head>'
+        df = spark.createDataFrame([(html,), ("<head></head>",)], "html string")
+        got = [r[0] for r in df.select(urls.rel_canonical_href(F.col("html"))).collect()]
+        assert got == ["https://e.x/a", ""]
+
+
+class TestHostTemplateStats:
+    def test_hand_counted_fixture(self, spark):
+        # host A: 3 docs sharing the 4-token boilerplate "nav home about us"
+        # (2 template shingles at threshold ceil(0.5*3)=2); host B: 1 doc
+        docs = [
+            (1, "A", "nav home about us alpha beta gamma"),
+            (2, "A", "nav home about us delta epsilon zeta"),
+            (3, "A", "totally unique prose here today friends"),
+            (4, "B", "one single document no repeats at all"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, host string, text string")
+        got = {
+            r.host: r
+            for r in host_template_stats(df, "host", "doc_id", "text", n=3).collect()
+        }
+        a = got["A"]
+        assert a.n_docs == 3
+        # "nav home about" and "home about us" appear in 2 of 3 docs (>= 2)
+        assert a.n_template == 2
+        # doc1/doc2: 5 shingles each (2 shared) -> 8 distinct; doc3: 4 more
+        assert a.n_shingles == 12
+        assert a.template_ratio_micro == (2 * 1_000_000) // 12
+        b = got["B"]
+        # threshold ceil(0.5*1)=1: every shingle of a 1-doc host is template
+        assert b.n_template == b.n_shingles
+        assert b.template_ratio_micro == 1_000_000
+
+    def test_min_frac_boundary_is_exact_ceil(self, spark):
+        # 4 docs, min_frac=0.5 -> threshold exactly 2: a shingle in 2 docs
+        # IS template, in 1 doc is not
+        docs = [
+            (1, "H", "x y z a b"),
+            (2, "H", "x y z c d"),
+            (3, "H", "p q r s t"),
+            (4, "H", "u v w m n"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, host string, text string")
+        r = host_template_stats(df, "host", "doc_id", "text", n=3).collect()[0]
+        assert r.n_template == 1  # only "x y z" reaches df=2
