@@ -120,6 +120,22 @@ CHECKS = {
     # revisit scheduling: one map-side-combinable agg + a SHARD-partitioned
     # window — never a global sort (NEG forbids SinglePartition), no Python
     "recrawl_priority": ["HashAggregate", "partial_count", "Window", "[codegen id :"],
+    # SURT key: canonicalize + label reversal in ONE codegen'd projection —
+    # no shuffle, no join, no Python (NEG forbids all three)
+    "surt_key": ["[codegen id :", "ReadSchema: struct<o_orderkey:bigint>"],
+    # eTLD+1: the public-suffix dim must arrive as a BROADCAST hash join
+    # (at 10^10 hosts the suffix list is the only side that may move)
+    "etld1_domain": ["BroadcastHashJoin", "[codegen id :"],
+    # anchor rollup: vectorized <a>-block explode + partitioned window +
+    # map-side-combinable counts — no Python, no global sort
+    "anchor_rollup": ["Generate", "Window", "HashAggregate", "[codegen id :"],
+    # template detection: shingle explode + (host,shingle) agg with
+    # map-side partials + host-cardinality threshold join — no Python
+    "template_detect": ["Generate", "HashAggregate", "partial_count", "[codegen id :"],
+    # canonical grouping: two codegen'd canonicalizations + one aggregate
+    # (SortAggregate — min(string) has no mutable hash buffer; the partial
+    # phase still combines map-side, which is the scale property)
+    "canonical_group": ["Aggregate", "partial_count", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -130,6 +146,7 @@ NO_AQE = {
     "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
     "expectations", "winsorize", "ema_score",
     "gopher_signals", "vocab_topk", "recrawl_priority",
+    "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
 }
 
 NEG_CHECKS = {
@@ -186,6 +203,23 @@ NEG_CHECKS = {
     "link_extract": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
     "sitemap_extract": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
     "recrawl_priority": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
+    ],
+    "surt_key": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join"],
+    "etld1_domain": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian",
+    ],
+    "anchor_rollup": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "NestedLoop",
+    ],
+    "template_detect": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "NestedLoop",
+    ],
+    "canonical_group": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "Join",
     ],
