@@ -1888,6 +1888,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.min("page_url").alias("keeper_url"),
         )
 
+    def q_capture_novelty(spark, sf):
+        """CDX-style revisit dedup (operators/temporal.capture_novelty):
+        a capture is novel iff its digest differs from the same url's
+        previous capture — the Wayback warc/revisit rule that stores a
+        pointer instead of a payload for unchanged recrawls. One
+        url-partitioned window with an explicit (ts, event_id) tiebreak;
+        digests are md5 on both engine sides so boundary rows agree."""
+        from amazonwebcrawler_spark.operators.temporal import capture_novelty
+
+        e = _t(spark, sf, "events")
+        caps = e.select(
+            F.col("user_id").alias("url_id"),
+            "event_id",
+            "ts",
+            F.md5(F.col("event_type")).alias("digest"),
+        )
+        out = capture_novelty(caps, "url_id", "ts", "digest", "event_id")
+        return out.select(
+            "url_id", "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "digest", "prev_digest", "is_novel",
+        )
+
+    def q_budget_allocate(spark, sf):
+        """Largest-remainder (Hamilton) crawl-budget apportionment
+        (operators/politeness.allocate_budget): a 10 000-fetch epoch
+        budget split across domains proportional to frontier demand —
+        floor quotas + one extra for the largest remainders, ties to
+        domain ascending, Σquota == budget by construction. The global
+        remainder rank is computed WITHOUT a single-partition window
+        (value-range shards + per-shard totals, the pack_sequences
+        idiom); the twin is a plain SQL window rank."""
+        from amazonwebcrawler_spark.operators.politeness import allocate_budget
+
+        o = _t(spark, sf, "orders")
+        demand = o.groupBy(
+            F.concat(F.lit("d"), (F.col("o_orderkey") % 37).cast("string")).alias("domain")
+        ).agg(F.count("*").alias("demand"))
+        return allocate_budget(demand, total_budget=10_000)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -1912,6 +1952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_depths": q_bfs_depths,
         "template_detect": q_template_detect,
         "canonical_group": q_canonical_group,
+        "capture_novelty": q_capture_novelty,
+        "budget_allocate": q_budget_allocate,
         "gopher_signals": q_gopher_signals,
         "selfdedup_clean": q_selfdedup_clean,
         "vocab_topk": q_vocab_topk,
@@ -2581,6 +2623,40 @@ c2 AS (SELECT page_url, {_canon_sel("target_raw", "canonical_target")} FROM c1)
 SELECT canonical_target, COUNT(*) AS n_pages,
   COUNT(DISTINCT page_url) AS n_variants, MIN(page_url) AS keeper_url
 FROM c2 GROUP BY 1
+""",
+        "capture_novelty": """
+WITH caps AS (
+  SELECT user_id AS url_id, event_id, ts, md5(event_type) AS digest FROM events
+)
+SELECT url_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, digest,
+  lag(digest) OVER (PARTITION BY url_id ORDER BY ts, event_id) AS prev_digest,
+  (lag(digest) OVER (PARTITION BY url_id ORDER BY ts, event_id) IS NULL
+   OR digest <> lag(digest) OVER (PARTITION BY url_id ORDER BY ts, event_id)) AS is_novel
+FROM caps
+""",
+        "budget_allocate": """
+WITH dm AS (
+  SELECT 'd' || (o_orderkey % 37)::VARCHAR AS domain, COUNT(*) AS demand
+  FROM orders GROUP BY 1
+),
+d AS (SELECT domain, demand FROM dm WHERE demand > 0),
+tot AS (SELECT SUM(demand) AS dd FROM d),
+b AS (
+  SELECT domain, demand,
+    CAST((demand * 10000) // dd AS BIGINT) AS base_quota,
+    (demand * 10000) % dd AS rem
+  FROM d, tot
+),
+lo AS (SELECT 10000 - SUM(base_quota) AS leftover FROM b),
+r AS (
+  SELECT domain, demand, base_quota,
+    row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+  FROM b
+)
+SELECT domain, demand, base_quota,
+  CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS extra,
+  base_quota + CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM r
 """,
         "link_extract": r"""
 WITH raw AS (

@@ -191,3 +191,71 @@ def recrawl_priority(
         .withColumn("shard", shard)
         .withColumn("priority", F.row_number().over(w))
     )
+
+
+def allocate_budget(
+    demand: DataFrame,
+    total_budget: int,
+    key_col: str = "domain",
+    demand_col: str = "demand",
+    n_shards: int = 32,
+) -> DataFrame:
+    """Proportional-fair apportionment of a global fetch budget across
+    domains by the largest-remainder (Hamilton) method — the per-epoch
+    answer to "10^7 eTLD+1 groups want pages, the cluster fetches B this
+    hour": ``quota_d = floor(B·demand_d/D)`` plus one extra fetch for the
+    ``B − Σfloor`` largest remainders (ties to domain ascending).
+    Integer-exact end to end, so ``Σ quota == B`` by construction and
+    every engine agrees on each boundary domain.
+
+    The only global structure is the REMAINDER RANK, and it never builds
+    a single-partition window (the classic trap): remainders are range-
+    sharded by value (``shard = n_shards−1 − (rem·n_shards) DIV D`` — a
+    deterministic function of data, not of partitioning), ranked inside
+    each shard, and shifted by per-shard totals collected as ≤
+    ``n_shards`` rows (the pack_sequences prefix-sum idiom). Two 1-row
+    broadcasts carry D and the leftover; the demand table shuffles once.
+
+    Rows with non-positive demand are dropped (they get no quota and
+    would poison the integer division).
+    """
+    d = demand.filter(F.col(demand_col) > 0).select(
+        F.col(key_col).alias("domain"), F.col(demand_col).cast("long").alias("demand")
+    )
+    tot = d.agg(F.sum("demand").alias("_D"))
+    b = d.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "demand",
+        F.expr(f"(demand * {int(total_budget)}L) DIV _D").alias("base_quota"),
+        F.expr(f"(demand * {int(total_budget)}L) % _D").alias("_rem"),
+        "_D",
+    )
+    leftover = b.agg((F.lit(int(total_budget)) - F.sum("base_quota")).alias("_leftover"))
+    s = b.withColumn(
+        "_shard",
+        (F.lit(n_shards - 1) - F.expr(f"(_rem * {n_shards}L) DIV _D")).cast("int"),
+    )
+    # per-shard totals: one map-side-combinable agg, collect bounded by the
+    # n_shards config constant (never data-sized)
+    counts = {r["_shard"]: r["n"] for r in s.groupBy("_shard").agg(F.count("*").alias("n")).collect()}
+    offsets, run = {}, 0
+    for shard in sorted(counts):
+        offsets[shard] = run
+        run += counts[shard]
+    off_map = F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv])
+    w = Window.partitionBy("_shard").orderBy(F.desc("_rem"), F.asc("domain"))
+    ranked = s.withColumn(
+        "_rank", F.row_number().over(w).cast("long") + off_map[F.col("_shard")]
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "domain",
+            "demand",
+            "base_quota",
+            F.when(F.col("_rank") <= F.col("_leftover"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("extra"),
+        )
+        .withColumn("quota", F.col("base_quota") + F.col("extra"))
+    )

@@ -204,3 +204,28 @@ def range_join_pairs(
     )
     joined = l.join(r, on=[l["_bkt"] == r["_bkt"], *[l[c] == r[c] for c in on]], how="inner")
     return joined.filter(pred).drop("_bkt")
+
+
+def capture_novelty(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    digest_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """CDX-style revisit dedup over a capture log — the web-archive rule
+    (Wayback CDX ``warc/revisit`` records) that a recrawl of an unchanged
+    page stores a POINTER, not a payload: a capture is novel iff its
+    content digest differs from the SAME url's previous capture.
+
+    One key-partitioned window (never global), ordered by
+    ``(ts, tiebreak)`` — the explicit tiebreak keeps equal-timestamp
+    captures deterministic on every engine (the r4 ema/asof lesson).
+    Adds ``prev_digest`` (NULL on first capture) and ``is_novel``; the
+    storage win is ``1 - novel/total`` of payload bytes at 10^10 urls.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(digest_col).over(w)
+    return df.withColumn("prev_digest", prev).withColumn(
+        "is_novel", prev.isNull() | (F.col(digest_col) != prev)
+    )

@@ -136,6 +136,12 @@ CHECKS = {
     # (SortAggregate — min(string) has no mutable hash buffer; the partial
     # phase still combines map-side, which is the scale property)
     "canonical_group": ["Aggregate", "partial_count", "[codegen id :"],
+    # CDX revisit dedup: ONE url-partitioned lag window — never global
+    "capture_novelty": ["Window", "[codegen id :"],
+    # Hamilton budget apportionment: the global remainder rank arrives via
+    # value-range shards (partitioned window) + broadcast totals — the
+    # NEG check forbids the single-partition window it replaces
+    "budget_allocate": ["Window", "HashAggregate", "partial_count", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -147,6 +153,7 @@ NO_AQE = {
     "expectations", "winsorize", "ema_score",
     "gopher_signals", "vocab_topk", "recrawl_priority",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
+    "capture_novelty", "budget_allocate",
 }
 
 NEG_CHECKS = {
@@ -223,6 +230,16 @@ NEG_CHECKS = {
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "Join",
     ],
+    "capture_novelty": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
+    ],
+    # budget_allocate's 1-row totals (D, leftover) arrive as in-plan
+    # global aggregates + broadcast crossJoins — a 1-row SinglePartition
+    # exchange and a broadcast NLJ are the CORRECT bounded shapes there,
+    # so only Python nodes are forbidden; the data-sized rank window is
+    # shard-partitioned (asserted positively above)
+    "budget_allocate": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
 }
 
 

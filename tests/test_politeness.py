@@ -87,3 +87,50 @@ class TestRecrawlPriority:
         assert (got[0].shard, got[16].shard, got[32].shard) == (0, 0, 0)
         assert [got[k].priority for k in (0, 32, 16)] == [1, 2, 3]
         assert all(r.n_fetches == 4 for r in got.values())
+
+
+class TestAllocateBudget:
+    def _py_hamilton(self, demand: dict, budget: int):
+        total = sum(demand.values())
+        base = {k: (v * budget) // total for k, v in demand.items()}
+        rem = {k: (v * budget) % total for k, v in demand.items()}
+        leftover = budget - sum(base.values())
+        order = sorted(demand, key=lambda k: (-rem[k], k))
+        quota = dict(base)
+        for k in order[:leftover]:
+            quota[k] += 1
+        return quota
+
+    def test_matches_python_hamilton(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import allocate_budget
+
+        demand = {"a": 7, "b": 3, "c": 13, "d": 1, "e": 29, "f": 11}
+        df = spark.createDataFrame(list(demand.items()), "domain string, demand long")
+        got = {r.domain: r.quota for r in allocate_budget(df, total_budget=100).collect()}
+        want = self._py_hamilton(demand, 100)
+        assert got == want
+        assert sum(got.values()) == 100
+
+    def test_sum_invariant_and_repartition_stable(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import allocate_budget
+
+        df = spark.createDataFrame(
+            [(f"d{i}", (i * 17) % 57 + 1) for i in range(200)], "domain string, demand long"
+        )
+        a = {r.domain: r.quota for r in allocate_budget(df, total_budget=977).collect()}
+        b = {
+            r.domain: r.quota
+            for r in allocate_budget(df.repartition(13), total_budget=977).collect()
+        }
+        assert a == b  # shard math is a function of data, not partitioning
+        assert sum(a.values()) == 977
+
+    def test_zero_demand_dropped(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import allocate_budget
+
+        df = spark.createDataFrame(
+            [("a", 5), ("dead", 0), ("b", 5)], "domain string, demand long"
+        )
+        got = {r.domain: r.quota for r in allocate_budget(df, total_budget=11).collect()}
+        assert "dead" not in got
+        assert sum(got.values()) == 11

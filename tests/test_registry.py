@@ -8,9 +8,10 @@ from __future__ import annotations
 ROUND5_NEW = (
     "gopher_signals", "selfdedup_clean", "vocab_topk",
     "link_extract", "sitemap_extract", "recrawl_priority", "image_patches",
-    # session-7 web-graph family
+    # session-7 web-graph + scheduling family
     "surt_key", "etld1_domain", "anchor_rollup", "redirect_resolve",
     "hits_scores", "bfs_depths", "template_detect", "canonical_group",
+    "capture_novelty", "budget_allocate",
 )
 
 #: r4 driver hash-reds — their integer-contract fixes must be value-checked

@@ -346,3 +346,25 @@ class TestEma:
         assert ema(df, ["k"], "seq", "v", alpha=0.5).collect()[0]["ema"] == 42.0
         with pytest.raises(ValueError, match="alpha"):
             ema(df, ["k"], "seq", "v", alpha=1.0)
+
+
+class TestCaptureNovelty:
+    def test_revisit_rule_with_tiebreak(self, spark):
+        import datetime
+
+        from amazonwebcrawler_spark.operators.temporal import capture_novelty
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            # url 1: A A B A -> novel at caps 1, 3, 4
+            (1, 1, t0, "A"), (1, 2, t0.replace(hour=1), "A"),
+            (1, 3, t0.replace(hour=2), "B"), (1, 4, t0.replace(hour=3), "A"),
+            # url 2: equal timestamps -> event_id breaks the tie (10 then 11)
+            (2, 10, t0, "X"), (2, 11, t0, "X"),
+        ]
+        df = spark.createDataFrame(rows, "url_id long, event_id long, ts timestamp, digest string")
+        got = {r.event_id: r for r in capture_novelty(df, "url_id", "ts", "digest", "event_id").collect()}
+        assert [got[i].is_novel for i in (1, 2, 3, 4)] == [True, False, True, True]
+        assert got[1].prev_digest is None and got[4].prev_digest == "B"
+        assert got[10].is_novel is True and got[11].is_novel is False
+        assert got[11].prev_digest == "X"
