@@ -65,6 +65,12 @@ BENCH_QUERIES = (
     "gopher_signals",
     "selfdedup_clean",
     "link_extract",
+    # r5 session 7: pointer-doubling redirect resolution (5 self-join
+    # rounds over ~14k chains at sf0.01-shape input scaled by SF) and the
+    # Hamilton budget apportionment (shard-ranked remainders) — timed so
+    # the log-rounds / no-global-window scale claims carry numbers
+    "redirect_resolve",
+    "budget_allocate",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
