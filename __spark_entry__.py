@@ -1560,6 +1560,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return self_dedup_chunks(_docs_with_repetition(spark, sf), "text2", "doc_id", chunk=10)
 
+    def _docs_with_shared_passage(spark, sf):
+        """documents with a deterministic 14-token boilerplate passage
+        planted into every 5th doc (prepended) and every 7th (appended) so
+        cross-document duplicated spans exist at DIFFERENT positions; the
+        twin plants the identical text, so span detection, merging, and
+        removal are value-checked — not just shapes."""
+        d = _t(spark, sf, "documents")
+        p = (
+            "subscribe to our newsletter today for exclusive member deals "
+            "and free shipping offers"
+        )
+        text2 = (
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(p + " "), F.col("text")))
+            .when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" " + p)))
+            .otherwise(F.col("text"))
+        )
+        return d.select("doc_id", text2.alias("text2"))
+
+    def q_substring_dedup(spark, sf):
+        """Cross-document EXACT substring dedup (operators/dedup.
+        duplicated_span_profile — the ExactSubstr rule of Lee et al. 2022
+        re-expressed relationally): every 8-token window occurring ≥2
+        times anywhere in the corpus is a duplicated span; overlapping
+        windows merge per doc via a gaps-and-islands window and ALL
+        occurrences are removed. One positional posexplode + one gram
+        count + one gram-keyed join + one doc-partitioned window — no
+        suffix array, no global structure. clean_fp = md5 of the
+        surviving tokens, so the twin verifies the actual removal."""
+        return dedup.duplicated_span_profile(
+            _docs_with_shared_passage(spark, sf), "text2", "doc_id", k=8
+        )
+
     def q_vocab_topk(spark, sf):
         """Corpus vocabulary head (functions/text.vocab_topk): top-25
         tokens by global term count with document frequency, totally
@@ -1994,6 +2026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "image_quality": q_image_quality,
         "alignment_filter": q_alignment_filter,
+        # --- position 51+: no driver row (window full with rows that
+        # need their first CORRECTNESS record); covered by the local gate
+        "substring_dedup": q_substring_dedup,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2430,6 +2465,59 @@ SELECT c.doc_id, CAST(len(c.chunks) AS INT) AS n_chunks,
   CAST(COALESCE(a.n_kept, 0) AS INT) AS n_kept,
   COALESCE(a.clean_text, '') AS clean_text
 FROM ch c LEFT JOIN agg a USING (doc_id)
+""",
+        "substring_dedup": r"""
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'subscribe to our newsletter today for exclusive member deals and free shipping offers ' || text
+         WHEN doc_id % 7 = 0
+         THEN text || ' subscribe to our newsletter today for exclusive member deals and free shipping offers'
+         ELSE text END AS text2
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS toks
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text2), '\s+', ' ', 'g')) AS t FROM d)
+),
+occ AS (
+  SELECT doc_id, i AS p, array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS g
+  FROM tok, UNNEST(generate_series(0, len(toks) - 8)) AS u(i)
+  WHERE len(toks) >= 8
+),
+dupg AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+docc AS (SELECT o.doc_id, o.p FROM occ o JOIN dupg USING (g)),
+isl AS (
+  SELECT doc_id, p,
+    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+           OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+         THEN 1 ELSE 0 END AS newi
+  FROM docc
+),
+isl2 AS (SELECT doc_id, p, SUM(newi) OVER (PARTITION BY doc_id ORDER BY p) AS g_isl FROM isl),
+spans AS (SELECT doc_id, g_isl, MIN(p) AS s, MAX(p) + 8 AS e FROM isl2 GROUP BY doc_id, g_isl),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(e - s) AS dup_tokens FROM spans GROUP BY doc_id
+),
+tr AS (
+  SELECT doc_id, list_extract(toks, i) AS tk, i - 1 AS p
+  FROM tok, UNNEST(generate_series(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 1
+),
+keptr AS (
+  SELECT t.doc_id, t.tk, t.p FROM tr t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id AND t.p >= s.s AND t.p < s.e)
+),
+kept AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ktext FROM keptr GROUP BY doc_id)
+SELECT tok.doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(len(toks) - COALESCE(pd.dup_tokens, 0) AS BIGINT) AS kept_tokens,
+  md5(COALESCE(k.ktext, '')) AS clean_fp
+FROM tok LEFT JOIN perdoc pd USING (doc_id) LEFT JOIN kept k USING (doc_id)
 """,
         "vocab_topk": rf"""
 WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),

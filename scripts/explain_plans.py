@@ -142,6 +142,11 @@ CHECKS = {
     # value-range shards (partitioned window) + broadcast totals — the
     # NEG check forbids the single-partition window it replaces
     "budget_allocate": ["Window", "HashAggregate", "partial_count", "[codegen id :"],
+    # exact substring dedup: positional gram explode + map-side-combinable
+    # gram count + gram-keyed equi join + DOC-partitioned islands window —
+    # the relational replacement for a suffix array; no Python, no global
+    # sort, no nested-loop anywhere (NEG)
+    "substring_dedup": ["Generate", "HashAggregate", "partial_count", "Window", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -151,7 +156,7 @@ NO_AQE = {
     "asof_join", "range_join", "skew_join_salted", "rollup_metrics", "rank_delta",
     "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
     "expectations", "winsorize", "ema_score",
-    "gopher_signals", "vocab_topk", "recrawl_priority",
+    "gopher_signals", "vocab_topk", "recrawl_priority", "substring_dedup",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate",
 }
@@ -240,6 +245,10 @@ NEG_CHECKS = {
     # so only Python nodes are forbidden; the data-sized rank window is
     # shard-partitioned (asserted positively above)
     "budget_allocate": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "substring_dedup": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "NestedLoop", "Cartesian",
+    ],
 }
 
 

@@ -800,3 +800,103 @@ class TestQuantizeEmbeddings:
             )
             hits += int(exact == int8)
         assert hits >= 18, f"int8 top-1 recall {hits}/20"
+
+
+class TestSubstringDedup:
+    """operators/dedup.duplicated_span_profile — the ExactSubstr rule
+    (Lee et al. 2022) in relational form, vs an independent Python oracle."""
+
+    K = 8
+
+    @staticmethod
+    def _oracle(rows, k):
+        import hashlib
+        import re
+        from collections import Counter
+
+        def norm(t):
+            return re.sub(r"\s+", " ", t.lower()).strip()
+
+        toks = {i: (norm(t).split(" ") if norm(t) else []) for i, t in rows}
+        counts = Counter(
+            " ".join(tk[p : p + k])
+            for tk in toks.values()
+            for p in range(len(tk) - k + 1)
+        )
+        out = {}
+        for i, tk in toks.items():
+            merged = []
+            for p in range(len(tk) - k + 1):
+                if counts[" ".join(tk[p : p + k])] < 2:
+                    continue
+                if merged and p <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], p + k)
+                else:
+                    merged.append([p, p + k])
+            dup = sum(e - s for s, e in merged)
+            kept = [t for j, t in enumerate(tk) if not any(s <= j < e for s, e in merged)]
+            out[i] = (
+                len(tk),
+                len(merged),
+                dup,
+                len(tk) - dup,
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        return out
+
+    def _check(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.kept_tokens, r.clean_fp)
+            for r in dedup.duplicated_span_profile(df, "text", "doc_id", k=self.K).collect()
+        }
+        assert got == self._oracle(rows, self.K)
+
+    def test_cross_doc_and_intra_doc_spans(self, spark):
+        shared = " ".join(f"s{i}" for i in range(14))
+        rows = [
+            (1, shared + " unique tail one"),
+            (2, "prefix words here " + shared),
+            (3, "totally unrelated text about yoga mats and fitted sheets in a queen"),
+            (4, "short doc"),
+            (5, ""),
+            # intra-doc repetition: the same 8-gram twice in ONE doc counts
+            (6, "a b c d e f g h a b c d e f g h tail tail2"),
+        ]
+        self._check(spark, rows)
+
+    def test_overlapping_windows_merge_into_one_span(self, spark):
+        # a 20-token shared passage → 13 overlapping duplicated 8-gram
+        # windows that must merge into exactly ONE span of 20 tokens
+        shared = " ".join(f"p{i}" for i in range(20))
+        rows = [(1, "x " + shared + " y"), (2, shared)]
+        self._check(spark, rows)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r1 = {
+            r.doc_id: r
+            for r in dedup.duplicated_span_profile(df, "text", "doc_id", k=self.K).collect()
+        }
+        assert r1[1].n_dup_spans == 1 and r1[1].dup_tokens == 20
+        assert r1[2].kept_tokens == 0
+
+    def test_disjoint_spans_stay_separate(self, spark):
+        a = " ".join(f"a{i}" for i in range(8))
+        b = " ".join(f"b{i}" for i in range(8))
+        gap = " ".join(f"g{i}" for i in range(5))  # < K, can't be duplicated
+        rows = [(1, f"{a} {gap} {b}"), (2, a + " zz"), (3, "qq " + b)]
+        self._check(spark, rows)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        row1 = (
+            dedup.duplicated_span_profile(df, "text", "doc_id", k=self.K)
+            .filter(F.col("doc_id") == 1)
+            .collect()[0]
+        )
+        assert row1.n_dup_spans == 2 and row1.dup_tokens == 16
+
+    def test_repartition_invariance(self, spark):
+        shared = " ".join(f"s{i}" for i in range(14))
+        rows = [(i, (shared + f" t{i}") if i % 2 == 0 else f"solo text {i} " * 5) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        one = dedup.duplicated_span_profile(df.coalesce(1), "text", "doc_id", k=self.K)
+        many = dedup.duplicated_span_profile(df.repartition(16), "text", "doc_id", k=self.K)
+        assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
