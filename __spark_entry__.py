@@ -1592,6 +1592,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_with_shared_passage(spark, sf), "text2", "doc_id", k=8
         )
 
+    def q_robots_rfc(spark, sf):
+        """RFC 9309 robots.txt matching (functions/robots.robots_match):
+        ``*`` wildcards, trailing-``$`` anchors, Allow groups, and the
+        longest-match precedence rule (ties → Allow). Rules are grouped to
+        one broadcast row per host; the decision is a higher-order
+        projection on the URL side — the 10^10-row frontier never
+        shuffles. Fixture exercises wildcard-overrides, anchored vs
+        unanchored same-prefix rules, an exact Allow/Disallow length tie,
+        and a rule-less host (crawl-by-default). The twin re-derives the
+        pattern→regex conversion with the same regexp_replace chain and
+        the precedence with a window."""
+        from amazonwebcrawler_spark.functions.robots import robots_match
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        host = (
+            F.when(k % 3 == 0, "www.amazon.com")
+            .when(k % 3 == 1, "smile.amazon.co.uk")
+            .otherwise("img.example.org")
+        )
+        path = (
+            F.when(
+                k % 7 == 0,
+                F.concat(
+                    F.lit("/dp/B"), (k % 997).cast("string"),
+                    F.lit("/ref=sr_1_"), (k % 3).cast("string"),
+                ),
+            )
+            .when(k % 7 == 1, F.concat(F.lit("/s?k=yoga+mat&page="), (k % 5).cast("string")))
+            .when(k % 7 == 2, F.concat(F.lit("/s?k=item"), (k % 50).cast("string")))
+            .when(k % 7 == 3, F.concat(F.lit("/gp/cart/view?id="), (k % 10).cast("string")))
+            .when(k % 7 == 4, F.lit("/promo"))
+            .when(k % 7 == 5, F.lit("/promotion/deals"))
+            .otherwise(
+                F.concat(F.lit("/media/img"), (k % 20).cast("string"), F.lit(".jpg"))
+            )
+        )
+        urls = o.select(
+            k.alias("o_orderkey"),
+            F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+            host.alias("host"),
+        )
+        rules = spark.createDataFrame(
+            [
+                ("www.amazon.com", 0, "/s?"),
+                ("www.amazon.com", 1, "/s?k=yoga*"),
+                ("www.amazon.com", 0, "/gp/cart"),
+                ("www.amazon.com", 0, "/promo$"),
+                ("www.amazon.com", 1, "/promo"),
+                ("www.amazon.com", 0, "/*/ref="),
+                ("www.amazon.com", 1, "/dp/*/ref="),
+                ("smile.amazon.co.uk", 0, "/media/*.jpg$"),
+                ("smile.amazon.co.uk", 0, "/promo"),
+                ("smile.amazon.co.uk", 1, "/promo$"),
+            ],
+            "host string, allow int, pattern string",
+        )
+        return robots_match(urls, rules)
+
     def q_vocab_topk(spark, sf):
         """Corpus vocabulary head (functions/text.vocab_topk): top-25
         tokens by global term count with document frequency, totally
@@ -2029,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 51+: no driver row (window full with rows that
         # need their first CORRECTNESS record); covered by the local gate
         "substring_dedup": q_substring_dedup,
+        "robots_rfc": q_robots_rfc,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2518,6 +2578,56 @@ SELECT tok.doc_id,
   CAST(len(toks) - COALESCE(pd.dup_tokens, 0) AS BIGINT) AS kept_tokens,
   md5(COALESCE(k.ktext, '')) AS clean_fp
 FROM tok LEFT JOIN perdoc pd USING (doc_id) LEFT JOIN kept k USING (doc_id)
+""",
+        "robots_rfc": r"""
+WITH urls AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'www.amazon.com'
+         WHEN o_orderkey % 3 = 1 THEN 'smile.amazon.co.uk'
+         ELSE 'img.example.org' END AS host,
+    CASE WHEN o_orderkey % 7 = 0
+           THEN '/dp/B' || (o_orderkey % 997)::VARCHAR || '/ref=sr_1_' || (o_orderkey % 3)::VARCHAR
+         WHEN o_orderkey % 7 = 1 THEN '/s?k=yoga+mat&page=' || (o_orderkey % 5)::VARCHAR
+         WHEN o_orderkey % 7 = 2 THEN '/s?k=item' || (o_orderkey % 50)::VARCHAR
+         WHEN o_orderkey % 7 = 3 THEN '/gp/cart/view?id=' || (o_orderkey % 10)::VARCHAR
+         WHEN o_orderkey % 7 = 4 THEN '/promo'
+         WHEN o_orderkey % 7 = 5 THEN '/promotion/deals'
+         ELSE '/media/img' || (o_orderkey % 20)::VARCHAR || '.jpg' END AS path
+  FROM orders
+),
+u AS (SELECT o_orderkey, 'https://' || host || path AS canonical_url, host, path FROM urls),
+rules(host, allow, pattern) AS (VALUES
+  ('www.amazon.com', 0, '/s?'),
+  ('www.amazon.com', 1, '/s?k=yoga*'),
+  ('www.amazon.com', 0, '/gp/cart'),
+  ('www.amazon.com', 0, '/promo$'),
+  ('www.amazon.com', 1, '/promo'),
+  ('www.amazon.com', 0, '/*/ref='),
+  ('www.amazon.com', 1, '/dp/*/ref='),
+  ('smile.amazon.co.uk', 0, '/media/*.jpg$'),
+  ('smile.amazon.co.uk', 0, '/promo'),
+  ('smile.amazon.co.uk', 1, '/promo$')
+),
+rx AS (
+  SELECT host, allow, pattern, length(pattern) AS plen,
+    '^' || regexp_replace(regexp_replace(
+             CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern) - 1)
+                  ELSE pattern END,
+             '([\\.\[\]{}()+?^$|])', '\\\1', 'g'), '\*', '.*', 'g')
+        || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM rules WHERE pattern <> ''
+),
+matched AS (
+  SELECT u.o_orderkey, r.pattern, r.allow, r.plen,
+    row_number() OVER (PARTITION BY u.o_orderkey
+                       ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC) AS rn
+  FROM u JOIN rx r ON u.host = r.host AND regexp_matches(u.path, r.rx)
+)
+SELECT u.o_orderkey, u.canonical_url, u.host, u.path,
+  CAST(COALESCE(m.allow, 1) AS INT) AS allowed,
+  CAST(COALESCE(m.plen, 0) AS INT) AS match_len,
+  COALESCE(m.pattern, '') AS match_pattern
+FROM u LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (o_orderkey)
 """,
         "vocab_topk": rf"""
 WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),

@@ -147,6 +147,10 @@ CHECKS = {
     # the relational replacement for a suffix array; no Python, no global
     # sort, no nested-loop anywhere (NEG)
     "substring_dedup": ["Generate", "HashAggregate", "partial_count", "Window", "[codegen id :"],
+    # RFC 9309 robots matching: rules arrive as ONE broadcast row per host;
+    # the decision is a higher-order projection — the frontier side never
+    # shuffles and nothing crosses into Python (NEG)
+    "robots_rfc": ["BroadcastHashJoin", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -157,6 +161,7 @@ NO_AQE = {
     "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
     "expectations", "winsorize", "ema_score",
     "gopher_signals", "vocab_topk", "recrawl_priority", "substring_dedup",
+    "robots_rfc",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate",
 }
@@ -246,6 +251,10 @@ NEG_CHECKS = {
     # shard-partitioned (asserted positively above)
     "budget_allocate": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "substring_dedup": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "NestedLoop", "Cartesian",
+    ],
+    "robots_rfc": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "NestedLoop", "Cartesian",
     ],

@@ -1,0 +1,117 @@
+"""RFC 9309 robots matching (functions/robots) vs an independent Python
+oracle built on re.escape — a different escaping/conversion code path than
+the Spark regexp_replace chain, so conversion bugs can't self-confirm."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.functions.robots import robots_match, url_path_query
+
+RULES = [
+    ("www.amazon.com", 0, "/s?"),
+    ("www.amazon.com", 1, "/s?k=yoga*"),
+    ("www.amazon.com", 0, "/gp/cart"),
+    ("www.amazon.com", 0, "/promo$"),
+    ("www.amazon.com", 1, "/promo"),
+    ("www.amazon.com", 0, "/*/ref="),
+    ("www.amazon.com", 1, "/dp/*/ref="),
+    ("smile.amazon.co.uk", 0, "/media/*.jpg$"),
+    ("smile.amazon.co.uk", 0, "/promo"),
+    ("smile.amazon.co.uk", 1, "/promo$"),
+    ("smile.amazon.co.uk", 1, ""),  # empty pattern: must be ignored
+]
+
+
+def rep_oracle(path: str, host: str):
+    """Longest-match REP decision: (allowed, match_len, match_pattern)."""
+    best = None
+    for h, allow, pat in RULES:
+        if h != host or not pat:
+            continue
+        anch = pat.endswith("$")
+        body = pat[:-1] if anch else pat
+        rx = "^" + re.escape(body).replace(r"\*", ".*") + ("$" if anch else "")
+        if re.search(rx, path):
+            key = (len(pat), allow, pat)
+            if best is None or key > best:
+                best = key
+    if best is None:
+        return (1, 0, "")
+    return (best[1], best[0], best[2])
+
+
+class TestRobotsRfc:
+    def _run(self, spark, urls):
+        u = spark.createDataFrame(urls, "id int, canonical_url string, host string")
+        r = spark.createDataFrame(RULES, "host string, allow int, pattern string")
+        return {
+            row.id: (row.allowed, row.match_len, row.match_pattern, row.path)
+            for row in robots_match(u, r).collect()
+        }
+
+    def test_vectors_match_python_oracle(self, spark):
+        urls = [
+            (1, "https://www.amazon.com/dp/B1/ref=sr_1_1", "www.amazon.com"),
+            (2, "https://www.amazon.com/s?k=yoga+mat", "www.amazon.com"),
+            (3, "https://www.amazon.com/s?k=socks", "www.amazon.com"),
+            (4, "https://www.amazon.com/gp/cart/view", "www.amazon.com"),
+            (5, "https://www.amazon.com/promo", "www.amazon.com"),
+            (6, "https://www.amazon.com/promotion", "www.amazon.com"),
+            (7, "https://shop.example.org/anything", "shop.example.org"),
+            (8, "https://www.amazon.com/dp/B9", "www.amazon.com"),
+            (9, "https://www.amazon.com", "www.amazon.com"),
+            (10, "https://www.amazon.com/x/ref=abc", "www.amazon.com"),
+            (11, "https://smile.amazon.co.uk/media/img7.jpg", "smile.amazon.co.uk"),
+            (12, "https://smile.amazon.co.uk/media/img7.jpg?x=1", "smile.amazon.co.uk"),
+            (13, "https://smile.amazon.co.uk/promo", "smile.amazon.co.uk"),
+            (14, "https://smile.amazon.co.uk/promotion/deals", "smile.amazon.co.uk"),
+        ]
+        got = self._run(spark, urls)
+        for i, url, host in urls:
+            path = re.sub(r"^https?://[^/]*", "", url) or "/"
+            assert got[i][:3] == rep_oracle(path, host), (i, path, got[i])
+            assert got[i][3] == path
+
+    def test_known_decisions(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "https://www.amazon.com/s?k=socks", "www.amazon.com"),
+                (2, "https://www.amazon.com/s?k=yoga+mat", "www.amazon.com"),
+                (3, "https://www.amazon.com/promo", "www.amazon.com"),
+                (4, "https://www.amazon.com/promotion", "www.amazon.com"),
+                (5, "https://smile.amazon.co.uk/promo", "smile.amazon.co.uk"),
+                (6, "https://smile.amazon.co.uk/media/a.jpg", "smile.amazon.co.uk"),
+            ],
+        )
+        assert got[1][0] == 0  # /s? disallow
+        assert got[2][0] == 1  # longer allow /s?k=yoga* overrides
+        assert got[3][0] == 0  # anchored /promo$ (len 7) beats allow /promo (6)
+        assert got[4][0] == 1  # /promo$ doesn't match /promotion; allow /promo does
+        assert got[5][0] == 1  # allow /promo$ (7) beats disallow /promo (6)
+        assert got[6][0] == 0  # /media/*.jpg$ anchored wildcard
+
+    def test_generated_paths_match_oracle(self, spark):
+        segs = ["dp", "s", "promo", "gp", "media", "x", "ref="]
+        urls = []
+        i = 0
+        for a in segs:
+            for b in segs:
+                for host in ("www.amazon.com", "smile.amazon.co.uk", "none.example"):
+                    i += 1
+                    urls.append((i, f"https://{host}/{a}/{b}?q={i % 3}", host))
+        got = self._run(spark, urls)
+        for i, url, host in urls:
+            path = re.sub(r"^https?://[^/]*", "", url)
+            assert got[i][:3] == rep_oracle(path, host), (i, path, got[i])
+
+    def test_path_of_bare_host_is_slash(self, spark):
+        out = (
+            spark.createDataFrame([("https://a.example",)], "u string")
+            .select(url_path_query(F.col("u")).alias("p"))
+            .collect()
+        )
+        assert out[0].p == "/"
