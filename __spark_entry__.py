@@ -1651,6 +1651,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_match(urls, rules)
 
+    def q_adaptive_backoff(spark, sf):
+        """Adaptive per-host fetch backoff (operators/politeness.
+        adaptive_backoff): next-fetch delay = base after a success, base ·
+        2^min(consecutive_errors, 6) after an error — gaps-and-islands
+        over each host's outcome timeline, both windows HOST-partitioned
+        and ordered by (ts, event_id) so equal timestamps can't diverge
+        across engines. Exact integer arithmetic (shiftleft); the twin
+        mirrors both windows."""
+        from amazonwebcrawler_spark.operators.politeness import adaptive_backoff
+
+        e = _t(spark, sf, "events")
+        ev = e.select(
+            "event_id",
+            "ts",
+            F.concat(F.lit("host-"), (F.col("user_id") % 50).cast("string")).alias("host"),
+            (F.col("event_type") != "error").cast("int").alias("ok"),
+        )
+        return adaptive_backoff(ev).select(
+            "event_id", "host", "ok", "consec_errors", "next_delay_ms"
+        )
+
     def q_vocab_topk(spark, sf):
         """Corpus vocabulary head (functions/text.vocab_topk): top-25
         tokens by global term count with document frequency, totally
@@ -2089,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # need their first CORRECTNESS record); covered by the local gate
         "substring_dedup": q_substring_dedup,
         "robots_rfc": q_robots_rfc,
+        "adaptive_backoff": q_adaptive_backoff,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2628,6 +2650,32 @@ SELECT u.o_orderkey, u.canonical_url, u.host, u.path,
   CAST(COALESCE(m.plen, 0) AS INT) AS match_len,
   COALESCE(m.pattern, '') AS match_pattern
 FROM u LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (o_orderkey)
+""",
+        "adaptive_backoff": r"""
+WITH ev AS (
+  SELECT event_id, ts, 'host-' || (user_id % 50)::VARCHAR AS host,
+         CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS ok
+  FROM events
+),
+r AS (
+  SELECT *, SUM(ok) OVER (PARTITION BY host ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ok
+  FROM ev
+),
+g AS (
+  SELECT *, row_number() OVER (PARTITION BY host, cum_ok ORDER BY ts, event_id) AS rn
+  FROM r
+),
+c AS (
+  SELECT event_id, host, ok,
+    CASE WHEN ok = 1 THEN 0
+         ELSE rn - CASE WHEN cum_ok > 0 THEN 1 ELSE 0 END END AS consec
+  FROM g
+)
+SELECT event_id, host, ok, CAST(consec AS INT) AS consec_errors,
+  CAST(CASE WHEN ok = 1 THEN 1000
+       ELSE (CAST(1000 AS BIGINT) << least(consec, 6)) END AS BIGINT) AS next_delay_ms
+FROM c
 """,
         "vocab_topk": rf"""
 WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),

@@ -259,3 +259,57 @@ def allocate_budget(
         )
         .withColumn("quota", F.col("base_quota") + F.col("extra"))
     )
+
+
+def adaptive_backoff(
+    events: DataFrame,
+    host_col: str = "host",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    ok_col: str = "ok",
+    base_ms: int = 1000,
+    max_exp: int = 6,
+) -> DataFrame:
+    """Per-host exponential fetch backoff from observed outcomes — the
+    adaptive layer on top of the static token bucket (Heritrix-style
+    retry-delay doubling; the reference has no failure handling at all —
+    a Selenium timeout simply raises, getRank.py:33).
+
+    For every fetch event, computes the politeness delay to apply before
+    that host's NEXT fetch: ``base_ms`` after a success (full reset),
+    ``base_ms * 2^min(consecutive_errors, max_exp)`` after an error —
+    multiplicative increase, bounded by ``2^max_exp`` so one dead host
+    never overflows the schedule.
+
+    ``consecutive_errors`` is derived with gaps-and-islands: a running
+    success count partitions each host's timeline into error runs, and the
+    within-run row number is the run length so far. Both windows are
+    HOST-partitioned (never global) and ordered by the full
+    ``order_cols`` tuple — include a unique id so equal timestamps cannot
+    make two engines disagree (the ema_score lesson). Pure integer column
+    math end to end; the DuckDB twin mirrors both windows exactly.
+
+    Returns events + (consec_errors int, next_delay_ms bigint).
+    """
+    ordering = [F.col(c) for c in order_cols]
+    ok = F.col(ok_col)
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_run = events.withColumn("_cum_ok", F.sum(ok).over(w))
+    wg = Window.partitionBy(host_col, "_cum_ok").orderBy(*ordering)
+    rn = F.row_number().over(wg)
+    consec = F.when(ok == 1, F.lit(0)).otherwise(
+        rn - F.when(F.col("_cum_ok") > 0, 1).otherwise(0)
+    )
+    # pyspark's shiftleft() only takes a literal bit count — route the
+    # column-valued exponent through the SQL form (still pure codegen)
+    delay = F.when(ok == 1, F.lit(base_ms).cast("long")).otherwise(
+        F.expr(f"shiftleft(CAST({base_ms} AS BIGINT), least(consec_errors, {max_exp}))")
+    )
+    return (
+        with_run.withColumn("consec_errors", consec.cast("int"))
+        .withColumn("next_delay_ms", delay)
+        .drop("_cum_ok")
+    )

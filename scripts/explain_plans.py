@@ -151,6 +151,9 @@ CHECKS = {
     # the decision is a higher-order projection — the frontier side never
     # shuffles and nothing crosses into Python (NEG)
     "robots_rfc": ["BroadcastHashJoin", "[codegen id :"],
+    # adaptive backoff: two HOST-partitioned windows, pure integer math —
+    # never a global sort, no join, no Python (NEG)
+    "adaptive_backoff": ["Window", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -161,7 +164,7 @@ NO_AQE = {
     "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
     "expectations", "winsorize", "ema_score",
     "gopher_signals", "vocab_topk", "recrawl_priority", "substring_dedup",
-    "robots_rfc",
+    "robots_rfc", "adaptive_backoff",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate",
 }
@@ -257,6 +260,10 @@ NEG_CHECKS = {
     "robots_rfc": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "NestedLoop", "Cartesian",
+    ],
+    "adaptive_backoff": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
     ],
 }
 

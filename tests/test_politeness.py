@@ -134,3 +134,62 @@ class TestAllocateBudget:
         got = {r.domain: r.quota for r in allocate_budget(df, total_budget=11).collect()}
         assert "dead" not in got
         assert sum(got.values()) == 11
+
+
+class TestAdaptiveBackoff:
+    """operators/politeness.adaptive_backoff vs a sequential Python
+    simulation of the AIMD rule (the window form must equal the obvious
+    per-host scan)."""
+
+    @staticmethod
+    def _sim(rows, base=1000, max_exp=6):
+        out = {}
+        by_host = {}
+        for ev_id, ts, host, ok in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+            run = by_host.get(host, 0)
+            run = 0 if ok else run + 1
+            by_host[host] = run
+            delay = base if ok else base * (2 ** min(run, max_exp))
+            out[ev_id] = (run, delay)
+        return out
+
+    def test_matches_sequential_simulation(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import adaptive_backoff
+
+        rows = []
+        seq = 0
+        for host in ("a", "b"):
+            # a: ok ok err err err ok err ...  b: all errors (cap exercise)
+            pattern = [1, 1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1] if host == "a" else [0] * 12
+            for i, ok in enumerate(pattern):
+                rows.append((seq, i, host, ok))
+                seq += 1
+        df = spark.createDataFrame(rows, "event_id long, ts long, host string, ok int")
+        got = {
+            r.event_id: (r.consec_errors, r.next_delay_ms)
+            for r in adaptive_backoff(df).collect()
+        }
+        assert got == self._sim(rows)
+
+    def test_cap_and_reset(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import adaptive_backoff
+
+        rows = [(i, i, "h", 0) for i in range(10)] + [(10, 10, "h", 1), (11, 11, "h", 0)]
+        df = spark.createDataFrame(rows, "event_id long, ts long, host string, ok int")
+        got = {r.event_id: r for r in adaptive_backoff(df).collect()}
+        assert got[9].consec_errors == 10 and got[9].next_delay_ms == 1000 * 64  # capped 2^6
+        assert got[10].next_delay_ms == 1000  # success resets
+        assert got[11].consec_errors == 1 and got[11].next_delay_ms == 2000
+
+    def test_equal_timestamps_break_on_event_id(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import adaptive_backoff
+
+        rows = [(0, 5, "h", 0), (1, 5, "h", 1), (2, 5, "h", 0)]
+        df = spark.createDataFrame(rows, "event_id long, ts long, host string, ok int")
+        a = sorted(map(tuple, adaptive_backoff(df.coalesce(1)).collect()))
+        b = sorted(map(tuple, adaptive_backoff(df.repartition(8)).collect()))
+        assert a == b
+        got = {r[0]: r for r in a}
+        # order is (ts, event_id): err → ok → err
+        by_id = {r.event_id: r.consec_errors for r in adaptive_backoff(df).collect()}
+        assert by_id == {0: 1, 1: 0, 2: 1}
