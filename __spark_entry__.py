@@ -524,6 +524,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = images.select("image_id", F.length("bytes").alias("n_bytes"))
         return dedup.keep_canonical(docs, pairs, id_col="image_id", quality_col="n_bytes")
 
+    # ----------------------------------------------------- multimodal pair dedup (committed golden)
+    def q_pair_dedup(spark, sf):
+        """Joint image+caption dedup over an image-caption pair table
+        (operators/dedup.multimodal_dedup_keep): duplicate iff pHash
+        hamming ≤ 2 OR caption Jaccard ≥ 0.8; both edge sets union into
+        ONE connected-components pass, so mixed-modality chains collapse
+        (pair-0 ~image~ pair-0-img ~caption~ tri-0-cap is one group of 3).
+        Fixture plants image-only dups (re-encodes with 0-2 flipped cells,
+        rewritten captions), caption-only dups (different block images,
+        one appended token → J = 17/18), singletons, and the transitive
+        triple. The golden's capture checker re-derives everything
+        brute-force: O(n²) pHash scan + exact 3-gram Jaccard + union-find
+        + max-bytes election."""
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        def cap(i):
+            return (
+                f"a studio photo of curated item number {i} resting on a "
+                f"plain wooden table top under soft diffused light"
+            )
+
+        def noise(i):
+            return (
+                f"noise caption {i} apple banana cherry dog elephant fox "
+                f"grape house igloo jungle kite lemon"
+            )
+
+        rows = []
+        for i in range(18):
+            base = world.block_image_record(f"pair-{i}")
+            rows.append((base["image_id"], bytearray(base["bytes"]), cap(i)))
+            if i % 3 == 0:
+                var = world.block_image_record(
+                    f"pair-{i}", flip_cells=(i // 3) % 3, fmt="jpeg"
+                )
+                rows.append((f"pair-{i}-img", bytearray(var["bytes"]), noise(i)))
+            elif i % 3 == 1:
+                alt = world.block_image_record(f"alt-{i}")
+                rows.append((f"pair-{i}-cap", bytearray(alt["bytes"]), cap(i) + " extra"))
+        tri = world.block_image_record("tri-0")
+        rows.append(("tri-0-cap", bytearray(tri["bytes"]), noise(0) + " extra"))
+        images = spark.createDataFrame(
+            rows, "image_id string, bytes binary, caption string"
+        ).repartition(8)
+        return dedup.multimodal_dedup_keep(images)
+
     # ----------------------------------------------------- image pipeline (committed golden)
     def q_image_pipeline(spark, sf):
         """The composed image-curation cascade (operators/images_io.
@@ -2111,6 +2157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "robots_rfc": q_robots_rfc,
         "adaptive_backoff": q_adaptive_backoff,
+        "pair_dedup": q_pair_dedup,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,

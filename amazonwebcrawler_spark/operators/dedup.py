@@ -981,3 +981,52 @@ def duplicated_span_profile(
         .alias("kept_tokens"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
     )
+
+
+# ------------------------------------------------- multimodal pair dedup
+def multimodal_dedup_keep(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    caption_col: str = "caption",
+    max_hamming: int = 2,
+    caption_threshold: float = 0.8,
+) -> DataFrame:
+    """Joint image+caption dedup over an image-caption pair table (the
+    input_hint schema): two records are duplicates when their IMAGES are
+    near-identical (pHash hamming ≤ ``max_hamming``) **or** their CAPTIONS
+    are near-identical (MinHash-blocked exact Jaccard ≥
+    ``caption_threshold``) — the standard curation rule for web-scraped
+    pair datasets, where the same picture circulates under rewritten alt
+    text and the same boilerplate caption decorates different thumbnails.
+
+    The two edge sets are unioned BEFORE grouping, so mixed-modality
+    chains collapse correctly: A ~image~ B ~caption~ C is one group of
+    three even though A and C share neither pixels nor words. Keep
+    election is :func:`keep_canonical` on byte size (the lossless master
+    outlives its re-encodes).
+
+    Scale shape: both pair finders are the blocked forms (pigeonhole
+    chunks / LSH bands — never all-pairs); the caption side never touches
+    Python, the image side crosses once through the Arrow pHash kernel;
+    the union is a set-op on id pairs (a sliver), and the corpus enters
+    only the final broadcast-sized keep join.
+
+    Returns (doc_id, group_id, keep) over every input record.
+    """
+    img_pairs = phash_neardup_pairs(
+        images, id_col=id_col, bytes_col=bytes_col, max_hamming=max_hamming
+    )
+    cap_pairs = minhash_lsh_pairs(
+        images.select(F.col(id_col), F.col(caption_col)),
+        caption_col,
+        id_col,
+        threshold=caption_threshold,
+    )
+    edges = (
+        img_pairs.select("id_a", "id_b")
+        .unionByName(cap_pairs.select("id_a", "id_b"))
+        .distinct()
+    )
+    docs = images.select(F.col(id_col), F.length(F.col(bytes_col)).alias("n_bytes"))
+    return keep_canonical(docs, edges, id_col=id_col, quality_col="n_bytes")

@@ -59,6 +59,7 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     },
     "dedup_phash": {"id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "INTEGER"},
     "image_dedup_keep": {"doc_id": "VARCHAR", "group_id": "VARCHAR", "keep": "INTEGER"},
+    "pair_dedup": {"doc_id": "VARCHAR", "group_id": "VARCHAR", "keep": "INTEGER"},
     "image_ann": {
         "query_id": "VARCHAR", "neighbor_id": "VARCHAR",
         "cos_sim_e4": "BIGINT", "rank": "INTEGER",
@@ -241,6 +242,96 @@ def _check_image_dedup_keep(rows, ctx):
             assert size[master] > size[variant], i
         else:  # hamming 3 > t=2 → separate singleton groups, both kept
             assert (master, master, 1) in got and (variant, variant, 1) in got, i
+
+
+def _check_pair_dedup(rows, ctx):
+    """Re-derive the joint image+caption keep decision brute-force (O(n²)
+    pHash scan + exact 3-gram caption Jaccard + union-find + max-bytes
+    election) and assert equality; then pin the planted structure: image
+    edges group the rewritten-caption re-encodes, caption edges group the
+    different-image boilerplate pairs, i%3==2 records stay singleton, and
+    the mixed-modality chain pair-0 ~image~ pair-0-img ~caption~ tri-0-cap
+    collapses to ONE group of three."""
+    import re
+
+    from amazonwebcrawler_spark.functions.images import decode_image, hamming64, phash64
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    def cap(i):
+        return (
+            f"a studio photo of curated item number {i} resting on a "
+            f"plain wooden table top under soft diffused light"
+        )
+
+    def noise(i):
+        return (
+            f"noise caption {i} apple banana cherry dog elephant fox "
+            f"grape house igloo jungle kite lemon"
+        )
+
+    recs = []
+    for i in range(18):
+        base = block_image_record(f"pair-{i}")
+        recs.append((base["image_id"], base["bytes"], cap(i)))
+        if i % 3 == 0:
+            var = block_image_record(f"pair-{i}", flip_cells=(i // 3) % 3, fmt="jpeg")
+            recs.append((f"pair-{i}-img", var["bytes"], noise(i)))
+        elif i % 3 == 1:
+            alt = block_image_record(f"alt-{i}")
+            recs.append((f"pair-{i}-cap", alt["bytes"], cap(i) + " extra"))
+    tri = block_image_record("tri-0")
+    recs.append(("tri-0-cap", tri["bytes"], noise(0) + " extra"))
+
+    ph = {iid: phash64(decode_image(b)) for iid, b, _ in recs}
+
+    def shingle_set(t):
+        toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        return {" ".join(toks[p : p + 3]) for p in range(len(toks) - 2)}
+
+    shs = {iid: shingle_set(c) for iid, _, c in recs}
+    parent = {iid: iid for iid, _, _ in recs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = [iid for iid, _, _ in recs]
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            img_dup = hamming64(ph[a], ph[b]) <= 2
+            inter = len(shs[a] & shs[b])
+            union = len(shs[a] | shs[b])
+            cap_dup = union > 0 and (inter * 1_000_000) // union >= 800_000
+            if img_dup or cap_dup:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[str, list[str]] = {}
+    for iid in ids:
+        groups.setdefault(find(iid), []).append(iid)
+    size = {iid: len(b) for iid, b, _ in recs}
+    expected = set()
+    for members in groups.values():
+        gid = min(members)
+        keeper = min(members, key=lambda m: (-size[m], m))
+        for m in members:
+            expected.add((m, gid, int(m == keeper)))
+    got = {(r["doc_id"], r["group_id"], r["keep"]) for r in rows}
+    assert got == expected, (sorted(got - expected), sorted(expected - got))
+    gid_of = {m: min(ms) for ms in groups.values() for m in ms}
+    for i in range(18):
+        if i % 3 == 0:
+            assert gid_of[f"pair-{i}"] == gid_of[f"pair-{i}-img"], i
+        elif i % 3 == 1:
+            assert gid_of[f"pair-{i}"] == gid_of[f"pair-{i}-cap"], i
+        else:
+            assert [m for m in ids if gid_of[m] == gid_of[f"pair-{i}"]] == [f"pair-{i}"], i
+    tri_group = {m for m in ids if gid_of[m] == gid_of["pair-0"]}
+    assert tri_group == {"pair-0", "pair-0-img", "tri-0-cap"}, tri_group
 
 
 def _check_image_ann(rows, ctx):
@@ -552,6 +643,7 @@ CHECKERS = {
     "images_resize": _check_images_resize,
     "dedup_phash": _check_dedup_phash,
     "image_dedup_keep": _check_image_dedup_keep,
+    "pair_dedup": _check_pair_dedup,
     "image_ann": _check_image_ann,
     "audio_features": _check_audio_features,
     "image_quality": _check_image_quality,

@@ -900,3 +900,51 @@ class TestSubstringDedup:
         one = dedup.duplicated_span_profile(df.coalesce(1), "text", "doc_id", k=self.K)
         many = dedup.duplicated_span_profile(df.repartition(16), "text", "doc_id", k=self.K)
         assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+class TestMultimodalDedup:
+    """operators/dedup.multimodal_dedup_keep — image OR caption edges must
+    union before grouping (mixed-modality chains collapse)."""
+
+    def test_mixed_modality_chain_collapses(self, spark):
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        a = world.block_image_record("mm-a")
+        a_re = world.block_image_record("mm-a", flip_cells=1, fmt="jpeg")  # image edge to a
+        c = world.block_image_record("mm-c")  # different pixels
+        d = world.block_image_record("mm-d")  # unrelated singleton
+        capt = "the quick brown fox jumps over a lazy dog near the riverbank today"
+        rows = [
+            ("a", bytearray(a["bytes"]), capt),
+            ("b", bytearray(a_re["bytes"]), "completely different words apple pear plum melon grape kiwi fig date"),
+            # caption edge b→c: identical caption to b's
+            ("c", bytearray(c["bytes"]), "completely different words apple pear plum melon grape kiwi fig date"),
+            ("d", bytearray(d["bytes"]), capt + " entirely changed tail words making jaccard low " + " ".join(f"x{i}" for i in range(12))),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+        out = {r.doc_id: (r.group_id, r.keep) for r in dedup.multimodal_dedup_keep(df).collect()}
+        # a ~image~ b ~caption~ c: one group labelled 'a'
+        assert out["a"][0] == out["b"][0] == out["c"][0] == "a"
+        assert sum(keep for _, keep in (out["a"], out["b"], out["c"])) == 1
+        # keeper is the biggest record of the group
+        sizes = {iid: len(b) for iid, b, _ in rows}
+        keeper = min(("a", "b", "c"), key=lambda m: (-sizes[m], m))
+        assert out[keeper][1] == 1
+        # d shares neither pixels nor enough shingles: singleton, kept
+        assert out["d"] == ("d", 1)
+
+    def test_caption_only_and_image_only_edges(self, spark):
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        p = world.block_image_record("mm-p")
+        q = world.block_image_record("mm-q")
+        p_re = world.block_image_record("mm-p", flip_cells=2, fmt="jpeg")
+        cap = "twenty tokens of caption text describing a single curated product photo on white background here"
+        rows = [
+            ("p", bytearray(p["bytes"]), cap),
+            ("q", bytearray(q["bytes"]), cap + " extra"),      # caption edge only
+            ("r", bytearray(p_re["bytes"]), "unrelated alt text words entirely"),  # image edge only
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
+        out = {r.doc_id: r.group_id for r in dedup.multimodal_dedup_keep(df).collect()}
+        assert out["p"] == out["q"] == out["r"] == "p"
