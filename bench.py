@@ -71,6 +71,12 @@ BENCH_QUERIES = (
     # the log-rounds / no-global-window scale claims carry numbers
     "redirect_resolve",
     "budget_allocate",
+    # r5 session 8: cross-document exact substring dedup (positional gram
+    # count + islands window — the distributed ExactSubstr) and RFC 9309
+    # robots matching (broadcast rules + higher-order projection, frontier
+    # never shuffles) — timed so both scale claims carry numbers
+    "substring_dedup",
+    "robots_rfc",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
