@@ -1718,6 +1718,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_id", "host", "ok", "consec_errors", "next_delay_ms"
         )
 
+    def q_classifier_score(spark, sf):
+        """fastText-shape quality-classifier inference (functions/text.
+        classifier_score): hashed unigram+bigram features → BROADCAST
+        weight-table join on the 31-bit-md5 bucket → one map-side-
+        combinable sum per doc; keep iff mean weight ≥ 0. The weight table
+        is a deterministic md5-derived stand-in for a trained model
+        (make_weight_table) — swap in an exported table and nothing else
+        changes. Exact integer milli-score (pmod floor-div, sign-safe on
+        both engines — DuckDB's // truncates, so the twin uses the
+        explicit pmod form)."""
+        from amazonwebcrawler_spark.functions.text import classifier_score, make_weight_table
+
+        return classifier_score(
+            _t(spark, sf, "documents"), "text", "doc_id", make_weight_table(spark)
+        )
+
     def q_vocab_topk(spark, sf):
         """Corpus vocabulary head (functions/text.vocab_topk): top-25
         tokens by global term count with document frequency, totally
@@ -2158,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rfc": q_robots_rfc,
         "adaptive_backoff": q_adaptive_backoff,
         "pair_dedup": q_pair_dedup,
+        "classifier_score": q_classifier_score,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2697,6 +2714,48 @@ SELECT u.o_orderkey, u.canonical_url, u.host, u.path,
   CAST(COALESCE(m.plen, 0) AS INT) AS match_len,
   COALESCE(m.pattern, '') AS match_pattern
 FROM u LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (o_orderkey)
+""",
+        "classifier_score": r"""
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS toks
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)
+),
+uni AS (SELECT doc_id, unnest(toks) AS f FROM tok),
+bi AS (
+  SELECT doc_id, list_extract(toks, i + 1) || ' ' || list_extract(toks, i + 2) AS f
+  FROM tok, UNNEST(generate_series(0, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 2
+),
+feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+w AS (
+  SELECT CAST(i AS INT) AS bucket,
+    CAST(CAST(('0x' || substr(md5('w-' || i::VARCHAR), 1, 8)) AS UBIGINT) & 2147483647 AS BIGINT)
+      % 2001 - 1000 AS w
+  FROM (SELECT unnest(range(4096)) AS i)
+),
+fb AS (
+  SELECT doc_id,
+    CAST(CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) & 2147483647 AS BIGINT) % 4096 AS INT)
+      AS bucket
+  FROM feats
+),
+agg AS (
+  SELECT fb.doc_id, COUNT(*) AS n_features, SUM(w.w) AS sw
+  FROM fb JOIN w USING (bucket) GROUP BY fb.doc_id
+),
+sc AS (
+  SELECT t.doc_id,
+    CAST(COALESCE(a.n_features, 0) AS BIGINT) AS n_features,
+    CAST(CASE WHEN COALESCE(a.n_features, 0) > 0
+         THEN (a.sw * 1000 - (((a.sw * 1000) % a.n_features + a.n_features) % a.n_features))
+              / a.n_features
+         ELSE 0 END AS BIGINT) AS score_milli
+  FROM tok t LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_features, score_milli,
+  CAST(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM sc
 """,
         "adaptive_backoff": r"""
 WITH ev AS (

@@ -565,3 +565,86 @@ def vocab_topk(df, text_col: str, id_col: str, k: int = 100):
         F.count("*").alias("tf"), F.countDistinct("_id").alias("doc_freq")
     )
     return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
+
+
+def make_weight_table(spark, n_buckets: int = 4096):
+    """Deterministic linear-classifier weight table: (bucket int, w int).
+
+    Stand-in for a TRAINED text-classifier's weight vector (fastText-style
+    quality models hash features into a fixed bucket space and learn one
+    weight per bucket) — no model ships in this container, so weights are
+    md5-derived integers in [-1000, 1000], reproducible bit-for-bit in
+    DuckDB. Swap this for a real exported weight table and nothing in
+    :func:`classifier_score` changes.
+    """
+    b = F.col("id").cast("int")
+    w = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("w-"), b.cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(0x7FFFFFFF))
+        % 2001
+        - 1000
+    )
+    return spark.range(n_buckets).select(b.alias("bucket"), w.cast("long").alias("w"))
+
+
+def classifier_score(df, text_col: str, id_col: str, weights, n_buckets: int = 4096):
+    """Linear text-classifier INFERENCE at corpus scale (the fastText-shape
+    quality model of DCLM/CCNet-style pipelines): hashed unigram+bigram
+    features → weight lookup → per-document mean weight, keep iff ≥ 0.
+
+    This is the model-scored quality filter's distributed plumbing:
+    features are one explode (bigrams built by a higher-order transform —
+    swap for the explode+get idiom if it ever dominates a profile); the
+    weight VECTOR arrives as a BROADCAST join on the feature's hash bucket
+    (a real model's 10^6-row weight table is far too wide for literal
+    expressions but trivially broadcastable); the score is one
+    map-side-combinable sum per doc. Exactly one data-sized shuffle (the
+    per-doc aggregate), no Python.
+
+    Buckets use the same 31-bit-md5 idiom as MinHash (``shingle_hash31``)
+    so DuckDB re-derives them exactly. Scoring is exact integer
+    arithmetic: ``score_milli`` = floor((Σw·1000)/n_features); docs with
+    zero features score 0 and are kept (nothing to judge).
+
+    Returns (id, n_features bigint, score_milli bigint, keep int).
+    """
+    from amazonwebcrawler_spark.operators.dedup import shingle_hash31
+
+    toks = tokens(F.col(text_col))
+    uni = toks
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(F.concat(uni, bi)).alias("_f")
+    )
+    keyed = feats.withColumn(
+        "bucket",
+        F.when(
+            F.col("_f").isNotNull(), (shingle_hash31(F.col("_f")) % n_buckets).cast("int")
+        ),
+    )
+    scored = (
+        keyed.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.col("_f")).alias("n_features"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("_sw"),
+        )
+    )
+    num = F.col("_sw") * 1000
+    milli = F.when(
+        F.col("n_features") > 0,
+        ((num - F.pmod(num, F.col("n_features"))) / F.col("n_features")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_features",
+        milli.alias("score_milli"),
+        (milli >= 0).cast("int").alias("keep"),
+    )

@@ -154,6 +154,9 @@ CHECKS = {
     # adaptive backoff: two HOST-partitioned windows, pure integer math —
     # never a global sort, no join, no Python (NEG)
     "adaptive_backoff": ["Window", "[codegen id :"],
+    # classifier inference: weight table arrives as a BROADCAST join; the
+    # score is one map-side-combinable per-doc aggregate; no Python (NEG)
+    "classifier_score": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -164,7 +167,7 @@ NO_AQE = {
     "mixture_sample", "negative_pairs", "snapshot_diff", "sketch_distinct",
     "expectations", "winsorize", "ema_score",
     "gopher_signals", "vocab_topk", "recrawl_priority", "substring_dedup",
-    "robots_rfc", "adaptive_backoff",
+    "robots_rfc", "adaptive_backoff", "classifier_score",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate",
 }
@@ -264,6 +267,10 @@ NEG_CHECKS = {
     "adaptive_backoff": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "Join",
+    ],
+    "classifier_score": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "NestedLoop", "Cartesian",
     ],
 }
 

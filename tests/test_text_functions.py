@@ -305,3 +305,51 @@ class TestRepetitionPythonMirror:
                 ) // norm_len, i
             else:
                 assert g[i].top_bigram == "" and g[i].top_bigram_count == 0, i
+
+
+class TestClassifierScore:
+    """functions/text.classifier_score vs an independent Python mirror of
+    the feature hashing + weight derivation (hashlib, not Spark md5)."""
+
+    @staticmethod
+    def _py_score(text, n_buckets=4096):
+        import hashlib
+        import re
+
+        def h31(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+
+        t = re.sub(r"\s+", " ", text.lower()).strip()
+        toks = t.split(" ") if t else []
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        sw = sum(h31(f"w-{h31(f) % n_buckets}") % 2001 - 1000 for f in feats)
+        n = len(feats)
+        milli = (sw * 1000) // n if n else 0  # python // floors like pmod form
+        return n, milli, int(milli >= 0)
+
+    def test_matches_python_mirror(self, spark):
+        from amazonwebcrawler_spark.functions.text import classifier_score, make_weight_table
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "single"),
+            (3, ""),
+            (4, "a a a a a a"),
+            (5, "Mixed   CASE    and   gaps here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_features, r.score_milli, r.keep)
+            for r in classifier_score(df, "text", "doc_id", make_weight_table(spark)).collect()
+        }
+        assert got == {i: self._py_score(t) for i, t in rows}
+
+    def test_all_docs_present_and_bounded(self, spark, sf_dir):
+        from amazonwebcrawler_spark.functions.text import classifier_score, make_weight_table
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = classifier_score(d, "text", "doc_id", make_weight_table(spark))
+        rows = out.collect()
+        assert len(rows) == d.count()
+        assert all(-1000_000 <= r.score_milli <= 1000_000 for r in rows)
+        assert all(r.keep == int(r.score_milli >= 0) for r in rows)
