@@ -570,6 +570,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).repartition(8)
         return dedup.multimodal_dedup_keep(images)
 
+    # ----------------------------------------------------- semantic dedup (committed golden)
+    def q_semantic_dedup(spark, sf):
+        """SemDeDup (operators/similarity.semantic_dedup_keep, Abbas et
+        al. 2023): k-means clusters ARE the blocking structure — pairs
+        are searched within a cell only (exact micro-int cosine verify),
+        then CC + keep-farthest-from-centroid. Fixture plants, on top of
+        the natural embeddings (max natural cosine ≈ 0.48, far below
+        0.95): a near-duplicate of every 7th vector (tiny first-component
+        nudge, cos ≈ 1) that MUST group, and a 0.8/0.6 blend of every
+        11th with its successor (cos ≈ 0.8) that must stay singleton —
+        pinning both sides of the threshold. The golden's capture checker
+        re-derives all pairs brute-force in float64 with separation
+        margins and union-finds the expected groups."""
+        from amazonwebcrawler_spark.operators import similarity as sim
+
+        e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        near = e.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.lit(0.001)).otherwise(x + F.lit(0.0)),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        nxt = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("emb2"))
+        far = (
+            e.filter(F.col("vec_id") % 11 == 0)
+            .join(nxt, "vec_id")
+            .select(
+                (F.col("vec_id") + 2_000_000).alias("vec_id"),
+                F.zip_with(
+                    "embedding", "emb2", lambda x, y: x * F.lit(0.8) + y * F.lit(0.6)
+                )
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+        )
+        corpus = e.unionByName(near).unionByName(far)
+        return sim.semantic_dedup_keep(
+            corpus, "vec_id", "embedding", threshold=0.95, n_centroids=32
+        )
+
     # ----------------------------------------------------- image pipeline (committed golden)
     def q_image_pipeline(spark, sf):
         """The composed image-curation cascade (operators/images_io.
@@ -2175,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_backoff": q_adaptive_backoff,
         "pair_dedup": q_pair_dedup,
         "classifier_score": q_classifier_score,
+        "semantic_dedup": q_semantic_dedup,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,

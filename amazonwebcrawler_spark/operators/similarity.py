@@ -474,3 +474,86 @@ def quantize_embeddings(
         df.select(F.col(id_col), F.col(emb_col), scale.alias("_s"))
         .select(F.col(id_col), q.alias(out_col), F.col("_s").alias("scale"))
     )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 32,
+    seed: int = 42,
+    sample_size: int = 1024,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    embedding corpus — coarse k-means clusters, near-duplicate PAIRS
+    searched only WITHIN a cluster (exact cosine ≥ ``threshold`` verified
+    in micro-int space), one kept representative per connected component.
+
+    Keep policy follows the paper: within a duplicate group, keep the
+    member with the LOWEST cosine similarity to its cluster centroid (the
+    least prototypical sample carries the most marginal information);
+    ties break to the smallest id via :func:`~amazonwebcrawler_spark.
+    operators.dedup.keep_canonical`'s total election order.
+
+    Scale shape: centroids fit from a DRIVER-BOUNDED ordered sample (same
+    contract as :func:`ivf_topk`); the corpus is scanned once for cell
+    assignment (literal column math — 32 centroids is far under the
+    ~10³ literal ceiling; swap in `_cell_assign_udfs` beyond it) and
+    shuffled once by cell; the candidate self-join is per-cell, so pair
+    work is Σ|cell|²/2 instead of n²/2 — the cluster IS the blocking
+    structure, exactly the paper's reason for clustering first.
+    ``max_cluster`` optionally drops degenerate cells from pairing (the
+    hamming/LSH skew-guard pattern); default None keeps recall complete
+    within cells. Cross-cluster near-dups are missed BY DESIGN
+    (SemDeDup's documented approximation); planted-pair tests pin that
+    near-identical vectors land in the same argmax cell.
+
+    Returns (doc_id, group_id, keep) over the full corpus.
+    """
+    from amazonwebcrawler_spark.operators.dedup import keep_canonical
+
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(vec_col)
+            .orderBy(F.col(id_col))
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"semantic_dedup_keep: sample ({len(sample)}) < n_centroids ({n_centroids})"
+        )
+    centroids = _kmeans(sample, n_centroids, seed)
+    keyed = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_s", _nearest_centroid_scores(F.col("_v"), centroids))
+        .withColumn(
+            "cell", (F.array_position(F.col("_s"), F.array_max(F.col("_s"))) - 1).cast("int")
+        )
+        .withColumn("_cent_sim", F.array_max(F.col("_s")))
+        .drop("_s")
+    )
+    cl = keyed.select("_id", "_v", "cell")
+    if max_cluster is not None:
+        ok = cl.groupBy("cell").count().filter(F.col("count") <= max_cluster).drop("count")
+        cl = cl.join(ok, "cell")
+    a, b = cl.alias("a"), cl.alias("b")
+    thr_micro = int(round(threshold * 1_000_000))
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_micro(F.col("a._v"), F.col("b._v")).alias("cos_sim_micro"),
+        )
+        .filter(F.col("cos_sim_micro") >= thr_micro)
+    )
+    # quality = NEGATIVE centroid similarity → keep_canonical's max-quality
+    # election keeps the farthest-from-centroid member (the paper's rule)
+    docs = keyed.select(F.col("_id").alias(id_col), (-F.col("_cent_sim")).alias("_anti_proto"))
+    return keep_canonical(docs, pairs, id_col=id_col, quality_col="_anti_proto")

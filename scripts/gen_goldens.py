@@ -60,6 +60,7 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     "dedup_phash": {"id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "INTEGER"},
     "image_dedup_keep": {"doc_id": "VARCHAR", "group_id": "VARCHAR", "keep": "INTEGER"},
     "pair_dedup": {"doc_id": "VARCHAR", "group_id": "VARCHAR", "keep": "INTEGER"},
+    "semantic_dedup": {"doc_id": "BIGINT", "group_id": "BIGINT", "keep": "INTEGER"},
     "image_ann": {
         "query_id": "VARCHAR", "neighbor_id": "VARCHAR",
         "cos_sim_e4": "BIGINT", "rank": "INTEGER",
@@ -101,7 +102,7 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
 #: (fixtures / the synthetic crawl world) carry no pin. check_oracle.py skips
 #: pinned goldens when run at a different sf instead of failing by
 #: construction (ADVICE r2).
-PINNED_SF: dict[str, str] = {"ann_ivf": "sf0.01"}
+PINNED_SF: dict[str, str] = {"ann_ivf": "sf0.01", "semantic_dedup": "sf0.01"}
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -332,6 +333,87 @@ def _check_pair_dedup(rows, ctx):
             assert [m for m in ids if gid_of[m] == gid_of[f"pair-{i}"]] == [f"pair-{i}"], i
     tri_group = {m for m in ids if gid_of[m] == gid_of["pair-0"]}
     assert tri_group == {"pair-0", "pair-0-img", "tri-0-cap"}, tri_group
+
+
+
+
+def _check_semantic_dedup(rows, ctx):
+    """Re-derive the expected SemDeDup decision WITHOUT the engine's
+    clustering: brute-force ALL float64 cosines over the rebuilt fixture,
+    assert the planted separation margins (near-variants > 0.99, far
+    blends and every natural pair < 0.94 — so no pair sits near the 0.95
+    boundary and cross-engine float drift cannot flip membership), then
+    union-find the >= threshold pairs and compare groups exactly. Keep
+    structure: exactly one keeper per group, singletons keep themselves."""
+    import duckdb
+    import numpy as np
+
+    sf_dir = ctx["sf_dir"]
+    con = duckdb.connect()
+    base = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids, vecs = [], []
+    by_id = {vid: np.array(v, dtype=np.float32) for vid, v in base}
+    for vid, v in base:
+        ids.append(vid)
+        vecs.append(np.array(v, dtype=np.float32))
+    for vid, v in base:
+        if vid % 7 == 0:
+            p = np.array(v, dtype=np.float32).astype(np.float64)
+            p[0] += 0.001
+            ids.append(vid + 1_000_000)
+            vecs.append(p.astype(np.float32))
+        if vid % 11 == 0 and (vid + 1) in by_id:
+            b = (
+                np.array(v, dtype=np.float32).astype(np.float64) * 0.8
+                + by_id[vid + 1].astype(np.float64) * 0.6
+            )
+            ids.append(vid + 2_000_000)
+            vecs.append(b.astype(np.float32))
+    X = np.stack(vecs).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -1.0)
+    n = len(ids)
+    idx = {vid: i for i, vid in enumerate(ids)}
+    planted = {
+        (idx[vid], idx[vid + 1_000_000])
+        for vid in ids
+        if vid + 1_000_000 in idx and vid < 1_000_000
+    }
+    iu, ju = np.triu_indices(n, 1)
+    hit = S[iu, ju] >= 0.95
+    over = set(zip(iu[hit].tolist(), ju[hit].tolist()))
+    assert over == planted, (len(over), len(planted))
+    # separation margins: nothing within drift distance of the threshold
+    near_thr = (S[iu, ju] >= 0.94) & (S[iu, ju] < 0.99)
+    assert not near_thr.any(), int(near_thr.sum())
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in planted:
+        parent[max(find(i), find(j))] = min(find(i), find(j))
+    groups = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(ids[i])
+    expected_groups = {frozenset(ms) for ms in groups.values()}
+    got_groups = {}
+    for r in rows:
+        got_groups.setdefault(r["group_id"], set()).add(r["doc_id"])
+    assert {frozenset(v) for v in got_groups.values()} == expected_groups
+    keeps_per_group = {}
+    for r in rows:
+        keeps_per_group[r["group_id"]] = keeps_per_group.get(r["group_id"], 0) + r["keep"]
+    for gid, members in got_groups.items():
+        assert gid == min(members), (gid, sorted(members))
+        assert keeps_per_group[gid] == 1, (gid, keeps_per_group[gid])
+    assert len(rows) == n
 
 
 def _check_image_ann(rows, ctx):
@@ -644,6 +726,7 @@ CHECKERS = {
     "dedup_phash": _check_dedup_phash,
     "image_dedup_keep": _check_image_dedup_keep,
     "pair_dedup": _check_pair_dedup,
+    "semantic_dedup": _check_semantic_dedup,
     "image_ann": _check_image_ann,
     "audio_features": _check_audio_features,
     "image_quality": _check_image_quality,

@@ -948,3 +948,56 @@ class TestMultimodalDedup:
         df = spark.createDataFrame(rows, "image_id string, bytes binary, caption string")
         out = {r.doc_id: r.group_id for r in dedup.multimodal_dedup_keep(df).collect()}
         assert out["p"] == out["q"] == out["r"] == "p"
+
+
+class TestSemanticDedup:
+    """operators/similarity.semantic_dedup_keep — SemDeDup planted-pair
+    recall, threshold rejection, and parallelism invariance."""
+
+    def _fixture(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(123)
+        rows = []
+        for i in range(60):
+            v = rng.normal(size=16)
+            v /= np.linalg.norm(v)
+            rows.append((i, [float(x) for x in v]))
+        # near-dup of every 6th (cos ~ 1), below-threshold blend of every 9th
+        for i, v in list(rows):
+            if i % 6 == 0:
+                p = list(v)
+                p[0] += 1e-3
+                rows.append((i + 1000, p))
+            if i % 9 == 0:
+                w = rows[(i + 1) % 60][1]
+                rows.append((i + 2000, [0.8 * a + 0.6 * b for a, b in zip(v, w)]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_planted_pairs_group_and_blends_stay_single(self, spark):
+        df = self._fixture(spark)
+        out = {
+            r.doc_id: (r.group_id, r.keep)
+            for r in similarity.semantic_dedup_keep(
+                df, "vec_id", "embedding", threshold=0.95, n_centroids=8, sample_size=256
+            ).collect()
+        }
+        assert len(out) == df.count()
+        for i in range(60):
+            if i % 6 == 0:
+                assert out[i][0] == out[i + 1000][0] == i, i
+                assert out[i][1] + out[i + 1000][1] == 1, i
+            if i % 9 == 0:
+                assert out[i + 2000] == (i + 2000, 1), i
+            if i % 6 and i % 9:
+                assert out[i] == (i, 1), i
+
+    def test_parallelism_invariance(self, spark):
+        df = self._fixture(spark)
+        one = similarity.semantic_dedup_keep(
+            df.coalesce(1), "vec_id", "embedding", n_centroids=8, sample_size=256
+        )
+        many = similarity.semantic_dedup_keep(
+            df.repartition(16), "vec_id", "embedding", n_centroids=8, sample_size=256
+        )
+        assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
