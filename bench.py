@@ -77,6 +77,9 @@ BENCH_QUERIES = (
     # never shuffles) — timed so both scale claims carry numbers
     "substring_dedup",
     "robots_rfc",
+    # classifier inference throughput: hashed-feature explode + broadcast
+    # weight join + one per-doc agg — the model-scored quality filter leg
+    "classifier_score",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
