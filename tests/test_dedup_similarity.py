@@ -1001,3 +1001,31 @@ class TestSemanticDedup:
             df.repartition(16), "vec_id", "embedding", n_centroids=8, sample_size=256
         )
         assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+
+class TestSubstringDedupRandomized:
+    """Seeded randomized corpus (messy whitespace/case, heavy gram reuse)
+    vs the Python oracle — one Spark job over 120 docs."""
+
+    def test_random_corpus_matches_oracle(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(777)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab → many shared 8-grams
+        rows = []
+        for i in range(120):
+            n = int(rng.integers(0, 30))
+            toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), n)]
+            # inject messy spacing and case
+            sep = ["  ", " ", "\t", "   "]
+            text = ""
+            for t in toks:
+                text += (t.upper() if rng.integers(0, 2) else t) + sep[int(rng.integers(0, 4))]
+            rows.append((i, text))
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_spans, r.dup_tokens, r.kept_tokens, r.clean_fp)
+            for r in dedup.duplicated_span_profile(
+                spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id", k=8
+            ).collect()
+        }
+        assert got == TestSubstringDedup._oracle(rows, 8)

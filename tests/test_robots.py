@@ -115,3 +115,58 @@ class TestRobotsRfc:
             .collect()
         )
         assert out[0].p == "/"
+
+
+class TestRobotsRandomized:
+    """Seeded randomized rule/path matrix vs the re.escape oracle — one
+    Spark job over ~500 (url, host) rows against 12 random rules."""
+
+    def test_random_rules_and_paths(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(4242)
+        segs = ["dp", "s", "gp", "promo", "media", "ref=x", "a.b", "c[d]", "img"]
+        rand_rules = []
+        for i in range(12):
+            host = f"h{int(rng.integers(0, 3))}.example"
+            n = int(rng.integers(1, 4))
+            pat = "".join(
+                "/" + ("*" if rng.integers(0, 4) == 0 else segs[int(rng.integers(0, len(segs)))])
+                for _ in range(n)
+            )
+            if rng.integers(0, 3) == 0:
+                pat += "$"
+            rand_rules.append((host, int(rng.integers(0, 2)), pat))
+        urls, i = [], 0
+        for a in segs:
+            for b in segs:
+                host = f"h{(len(a) + len(b)) % 4}.example"  # h3 has no rules
+                i += 1
+                urls.append((i, f"https://{host}/{a}/{b}", host))
+        from amazonwebcrawler_spark.functions.robots import robots_match
+
+        u = spark.createDataFrame(urls, "id int, canonical_url string, host string")
+        r = spark.createDataFrame(rand_rules, "host string, allow int, pattern string")
+        got = {
+            row.id: (row.allowed, row.match_len, row.match_pattern)
+            for row in robots_match(u, r).collect()
+        }
+        import re as _re
+
+        def oracle(path, host):
+            best = None
+            for h, allow, pat in rand_rules:
+                if h != host or not pat:
+                    continue
+                anch = pat.endswith("$")
+                body = pat[:-1] if anch else pat
+                rx = "^" + _re.escape(body).replace(r"\*", ".*") + ("$" if anch else "")
+                if _re.search(rx, path):
+                    key = (len(pat), allow, pat)
+                    if best is None or key > best:
+                        best = key
+            return (1, 0, "") if best is None else (best[1], best[0], best[2])
+
+        for i, url, host in urls:
+            path = _re.sub(r"^https?://[^/]*", "", url)
+            assert got[i] == oracle(path, host), (i, path, got[i], oracle(path, host))
