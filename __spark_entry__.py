@@ -2210,15 +2210,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "corpus_stats": q_corpus_stats,
         "image_quality": q_image_quality,
-        "alignment_filter": q_alignment_filter,
+        # position 50: semantic_dedup is the most complex never-checked
+        # row (k-means cells + cosine threshold); alignment_filter was
+        # already driver-green in r4 so it yields its window slot.
+        "semantic_dedup": q_semantic_dedup,
         # --- position 51+: no driver row (window full with rows that
         # need their first CORRECTNESS record); covered by the local gate
+        # + seeded randomized cross-check tests (test_session8.py)
+        "alignment_filter": q_alignment_filter,
         "substring_dedup": q_substring_dedup,
         "robots_rfc": q_robots_rfc,
         "adaptive_backoff": q_adaptive_backoff,
         "pair_dedup": q_pair_dedup,
         "classifier_score": q_classifier_score,
-        "semantic_dedup": q_semantic_dedup,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,

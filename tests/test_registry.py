@@ -17,6 +17,11 @@ ROUND5_NEW = (
 #: r4 driver hash-reds — their integer-contract fixes must be value-checked
 R4_HASH_RED = ("corpus_stats", "image_quality")
 
+#: session-8 rows that keep a window slot (semantic_dedup displaced the
+#: r4-green alignment_filter at position 50; the other five session-8 rows
+#: sit at 51+ and are covered by the local gate + randomized mirrors)
+S8_IN_WINDOW = ("semantic_dedup",)
+
 
 class TestRegistryContract:
     def test_every_query_has_a_twin(self):
@@ -33,8 +38,11 @@ class TestRegistryContract:
         import __spark_entry__ as m
 
         window = list(m.queries())[:50]
-        for k in ROUND5_NEW + R4_HASH_RED:
+        for k in ROUND5_NEW + R4_HASH_RED + S8_IN_WINDOW:
             assert k in window, f"{k} outside the driver's 50-entry window"
         # the flagship and the r4-never-checked family stay inside too
         for k in ("crawl_rank_wave", "host_rank", "asof_join", "robots_filter"):
             assert k in window, f"{k} fell out of the driver window"
+        # no window slot is wasted on a row that was already driver-green
+        # in r4 (alignment_filter was the one such row; it moved to 51+)
+        assert "alignment_filter" not in window
