@@ -1777,6 +1777,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "text", "doc_id", make_weight_table(spark)
         )
 
+    def q_param_policy(spark, sf):
+        """DUST-style URL-parameter significance mining (functions/urls.
+        param_policy, Bar-Yossef et al. WWW 2007): learn per-(host,param)
+        strip/keep policies from (url, content-digest) fetch observations
+        — the data-driven replacement for the hand-curated TRACKING_PARAMS
+        list (reference getRank.py:507 hardcodes its strip set). Planted
+        semantics over orders: ``sessionid`` never moves the digest →
+        strip on both hosts; ``page`` always does → keep; ``v`` is
+        content-bearing only on amazon.de → keep there, strip on .com
+        (per-host learning); constant ``ie=UTF8`` is never tested →
+        insufficient. The Spark side parses the raw URL spellings; the
+        DuckDB twin re-derives every group from orderkey arithmetic
+        WITHOUT any URL parsing — an independent route to the same 8
+        rows, so a parsing bug cannot self-confirm."""
+        from amazonwebcrawler_spark.functions.urls import param_policy
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        host = F.when(k % 2 == 0, F.lit("www.amazon.com")).otherwise(F.lit("www.amazon.de"))
+        path = F.concat(F.lit("/dp/B"), (k % 4).cast("string"))
+        page, sess, v = (k % 3).cast("string"), (k % 7).cast("string"), (k % 5).cast("string")
+        url = F.concat(
+            F.lit("https://"), host, path,
+            F.lit("?sessionid="), sess, F.lit("&page="), page,
+            F.lit("&ie=UTF8&v="), v,
+        )
+        digest = F.md5(
+            F.concat(
+                host, path, F.lit("|p="), page,
+                F.when(host == "www.amazon.de", F.concat(F.lit("|v="), v)).otherwise(F.lit("")),
+            )
+        )
+        return param_policy(
+            o.select(url.alias("url"), digest.alias("digest")), min_tested=2
+        )
+
+    def q_param_apply(spark, sf):
+        """Learned-canonicalization application (functions/urls.
+        apply_param_policy): the ``param_policy`` decisions join back
+        onto the frontier as ONE broadcast strip-array row per host, and
+        every proven-irrelevant param is removed before the URL-seen
+        probe — the production loop that collapses duplicate spellings
+        without a hand-curated tracking list. Same planted world as
+        ``param_policy``; the twin re-learns the policy from orderkey
+        arithmetic and re-spells the stripped URL with zero shared
+        parsing, so learn AND apply are both value-checked end to end."""
+        from amazonwebcrawler_spark.functions.urls import apply_param_policy, param_policy
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        host = F.when(k % 2 == 0, F.lit("www.amazon.com")).otherwise(F.lit("www.amazon.de"))
+        path = F.concat(F.lit("/dp/B"), (k % 4).cast("string"))
+        page, sess, v = (k % 3).cast("string"), (k % 7).cast("string"), (k % 5).cast("string")
+        url = F.concat(
+            F.lit("https://"), host, path,
+            F.lit("?sessionid="), sess, F.lit("&page="), page,
+            F.lit("&ie=UTF8&v="), v,
+        )
+        digest = F.md5(
+            F.concat(
+                host, path, F.lit("|p="), page,
+                F.when(host == "www.amazon.de", F.concat(F.lit("|v="), v)).otherwise(F.lit("")),
+            )
+        )
+        obs = o.select("o_orderkey", url.alias("url"), digest.alias("digest"))
+        policy = param_policy(obs.select("url", "digest"), min_tested=2)
+        return apply_param_policy(obs.select("o_orderkey", "url"), policy).select(
+            "o_orderkey", "url", "learned_url"
+        )
+
     def q_vocab_topk(spark, sf):
         """Corpus vocabulary head (functions/text.vocab_topk): top-25
         tokens by global term count with document frequency, totally
@@ -2223,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_backoff": q_adaptive_backoff,
         "pair_dedup": q_pair_dedup,
         "classifier_score": q_classifier_score,
+        "param_policy": q_param_policy,
+        "param_apply": q_param_apply,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2762,6 +2834,129 @@ SELECT u.o_orderkey, u.canonical_url, u.host, u.path,
   CAST(COALESCE(m.plen, 0) AS INT) AS match_len,
   COALESCE(m.pattern, '') AS match_pattern
 FROM u LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (o_orderkey)
+""",
+        "param_policy": r"""
+WITH obs AS (
+  SELECT
+    CASE WHEN o_orderkey % 2 = 0 THEN 'www.amazon.com' ELSE 'www.amazon.de' END AS host,
+    '/dp/B' || CAST(o_orderkey % 4 AS VARCHAR) AS path,
+    CAST(o_orderkey % 3 AS VARCHAR) AS page,
+    CAST(o_orderkey % 7 AS VARCHAR) AS sess,
+    CAST(o_orderkey % 5 AS VARCHAR) AS v
+  FROM orders
+),
+obs2 AS (
+  SELECT host, path, page, sess, v,
+    'https://' || host || path AS base,
+    md5(host || path || '|p=' || page ||
+        CASE WHEN host = 'www.amazon.de' THEN '|v=' || v ELSE '' END) AS digest
+  FROM obs
+),
+-- independent derivation: no URL parsing; residual = base + the OTHER
+-- three params in their (known) lexicographic spelling order
+expl AS (
+  SELECT host, p.param, digest,
+    CASE p.param
+      WHEN 'sessionid' THEN base || '?ie=UTF8&page=' || page || '&v=' || v
+      WHEN 'page'      THEN base || '?ie=UTF8&sessionid=' || sess || '&v=' || v
+      WHEN 'ie'        THEN base || '?page=' || page || '&sessionid=' || sess || '&v=' || v
+      ELSE                  base || '?ie=UTF8&page=' || page || '&sessionid=' || sess
+    END AS residual,
+    CASE p.param
+      WHEN 'sessionid' THEN 'sessionid=' || sess
+      WHEN 'page'      THEN 'page=' || page
+      WHEN 'ie'        THEN 'ie=UTF8'
+      ELSE                  'v=' || v
+    END AS val
+  FROM obs2, (VALUES ('sessionid'), ('page'), ('ie'), ('v')) AS p(param)
+),
+grp AS (
+  SELECT host, param, residual,
+         COUNT(DISTINCT val) AS n_vals,
+         COUNT(DISTINCT digest) AS n_digests,
+         COUNT(*) AS n_obs
+  FROM expl GROUP BY host, param, residual
+)
+SELECT host, param,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tested,
+  CAST(SUM(CASE WHEN n_vals >= 2 AND n_digests = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_irrelevant,
+  CAST(SUM(CASE WHEN n_vals >= 2 THEN n_obs ELSE 0 END) AS BIGINT) AS support,
+  CASE WHEN SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) < 2 THEN 'insufficient'
+       WHEN SUM(CASE WHEN n_vals >= 2 AND n_digests = 1 THEN 1 ELSE 0 END)
+          = SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) THEN 'strip'
+       ELSE 'keep' END AS decision
+FROM grp GROUP BY host, param
+""",
+        "param_apply": r"""
+WITH obs AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 0 THEN 'www.amazon.com' ELSE 'www.amazon.de' END AS host,
+    '/dp/B' || CAST(o_orderkey % 4 AS VARCHAR) AS path,
+    CAST(o_orderkey % 3 AS VARCHAR) AS page,
+    CAST(o_orderkey % 7 AS VARCHAR) AS sess,
+    CAST(o_orderkey % 5 AS VARCHAR) AS v
+  FROM orders
+),
+obs2 AS (
+  SELECT o_orderkey, host, path, page, sess, v,
+    'https://' || host || path AS base,
+    'https://' || host || path || '?sessionid=' || sess || '&page=' || page
+      || '&ie=UTF8&v=' || v AS url,
+    md5(host || path || '|p=' || page ||
+        CASE WHEN host = 'www.amazon.de' THEN '|v=' || v ELSE '' END) AS digest
+  FROM obs
+),
+expl AS (
+  SELECT host, p.param, digest,
+    CASE p.param
+      WHEN 'sessionid' THEN base || '?ie=UTF8&page=' || page || '&v=' || v
+      WHEN 'page'      THEN base || '?ie=UTF8&sessionid=' || sess || '&v=' || v
+      WHEN 'ie'        THEN base || '?page=' || page || '&sessionid=' || sess || '&v=' || v
+      ELSE                  base || '?ie=UTF8&page=' || page || '&sessionid=' || sess
+    END AS residual,
+    CASE p.param
+      WHEN 'sessionid' THEN 'sessionid=' || sess
+      WHEN 'page'      THEN 'page=' || page
+      WHEN 'ie'        THEN 'ie=UTF8'
+      ELSE                  'v=' || v
+    END AS val
+  FROM obs2, (VALUES ('sessionid'), ('page'), ('ie'), ('v')) AS p(param)
+),
+grp AS (
+  SELECT host, param, residual,
+         COUNT(DISTINCT val) AS n_vals,
+         COUNT(DISTINCT digest) AS n_digests
+  FROM expl GROUP BY host, param, residual
+),
+pol AS (
+  SELECT host, param,
+    CASE WHEN SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) < 2 THEN 'insufficient'
+         WHEN SUM(CASE WHEN n_vals >= 2 AND n_digests = 1 THEN 1 ELSE 0 END)
+            = SUM(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) THEN 'strip'
+         ELSE 'keep' END AS decision
+  FROM grp GROUP BY host, param
+),
+pv AS (
+  SELECT host,
+    MAX(CASE WHEN param = 'sessionid' THEN decision END) AS d_sess,
+    MAX(CASE WHEN param = 'page' THEN decision END) AS d_page,
+    MAX(CASE WHEN param = 'ie' THEN decision END) AS d_ie,
+    MAX(CASE WHEN param = 'v' THEN decision END) AS d_v
+  FROM pol GROUP BY host
+)
+SELECT o.o_orderkey, o.url,
+  o.base || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS learned_url
+FROM (
+  SELECT o2.*,
+    array_to_string(list_sort(list_filter([
+      CASE WHEN pv.d_ie   = 'strip' THEN '' ELSE 'ie=UTF8' END,
+      CASE WHEN pv.d_page = 'strip' THEN '' ELSE 'page=' || o2.page END,
+      CASE WHEN pv.d_sess = 'strip' THEN '' ELSE 'sessionid=' || o2.sess END,
+      CASE WHEN pv.d_v    = 'strip' THEN '' ELSE 'v=' || o2.v END
+    ], x -> x <> '')), '&') AS kept
+  FROM obs2 o2 JOIN pv USING (host)
+) o
 """,
         "classifier_score": r"""
 WITH tok AS (

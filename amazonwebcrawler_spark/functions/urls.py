@@ -157,6 +157,162 @@ def host_trap_stats(
     )
 
 
+def param_policy(df, url_col: str = "url", digest_col: str = "digest", min_tested: int = 2):
+    """DUST-style URL-parameter significance mining over (url, digest) pairs.
+
+    The static ``TRACKING_PARAMS`` list above is Amazon lore baked into
+    P14 (the reference hardcodes the same spellings it wants stripped,
+    getRank.py:507). A general 10^10-URL frontier cannot hand-curate that
+    list per site — it must LEARN which query parameters change content
+    and which are tracking noise, from the (url, content-digest)
+    observations the fetcher already produces. That is the DUST problem
+    ("Do not crawl in the DUST: different URLs with similar text",
+    Bar-Yossef et al., WWW 2007): every learned ``strip`` rule collapses
+    a whole family of duplicate spellings BEFORE fetch, saving politeness
+    budget and URL-seen state.
+
+    Relational form (value-irrelevance test, no pairwise comparison):
+
+    1. parse each observed URL into ``host``, ``scheme_host+path``, and
+       its raw ``k=v`` param list (raw spellings — this op is upstream of
+       canonicalization, it learns the strip list);
+    2. for each distinct param key ``k`` in the URL, build the group key
+       ``residual`` = base + all OTHER params sorted, and the tested
+       value ``val`` = all instances of ``k`` sorted (dup keys supported);
+    3. first hash-agg on ``(host, k, residual)``: a group is *tested*
+       when ≥2 distinct ``val``s were observed against the same residual;
+       it votes *irrelevant* when all its digests are equal;
+    4. second hash-agg on ``(host, k)``: ``strip`` iff every tested group
+       voted irrelevant and at least ``min_tested`` groups were tested,
+       ``keep`` iff any tested group saw the digest move, else
+       ``insufficient``.
+
+    Scale shape: one projection (pure higher-order column math — the
+    param explode fans out by distinct-keys-per-URL, a small constant),
+    then two map-side-combinable hash aggregations; no window, no join,
+    no Python. Unlike pairwise DUST rule mining (|pairs| = O(n²) per
+    dup-cluster), the residual grouping is linear in observations.
+    Output counts are BIGINTs (hash-stable on every engine — the r4
+    corpus_stats lesson); the decision is a string enum.
+    """
+    u = _strip_fragment(F.col(url_col))
+    base = F.substring_index(u, "?", 1)
+    query = F.when(
+        F.instr(u, "?") > 0, F.substring(u, F.instr(u, "?") + F.lit(1), F.length(u))
+    ).otherwise(F.lit(""))
+    scheme_host = F.lower(F.regexp_extract(base, r"^(https?://[^/]*)", 1))
+    path = F.regexp_replace(base, r"^https?://[^/]*", "")
+    parr = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+
+    parsed = df.select(
+        url_host(u).alias("host"),
+        F.concat(scheme_host, path).alias("_base"),
+        parr.alias("_parr"),
+        F.col(digest_col).alias("_digest"),
+    ).where(F.size("_parr") > 0)
+
+    k = F.col("param")
+    key_of = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
+    exploded = parsed.select(
+        "host",
+        F.explode(F.array_distinct(F.expr("transform(_parr, p -> substring_index(p, '=', 1))"))).alias("param"),
+        "_base",
+        "_parr",
+        "_digest",
+    ).select(
+        "host",
+        "param",
+        F.concat(
+            F.col("_base"),
+            F.lit("?"),
+            F.array_join(F.array_sort(F.filter("_parr", lambda p: key_of(p) != k)), "&"),
+        ).alias("_residual"),
+        F.array_join(F.array_sort(F.filter("_parr", lambda p: key_of(p) == k)), "&").alias("_val"),
+        "_digest",
+    )
+
+    groups = exploded.groupBy("host", "param", "_residual").agg(
+        F.countDistinct("_val").alias("_n_vals"),
+        F.countDistinct("_digest").alias("_n_digests"),
+        F.count("*").alias("_n_obs"),
+    )
+    tested = F.col("_n_vals") >= 2
+    per_param = groups.groupBy("host", "param").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(tested.cast("long")).alias("n_tested"),
+        F.sum((tested & (F.col("_n_digests") == 1)).cast("long")).alias("n_irrelevant"),
+        F.sum(F.when(tested, F.col("_n_obs")).otherwise(F.lit(0))).alias("support"),
+    )
+    return per_param.withColumn(
+        "decision",
+        F.when(F.col("n_tested") < F.lit(min_tested), F.lit("insufficient"))
+        .when(F.col("n_irrelevant") == F.col("n_tested"), F.lit("strip"))
+        .otherwise(F.lit("keep")),
+    )
+
+
+def apply_param_policy(df, policy, url_col: str = "url"):
+    """Apply learned ``param_policy`` rules to a URL table.
+
+    The production loop: ``param_policy`` learns per-(host,param)
+    decisions from fetch observations; this applies them to the frontier
+    BEFORE the URL-seen probe, so every proven-irrelevant spelling
+    collapses to one key and is fetched once. Conservative by
+    construction — only ``decision = 'strip'`` params are removed
+    (``keep`` and ``insufficient`` both survive), so an under-trained
+    policy can never merge two genuinely different pages.
+
+    Scale shape: the policy is host×param-sized (tiny vs a 10^10-URL
+    frontier) and arrives pre-folded to ONE sorted strip-array row per
+    host, then BROADCAST — the frontier side is a single map-side join +
+    one higher-order projection; no shuffle of URL-sized data, no Python.
+
+    Returns the input columns plus ``learned_url`` (fragment dropped,
+    scheme://host lowercased, stripped params removed, survivors
+    sorted — the same spelling discipline as :func:`canonicalize_url`,
+    with the learned list in place of the static ``TRACKING_PARAMS``).
+    """
+    strip_sets = (
+        policy.where(F.col("decision") == "strip")
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("param")).alias("_strip"))
+    )
+    u = _strip_fragment(F.col(url_col))
+    base = F.substring_index(u, "?", 1)
+    query = F.when(
+        F.instr(u, "?") > 0, F.substring(u, F.instr(u, "?") + F.lit(1), F.length(u))
+    ).otherwise(F.lit(""))
+    scheme_host = F.lower(F.regexp_extract(base, r"^(https?://[^/]*)", 1))
+    path = F.regexp_replace(base, r"^https?://[^/]*", "")
+    parr = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+
+    joined = (
+        df.withColumn("_host", url_host(u))
+        .withColumn("_sh", scheme_host)
+        .withColumn("_path", path)
+        .withColumn("_parr", parr)
+        .join(F.broadcast(strip_sets), F.col("_host") == strip_sets.host, "left")
+        .drop(strip_sets.host)
+    )
+    strip = F.coalesce(F.col("_strip"), F.array().cast("array<string>"))
+    kept = F.array_sort(
+        F.filter(
+            F.col("_parr"),
+            lambda p: ~F.array_contains(strip, F.substring_index(p, "=", 1)),
+        )
+    )
+    learned = F.concat(
+        F.col("_sh"),
+        F.col("_path"),
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return joined.withColumn("learned_url", learned).drop(
+        "_host", "_sh", "_path", "_parr", "_strip"
+    )
+
+
 def host_shard(host: Column, canonical_url: Column, n_shards: int = 32, salt_bits: int = 4) -> Column:
     """Skew-aware host shard (SURVEY.md §4 'skew handling').
 

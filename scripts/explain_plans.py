@@ -157,6 +157,13 @@ CHECKS = {
     # classifier inference: weight table arrives as a BROADCAST join; the
     # score is one map-side-combinable per-doc aggregate; no Python (NEG)
     "classifier_score": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
+    # DUST param-policy mining: one higher-order projection (distinct-key
+    # explode Generate) + two map-side-combinable hash aggs — no join, no
+    # window, no Python, no single-partition exchange (NEG)
+    "param_policy": ["Generate", "HashAggregate", "partial_count", "[codegen id :"],
+    # learned-policy application: the strip sets arrive as ONE broadcast
+    # row per host — the URL side never shuffles for the rewrite
+    "param_apply": ["BroadcastHashJoin", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -169,7 +176,7 @@ NO_AQE = {
     "gopher_signals", "vocab_topk", "recrawl_priority", "substring_dedup",
     "robots_rfc", "adaptive_backoff", "classifier_score",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
-    "capture_novelty", "budget_allocate",
+    "capture_novelty", "budget_allocate", "param_policy", "param_apply",
 }
 
 NEG_CHECKS = {
@@ -269,6 +276,14 @@ NEG_CHECKS = {
         "Exchange SinglePartition", "Join",
     ],
     "classifier_score": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "NestedLoop", "Cartesian",
+    ],
+    "param_policy": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join", "Window",
+    ],
+    "param_apply": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "NestedLoop", "Cartesian",
     ],

@@ -241,3 +241,163 @@ class TestHostTemplateStats:
         df = spark.createDataFrame(docs, "doc_id long, host string, text string")
         r = host_template_stats(df, "host", "doc_id", "text", n=3).collect()[0]
         assert r.n_template == 1  # only "x y z" reaches df=2
+
+
+def _py_param_policy(rows, min_tested=2):
+    """Independent pure-Python mirror of urls.param_policy: parse with
+    stdlib string ops (no shared code), group, decide."""
+    import re
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: (set(), set(), 0))  # (vals, digests, n_obs)
+    for url, digest in rows:
+        u = url.split("#", 1)[0]
+        base, _, query = u.partition("?")
+        host = base.split("://", 1)[1].split("/", 1)[0].lower()
+        # lowercase scheme://host, keep path case
+        m = re.match(r"^(https?://[^/]*)(.*)$", base)
+        sh, path = m.group(1).lower(), m.group(2)
+        params = [p for p in query.split("&") if p]
+        for k in {p.split("=", 1)[0] for p in params}:
+            mine = sorted(p for p in params if p.split("=", 1)[0] == k)
+            other = sorted(p for p in params if p.split("=", 1)[0] != k)
+            gk = (host, k, sh + path + "?" + "&".join(other))
+            vals, digs, n = groups[gk]
+            vals.add("&".join(mine))
+            digs.add(digest)
+            groups[gk] = (vals, digs, n + 1)
+    per = defaultdict(lambda: [0, 0, 0, 0])  # n_groups, n_tested, n_irr, support
+    for (host, k, _), (vals, digs, n) in groups.items():
+        s = per[(host, k)]
+        s[0] += 1
+        if len(vals) >= 2:
+            s[1] += 1
+            s[3] += n
+            if len(digs) == 1:
+                s[2] += 1
+    out = {}
+    for hk, (g, t, i, sup) in per.items():
+        dec = "insufficient" if t < min_tested else ("strip" if i == t else "keep")
+        out[hk] = (g, t, i, sup, dec)
+    return out
+
+
+class TestParamPolicy:
+    def _collect(self, spark, rows, min_tested=2):
+        df = spark.createDataFrame(rows, "url string, digest string")
+        return {
+            (r.host, r.param): (r.n_groups, r.n_tested, r.n_irrelevant, r.support, r.decision)
+            for r in urls.param_policy(df, min_tested=min_tested).collect()
+        }
+
+    def test_hand_vector_decisions(self, spark):
+        rows = [
+            ("https://www.amazon.com/dp/B1?page=1&sessionid=111", "d1"),
+            ("https://www.amazon.com/dp/B1?page=1&sessionid=222", "d1"),
+            ("https://www.amazon.com/dp/B1?sessionid=333&page=2", "d2"),
+            ("https://www.amazon.com/dp/B1?page=2&sessionid=444", "d2"),
+            ("https://www.amazon.com/dp/B2?page=1&sessionid=555", "d3"),
+            ("https://www.amazon.com/dp/B2?page=2&sessionid=555", "d4"),
+            ("https://www.amazon.com/dp/B3?ie=UTF8&page=1", "d5"),
+            ("https://www.amazon.com/dp/B3?ie=UTF8&page=2", "d6"),
+            ("https://www.amazon.com/dp/B5", "zz"),  # param-free: ignored
+        ]
+        got = self._collect(spark, rows, min_tested=1)
+        assert got[("www.amazon.com", "sessionid")][4] == "strip"
+        assert got[("www.amazon.com", "page")][4] == "keep"
+        assert got[("www.amazon.com", "ie")][4] == "insufficient"
+        assert got == _py_param_policy(rows, min_tested=1)
+
+    def test_param_order_and_fragment_invariance(self, spark):
+        a = [
+            ("https://H.example.com/p?a=1&b=2&s=9#frag", "d1"),
+            ("https://h.example.com/p?s=8&b=2&a=1", "d1"),
+        ]
+        b = [  # same observations, params and fragment respelled
+            ("https://h.example.COM/p?s=9&a=1&b=2", "d1"),
+            ("https://h.example.com/p?a=1&s=8&b=2#x", "d1"),
+        ]
+        assert self._collect(spark, a, 1) == self._collect(spark, b, 1)
+        assert self._collect(spark, a, 1)[("h.example.com", "s")][4] == "strip"
+
+    def test_duplicate_keys_group_as_one_value(self, spark):
+        # k appears twice; both spellings carry the same multiset -> one val
+        rows = [
+            ("https://x.com/p?k=1&k=2&q=0", "d1"),
+            ("https://x.com/p?k=2&k=1&q=0", "d1"),
+            ("https://x.com/p?k=3&k=4&q=0", "d1"),
+        ]
+        got = self._collect(spark, rows, 1)
+        # two distinct sorted k-multisets against one residual, digest fixed
+        assert got[("x.com", "k")] == (1, 1, 1, 3, "strip")
+
+    def test_min_tested_gate(self, spark):
+        rows = [
+            ("https://x.com/p?k=1", "d1"),
+            ("https://x.com/p?k=2", "d1"),
+        ]
+        assert self._collect(spark, rows, 1)[("x.com", "k")][4] == "strip"
+        assert self._collect(spark, rows, 2)[("x.com", "k")][4] == "insufficient"
+
+    def test_randomized_batch_matches_python_mirror(self, spark):
+        import hashlib
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        rows = []
+        for i in range(600):
+            host = f"h{h(f'host{i}') % 3}.example.com"
+            path = f"/d/{h(f'path{i}') % 5}"
+            page = h(f"pg{i}") % 3
+            sess = h(f"ss{i}") % 11
+            # content depends on (host, path, page) only
+            digest = f"dg-{host}-{path}-{page}"
+            url = f"https://{host.upper()}{path}?sid={sess}&page={page}"
+            if i % 4 == 0:  # some spellings reorder / add a constant param
+                url = f"https://{host}{path}?page={page}&const=1&sid={sess}"
+            rows.append((url, digest))
+        assert self._collect(spark, rows) == _py_param_policy(rows)
+
+
+class TestApplyParamPolicy:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, digest string")
+
+    def test_learned_canonical_collapses_to_content_groups(self, spark):
+        # planted world: digest = f(host, path, page); sid is noise
+        rows = []
+        for i in range(120):
+            host, path, page, sid = f"h{i % 2}.com", f"/p{i % 3}", i % 2, i % 7
+            rows.append(
+                (f"https://{host}{path}?sid={sid}&page={page}", f"d-{host}{path}-{page}")
+            )
+        df = self._mk(spark, rows)
+        pol = urls.param_policy(df, min_tested=1)
+        out = urls.apply_param_policy(df, pol)
+        # every proven-irrelevant spelling collapsed: one learned URL per
+        # distinct content digest, and the pairing is 1:1
+        pairs = out.select("learned_url", "digest").distinct().collect()
+        assert len(pairs) == len({r.digest for r in pairs}) == len({r.learned_url for r in pairs})
+
+    def test_conservative_without_policy_row(self, spark):
+        # unknown host: nothing stripped, but spelling still normalizes
+        # (fragment dropped, host lowercased, params sorted)
+        df = self._mk(spark, [("https://X.com/a?z=1&a=2#frag", "d")])
+        pol = urls.param_policy(self._mk(spark, []), min_tested=1)
+        got = urls.apply_param_policy(df, pol).collect()[0]
+        assert got.learned_url == "https://x.com/a?a=2&z=1"
+
+    def test_keep_and_insufficient_survive(self, spark):
+        rows = [
+            ("https://h.com/p?page=1&sid=1&once=0", "d1"),
+            ("https://h.com/p?page=1&sid=2&once=0", "d1"),
+            ("https://h.com/p?page=2&sid=3&once=0", "d2"),
+            ("https://h.com/p?page=2&sid=4&once=0", "d2"),
+        ]
+        df = self._mk(spark, rows)
+        pol = urls.param_policy(df, min_tested=1)
+        got = {r.url: r.learned_url for r in urls.apply_param_policy(df, pol).collect()}
+        # sid stripped everywhere; page (keep) and once (insufficient) stay
+        assert got["https://h.com/p?page=1&sid=1&once=0"] == "https://h.com/p?once=0&page=1"
+        assert got["https://h.com/p?page=2&sid=4&once=0"] == "https://h.com/p?once=0&page=2"
