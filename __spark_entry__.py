@@ -1847,6 +1847,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", "url", "learned_url"
         )
 
+    def q_bpe_pairs(spark, sf):
+        """One BPE-training merge round (functions/text.bpe_merge_pairs,
+        Sennrich et al. 2016): top-50 adjacent character pairs weighted
+        by word frequency. The corpus collapses to DISTINCT words before
+        the pair explode — the classic training-loop speedup — and the
+        top-k is a TakeOrderedAndProject over two map-side-combinable
+        aggregates. Total (count desc, lhs, rhs) order makes the cut
+        boundary cross-engine deterministic."""
+        from amazonwebcrawler_spark.functions.text import bpe_merge_pairs
+
+        return bpe_merge_pairs(_t(spark, sf, "documents"), "text", "doc_id", k=50).select(
+            F.col("left").alias("lhs"), F.col("right").alias("rhs"), "pair_count"
+        )
+
+    def q_segment_dedup(spark, sf):
+        """Cross-document keep-first segment dedup (functions/text.
+        crossdoc_segment_dedup — the CCNet/RefinedWeb paragraph rule: one
+        copy of every duplicated segment survives, at its globally
+        earliest (doc_id, pos)). Complements substring_dedup, which
+        removes ALL occurrences. One segment-keyed window election + one
+        doc-keyed reassembly; the twin re-derives the election and the
+        rebuilt text md5 in SQL."""
+        from amazonwebcrawler_spark.functions.text import crossdoc_segment_dedup
+
+        out = crossdoc_segment_dedup(_t(spark, sf, "documents"), "text", "doc_id", chunk=10)
+        return out.select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+
     def q_vocab_topk(spark, sf):
         """Corpus vocabulary head (functions/text.vocab_topk): top-25
         tokens by global term count with document frequency, totally
@@ -2295,6 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "param_policy": q_param_policy,
         "param_apply": q_param_apply,
+        "bpe_pairs": q_bpe_pairs,
+        "segment_dedup": q_segment_dedup,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2957,6 +2991,48 @@ FROM (
     ], x -> x <> '')), '&') AS kept
   FROM obs2 o2 JOIN pv USING (host)
 ) o
+""",
+        "bpe_pairs": r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '(\w+|[^\w\s])', 1)) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS wn FROM words GROUP BY word),
+pairs AS (
+  SELECT substring(word, i, 1) AS lhs, substring(word, i + 1, 1) AS rhs, wn
+  FROM wc, UNNEST(generate_series(1, length(word) - 1)) AS g(i)
+  WHERE length(word) >= 2
+)
+SELECT lhs, rhs, CAST(SUM(wn) AS BIGINT) AS pair_count
+FROM pairs GROUP BY lhs, rhs
+ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 50
+""",
+        "segment_dedup": r"""
+WITH tok AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS toks
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)
+),
+seg AS (
+  SELECT doc_id, i AS pos,
+    array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS segment
+  FROM tok, UNNEST(generate_series(0, CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS g(i)
+  WHERE len(toks) > 0
+),
+kept AS (
+  SELECT doc_id, pos, segment,
+    row_number() OVER (PARTITION BY segment ORDER BY doc_id, pos) AS rn
+  FROM seg
+),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(segment, ' ' ORDER BY pos) AS clean_text
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+  CAST(CASE WHEN len(t.toks) = 0 THEN 0 ELSE ceil(len(t.toks) / 10.0) END AS BIGINT) AS n_chunks,
+  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+  md5(COALESCE(r.clean_text, '')) AS clean_md5
+FROM tok t LEFT JOIN reb r USING (doc_id)
 """,
         "classifier_score": r"""
 WITH tok AS (

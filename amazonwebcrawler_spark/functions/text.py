@@ -567,6 +567,108 @@ def vocab_topk(df, text_col: str, id_col: str, k: int = 100):
     return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(k)
 
 
+def bpe_merge_pairs(df, text_col: str, id_col: str, k: int = 50):
+    """One BPE-training merge round: the ``k`` most frequent ADJACENT
+    symbol pairs over the corpus, weighted by word frequency (Sennrich et
+    al. 2016 — the classic speedup counts each distinct word once and
+    multiplies by its corpus count instead of walking every occurrence).
+    Symbols here are the initial single-character alphabet; re-running
+    after applying the winning merge is the full training loop, and the
+    expensive primitive — the weighted pair count — is this operator.
+
+    Returns (left, right, pair_count), totally ordered by
+    (pair_count desc, left asc, right asc) so the cut boundary is
+    cross-engine deterministic.
+
+    Scale shape: word explode → ONE map-side-combinable word-count agg
+    (the corpus collapses from tokens to DISTINCT words — orders of
+    magnitude smaller), then a per-word pair explode over the word TABLE
+    (not the corpus), one more map-side-combinable agg, and a
+    TakeOrderedAndProject top-k (per-partition heaps, never a global
+    sort). No Python anywhere.
+    """
+    words = df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
+    wc = words.groupBy("word").agg(F.count("*").alias("wn"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, F.lit(1)),
+    )
+    pairs = wc.where(F.length("word") >= 2).select(
+        "wn",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.struct(
+                    F.element_at(chars, i).alias("left"),
+                    F.element_at(chars, (i + F.lit(1)).cast("int")).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    )
+    agg = pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right")).agg(
+        F.sum("wn").alias("pair_count")
+    )
+    return agg.orderBy(
+        F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc()
+    ).limit(k)
+
+
+def crossdoc_segment_dedup(df, text_col: str, id_col: str, chunk: int = 10):
+    """Cross-document segment dedup, FIRST occurrence kept (the CCNet /
+    RefinedWeb paragraph-dedup rule: one copy of every duplicated
+    paragraph survives, at its earliest position). The complement of
+    ``dedup.duplicated_span_profile`` (ExactSubstr, which removes ALL
+    occurrences) and of ``self_dedup_chunks`` (intra-document only).
+    Segments are the same ``chunk``-token units as the Gopher signals —
+    the paragraph analogue for newline-free token streams; on real HTML
+    text, substitute ``split(text, '\\n')`` for the chunker and nothing
+    else changes.
+
+    Returns (doc_id, n_chunks, n_kept, clean_text); the winner of each
+    distinct segment is the globally smallest (doc_id, position), so the
+    result is independent of partitioning and arrival order.
+
+    Scale shape: positional segment explode → ONE segment-keyed
+    partitioned window (min-rank election; the shuffle key is the
+    segment hash — high cardinality, no skew pile-up) → doc-keyed
+    re-assembly agg. No Python, no global sort; both shuffles are on
+    natural keys.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    seg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_token_chunks(toks, chunk)).alias("pos", "segment"),
+    )
+    w = Window.partitionBy("segment").orderBy("doc_id", "pos")
+    kept = seg.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("segment").alias("s")))
+                ),
+                lambda x: x["s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"), F.size(_token_chunks(toks, chunk)).alias("n_chunks")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def make_weight_table(spark, n_buckets: int = 4096):
     """Deterministic linear-classifier weight table: (bucket int, w int).
 

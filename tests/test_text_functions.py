@@ -353,3 +353,95 @@ class TestClassifierScore:
         assert len(rows) == d.count()
         assert all(-1000_000 <= r.score_milli <= 1000_000 for r in rows)
         assert all(r.keep == int(r.score_milli >= 0) for r in rows)
+
+
+class TestBpeMergePairs:
+    @staticmethod
+    def _py_pairs(texts, k):
+        import re
+        from collections import Counter
+
+        wc = Counter()
+        for t in texts:
+            wc.update(re.findall(r"(\w+|[^\w\s])", t.lower()))
+        pc = Counter()
+        for w, n in wc.items():
+            for a, b in zip(w, w[1:]):
+                pc[(a, b)] += n
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        return {pair: n for pair, n in ranked[:k]}
+
+    def test_matches_python_mirror(self, spark):
+        texts = [
+            "the cat, the hat! and the that",
+            "banana bandana ananas",
+            "aa aa aa ab",
+            "",
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        from amazonwebcrawler_spark.functions.text import bpe_merge_pairs
+
+        got = {(r.left, r.right): r.pair_count for r in bpe_merge_pairs(df, "text", "doc_id", k=10).collect()}
+        assert got == self._py_pairs(texts, 10)
+
+    def test_word_frequency_weighting(self, spark):
+        # "ab" occurs 3 times as a word -> pair (a,b) counts 3, not 1
+        df = spark.createDataFrame([(1, "ab ab ab cd")], "doc_id long, text string")
+        from amazonwebcrawler_spark.functions.text import bpe_merge_pairs
+
+        got = {(r.left, r.right): r.pair_count for r in bpe_merge_pairs(df, "text", "doc_id", k=5).collect()}
+        assert got == {("a", "b"): 3, ("c", "d"): 1}
+
+
+class TestCrossdocSegmentDedup:
+    @staticmethod
+    def _py(texts, chunk):
+        import re
+
+        segs_by_doc = {}
+        for i, t in texts:
+            toks = [x for x in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if x != ""]
+            segs_by_doc[i] = [
+                " ".join(toks[j : j + chunk]) for j in range(0, len(toks), chunk)
+            ]
+        seen = {}
+        for i in sorted(segs_by_doc):
+            for pos, s in enumerate(segs_by_doc[i]):
+                seen.setdefault(s, (i, pos))
+        out = {}
+        for i, segs in segs_by_doc.items():
+            kept = [s for pos, s in enumerate(segs) if seen[s] == (i, pos)]
+            out[i] = (len(segs), len(kept), " ".join(kept))
+        return out
+
+    def test_matches_python_mirror(self, spark):
+        texts = [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e x y z w v u t"),  # first segment duplicates doc 1
+            (3, "a b c d e f g h i j"),      # exactly doc 1's first segment
+            (4, ""),
+            (5, "q r s q r s q r s q r s"),  # intra-doc repeat at chunk=3
+        ]
+        from amazonwebcrawler_spark.functions.text import crossdoc_segment_dedup
+
+        for chunk in (3, 5, 10):
+            df = spark.createDataFrame(texts, "doc_id long, text string")
+            got = {
+                r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+                for r in crossdoc_segment_dedup(df, "text", "doc_id", chunk=chunk).collect()
+            }
+            assert got == self._py(texts, chunk), chunk
+
+    def test_first_occurrence_wins_and_partition_invariant(self, spark):
+        texts = [(i, "dup seg one two three " + f"tail {i} unique words here") for i in range(40)]
+        from amazonwebcrawler_spark.functions.text import crossdoc_segment_dedup
+
+        for parts in (1, 7):
+            df = spark.createDataFrame(texts, "doc_id long, text string").repartition(parts)
+            got = {
+                r.doc_id: r.n_kept
+                for r in crossdoc_segment_dedup(df, "text", "doc_id", chunk=5).collect()
+            }
+            # doc 0 keeps both segments; every later doc loses the shared head
+            assert got[0] == 2
+            assert all(got[i] == 1 for i in range(1, 40))
