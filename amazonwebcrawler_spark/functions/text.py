@@ -750,3 +750,80 @@ def classifier_score(df, text_col: str, id_col: str, weights, n_buckets: int = 4
         milli.alias("score_milli"),
         (milli >= 0).cast("int").alias("keep"),
     )
+
+
+def dsir_weights(df, text_col: str, id_col: str, target_pred, n_buckets: int = 4096,
+                 alpha: int = 1):
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data Selection
+    via Importance Resampling): score every raw document by how much more
+    likely it is under a hashed-n-gram LM of the TARGET slice than under
+    the raw-corpus LM. ``target_pred`` is a boolean Column over ``df``
+    marking the in-domain slice (here: a language/quality predicate; in
+    production: the Wikipedia/books slice DSIR targets).
+
+    Both LMs are Laplace-``alpha``-smoothed bag-of-hashed-n-gram models
+    over the SAME unigram+bigram bucket space as :func:`classifier_score`:
+    ``logw(doc) = Σ_f [ln p_t(b(f)) − ln p_r(b(f))]``. Emitted as a
+    micro-nat BIGINT (sum-of-ln drift ~1e-13 relative — the tfidf/nll
+    argument); ``keep = logw_micro ≥ 0`` (doc more target-like than raw)
+    evaluates on the same integer. Feature-less docs score 0 and keep,
+    matching :func:`classifier_score`. Downstream, ``corpus.
+    weighted_sample`` consumes ``logw_micro`` as the A-ES weight to
+    realize the "resampling" half of DSIR deterministically.
+
+    Scale shape: ONE feature explode serves both LM fits and the scoring
+    pass; both bucket models come from a single map-side-combinable
+    (bucket → count, target-count) aggregate of ≤``n_buckets`` rows; the
+    per-bucket log-ratio table broadcasts back onto the feature stream
+    (corpus never shuffles for the lookup); the only data-sized shuffle
+    is the per-doc sum. No Python anywhere.
+    """
+    from amazonwebcrawler_spark.operators.dedup import shingle_hash31
+
+    toks = tokens(F.col(text_col))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col).alias("_id"),
+        target_pred.cast("long").alias("_tgt"),
+        F.explode_outer(F.concat(toks, bi)).alias("_f"),
+    ).withColumn(
+        "bucket",
+        F.when(
+            F.col("_f").isNotNull(), (shingle_hash31(F.col("_f")) % n_buckets).cast("int")
+        ),
+    )
+    present = feats.where(F.col("_f").isNotNull())
+    counts = present.groupBy("bucket").agg(
+        F.count("*").alias("c_r"), F.sum("_tgt").alias("c_t")
+    )
+    totals = present.select(F.count("*").alias("n_r"), F.sum("_tgt").alias("n_t"))
+    smooth = F.lit(float(alpha * n_buckets))
+    lam = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(F.col("c_t") + alpha) - F.log(F.col("n_t") + smooth)
+            - F.log(F.col("c_r") + alpha) + F.log(F.col("n_r") + smooth)
+        ).alias("lam"),
+    )
+    scored = (
+        feats.join(F.broadcast(lam), "bucket", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("_f").alias("n_features"),
+            F.coalesce(F.round(F.sum("lam") * 1_000_000), F.lit(0))
+            .cast("long")
+            .alias("logw_micro"),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        "n_features",
+        "logw_micro",
+        (F.col("logw_micro") >= 0).cast("int").alias("keep"),
+    )

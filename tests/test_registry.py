@@ -11,8 +11,10 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: r3-green rows granted window slots anyway: the judge's explicit round-5
-#: ask (flagship + the two crawl-core rows, absent from r4's window).
-FLAGSHIP_SLOTS = ("crawl_rank_wave", "robots_filter", "dead_letter")
+#: ask (flagship + crawl-core rows absent from r4's window). dead_letter
+#: yielded its slot when dsir_weights landed — a first-ever driver row
+#: beats a second-round row for an r3-green key.
+FLAGSHIP_SLOTS = ("crawl_rank_wave", "robots_filter")
 
 
 def _ever_driver_green() -> set[str]:

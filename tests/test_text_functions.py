@@ -445,3 +445,88 @@ class TestCrossdocSegmentDedup:
             # doc 0 keeps both segments; every later doc loses the shared head
             assert got[0] == 2
             assert all(got[i] == 1 for i in range(1, 40))
+
+
+class TestDsirWeights:
+    @staticmethod
+    def _py(rows, n_buckets=4096, alpha=1):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def feats(t):
+            toks = [x for x in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if x]
+            return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def bucket(f):
+            return (int(hashlib.md5(f.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF) % n_buckets
+
+        c_r, c_t = Counter(), Counter()
+        for _i, t, tgt in rows:
+            for f in feats(t):
+                b = bucket(f)
+                c_r[b] += 1
+                if tgt:
+                    c_t[b] += 1
+        n_r, n_t = sum(c_r.values()), sum(c_t.values())
+        out = {}
+        for i, t, _tgt in rows:
+            fs = feats(t)
+            s = sum(
+                math.log(c_t[bucket(f)] + alpha) - math.log(n_t + alpha * n_buckets)
+                - math.log(c_r[bucket(f)] + alpha) + math.log(n_r + alpha * n_buckets)
+                for f in fs
+            )
+            lw = int(round(s * 1_000_000)) if fs else 0
+            out[i] = (len(fs), lw, int(lw >= 0))
+        return out
+
+    def test_matches_python_mirror(self, spark):
+        rows = [
+            (1, "alpha beta alpha beta gamma", True),
+            (2, "alpha beta delta", True),
+            (3, "zeta yota zeta yota kappa", False),
+            (4, "alpha beta zeta yota", False),
+            (5, "", False),
+        ]
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.functions.text import dsir_weights
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+        got = {
+            r.doc_id: (r.n_features, r.logw_micro, r.keep)
+            for r in dsir_weights(df, "text", "doc_id", F.col("tgt")).collect()
+        }
+        exp = self._py(rows)
+        assert set(got) == set(exp)
+        for i in got:
+            assert got[i][0] == exp[i][0], i
+            # sum-of-ln drift can straddle a micro boundary: allow 1 micro
+            assert abs(got[i][1] - exp[i][1]) <= 1, (i, got[i], exp[i])
+
+    def test_target_vocab_scores_positive(self, spark):
+        # docs built from the target slice's vocabulary get logw > 0,
+        # raw-only vocabulary scores negative, empty docs keep at 0.
+        # n_buckets=64 keeps the corpus well above the Laplace mass alpha*B
+        # (with the default 4096 a 40-doc corpus is all smoothing and every
+        # logw hugs 0 — the operator needs n_features >> alpha*B, as any
+        # real corpus has).
+        rows = (
+            [(i, "alpha beta gamma delta", True) for i in range(10)]
+            + [(100 + i, "zeta yota kappa mu", False) for i in range(30)]
+            + [(200, "alpha beta gamma delta", False), (201, "", False)]
+        )
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.functions.text import dsir_weights
+
+        df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+        got = {
+            r.doc_id: r
+            for r in dsir_weights(df, "text", "doc_id", F.col("tgt"), n_buckets=64).collect()
+        }
+        assert got[200].logw_micro > 0 and got[200].keep == 1
+        assert got[100].logw_micro < 0 and got[100].keep == 0
+        assert got[201].logw_micro == 0 and got[201].keep == 1 and got[201].n_features == 0
