@@ -164,6 +164,10 @@ CHECKS = {
     # learned-policy application: the strip sets arrive as ONE broadcast
     # row per host — the URL side never shuffles for the rewrite
     "param_apply": ["BroadcastHashJoin", "[codegen id :"],
+    # DSIR: the per-bucket log-ratio table arrives as a BROADCAST join on
+    # the feature stream; both LM fits and the per-doc sum are map-side-
+    # combinable hash aggs; no Python (NEG)
+    "dsir_weights": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -177,6 +181,7 @@ NO_AQE = {
     "robots_rfc", "adaptive_backoff", "classifier_score",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate", "param_policy", "param_apply",
+    "dsir_weights",
 }
 
 NEG_CHECKS = {
@@ -286,6 +291,13 @@ NEG_CHECKS = {
     "param_apply": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "NestedLoop", "Cartesian",
+    ],
+    # (the 1-row totals broadcast renders as BroadcastNestedLoopJoin Cross
+    # BuildRight — the repo's accepted broadcast-1-row idiom, same as
+    # tfidf/nll — so NestedLoop is deliberately NOT forbidden here)
+    "dsir_weights": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "SortMergeJoin",
     ],
 }
 
