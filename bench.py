@@ -80,6 +80,13 @@ BENCH_QUERIES = (
     # classifier inference throughput: hashed-feature explode + broadcast
     # weight join + one per-doc agg — the model-scored quality filter leg
     "classifier_score",
+    # r5 session 9: DSIR importance weighting (one feature explode feeds
+    # both LM fits + scoring; broadcast log-ratio table), keep-first
+    # segment dedup (segment-keyed window election + doc reassembly), and
+    # the BPE merge-pair round (distinct-word collapse + top-k heaps)
+    "dsir_weights",
+    "segment_dedup",
+    "bpe_pairs",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
