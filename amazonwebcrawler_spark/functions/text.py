@@ -713,18 +713,23 @@ def classifier_score(df, text_col: str, id_col: str, weights, n_buckets: int = 4
     """
     from amazonwebcrawler_spark.operators.dedup import shingle_hash31
 
-    toks = tokens(F.col(text_col))
-    uni = toks
+    # Materialize the token array behind a projection boundary BEFORE the
+    # bigram transform: referencing the raw tokens(...) expression inside
+    # the lambda would embed the whole normalize+split tree at every
+    # F.get, re-running the regex normalization twice per bigram —
+    # O(n_tokens²) regex work per document (measured 10× on the bench
+    # leg). CollapseProject keeps the boundary because the alias is
+    # non-cheap and multiply referenced (same idiom as operators/dedup).
+    base = df.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
     bi = F.when(
-        F.size(toks) >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = df.select(
-        F.col(id_col).alias("_id"), F.explode_outer(F.concat(uni, bi)).alias("_f")
-    )
+    feats = base.select("_id", F.explode_outer(F.concat(t, bi)).alias("_f"))
     keyed = feats.withColumn(
         "bucket",
         F.when(
@@ -771,27 +776,36 @@ def dsir_weights(df, text_col: str, id_col: str, target_pred, n_buckets: int = 4
     weighted_sample`` consumes ``logw_micro`` as the A-ES weight to
     realize the "resampling" half of DSIR deterministically.
 
-    Scale shape: ONE feature explode serves both LM fits and the scoring
-    pass; both bucket models come from a single map-side-combinable
-    (bucket → count, target-count) aggregate of ≤``n_buckets`` rows; the
+    Scale shape: TWO passes over the exploded feature stream total — one
+    map-side-combinable (bucket → count, target-count) aggregate of
+    ≤``n_buckets`` rows (eagerly localCheckpointed so the LM totals and
+    the log-ratio table both read the materialized 4096-row result
+    instead of re-running the explode), and the per-doc scoring sum. The
     per-bucket log-ratio table broadcasts back onto the feature stream
     (corpus never shuffles for the lookup); the only data-sized shuffle
     is the per-doc sum. No Python anywhere.
     """
     from amazonwebcrawler_spark.operators.dedup import shingle_hash31
 
-    toks = tokens(F.col(text_col))
-    bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = df.select(
+    # token array materialized behind a projection boundary — see the
+    # identical note in classifier_score (avoids O(n_tokens²) regex work)
+    base = df.select(
         F.col(id_col).alias("_id"),
         target_pred.cast("long").alias("_tgt"),
-        F.explode_outer(F.concat(toks, bi)).alias("_f"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    t = F.col("_toks")
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select(
+        "_id",
+        "_tgt",
+        F.explode_outer(F.concat(t, bi)).alias("_f"),
     ).withColumn(
         "bucket",
         F.when(
@@ -799,10 +813,12 @@ def dsir_weights(df, text_col: str, id_col: str, target_pred, n_buckets: int = 4
         ),
     )
     present = feats.where(F.col("_f").isNotNull())
+    # ≤n_buckets rows; eager localCheckpoint so totals + the log-ratio
+    # table below don't each re-run the full token explode (3 passes → 2)
     counts = present.groupBy("bucket").agg(
         F.count("*").alias("c_r"), F.sum("_tgt").alias("c_t")
-    )
-    totals = present.select(F.count("*").alias("n_r"), F.sum("_tgt").alias("n_t"))
+    ).localCheckpoint()
+    totals = counts.select(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
     smooth = F.lit(float(alpha * n_buckets))
     lam = counts.crossJoin(F.broadcast(totals)).select(
         "bucket",
