@@ -36,6 +36,20 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def bind_once(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE and pass the value to ``body`` as a bound
+    lambda variable — Spark's missing ``let``, emulated with a one-element
+    array transform. Use whenever a non-trivial expression (a regex
+    tokenize, an array build) would otherwise be captured inside a
+    higher-order-function lambda: Catalyst's subexpression elimination
+    skips any expression containing a lambda variable, so an outer capture
+    re-evaluates the whole tree per element — O(n²) work for a per-index
+    slice over a tokenization (measured 10× on classifier_score before
+    this idiom). ``F.get(..., 0)`` keeps NULL inputs NULL-propagating
+    exactly as direct evaluation would."""
+    return F.get(F.transform(F.array(col), body), 0)
+
+
 def word_tokens(text: Column) -> Column:
     """BPE-ish word/punct split: runs of word chars OR single non-space
     non-word chars — a closer proxy for subword tokenizers than whitespace."""
@@ -177,18 +191,21 @@ def winnow_fingerprint_rows(df, text_col: str, id_col: str, k: int = 8, w: int =
     """
     from pyspark.sql import Window
 
-    t = normalize_text(F.col(text_col))
+    # normalized text bound ONCE (bind_once) — captured directly, the
+    # regex normalization would re-run per k-gram position (no CSE across
+    # lambda-bearing expressions): O(n²) regex work per document
+    def grams_of(t: Column) -> Column:
+        return F.when(
+            F.length(t) - k + 1 >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - k + 1),
+                lambda i: F.md5(t.substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
     grams = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.when(
-                F.length(t) - k + 1 >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t) - k + 1),
-                    lambda i: F.md5(t.substr(i, F.lit(k))),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "h"),
+        F.posexplode(bind_once(normalize_text(F.col(text_col)), grams_of)).alias("pos", "h"),
     )
     win = Window.partitionBy("_id").orderBy("pos").rowsBetween(0, w - 1)
     n_win = Window.partitionBy("_id")
@@ -421,15 +438,23 @@ def _token_chunks(toks: Column, chunk: int) -> Column:
     re-joined with single spaces (the short tail stays a segment). The
     segment is the unit of line/paragraph-style repetition analysis for
     documents that carry no newlines — the analogue of Gopher's
-    duplicate-line rule over a normalized token stream."""
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(chunk)).cast("int")
-    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(toks, i * chunk + 1, F.lit(chunk)), " "),
+    duplicate-line rule over a normalized token stream.
+
+    ``toks`` is bound ONCE via :func:`bind_once` — captured directly in
+    the slice lambda it would re-evaluate per chunk index (quadratic when
+    ``toks`` is a tokenization expression rather than a column)."""
+
+    def chunks_of(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.ceil(n / F.lit(chunk)).cast("int")
+        return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(t, i * chunk + 1, F.lit(chunk)), " "),
+            )
         )
-    )
+
+    return bind_once(toks, chunks_of)
 
 
 def gopher_repetition_signals(df, text_col: str, id_col: str, chunk: int = 10):
@@ -459,20 +484,41 @@ def gopher_repetition_signals(df, text_col: str, id_col: str, chunk: int = 10):
     """
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text_col))
-    chunks = _token_chunks(toks, chunk)
-    distinct = F.array_distinct(chunks)
-    chars = F.aggregate(chunks, F.lit(0).cast("long"), lambda a, c: a + F.length(c))
-    dchars = F.aggregate(distinct, F.lit(0).cast("long"), lambda a, c: a + F.length(c))
-    base = df.select(
+    # Materialize the token array, then the chunk/distinct arrays, behind
+    # projection boundaries: the chunk builder contains lambdas, which
+    # excludes it from Catalyst subexpression elimination — referencing the
+    # raw expression 4× in one projection re-tokenizes the document 4×.
+    # CollapseProject keeps each boundary (non-cheap aliases, multiply
+    # referenced).
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("n_tokens"),
-        F.size(chunks).alias("n_chunks"),
         F.length(normalize_text(F.col(text_col))).cast("long").alias("_n_text_chars"),
-        chars.alias("_chunk_chars"),
-        dchars.alias("_distinct_chars"),
-        F.size(distinct).alias("_n_distinct"),
-        toks.alias("_toks"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        "_n_text_chars",
+        "_toks",
+        _token_chunks(F.col("_toks"), chunk).alias("_chunks"),
+    ).select(
+        "doc_id",
+        "_n_text_chars",
+        "_toks",
+        "_chunks",
+        F.array_distinct("_chunks").alias("_distinct"),
+    )
+    base = staged.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        F.size("_chunks").alias("n_chunks"),
+        "_n_text_chars",
+        F.aggregate("_chunks", F.lit(0).cast("long"), lambda a, c: a + F.length(c)).alias(
+            "_chunk_chars"
+        ),
+        F.aggregate("_distinct", F.lit(0).cast("long"), lambda a, c: a + F.length(c)).alias(
+            "_distinct_chars"
+        ),
+        F.size("_distinct").alias("_n_distinct"),
+        "_toks",
     )
     bigrams = base.select(
         "doc_id",
@@ -536,14 +582,18 @@ def self_dedup_chunks(df, text_col: str, id_col: str, chunk: int = 10):
     first-occurrence order, so the whole operator is ONE projection with
     zero shuffles and zero Python; at 100 TB it pipelines behind the scan.
     """
-    toks = tokens(F.col(text_col))
-    chunks = _token_chunks(toks, chunk)
-    kept = F.array_distinct(chunks)
-    return df.select(
+    # chunk array materialized once, then bound once more for the kept
+    # array — direct capture would rebuild the (lambda-bearing, so never
+    # CSE'd) chunk expression per reference
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(chunks).alias("n_chunks"),
-        F.size(kept).alias("n_kept"),
-        F.array_join(kept, " ").alias("clean_text"),
+        _token_chunks(tokens(F.col(text_col)), chunk).alias("_chunks"),
+    ).select("doc_id", "_chunks", F.array_distinct("_chunks").alias("_kept"))
+    return staged.select(
+        "doc_id",
+        F.size("_chunks").alias("n_chunks"),
+        F.size("_kept").alias("n_kept"),
+        F.array_join("_kept", " ").alias("clean_text"),
     )
 
 
@@ -589,18 +639,19 @@ def bpe_merge_pairs(df, text_col: str, id_col: str, k: int = 50):
     """
     words = df.select(F.explode(word_tokens(F.col(text_col))).alias("word"))
     wc = words.groupBy("word").agg(F.count("*").alias("wn"))
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("word")),
-        lambda i: F.substring(F.col("word"), i, F.lit(1)),
-    )
+    # adjacent symbols via direct substring at each pair index — an
+    # intermediate char-array captured in the lambda would be rebuilt
+    # (lambda-bearing expressions are never CSE'd) for every pair
     pairs = wc.where(F.length("word") >= 2).select(
         "wn",
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.length("word") - 1),
                 lambda i: F.struct(
-                    F.element_at(chars, i).alias("left"),
-                    F.element_at(chars, (i + F.lit(1)).cast("int")).alias("right"),
+                    F.substring(F.col("word"), i, F.lit(1)).alias("left"),
+                    F.substring(F.col("word"), (i + F.lit(1)).cast("int"), F.lit(1)).alias(
+                        "right"
+                    ),
                 ),
             )
         ).alias("p"),

@@ -35,23 +35,33 @@ import pandas as pd  # module-level: pandas_udf type hints resolve against modul
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from amazonwebcrawler_spark.functions.text import normalize_text
+from amazonwebcrawler_spark.functions.text import bind_once, normalize_text
 
 
 # ----------------------------------------------------------------- shingles
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (sorted for
-    determinism). Empty/short docs → empty array."""
+    determinism). Empty/short docs → empty array.
+
+    The token array is bound ONCE (:func:`bind_once`) before the per-index
+    slice lambda — capturing the split(normalize) expression directly in
+    the lambda would re-run the regex normalization per shingle index
+    (lambda-bearing expressions are excluded from Catalyst CSE), O(n²)
+    regex work per document."""
     toks = F.split(normalize_text(text), " ")
-    # guard: sequence(0, negative) would generate a DESCENDING range in Spark
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_sort(F.array_distinct(grams))
+
+    def grams_of(t: Column) -> Column:
+        # guard: sequence(0, negative) would generate a DESCENDING range
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_sort(F.array_distinct(grams))
+
+    return bind_once(toks, grams_of)
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
@@ -137,14 +147,21 @@ def shingle_hash31(s: Column) -> Column:
 def minhash_signature(text: Column, k: int = 16, n: int = 3) -> Column:
     """k-element MinHash signature as array<bigint>: min over shingles of the
     j-th affine permutation of the shingle's 31-bit md5-derived hash."""
-    sh = shingles(text, n)
     perms = minhash_perm_consts(k)
-    hashes = F.transform(sh, shingle_hash31)
-    return F.array(
-        *[
-            F.array_min(F.transform(hashes, lambda h, a=a, b=b: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
-            for (a, b) in perms
-        ]
+
+    def perm_min(hashes: Column, a: int, b: int) -> Column:
+        # a fresh function scope per permutation: a default-arg lambda
+        # (lambda h, a=a, b=b) would make pyspark emit a THREE-parameter
+        # lambdafunction (it counts defaulted params), which transform
+        # rejects at analysis time
+        return F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)))
+
+    # bind the hashed-shingle array once: each of the k permutation mins
+    # iterates the SAME array, and a direct capture would rebuild the full
+    # shingle+md5 tree k times (no CSE across lambda-bearing expressions)
+    return bind_once(
+        F.transform(shingles(text, n), shingle_hash31),
+        lambda hashes: F.array(*[perm_min(hashes, a, b) for (a, b) in perms]),
     )
 
 

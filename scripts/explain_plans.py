@@ -302,6 +302,66 @@ NEG_CHECKS = {
 }
 
 
+def _lambda_spans(plan: str):
+    """Yield the balanced-paren argument text of every ``lambdafunction(``
+    occurrence in an optimized-plan string (nested lambdas are contained in
+    their outer span, so scanning outer spans covers everything)."""
+    i = 0
+    key = "lambdafunction("
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            return
+        depth, p = 1, j + len(key)
+        start = p
+        while p < len(plan) and depth:
+            c = plan[p]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            p += 1
+        yield plan[start : p - 1]
+        i = p
+
+
+#: queries whose plans must not tokenize inside a higher-order-function
+#: lambda. Catalyst CSE skips lambda-bearing expressions, so a lambda that
+#: captures the tokenization re-runs the regex PER ELEMENT — O(n²) work per
+#: document that no node-level plan assert can see (the r5-s10 finding:
+#: classifier_score went 15.2 s → 1.4 s at sf0.1 from this alone). The fix
+#: idiom is text.bind_once / a materialized projection boundary.
+LAMBDA_CAPTURE_QUERIES = (
+    "classifier_score",
+    "dsir_weights",
+    "gopher_signals",
+    "selfdedup_clean",
+    "segment_dedup",
+    "winnow_fingerprints",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "bpe_pairs",
+    "chunk_documents",
+    "text_stats",
+)
+
+
+def check_no_lambda_capture(spark, sf_dir: str, qs) -> list[str]:
+    """Assert no tokenization/regex expression sits INSIDE any HOF lambda of
+    the text-pipeline plans — it would be re-evaluated per array element."""
+    forbid = ("regexp_replace(", "regexp_extract_all(", "split(")
+    bad = []
+    for name in LAMBDA_CAPTURE_QUERIES:
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        hits = sorted({f for span in _lambda_spans(plan) for f in forbid if f in span})
+        if hits:
+            bad.append(name)
+            print(f"FAIL lambda-capture {name}: {hits} inside a lambdafunction")
+        else:
+            print(f"ok   lambda-capture {name}: no tokenization inside any HOF lambda")
+    return bad
+
+
 def plan_text(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -439,6 +499,7 @@ def main() -> int:
     qs = entrymod.queries()
     bad = []
     bad += check_no_global_window(spark)
+    bad += check_no_lambda_capture(spark, sf_dir, qs)
     bad += check_bucketed_join(spark, sf_dir)
     bad += check_pagerank_iteration(spark)
     for name, expected in CHECKS.items():

@@ -530,3 +530,73 @@ class TestDsirWeights:
         assert got[200].logw_micro > 0 and got[200].keep == 1
         assert got[100].logw_micro < 0 and got[100].keep == 0
         assert got[201].logw_micro == 0 and got[201].keep == 1 and got[201].n_features == 0
+
+
+class TestBindOnce:
+    def test_equivalence_and_null_propagation(self, spark):
+        """bind_once(col, body) ≡ body(col) on values, including NULL input
+        (the one-element-array transform must not turn NULL into a row
+        loss or a non-NULL)."""
+        from pyspark.sql import functions as F
+
+        from amazonwebcrawler_spark.functions.text import bind_once
+
+        d = spark.createDataFrame(
+            [(1, [1, 2, 3]), (2, []), (3, None)], "id long, xs array<int>"
+        )
+        body = lambda t: F.when(  # noqa: E731
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2), lambda i: F.get(t, i) + F.get(t, i + 1)
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        out = d.select(
+            "id",
+            bind_once(F.col("xs"), body).alias("bound"),
+            body(F.col("xs")).alias("direct"),
+        ).collect()
+        assert len(out) == 3
+        for r in out:
+            assert r.bound == r.direct, r
+        by_id = {r.id: r for r in out}
+        assert by_id[1].bound == [3, 5]
+        assert by_id[2].bound == []
+        # NULL input follows the body's own NULL handling exactly as direct
+        # evaluation would (size(NULL) is NULL → otherwise branch → [])
+        assert by_id[3].bound == []
+
+    def test_no_tokenization_inside_lambda_plans(self, spark):
+        """The optimized plans of the bind_once consumers must not carry a
+        regex/split inside any lambdafunction — Catalyst never CSEs
+        lambda-bearing trees, so a captured tokenization re-runs per array
+        element (O(n²) per doc; classifier_score measured 15.2 s → 1.4 s at
+        sf0.1 when this regressed). Mirrors scripts/explain_plans.py's
+        check_no_lambda_capture for the unit suite."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from scripts.explain_plans import _lambda_spans
+
+        from amazonwebcrawler_spark.functions.text import (
+            classifier_score,
+            dsir_weights,
+            gopher_repetition_signals,
+            make_weight_table,
+            winnow_fingerprint_rows,
+        )
+        from amazonwebcrawler_spark.operators.dedup import minhash_signature
+        from pyspark.sql import functions as F
+
+        d = spark.createDataFrame([(1, "a b c d e", "en")], "doc_id long, text string, lang string")
+        plans = {
+            "classifier": classifier_score(d, "text", "doc_id", make_weight_table(spark, 64), 64),
+            "dsir": dsir_weights(d, "text", "doc_id", F.col("lang") == "en", 64),
+            "gopher": gopher_repetition_signals(d, "text", "doc_id", chunk=2),
+            "winnow": winnow_fingerprint_rows(d, "text", "doc_id"),
+            "minhash_col": d.select(minhash_signature(F.col("text"), k=4)),
+        }
+        forbid = ("regexp_replace(", "regexp_extract_all(", "split(")
+        for name, df in plans.items():
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+            hits = {f for span in _lambda_spans(plan) for f in forbid if f in span}
+            assert not hits, f"{name}: {sorted(hits)} captured inside a lambda"
