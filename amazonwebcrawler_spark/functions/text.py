@@ -720,6 +720,104 @@ def crossdoc_segment_dedup(df, text_col: str, id_col: str, chunk: int = 10):
     )
 
 
+def train_linear_probe(
+    df, text_col: str, id_col: str, label_pred, n_buckets: int = 4096, eta_shift: int = 10
+):
+    """Distributed EXACT linear-probe training — two full-batch gradient
+    steps of a least-squares linear model over hashed unigram+bigram
+    PRESENCE features, with a power-of-two learning rate so every weight
+    is an exact integer numerator over a fixed denominator. This is the
+    training half of the DCLM/fastText-shape quality classifier:
+    :func:`classifier_score` is the inference half and consumes the same
+    bucket space, so ``(bucket, w2_num)`` drops straight in as its weight
+    table (a positive-mean doc under w2 is a positive-mean doc under the
+    real-valued weights — the shared denominator cancels in the sign).
+
+    Model: targets are the ±1 encoding ``s = 2y − 1`` of ``label_pred``
+    (the standard least-squares classification encoding — with {0,1}
+    targets and a zero init, buckets seen only in negative docs would
+    train to weight EXACTLY 0 and tie at the keep-iff-≥0 boundary);
+    ``x_{d,f} ∈ {0,1}`` (DISTINCT hashed features per doc); squared loss;
+    ``η = 2^-eta_shift`` (``D = 2^eta_shift``); ``w⁰ = 0``. Exact integer
+    recurrences::
+
+        w1_num_f = Σ_d s_d·x_{d,f} = 2·n_pos_f − cnt_f  -- −g¹; w¹ = w1_num/D
+        zn_d     = Σ_f w1_num_f·x_{d,f}                 -- z¹ = zn/D
+        g2num_f  = Σ_d (zn_d − D·s_d)·x_{d,f}           -- g² = g2num/D
+        w2_num_f = D·w1_num_f − g2num_f                 -- w² = w2_num/D²
+
+    Every quantity is BIGINT arithmetic — the DuckDB twin reproduces each
+    value bit-for-bit (no transcendental enters the contract, unlike a
+    sigmoid). Returns one row per bucket PRESENT in the corpus:
+    ``(bucket, n_pos, w1_num, w2_num)`` (``n_pos`` = positive-doc count,
+    the raw sufficient statistic beside the signed weights).
+
+    Scale shape: the feature explode + DISTINCT is the one data-sized
+    shuffle family (distinct on (doc, bucket), the z-pass regroup on doc,
+    and the g² regroup on bucket — all natural high-cardinality keys);
+    both gradient tables are ≤``n_buckets`` rows and BROADCAST back, so
+    the model state never shuffles the corpus. Overflow bound: with
+    presence features, ``zn ≤ feats/doc · max n1`` and ``g2num ≤ docs ·
+    max zn`` — int64-safe to ~10^6 labeled docs, which is the actual
+    regime (quality probes train on labeled SAMPLES; the 100 TB pass is
+    the inference side, which this feeds).
+    """
+    from amazonwebcrawler_spark.operators.dedup import shingle_hash31
+
+    if eta_shift < 1 or eta_shift > 20:
+        raise ValueError(f"eta_shift must be in [1, 20], got {eta_shift}")
+    d_scale = 1 << eta_shift
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        label_pred.cast("long").alias("_y"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    t = F.col("_toks")
+    bi = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # presence features: DISTINCT (doc, bucket) pairs — persisted: the
+    # gradient pass, the z pass, and the g² pass all iterate this table
+    keyed = (
+        base.select("_id", "_y", F.explode(F.concat(t, bi)).alias("_f"))
+        .select(
+            "_id", "_y", (shingle_hash31(F.col("_f")) % n_buckets).cast("int").alias("bucket")
+        )
+        .distinct()
+        .persist()
+    )
+    g1 = keyed.groupBy("bucket").agg(
+        F.sum("_y").alias("n_pos"),
+        (F.lit(2) * F.sum("_y") - F.count(F.lit(1))).alias("_w1"),
+    )
+    z = (
+        keyed.join(F.broadcast(g1), "bucket")
+        .groupBy("_id", "_y")
+        .agg(F.sum("_w1").alias("_zn"))
+    )
+    resid = z.select(
+        "_id",
+        (F.col("_zn") - F.lit(d_scale) * (F.lit(2) * F.col("_y") - F.lit(1))).alias("_r"),
+    )
+    g2 = keyed.join(resid, "_id").groupBy("bucket").agg(F.sum("_r").alias("_g2"))
+    out = g1.join(g2, "bucket").select(
+        F.col("bucket"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("_w1").cast("long").alias("w1_num"),
+        (F.lit(d_scale) * F.col("_w1") - F.col("_g2")).cast("long").alias("w2_num"),
+    )
+    # training is eager by nature: materialize the ≤n_buckets-row model
+    # (lineage truncation) and release the feature cache — the same
+    # persist → localCheckpoint → unpersist discipline as minhash_lsh
+    out = out.localCheckpoint(eager=True)
+    keyed.unpersist()
+    return out
+
+
 def make_weight_table(spark, n_buckets: int = 4096):
     """Deterministic linear-classifier weight table: (bucket int, w int).
 

@@ -87,6 +87,10 @@ BENCH_QUERIES = (
     "dsir_weights",
     "segment_dedup",
     "bpe_pairs",
+    # r5 session 10: exact-integer linear-probe training — two broadcast
+    # gradient rounds over the hashed-presence feature table; timed so the
+    # "model state never shuffles the corpus" claim carries a number
+    "probe_train",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

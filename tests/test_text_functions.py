@@ -600,3 +600,75 @@ class TestBindOnce:
             plan = df._jdf.queryExecution().optimizedPlan().toString()
             hits = {f for span in _lambda_spans(plan) for f in forbid if f in span}
             assert not hits, f"{name}: {sorted(hits)} captured inside a lambda"
+
+
+class TestTrainLinearProbe:
+    @staticmethod
+    def _mirror(docs, n_buckets=4096, d_scale=1024):
+        """Pure-Python exact mirror of train_linear_probe (hashlib + ints)."""
+        import hashlib
+        import re
+
+        def bucket(f):
+            h = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+            return h % n_buckets
+
+        fb = {}  # doc_id -> (y, set of buckets)
+        for doc_id, text, y in docs:
+            toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ") if text.strip() else []
+            feats = list(toks) + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            if feats:
+                fb[doc_id] = (y, {bucket(f) for f in feats})
+        n1, w1 = {}, {}  # ±1 target encoding: w1 = 2·n_pos − cnt
+        for y, bs in fb.values():
+            for b in bs:
+                n1[b] = n1.get(b, 0) + y
+                w1[b] = w1.get(b, 0) + (2 * y - 1)
+        zn = {d: sum(w1[b] for b in bs) for d, (y, bs) in fb.items()}
+        g2 = {}
+        for d, (y, bs) in fb.items():
+            r = zn[d] - d_scale * (2 * y - 1)
+            for b in bs:
+                g2[b] = g2.get(b, 0) + r
+        return {
+            b: (n1[b], w1[b], d_scale * w1[b] - g2[b]) for b in n1
+        }  # bucket -> (n_pos, w1_num, w2_num)
+
+    def test_exact_vs_python_mirror(self, spark):
+        """Every (bucket, n_pos, w1_num, w2_num) row equals the hashlib/int
+        Python mirror exactly — the contract is pure integer arithmetic."""
+        from amazonwebcrawler_spark.functions.text import train_linear_probe
+        from pyspark.sql import functions as F
+
+        docs = [
+            (1, "good solid prose with Varied words", 1),
+            (2, "good good good spammy spam", 0),
+            (3, "another fine document of words", 1),
+            (4, "spam spam buy now buy now", 0),
+            (5, "words words words", 0),
+            (6, "", 0),
+        ]
+        d = spark.createDataFrame(
+            [(i, t, "en" if y else "xx") for i, t, y in docs], "doc_id long, text string, lang string"
+        )
+        out = train_linear_probe(d, "text", "doc_id", F.col("lang") == "en").collect()
+        got = {r.bucket: (r.n_pos, r.w1_num, r.w2_num) for r in out}
+        assert got == self._mirror(docs)
+
+    def test_weights_feed_classifier_score(self, spark):
+        """Composition: w2 plugs into classifier_score as the weight table
+        and separates the planted classes (positive docs keep, negative
+        drop) — training and inference share one bucket space."""
+        from amazonwebcrawler_spark.functions.text import classifier_score, train_linear_probe
+        from pyspark.sql import functions as F
+
+        pos = [(i, "quality prose sentence number %d" % i, "en") for i in range(1, 9)]
+        neg = [(i, "buy spam now cheap pills %d" % i, "xx") for i in range(9, 17)]
+        d = spark.createDataFrame(pos + neg, "doc_id long, text string, lang string")
+        w = train_linear_probe(d, "text", "doc_id", F.col("lang") == "en").select(
+            "bucket", F.col("w2_num").alias("w")
+        )
+        scored = classifier_score(d, "text", "doc_id", w).collect()
+        keep = {r.doc_id: r.keep for r in scored}
+        assert all(keep[i] == 1 for i, _, _ in pos)
+        assert all(keep[i] == 0 for i, _, _ in neg)
