@@ -557,3 +557,44 @@ def semantic_dedup_keep(
     # election keeps the farthest-from-centroid member (the paper's rule)
     docs = keyed.select(F.col("_id").alias(id_col), (-F.col("_cent_sim")).alias("_anti_proto"))
     return keep_canonical(docs, pairs, id_col=id_col, quality_col="_anti_proto")
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
+    """Distributed recall@k of an approximate neighbor result against the
+    exact ground truth — the measurement half of the ANN family: an
+    approximate index (:func:`lsh_topk`, :func:`ivf_topk`) is only worth
+    deploying at corpus scale with a recall number beside it, and at 10^8
+    queries the evaluation itself must be a distributed join, not a
+    driver-side set comparison.
+
+    Both inputs carry ``(query_id, neighbor_id, rank)`` — the shared
+    results contract of every top-k operator here. A neighbor counts as a
+    hit iff it appears in BOTH results at ``rank ≤ k``. Per query:
+
+    - ``n_exact``      ground-truth neighbors at rank ≤ k (< k only when
+      the corpus itself has fewer than k candidates)
+    - ``n_hits``       approximate neighbors that are true neighbors
+    - ``recall_micro`` exact-integer ``(n_hits·10^6) DIV n_exact`` —
+      rational arithmetic, never a DOUBLE (the cross-engine hash contract)
+
+    Queries the approximate index dropped entirely still get a row
+    (n_hits = 0): the exact side is the spine, joined left. Scale shape:
+    both sides are already reduced to ≤ queries×k rows by their top-k
+    windows, so the hit join and the per-query aggregate shuffle on
+    (query_id, neighbor_id) / query_id — natural keys, no skew pile-up
+    (every group is ≤ k rows by construction).
+    """
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = (
+        a.join(e, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return spine.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.expr("(coalesce(n_hits, 0) * 1000000L) DIV n_exact").alias("recall_micro"),
+    )

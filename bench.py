@@ -91,6 +91,10 @@ BENCH_QUERIES = (
     # gradient rounds over the hashed-presence feature table; timed so the
     # "model state never shuffles the corpus" claim carries a number
     "probe_train",
+    # r5 session 11: recall@k eval — lsh + brute-force + the hit join in
+    # one leg, so the "evaluation is itself a distributed join" claim is
+    # timed against the indexes it measures
+    "ann_recall",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

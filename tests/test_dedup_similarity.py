@@ -1029,3 +1029,62 @@ class TestSubstringDedupRandomized:
             ).collect()
         }
         assert got == TestSubstringDedup._oracle(rows, 8)
+
+
+class TestRecallAtK:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "query_id long, neighbor_id long, rank int")
+
+    def test_hand_counted(self, spark):
+        """recall@3 over hand-built results: full hit, partial, zero, and a
+        query the approximate index dropped entirely (still gets a row)."""
+        from amazonwebcrawler_spark.operators.similarity import recall_at_k
+
+        exact = self._df(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+             (2, 20, 1), (2, 21, 2), (2, 22, 3),
+             (3, 30, 1), (3, 31, 2),          # n_exact < k: thin corpus
+             (4, 40, 1), (4, 41, 2), (4, 42, 3)],
+        )
+        approx = self._df(
+            spark,
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3),   # 3/3
+             (2, 20, 1), (2, 99, 2), (2, 22, 4),   # rank 4 filtered → 1/3
+             (3, 98, 1), (3, 97, 2)],              # 0/2; query 4 missing
+        )
+        got = {r.query_id: (r.n_exact, r.n_hits, r.recall_micro)
+               for r in recall_at_k(approx, exact, k=3).collect()}
+        assert got == {
+            1: (3, 3, 1_000_000),
+            2: (3, 1, 333_333),
+            3: (2, 0, 0),
+            4: (3, 0, 0),
+        }
+
+    def test_lsh_vs_brute_force_end_to_end(self, spark):
+        """Composed over the real operators: recall of lsh_topk against
+        brute_force_topk equals a Python set re-derivation of the same."""
+        import random
+
+        from amazonwebcrawler_spark.operators.similarity import (
+            brute_force_topk, lsh_topk, recall_at_k,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qs = e.filter("vec_id < 4")
+        exact = brute_force_topk(e, qs, "vec_id", "embedding", k=5)
+        approx = lsh_topk(e, qs, "vec_id", "embedding", k=5, dim=8, n_planes=4)
+        got = {r.query_id: (r.n_exact, r.n_hits) for r in
+               recall_at_k(approx, exact, k=5).collect()}
+        ex = {}
+        for r in exact.collect():
+            ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+        ap = {}
+        for r in approx.collect():
+            ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+        want = {q: (len(s), len(s & ap.get(q, set()))) for q, s in ex.items()}
+        assert got == want
+        assert set(got) == {0, 1, 2, 3}
