@@ -806,6 +806,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", "sample_rank"
         )
 
+    # ----------------------------------------------------- epoch shuffle order
+    def q_epoch_shuffle(spark, sf):
+        """Deterministic per-epoch global shuffle manifest
+        (operators/corpus.epoch_shuffle): the training-loader permutation
+        as a pure function of (seed, doc_id) — md5 lexicographic order
+        realized via key-prefix shards + per-shard windows + broadcast
+        offsets, never a global sort. The twin re-derives the SAME key,
+        shard arithmetic and both positions with one global row_number
+        (affordable at oracle scale; the operator exists precisely so the
+        engine never runs that window)."""
+        from amazonwebcrawler_spark.operators import corpus
+
+        d = _t(spark, sf, "documents")
+        return corpus.epoch_shuffle(d, "doc_id", seed=7, n_shards=32)
+
     # ----------------------------------------------------- corpus shape rollup
     def q_corpus_stats(spark, sf):
         """Per-language corpus shape (docs, total tokens, mean + exact
@@ -2372,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest cover them.
         "probe_train": q_probe_train,
         "ann_recall": q_ann_recall,
+        "epoch_shuffle": q_epoch_shuffle,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -4635,6 +4651,20 @@ FROM r WHERE sample_rank <= 5
 """,
         "ann_lsh": _ann_lsh_sql(),
         "ann_recall": _ann_recall_sql(),
+        "epoch_shuffle": """
+WITH k AS (
+  SELECT doc_id, md5('epoch:7:' || CAST(doc_id AS VARCHAR)) AS key FROM documents
+),
+s AS (
+  SELECT doc_id, key,
+    CAST((CAST(('0x' || substr(key, 1, 8)) AS UBIGINT) * 32) >> 32 AS INT) AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos_in_shard,
+  CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS global_pos
+FROM s
+""",
         **_golden_sql(),
     }
 

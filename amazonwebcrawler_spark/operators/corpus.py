@@ -448,3 +448,66 @@ def host_template_stats(
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+
+
+def epoch_shuffle(df: DataFrame, id_col: str, seed: int, n_shards: int = 32) -> DataFrame:
+    """Deterministic per-epoch global shuffle order for training-data
+    loading — the "reshuffle the corpus every epoch" step of an LLM
+    training pipeline, done as a pure function of ``(seed, id)`` so the
+    permutation is reproducible across runs, engines, partitionings and
+    resume boundaries (a re-run of epoch 7 MUST feed batches in the same
+    order; ``df.orderBy(rand())`` is none of these things).
+
+    The permutation is the lexicographic order of
+    ``md5('epoch:{seed}:' || id)`` (ties broken by id; distinct ids make
+    key ties astronomically unlikely anyway). Realized WITHOUT a global
+    sort: the shard is the TOP bits of the key prefix —
+    ``shard = (v·n_shards) >> 32`` with ``v`` = first 8 hex chars as an
+    int — which is monotone in the key, so ``(shard, key)`` order IS key
+    order and the within-shard ``row_number`` windows never merge into a
+    single partition. Global positions come from per-shard counts: one
+    map-side-combinable aggregate whose collect is bounded by the
+    ``n_shards`` config constant, cumulated driver-side and broadcast back
+    (the pack_sequences / assign_discovery_seq justification). A loader
+    materializes epoch order by reading shards in shard order, each
+    pre-sorted — exactly how a 100 TB corpus is shuffled in practice
+    (shard-level ordering + in-shard sort, never a cluster-wide sort).
+
+    Returns the input's ``id_col`` plus ``shard`` (int), ``pos_in_shard``
+    (1-based BIGINT) and ``global_pos`` (0-based BIGINT) — a shuffle
+    MANIFEST (ints + ids, never payload), bijective onto [0, n).
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1 or n_shards > 4096:
+        raise ValueError(f"n_shards must be in [1, 4096], got {n_shards}")
+    key = F.md5(F.concat(F.lit(f"epoch:{seed}:"), F.col(id_col).cast("string")))
+    v = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        key.alias("_key"),
+        F.shiftright(v * F.lit(n_shards), 32).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    ranked = keyed.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+    # per-shard counts: ≤ n_shards rows (config constant — never data-scale)
+    counts = {
+        r["shard"]: r["c"]
+        for r in keyed.groupBy("shard").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    acc = 0
+    offs = []
+    for shard in sorted(counts):
+        offs.append((int(shard), acc))
+        acc += int(counts[shard])
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(offs or [(0, 0)], "shard int, _off long")
+    return (
+        ranked.join(F.broadcast(off_df), "shard")
+        .select(
+            id_col,
+            "shard",
+            "pos_in_shard",
+            (F.col("_off") + F.col("pos_in_shard") - 1).alias("global_pos"),
+        )
+    )

@@ -95,6 +95,9 @@ BENCH_QUERIES = (
     # one leg, so the "evaluation is itself a distributed join" claim is
     # timed against the indexes it measures
     "ann_recall",
+    # r5 session 11: per-epoch shuffle manifest — shard windows + broadcast
+    # offsets standing in for the global sort an epoch reshuffle never runs
+    "epoch_shuffle",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -374,3 +374,54 @@ class TestWeightedSample:
         )
         got = [r["doc_id"] for r in weighted_sample(df, "grp", "doc_id", "w", k=5).collect()]
         assert got == [1]
+
+
+class TestEpochShuffle:
+    def _ids(self, spark, n, parts=4):
+        return spark.range(0, n, numPartitions=parts).withColumnRenamed("id", "doc_id")
+
+    def test_bijection_and_key_order(self, spark):
+        """global_pos is a bijection onto [0, n) and equals the rank of the
+        md5 shuffle key — the permutation contract."""
+        import hashlib
+
+        from amazonwebcrawler_spark.operators.corpus import epoch_shuffle
+
+        n = 200
+        out = epoch_shuffle(self._ids(spark, n), "doc_id", seed=7, n_shards=8).collect()
+        assert sorted(r.global_pos for r in out) == list(range(n))
+        key = lambda i: hashlib.md5(f"epoch:7:{i}".encode()).hexdigest()  # noqa: E731
+        want = {i: p for p, i in enumerate(sorted(range(n), key=lambda i: (key(i), i)))}
+        assert {r.doc_id: r.global_pos for r in out} == want
+
+    def test_partition_invariance(self, spark):
+        """The manifest is a pure function of the data: 1-partition and
+        13-partition inputs produce identical rows."""
+        from amazonwebcrawler_spark.operators.corpus import epoch_shuffle
+
+        rows = lambda parts: sorted(  # noqa: E731
+            (r.doc_id, r.shard, r.pos_in_shard, r.global_pos)
+            for r in epoch_shuffle(self._ids(spark, 150, parts), "doc_id", 3, 8).collect()
+        )
+        assert rows(1) == rows(13)
+
+    def test_seed_changes_permutation(self, spark):
+        """Different epochs genuinely reshuffle: the seed-3 and seed-4
+        permutations of 100 docs differ (P[identical] ~ 1/100!)."""
+        from amazonwebcrawler_spark.operators.corpus import epoch_shuffle
+
+        d = self._ids(spark, 100)
+        p3 = {r.doc_id: r.global_pos for r in epoch_shuffle(d, "doc_id", 3).collect()}
+        p4 = {r.doc_id: r.global_pos for r in epoch_shuffle(d, "doc_id", 4).collect()}
+        assert p3 != p4
+        assert sorted(p3.values()) == sorted(p4.values()) == list(range(100))
+
+    def test_shard_prefix_consistency(self, spark):
+        """Shards tile the key order: every key in shard s sorts before
+        every key in shard s+1 — the no-global-sort correctness condition."""
+        from amazonwebcrawler_spark.operators.corpus import epoch_shuffle
+
+        out = epoch_shuffle(self._ids(spark, 300), "doc_id", seed=9, n_shards=8)
+        rows = sorted((r.global_pos, r.shard) for r in out.collect())
+        shards = [s for _, s in rows]
+        assert shards == sorted(shards)
