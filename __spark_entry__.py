@@ -2176,6 +2176,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return resolve_redirects(edges, max_hops=32)
 
+    def q_triangle_count(spark, sf):
+        """Per-node triangle count + local clustering coefficient
+        (operators/webgraph.triangle_stats): degree-ordered edge-iterator
+        (Suri & Vassilvitskii 2011) over the undirected simplification of
+        the hits_scores link fixture — the link-farm density signal. Every
+        output value is exact integer arithmetic; the twin re-derives the
+        orientation, wedge and closing joins as row-value comparisons."""
+        from amazonwebcrawler_spark.operators.webgraph import triangle_stats
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.select((k % 31).alias("src"), ((k * 5 + 3) % 41).alias("dst")).unionByName(
+            o.select(((k * 11 + 2) % 23).alias("src"), ((k * 13 + 7) % 31).alias("dst"))
+        )
+        return triangle_stats(edges)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2388,6 +2404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "probe_train": q_probe_train,
         "ann_recall": q_ann_recall,
         "epoch_shuffle": q_epoch_shuffle,
+        "triangle_count": q_triangle_count,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -2599,7 +2616,7 @@ FROM spine s LEFT JOIN hits h USING (query_id)
 def oracle_sql() -> dict[str, str]:
     from amazonwebcrawler_spark.functions.text import PII_PATTERNS
     from amazonwebcrawler_spark.operators.dedup import MINHASH_P, minhash_perm_consts
-    from amazonwebcrawler_spark.operators.webgraph import hits_oracle_sql
+    from amazonwebcrawler_spark.operators.webgraph import hits_oracle_sql, triangle_oracle_sql
 
     perm_values = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_perm_consts(16))
@@ -3411,6 +3428,12 @@ SELECT node AS src, nxt AS final_url, hops FROM (
             "UNION ALL "
             "SELECT (o_orderkey * 11 + 2) % 23, (o_orderkey * 13 + 7) % 31 FROM orders",
             iters=5,
+        ),
+        "triangle_count": triangle_oracle_sql(
+            "SELECT o_orderkey % 31 AS src, (o_orderkey * 5 + 3) % 41 AS dst FROM orders "
+            "UNION ALL "
+            "SELECT (o_orderkey * 11 + 2) % 23 AS src, (o_orderkey * 13 + 7) % 31 AS dst "
+            "FROM orders"
         ),
         "bfs_depths": r"""
 WITH RECURSIVE e AS (

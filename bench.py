@@ -98,6 +98,9 @@ BENCH_QUERIES = (
     # r5 session 11: per-epoch shuffle manifest — shard windows + broadcast
     # offsets standing in for the global sort an epoch reshuffle never runs
     "epoch_shuffle",
+    # r5 session 11: degree-oriented triangle counting — the wedge join's
+    # √m out-degree bound is the claim; timing it keeps the number honest
+    "triangle_count",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -168,6 +168,16 @@ CHECKS = {
     # the feature stream; both LM fits and the per-doc sum are map-side-
     # combinable hash aggs; no Python (NEG)
     "dsir_weights": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
+    # recall@k eval: the hit join + per-query aggregate over two top-k
+    # result sets — map-side partials, no Python anywhere (NEG; the LSH
+    # and brute-force inputs are pure column math by construction)
+    "ann_recall": ["HashAggregate", "[codegen id :"],
+    # epoch shuffle: SHARD-partitioned row_number windows + broadcast
+    # offsets — never a global sort (NEG forbids SinglePartition), no
+    # Python (triangle_count has no entry: its output is eagerly
+    # localCheckpointed inside the operator, the hits/minhash discipline,
+    # so the formatted plan is an RDD scan)
+    "epoch_shuffle": ["Window", "BroadcastHashJoin", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -181,7 +191,7 @@ NO_AQE = {
     "robots_rfc", "adaptive_backoff", "classifier_score",
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate", "param_policy", "param_apply",
-    "dsir_weights",
+    "dsir_weights", "ann_recall", "epoch_shuffle",
 }
 
 NEG_CHECKS = {
@@ -298,6 +308,14 @@ NEG_CHECKS = {
     "dsir_weights": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "SortMergeJoin",
+    ],
+    # both top-k inputs are pure column math; the brute-force side's
+    # broadcast-queries crossJoin renders as BroadcastNestedLoopJoin (the
+    # accepted broadcast-small-side idiom), so only Cartesian is forbidden
+    "ann_recall": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian"],
+    "epoch_shuffle": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "NestedLoop", "Cartesian",
     ],
 }
 

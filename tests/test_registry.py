@@ -21,7 +21,7 @@ FLAGSHIP_SLOTS = ("crawl_rank_wave", "robots_filter")
 #: key a slot would evict an equally-never-checked key — zero-sum for
 #: external coverage and churn for the documented layout. These stay at
 #: position 51+ on the local gate + pytest until a future window rotation.
-POST_FREEZE = ("probe_train", "ann_recall", "epoch_shuffle")
+POST_FREEZE = ("probe_train", "ann_recall", "epoch_shuffle", "triangle_count")
 
 
 def _ever_driver_green() -> set[str]:

@@ -401,3 +401,62 @@ class TestApplyParamPolicy:
         # sid stripped everywhere; page (keep) and once (insufficient) stay
         assert got["https://h.com/p?page=1&sid=1&once=0"] == "https://h.com/p?once=0&page=1"
         assert got["https://h.com/p?page=2&sid=4&once=0"] == "https://h.com/p?once=0&page=2"
+
+
+class TestTriangleStats:
+    def _run(self, spark, edges):
+        from amazonwebcrawler_spark.operators.webgraph import triangle_stats
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node: (r.degree, r.n_triangles, r.clustering_micro)
+            for r in triangle_stats(e).collect()
+        }
+
+    def test_complete_graph_k5(self, spark):
+        """K5: every node has degree 4, C(4,2)=6 triangles, clustering 1."""
+        edges = [(a, b) for a in range(5) for b in range(5) if a != b]
+        assert self._run(spark, edges) == {i: (4, 6, 1_000_000) for i in range(5)}
+
+    def test_triangle_free_graphs(self, spark):
+        """A star and a path close no triangles; clustering is 0 everywhere
+        (including the degree-1 leaves, where it is 0 by convention)."""
+        star = [(0, i) for i in range(1, 6)]
+        got = self._run(spark, star)
+        assert got[0] == (5, 0, 0)
+        assert all(got[i] == (1, 0, 0) for i in range(1, 6))
+        path = [(i, i + 1) for i in range(6)]
+        assert all(t == 0 and c == 0 for _, t, c in self._run(spark, path).values())
+
+    def test_direction_multiplicity_selfloops_collapse(self, spark):
+        """Parallel edges, reversed duplicates and self-loops don't change
+        the undirected simple graph: one triangle, counted once per node."""
+        edges = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (3, 3)]
+        assert self._run(spark, edges) == {
+            1: (2, 1, 1_000_000),
+            2: (2, 1, 1_000_000),
+            3: (2, 1, 1_000_000),
+        }
+
+    def test_random_graph_vs_python_mirror(self, spark):
+        """Seeded G(30, 0.25): per-node counts equal an exhaustive
+        adjacency-set mirror, and Σ node counts = 3 × total triangles."""
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        edges = [(a, b) for a, b in itertools.combinations(range(30), 2)
+                 if rng.random() < 0.25]
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for n, nb in adj.items():
+            t = sum(1 for a, b in itertools.combinations(sorted(nb), 2) if b in adj[a])
+            deg = len(nb)
+            cc = (2 * t * 1_000_000) // (deg * (deg - 1)) if deg >= 2 else 0
+            want[n] = (deg, t, cc)
+        got = self._run(spark, edges)
+        assert got == want
+        assert sum(t for _, t, _ in got.values()) % 3 == 0
