@@ -2192,6 +2192,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_stats(edges)
 
+    def q_label_prop(spark, sf):
+        """Community detection by synchronous label propagation
+        (operators/webgraph.label_propagation): 4 plurality-vote rounds
+        with smallest-label tie-break over a two-cluster link fixture —
+        the mirror-farm/template-network collapse signal a scheduler
+        budgets as one logical site. Deterministic by construction
+        (synchronous sweep + total tie-break), so the twin replays the
+        iteration exactly as unrolled CTEs. Pure integer output."""
+        from amazonwebcrawler_spark.operators.webgraph import label_propagation
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = (
+            o.select((k % 37).alias("src"), ((k * 7 + 3) % 37).alias("dst"))
+            .unionByName(
+                o.select(
+                    ((k * 3 + 1) % 29 + 100).alias("src"), ((k * 11 + 5) % 29 + 100).alias("dst")
+                )
+            )
+            .unionByName(
+                o.filter(k % 101 == 0).select(
+                    (k % 37).alias("src"), ((k * 5) % 29 + 100).alias("dst")
+                )
+            )
+        )
+        return label_propagation(edges, iters=4)
+
+    def q_trust_rank(spark, sf):
+        """TrustRank-shaped personalized PageRank (operators/linkrank.
+        personalized_pagerank): the power iteration with the teleport
+        vector restricted to a 3-node trusted seed set, dangling mass
+        re-entering through the same vector — proximity-to-trust, the
+        spam-demotion companion to host_trap_stats. Twin = the seed-
+        teleport iteration unrolled as chained CTEs; both sides emit
+        micro-unit BIGINTs (the pagerank drift argument)."""
+        from amazonwebcrawler_spark.operators.linkrank import personalized_pagerank
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.select((k % 31).alias("src"), ((k * 5 + 3) % 41).alias("dst")).unionByName(
+            o.select(((k * 11 + 2) % 23).alias("src"), ((k * 13 + 7) % 31).alias("dst"))
+        )
+        seeds = spark.createDataFrame([(0,), (1,), (2,)], "node bigint")
+        r = personalized_pagerank(edges, seeds, iters=5)
+        return r.select(
+            "node", F.round(F.col("pr") * 1_000_000).cast("long").alias("ppr_micro")
+        )
+
+    def q_bm25_rank(spark, sf):
+        """Okapi BM25 retrieval scoring (functions/text.bm25_scores) of
+        every document against a fixed 4-term query — the seed-expansion
+        / relevance-weighted-sampling primitive. Lucene's non-negative
+        idf; N and avgdl arrive as broadcast 1-row aggregates; only
+        query-term tokens shuffle into the tf aggregate. Micro-unit
+        BIGINT contract (tfidf drift argument)."""
+        from amazonwebcrawler_spark.functions.text import bm25_scores
+
+        d = _t(spark, sf, "documents")
+        return bm25_scores(d, "text", "doc_id", ("hash", "join", "stream", "vector"))
+
+    def q_heavy_hitters(spark, sf):
+        """Count-min heavy-hitter certification (operators/corpus.
+        countmin_certify): a 4×256 md5-hashed integer grid built
+        relationally, every key read back through it, exact counts
+        joined beside the estimate so the sketch's one-sided error is
+        value-checked per row (the sketch_distinct discipline). The key
+        fixture is deliberately skewed (7 heavy hosts + a ~997-key tail)
+        so grid collisions actually occur. All-BIGINT output; the twin
+        re-derives the grid cell by cell from the same md5 arithmetic."""
+        from amazonwebcrawler_spark.operators.corpus import countmin_certify
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        keyed = o.select(
+            F.concat(
+                F.lit("h"),
+                F.when(k % 3 == 0, k % 7).otherwise(k % 997).cast("string"),
+            ).alias("key")
+        )
+        return countmin_certify(keyed, "key", depth=4, width=256)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2405,6 +2486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "epoch_shuffle": q_epoch_shuffle,
         "triangle_count": q_triangle_count,
+        "label_prop": q_label_prop,
+        "trust_rank": q_trust_rank,
+        "bm25_rank": q_bm25_rank,
+        "heavy_hitters": q_heavy_hitters,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -2616,7 +2701,13 @@ FROM spine s LEFT JOIN hits h USING (query_id)
 def oracle_sql() -> dict[str, str]:
     from amazonwebcrawler_spark.functions.text import PII_PATTERNS
     from amazonwebcrawler_spark.operators.dedup import MINHASH_P, minhash_perm_consts
-    from amazonwebcrawler_spark.operators.webgraph import hits_oracle_sql, triangle_oracle_sql
+    from amazonwebcrawler_spark.operators.webgraph import (
+        hits_oracle_sql,
+        label_prop_oracle_sql,
+        triangle_oracle_sql,
+    )
+    from amazonwebcrawler_spark.operators.linkrank import personalized_pagerank_oracle_sql
+    from amazonwebcrawler_spark.operators.corpus import countmin_oracle_sql
 
     perm_values = ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_perm_consts(16))
@@ -3434,6 +3525,54 @@ SELECT node AS src, nxt AS final_url, hops FROM (
             "UNION ALL "
             "SELECT (o_orderkey * 11 + 2) % 23 AS src, (o_orderkey * 13 + 7) % 31 AS dst "
             "FROM orders"
+        ),
+        "label_prop": label_prop_oracle_sql(
+            "SELECT o_orderkey % 37 AS src, (o_orderkey * 7 + 3) % 37 AS dst FROM orders "
+            "UNION ALL "
+            "SELECT (o_orderkey * 3 + 1) % 29 + 100, (o_orderkey * 11 + 5) % 29 + 100 "
+            "FROM orders "
+            "UNION ALL "
+            "SELECT o_orderkey % 37, (o_orderkey * 5) % 29 + 100 FROM orders "
+            "WHERE o_orderkey % 101 = 0",
+            iters=4,
+        ),
+        "trust_rank": personalized_pagerank_oracle_sql(
+            "SELECT o_orderkey % 31 AS src, (o_orderkey * 5 + 3) % 41 AS dst FROM orders "
+            "UNION ALL "
+            "SELECT (o_orderkey * 11 + 2) % 23, (o_orderkey * 13 + 7) % 31 FROM orders",
+            "SELECT 0 AS node UNION ALL SELECT 1 UNION ALL SELECT 2",
+            iters=5,
+        ),
+        "bm25_rank": rf"""
+-- Okapi BM25 (k1=1.2, b=0.75, Lucene non-negative idf) of every document
+-- against the fixed query {{hash, join, stream, vector}}; dl/avgdl over
+-- whitespace tokens of the normalized text, N over ALL documents; micro-unit
+-- BIGINT score (ln/div drift ~1e-15 relative, 7 orders inside a micro cell)
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+term_rows AS (SELECT doc_id, u.term FROM tk, UNNEST(toks) AS u(term)),
+dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM term_rows GROUP BY 1),
+avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM term_rows
+  WHERE term IN ('hash', 'join', 'stream', 'vector') GROUP BY 1, 2
+),
+dft AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1)
+SELECT f.doc_id, COUNT(*) AS n_hit_terms,
+  CAST(round(SUM(
+    ln(1.0 + (n.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+    * f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl))
+  ) * 1000000) AS BIGINT) AS bm25_micro
+FROM tf f JOIN dft d USING (term) JOIN dl l USING (doc_id)
+CROSS JOIN nd n CROSS JOIN avgdl a
+GROUP BY f.doc_id
+""",
+        "heavy_hitters": countmin_oracle_sql(
+            "SELECT 'h' || (CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 7 "
+            "ELSE o_orderkey % 997 END)::VARCHAR AS key FROM orders",
+            depth=4,
+            width=256,
         ),
         "bfs_depths": r"""
 WITH RECURSIVE e AS (

@@ -272,6 +272,64 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 5):
     )
 
 
+def bm25_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 document scoring against a fixed query-term set — the
+    retrieval primitive behind anchor-text search, seed expansion ("find
+    more pages like these trusted ones") and relevance-weighted sampling
+    of a crawled corpus. Lucene's non-negative idf formulation:
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d, t) = idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+        bm25(d) = Σ_{t ∈ q ∩ d} s(d, t)
+
+    Scale shape: document length and df are map-side-combinable groupBys;
+    N and avgdl join in as broadcast one-row aggregates (no collect);
+    the query-term filter lands BEFORE the (doc, term) tf aggregate so
+    only matching tokens shuffle. Pure JVM column math; the DuckDB twin
+    mirrors the arithmetic 1:1. Emits ``(doc_id, n_hit_terms,
+    bm25_micro)`` for documents hitting ≥1 query term — micro-unit
+    BIGINT (the tfidf_top_terms drift argument: cross-engine ``ln``/
+    division drift is ~1e-15 relative, seven orders inside a micro cell).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.select(F.avg("dl").alias("avgdl"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    term_score = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(df_t, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.round(F.sum(term_score) * 1_000_000).cast("long").alias("bm25_micro"),
+        )
+    )
+
+
 def unigram_nll(df, text_col: str, id_col: str):
     """CCNet-style language-model quality signal with no model artifact:
     train a unigram LM on the corpus itself (one aggregate) and score each

@@ -511,3 +511,86 @@ def epoch_shuffle(df: DataFrame, id_col: str, seed: int, n_shards: int = 32) -> 
             (F.col("_off") + F.col("pos_in_shard") - 1).alias("global_pos"),
         )
     )
+
+
+def countmin_certify(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation WITH exact certification
+    (Cormode & Muthukrishnan 2005) — the frequency companion to the
+    distinct-count sketch (`sketch_distinct`): a crawl scheduler tracks
+    per-host fetch counts in a d×w integer grid whose size is a config
+    constant, merges grids across executors by cell-wise addition, and
+    reads ``est(k) = min_i grid[i][h_i(k)]``, which can only OVERcount
+    (every collision adds). This operator builds the sketch relationally,
+    reads every key back through it, and joins the exact counts beside
+    the estimate so the one-sided error bound is value-checked row by
+    row — the same certify-the-sketch discipline as q_sketch_distinct.
+
+    Hashes are md5-derived (engine-portable, never xxhash64): row ``i``
+    buckets by the first 8 hex chars of ``md5('cms' || i || '|' || key)``
+    mod ``width``, so the DuckDB twin reproduces the grid bit-for-bit.
+
+    Plan shape: one explode to d rows per observation, one (row, bucket)
+    groupBy — d·w cells max, a config constant — then the distinct keys
+    re-hash and broadcast-join the tiny grid; exact counts are one
+    map-side-combinable groupBy. Nothing driver-side, no window. Returns
+    ``(key, exact_cnt, cms_est, overcount)`` — all BIGINT, and
+    ``overcount = cms_est - exact_cnt >= 0`` always (the certification).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    keys = df.select(F.col(key_col).cast("string").alias("key"))
+
+    def bucket(row: Column) -> Column:
+        h = F.md5(F.concat(F.lit("cms"), row.cast("string"), F.lit("|"), F.col("key")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+
+    rows = keys.select(
+        "key", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    ).select("key", "row", bucket(F.col("row")).alias("bucket"))
+    grid = rows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    probe = (
+        keys.distinct()
+        .select("key", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"))
+        .select("key", "row", bucket(F.col("row")).alias("bucket"))
+        .join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    exact = keys.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return exact.join(probe, "key").select(
+        "key",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+def countmin_oracle_sql(keys_sql: str, depth: int = 4, width: int = 256) -> str:
+    """DuckDB twin of :func:`countmin_certify`: the same md5 grid,
+    re-built cell by cell. ``keys_sql`` must yield one ``key`` VARCHAR
+    row per observation."""
+    rows = " UNION ALL ".join(f"SELECT {i} AS row" for i in range(depth))
+    return f"""
+WITH obs AS ({keys_sql}),
+d AS ({rows}),
+hashed AS (
+  SELECT obs.key, d.row,
+    CAST(CAST(('0x' || substr(md5('cms' || d.row::VARCHAR || '|' || obs.key), 1, 8))
+      AS UBIGINT) % {width} AS INT) AS bucket
+  FROM obs CROSS JOIN d
+),
+grid AS (SELECT row, bucket, COUNT(*) AS cell FROM hashed GROUP BY 1, 2),
+est AS (
+  SELECT p.key, MIN(g.cell) AS cms_est
+  FROM (SELECT DISTINCT key, row, bucket FROM hashed) p
+  JOIN grid g ON g.row = p.row AND g.bucket = p.bucket
+  GROUP BY 1
+),
+exact AS (SELECT key, COUNT(*) AS exact_cnt FROM obs GROUP BY 1)
+SELECT e.key, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+  CAST(s.cms_est AS BIGINT) AS cms_est,
+  CAST(s.cms_est - e.exact_cnt AS BIGINT) AS overcount
+FROM exact e JOIN est s USING (key)
+"""

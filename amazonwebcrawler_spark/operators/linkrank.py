@@ -118,6 +118,141 @@ def _iterate(
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank-shaped personalized PageRank (Gyöngyi et al., VLDB 2004):
+    the power iteration of :func:`pagerank` with the teleport vector
+    restricted to a trusted seed set instead of uniform —
+
+        pr'(v) = (1-d)·tele(v) + d·( Σ_{u→v} pr(u)/outdeg(u) + mass·tele(v) )
+
+    where ``tele(v) = 1/|S|`` for seed nodes and 0 elsewhere, and the
+    dangling mass re-enters through the SAME teleport vector, so
+    ``sum(pr) == 1`` at every step exactly as in the uniform variant.
+    Scores measure proximity-to-trust: link farms that fool raw PageRank
+    score near zero here unless the seed set endorses them — the standard
+    spam-demotion companion to ``host_trap_stats``.
+
+    Same scale shape as :func:`pagerank` (pre-weighted persisted edges,
+    1-row dangling-mass broadcast, per-iteration localCheckpoint); the
+    only additions are one seed semi-join up front and a second scalar
+    (``|S ∩ nodes|``). Seeds outside the graph are ignored; an empty
+    intersection raises (an all-zero teleport vector has no fixpoint).
+    Returns ``(node, pr)`` raw doubles — callers round to micro-unit
+    BIGINTs for the bit-stable contract (pagerank_oracle_sql precedent).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    seed_nodes = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .persist()
+    )
+    s = seed_nodes.count()  # scalar #2 beside nodes.count()
+    if s == 0:
+        raise ValueError("personalized_pagerank: no seed intersects the graph")
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
+    w_edges = (
+        e.join(deg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .persist()
+    )
+    w_edges.count()
+    dangling = nodes.join(deg, "node", "left_anti").persist()
+    tele_nodes = (
+        nodes.join(seed_nodes.withColumn("_s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("tele"),
+        )
+        .persist()
+    )
+    ranks = tele_nodes.select("node", F.col("tele").alias("pr")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            w_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
+        )
+        mass = (
+            ranks.join(dangling, "node", "left_semi")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass"))
+        )
+        ranks = (
+            tele_nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(mass))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("tele")
+                    + F.lit(damping)
+                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("mass") * F.col("tele"))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    seed_nodes.unpersist()
+    w_edges.unpersist()
+    dangling.unpersist()
+    tele_nodes.unpersist()
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str, seeds_sql: str, iters: int = 5, damping: float = 0.85
+) -> str:
+    """DuckDB twin of :func:`personalized_pagerank`: the seed-teleport
+    power iteration unrolled into chained CTEs (pagerank_oracle_sql
+    idiom). ``seeds_sql`` must yield a ``node`` column; emits
+    ``(node, ppr_micro)`` BIGINTs (same drift argument as pagerank)."""
+    d = damping
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f"seeds AS (SELECT DISTINCT s.node FROM ({seeds_sql}) s"
+        " JOIN nodes n ON n.node = s.node),",
+        "deg AS (SELECT src AS node, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),",
+        "we AS (SELECT e.src, e.dst, 1.0/deg.outdeg AS w FROM e JOIN deg ON deg.node = e.src),",
+        "tele AS MATERIALIZED (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN"
+        " 1.0/(SELECT count(*) FROM seeds) ELSE 0.0 END AS tele"
+        " FROM nodes n LEFT JOIN seeds s ON s.node = n.node),",
+        "r0 AS (SELECT node, tele AS pr FROM tele),",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f"r{k} AS (SELECT t.node, (1.0 - {d}) * t.tele + {d} * ("
+            f"COALESCE(c.contrib, 0.0) + dm.mass * t.tele) AS pr "
+            f"FROM tele t "
+            f"LEFT JOIN (SELECT we.dst AS node, SUM(r.pr * we.w) AS contrib "
+            f"FROM we JOIN {prev} r ON we.src = r.node GROUP BY 1) c "
+            f"ON c.node = t.node "
+            f"CROSS JOIN (SELECT COALESCE(SUM(r.pr), 0.0) AS mass FROM {prev} r "
+            f"LEFT JOIN deg ON deg.node = r.node WHERE deg.node IS NULL) dm),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT node, CAST(round(pr * 1000000) AS BIGINT) AS ppr_micro FROM r{iters}"
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str, iters: int = 5, damping: float = 0.85
 ) -> str:

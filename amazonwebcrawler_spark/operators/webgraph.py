@@ -327,6 +327,106 @@ def triangle_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     return out
 
 
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected simplification of a link graph — the
+    host-cluster signal beside triangle density: mirror farms, template
+    networks and link rings collapse into one community label, which a
+    scheduler then budgets as a single logical site instead of crawling
+    every mirror at full depth.
+
+    Determinism contract (the reason this version is synchronous with a
+    fixed iteration count, not the paper's random-order asynchronous
+    sweep): every node simultaneously adopts the label held by the
+    plurality of its neighbors, ties broken by smallest label — a pure
+    function of the data, so the DuckDB twin replays it exactly and
+    repartitioning cannot change the answer. ``iters`` is fixed (no
+    convergence probe), so the plan is a static ``iters``-deep chain.
+
+    Scale shape, per iteration: one equi-join (the label table shuffles
+    on ``node``; the symmetrized edge table is persisted once up front
+    and reused), one map-side-combinable ``(node, label)`` count, one
+    window partitioned by ``node`` (never global). Lineage truncates
+    every round via localCheckpoint — the connected-components idiom.
+    Returns ``(node, community)``; isolated nodes cannot occur (every
+    node comes from an edge) but the left-join + coalesce keeps the
+    iteration total anyway, mirrored in the twin.
+    """
+    from pyspark.sql import Window
+
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    nodes = sym.select("node").distinct().persist()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        cnt = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pick = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(pick.withColumnRenamed("label", "_new"), "node", "left")
+            .select("node", F.coalesce("_new", F.col("node")).alias("label"))
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    nodes.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_prop_oracle_sql(edges_sql: str, iters: int = 4) -> str:
+    """DuckDB twin of :func:`label_propagation`: the SAME synchronous
+    plurality-vote iteration unrolled into chained CTEs (the pagerank /
+    hits idiom — recursive CTEs dedupe rows, wrong for an iterated map),
+    tie-break mirrored as ``ORDER BY cnt DESC, label ASC``."""
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v"
+        " FROM e0 WHERE src <> dst),",
+        "sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und"
+        " UNION ALL SELECT v AS node, u AS nbr FROM und),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM sym),",
+        "l0 AS (SELECT node, node AS label FROM nodes),",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f"c{k} AS (SELECT s.node, l.label, COUNT(*) AS cnt "
+            f"FROM sym s JOIN {prev} l ON l.node = s.nbr GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"p{k} AS (SELECT node, label FROM (SELECT node, label, "
+            f"ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn "
+            f"FROM c{k}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT n.node, COALESCE(p.label, n.node) AS label "
+            f"FROM nodes n LEFT JOIN p{k} p ON p.node = n.node),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT node, label AS community FROM l{iters}"
+
+
 def triangle_oracle_sql(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangle_stats`: the same canonicalization,
     (degree, id) rank orientation, wedge + closing-edge joins and integer

@@ -101,6 +101,16 @@ BENCH_QUERIES = (
     # r5 session 11: degree-oriented triangle counting — the wedge join's
     # √m out-degree bound is the claim; timing it keeps the number honest
     "triangle_count",
+    # r5 session 12: synchronous label propagation (4 plurality rounds,
+    # per-round localCheckpoint), TrustRank personalized PageRank (5
+    # seed-teleport rounds), BM25 retrieval scoring (1-row broadcast
+    # totals, query-filtered tf shuffle) and count-min heavy-hitter
+    # certification (broadcast d×w grid) — timed so the iterative-rounds /
+    # tiny-grid claims carry numbers
+    "label_prop",
+    "trust_rank",
+    "bm25_rank",
+    "heavy_hitters",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

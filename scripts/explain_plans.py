@@ -178,6 +178,17 @@ CHECKS = {
     # localCheckpointed inside the operator, the hits/minhash discipline,
     # so the formatted plan is an RDD scan)
     "epoch_shuffle": ["Window", "BroadcastHashJoin", "[codegen id :"],
+    # BM25: df_t and dl arrive as BROADCAST equi-joins on the query-filtered
+    # tf stream; N and avgdl as 1-row broadcast crossJoins (the accepted
+    # BNLJ-Cross idiom); every aggregate map-side-combinable; no Python
+    # (NEG). label_prop / trust_rank have no entry: their outputs are
+    # eagerly localCheckpointed per iteration inside the operator (the
+    # hits/pagerank discipline), so the formatted plan is an RDD scan.
+    "bm25_rank": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
+    # count-min: the d×w grid (≤1024 cells, a config constant) broadcasts
+    # to the distinct-key probe; exact counts are one map-side-combinable
+    # hash agg; no Python, no sort-merge, no cartesian (NEG)
+    "heavy_hitters": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -192,6 +203,7 @@ NO_AQE = {
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate", "param_policy", "param_apply",
     "dsir_weights", "ann_recall", "epoch_shuffle",
+    "bm25_rank", "heavy_hitters",
 }
 
 NEG_CHECKS = {
@@ -316,6 +328,18 @@ NEG_CHECKS = {
     "epoch_shuffle": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "NestedLoop", "Cartesian",
+    ],
+    # bm25: the 1-row totals (N, avgdl) broadcast as BNLJ Cross and their
+    # global aggregates are bounded 1-row SinglePartition exchanges (the
+    # budget_allocate-accepted shapes), so neither is forbidden here
+    "bm25_rank": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "SortMergeJoin", "Cartesian",
+    ],
+    "heavy_hitters": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "SortMergeJoin", "NestedLoop", "Cartesian",
+        "Exchange SinglePartition",
     ],
 }
 

@@ -425,3 +425,47 @@ class TestEpochShuffle:
         rows = sorted((r.global_pos, r.shard) for r in out.collect())
         shards = [s for _, s in rows]
         assert shards == sorted(shards)
+
+
+class TestCountminCertify:
+    def _run(self, spark, keys, **kw):
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        return {
+            r.key: (r.exact_cnt, r.cms_est, r.overcount)
+            for r in corpus.countmin_certify(df, "key", **kw).collect()
+        }
+
+    def test_exact_counts_and_one_sided_error(self, spark):
+        """Estimates only ever OVERcount (every collision adds); exact
+        counts equal a Python Counter; heavy keys stay heavy through the
+        sketch even at a collision-forcing width."""
+        from collections import Counter
+
+        keys = [f"h{i % 7}" for i in range(700)] + [f"t{i}" for i in range(300)]
+        got = self._run(spark, keys, depth=4, width=16)
+        want = Counter(keys)
+        assert {k: v[0] for k, v in got.items()} == dict(want)
+        assert all(est >= exact and over == est - exact for exact, est, over in got.values())
+        # 307 distinct keys into 16 buckets/row: collisions are certain
+        assert any(over > 0 for _, _, over in got.values())
+        # the min-over-4-rows estimate keeps the error sub-linear: worst
+        # observed overcount stays within 2× the per-bucket average mass
+        # (1000/16 = 62.5), deterministic under the md5 grid
+        assert max(over for _, _, over in got.values()) <= 125
+        assert all(est >= 100 for k, (_, est, _) in got.items() if k.startswith("h"))
+
+    def test_wide_grid_is_exact(self, spark):
+        """With width >> distinct keys the min over 4 independent rows is
+        collision-free: est == exact everywhere (deterministic md5 grid)."""
+        keys = [f"k{i % 20}" for i in range(200)]
+        got = self._run(spark, keys, depth=4, width=4096)
+        assert all(over == 0 for _, _, over in got.values())
+
+    def test_invalid_params_raise(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([("a",)], "key string")
+        with pytest.raises(ValueError):
+            corpus.countmin_certify(df, "key", depth=0)
+        with pytest.raises(ValueError):
+            corpus.countmin_certify(df, "key", width=1)

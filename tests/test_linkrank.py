@@ -116,3 +116,69 @@ class TestHostTrapStats:
         )
         row = urls.host_trap_stats(df).collect()[0]
         assert row.key_entropy_micro == 0 and not row.is_trap
+
+
+def _py_personalized_pagerank(edges, seeds, iters, damping=0.85):
+    """Pure-Python mirror: teleport restricted to the seed set, dangling
+    mass re-entering through the same vector."""
+    e = set(edges)
+    nodes = sorted({u for ed in e for u in ed})
+    out: dict = {}
+    for s, d in e:
+        out.setdefault(s, []).append(d)
+    live = [s for s in seeds if s in nodes]
+    tele = {n: (1.0 / len(live) if n in live else 0.0) for n in nodes}
+    pr = dict(tele)
+    for _ in range(iters):
+        mass = sum(pr[n] for n in nodes if n not in out)
+        contrib = {n: 0.0 for n in nodes}
+        for s, dsts in out.items():
+            w = pr[s] / len(dsts)
+            for d in dsts:
+                contrib[d] += damping * w
+        pr = {
+            n: (1.0 - damping) * tele[n] + contrib[n] + damping * mass * tele[n]
+            for n in nodes
+        }
+    return pr
+
+
+class TestPersonalizedPagerank:
+    def _run(self, spark, edges, seeds, iters=5):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+        return {
+            r.node: r.pr
+            for r in linkrank.personalized_pagerank(df, sdf, iters=iters).collect()
+        }
+
+    def test_matches_python_mirror_and_conserves_mass(self, spark):
+        # diamond + chain + dangling sink + parallel edge (must collapse);
+        # seed 1 only — scores are proximity-to-1, total mass stays 1
+        edges = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 2)]
+        got = self._run(spark, edges, [1])
+        want = _py_personalized_pagerank(edges, [1], iters=5)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_unreachable_component_scores_zero(self, spark):
+        """A link farm disconnected from the trusted seeds holds exactly
+        zero rank — the TrustRank spam-demotion property raw PageRank
+        lacks."""
+        trusted = [(0, 1), (1, 2), (2, 0)]
+        farm = [(10, 11), (11, 12), (12, 10), (11, 10), (12, 11), (10, 12)]
+        got = self._run(spark, trusted + farm, [0])
+        assert all(got[n] == 0.0 for n in (10, 11, 12))
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+    def test_seeds_outside_graph_ignored_empty_raises(self, spark):
+        edges = [(1, 2), (2, 1)]
+        got = self._run(spark, edges, [1, 999])
+        want = _py_personalized_pagerank(edges, [1], iters=5)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-12)
+        with pytest.raises(ValueError, match="no seed"):
+            self._run(spark, edges, [999])

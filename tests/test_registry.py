@@ -21,7 +21,10 @@ FLAGSHIP_SLOTS = ("crawl_rank_wave", "robots_filter")
 #: key a slot would evict an equally-never-checked key — zero-sum for
 #: external coverage and churn for the documented layout. These stay at
 #: position 51+ on the local gate + pytest until a future window rotation.
-POST_FREEZE = ("probe_train", "ann_recall", "epoch_shuffle", "triangle_count")
+POST_FREEZE = (
+    "probe_train", "ann_recall", "epoch_shuffle", "triangle_count",
+    "label_prop", "trust_rank", "bm25_rank", "heavy_hitters",
+)
 
 
 def _ever_driver_green() -> set[str]:

@@ -672,3 +672,51 @@ class TestTrainLinearProbe:
         keep = {r.doc_id: r.keep for r in scored}
         assert all(keep[i] == 1 for i, _, _ in pos)
         assert all(keep[i] == 0 for i, _, _ in neg)
+
+
+class TestBM25:
+    def test_hand_computed_scores(self, spark):
+        """Tiny corpus vs the Okapi formula evaluated in Python: dl/avgdl
+        over non-empty docs, N over ALL docs, Lucene non-negative idf."""
+        import math
+
+        from amazonwebcrawler_spark.functions.text import bm25_scores
+
+        docs = [
+            (1, "hash  Join HASH"),          # dl=3, hits: hash tf=2, join tf=1
+            (2, "stream stream stream stream"),  # dl=4, hits: stream tf=4
+            (3, "vector space"),             # dl=2, hits: vector tf=1
+            (4, "nothing here at all"),      # dl=4, no hits -> absent
+            (5, ""),                         # empty -> no dl row, still in N
+        ]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r.doc_id: (r.n_hit_terms, r.bm25_micro)
+            for r in bm25_scores(d, "text", "doc_id", ("hash", "join", "stream", "vector")).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        n, avgdl, k1, b = 5, (3 + 4 + 2 + 4) / 4.0, 1.2, 0.75
+
+        def s(tf, df, dl):
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            return idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+        want = {
+            1: (2, round((s(2, 1, 3) + s(1, 1, 3)) * 1_000_000)),
+            2: (1, round(s(4, 1, 4) * 1_000_000)),
+            3: (1, round(s(1, 1, 2) * 1_000_000)),
+        }
+        for k in want:
+            assert out[k][0] == want[k][0], k
+            assert abs(out[k][1] - want[k][1]) <= 1, (k, out[k], want[k])
+
+    def test_ubiquitous_term_still_nonnegative(self, spark):
+        """A term in every doc has idf=ln(1+0.5/(N+0.5)) > 0 (Lucene's
+        floor) — scores never go negative, and rarer terms score higher."""
+        from amazonwebcrawler_spark.functions.text import bm25_scores
+
+        docs = [(i, "common filler" + (" rare" if i == 1 else "")) for i in range(1, 6)]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r.bm25_micro for r in bm25_scores(d, "text", "doc_id", ("common", "rare")).collect()}
+        assert all(v > 0 for v in out.values())
+        assert out[1] > max(v for k, v in out.items() if k != 1)

@@ -460,3 +460,60 @@ class TestTriangleStats:
         got = self._run(spark, edges)
         assert got == want
         assert sum(t for _, t, _ in got.values()) % 3 == 0
+
+
+class TestLabelPropagation:
+    def _run(self, spark, edges, iters=4):
+        from amazonwebcrawler_spark.operators.webgraph import label_propagation
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: r.community for r in label_propagation(e, iters=iters).collect()}
+
+    @staticmethod
+    def _py(edges, iters):
+        """Pure-Python mirror of the synchronous plurality sweep with the
+        same smallest-label tie-break."""
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        adj: dict = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        labels = {n: n for n in adj}
+        for _ in range(iters):
+            labels = {
+                n: min(
+                    (l for l in {labels[m] for m in nbrs}),
+                    key=lambda l: (-sum(labels[m] == l for m in nbrs), l),
+                )
+                for n, nbrs in adj.items()
+            }
+        return labels
+
+    def test_two_cliques_one_bridge(self, spark):
+        """Two K4s joined by a single bridge keep two communities — the
+        bridge endpoints stay with their own clique's plurality."""
+        import itertools
+
+        k_a = list(itertools.combinations(range(4), 2))
+        k_b = list(itertools.combinations(range(100, 104), 2))
+        got = self._run(spark, k_a + k_b + [(0, 100)])
+        assert {got[i] for i in range(4)} == {0}
+        assert {got[i] for i in range(100, 104)} == {100}
+
+    def test_direction_multiplicity_selfloops_collapse(self, spark):
+        """Reversed/parallel edges and self-loops don't perturb the vote:
+        the undirected simple graph is what propagates."""
+        edges = [(1, 2), (2, 1), (1, 2), (2, 3), (1, 1)]
+        assert self._run(spark, edges) == self._py(edges, 4)
+
+    def test_random_graph_matches_python_mirror(self, spark):
+        """Seeded G(40, 0.12): every node's label equals the synchronous
+        Python sweep after 4 rounds (tie-break included)."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        edges = [
+            (a, b) for a, b in itertools.combinations(range(40), 2) if rng.random() < 0.12
+        ]
+        assert self._run(spark, edges) == self._py(edges, 4)
