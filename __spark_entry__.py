@@ -2273,6 +2273,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return countmin_certify(keyed, "key", depth=4, width=256)
 
+    def q_kcore(spark, sf):
+        """k-core extraction (operators/webgraph.kcore): 8 synchronous
+        peel rounds at k=4 over a dense 23-node family plus a sparse
+        199-node periphery — the periphery peels away, the dense backbone
+        survives with its induced degrees. Fixed-round peel is monotone
+        (extra rounds are no-ops), so the unrolled-CTE twin replays it
+        exactly. Pure integer output."""
+        from amazonwebcrawler_spark.operators.webgraph import kcore
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = (
+            # independent base-23 digits → near-complete 23-node core
+            # (same-modulus pairs would be functional: a degree-2 cycle)
+            o.select(
+                (k % 23).alias("src"),
+                F.expr("o_orderkey DIV 23 % 23").alias("dst"),
+            )
+            .unionByName(
+                o.select(
+                    (k % 199 + 1000).alias("src"), ((k * 7 + 11) % 199 + 1000).alias("dst")
+                )
+            )
+            .unionByName(
+                o.filter(k % 151 == 0).select(
+                    (k % 23).alias("src"), ((k * 3) % 199 + 1000).alias("dst")
+                )
+            )
+        )
+        return kcore(edges, k=4, iters=8)
+
+    def q_random_walks(spark, sf):
+        """Deterministic uniform random walks (operators/webgraph.
+        random_walks): the DeepWalk corpus generator — 4-step walks from
+        every node of a two-family branching graph, step choice =
+        md5(seed|start|step|cur) mod outdeg over dst-ranked neighbors
+        (never rand(); resume-safe and repartition-invariant). The twin
+        replays the same md5 arithmetic per unrolled step. Pure integer
+        output (start, step, node)."""
+        from amazonwebcrawler_spark.operators.webgraph import random_walks
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.select((k % 211).alias("src"), ((k * 13 + 7) % 211).alias("dst")).unionByName(
+            o.select(((k * 3 + 1) % 211).alias("src"), ((k * 17 + 5) % 211).alias("dst"))
+        )
+        return random_walks(edges, walk_len=4, seed=7)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2490,6 +2538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trust_rank": q_trust_rank,
         "bm25_rank": q_bm25_rank,
         "heavy_hitters": q_heavy_hitters,
+        "kcore": q_kcore,
+        "random_walks": q_random_walks,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -2703,7 +2753,9 @@ def oracle_sql() -> dict[str, str]:
     from amazonwebcrawler_spark.operators.dedup import MINHASH_P, minhash_perm_consts
     from amazonwebcrawler_spark.operators.webgraph import (
         hits_oracle_sql,
+        kcore_oracle_sql,
         label_prop_oracle_sql,
+        random_walks_oracle_sql,
         triangle_oracle_sql,
     )
     from amazonwebcrawler_spark.operators.linkrank import personalized_pagerank_oracle_sql
@@ -3573,6 +3625,23 @@ GROUP BY f.doc_id
             "ELSE o_orderkey % 997 END)::VARCHAR AS key FROM orders",
             depth=4,
             width=256,
+        ),
+        "kcore": kcore_oracle_sql(
+            "SELECT o_orderkey % 23 AS src, (o_orderkey // 23) % 23 AS dst FROM orders "
+            "UNION ALL "
+            "SELECT o_orderkey % 199 + 1000, (o_orderkey * 7 + 11) % 199 + 1000 FROM orders "
+            "UNION ALL "
+            "SELECT o_orderkey % 23, (o_orderkey * 3) % 199 + 1000 FROM orders "
+            "WHERE o_orderkey % 151 = 0",
+            k=4,
+            iters=8,
+        ),
+        "random_walks": random_walks_oracle_sql(
+            "SELECT o_orderkey % 211 AS src, (o_orderkey * 13 + 7) % 211 AS dst FROM orders "
+            "UNION ALL "
+            "SELECT (o_orderkey * 3 + 1) % 211, (o_orderkey * 17 + 5) % 211 FROM orders",
+            walk_len=4,
+            seed=7,
         ),
         "bfs_depths": r"""
 WITH RECURSIVE e AS (

@@ -427,6 +427,203 @@ def label_prop_oracle_sql(edges_sql: str, iters: int = 4) -> str:
     return f"{body}\nSELECT node, label AS community FROM l{iters}"
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 8,
+) -> DataFrame:
+    """k-core extraction by synchronous peeling (Seidman 1983; the
+    distributed round form of Batagelj-Zaversnik): repeatedly delete every
+    node whose degree in the SURVIVING induced subgraph is < k. The k-core
+    is the dense backbone the sparse periphery can't fake — a link ring
+    must actually wire k-regular density to enter it, which makes core
+    membership the spam/importance signal beside triangle density
+    (:func:`triangle_stats`) and community labels
+    (:func:`label_propagation`).
+
+    ``iters`` peel rounds run unconditionally (no convergence probe — a
+    static plan, the label_propagation discipline). Peeling is monotone,
+    so extra rounds after convergence are exact no-ops; a graph whose
+    peel is deeper than ``iters`` yields the (still deterministic)
+    ``iters``-round partial peel — callers verify final degrees ≥ k if
+    they need the true fixpoint (tests do; every committed fixture
+    converges in ≤ half the budget at every SF).
+
+    Scale shape, per round: two semi-joins of the persisted symmetrized
+    edge table against the (always shrinking) alive set + one map-side-
+    combinable degree count — no window, no Python, lineage truncated by
+    localCheckpoint per round. Returns ``(node, core_degree)`` for
+    surviving nodes — ``core_degree`` is the node's degree inside the
+    final core, all BIGINT.
+    """
+    if k < 1:
+        raise ValueError(f"need k >= 1, got {k}")
+    u, v = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionByName(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .persist()
+    )
+    alive = sym.select("node").distinct().localCheckpoint()
+    for _ in range(iters):
+        deg = (
+            sym.join(alive, "node", "left_semi")
+            .join(alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+    out = (
+        sym.join(alive, "node", "left_semi")
+        .join(alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    return out
+
+
+def kcore_oracle_sql(edges_sql: str, k: int = 3, iters: int = 8) -> str:
+    """DuckDB twin of :func:`kcore`: the same synchronous peel unrolled
+    into chained CTEs (alive-set semi-joins as plain JOINs on the
+    distinct alive table)."""
+    parts = [
+        f"WITH e0 AS ({edges_sql}),",
+        "und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v"
+        " FROM e0 WHERE src <> dst),",
+        "sym AS MATERIALIZED (SELECT u AS node, v AS nbr FROM und"
+        " UNION ALL SELECT v AS node, u AS nbr FROM und),",
+        "a0 AS (SELECT DISTINCT node FROM sym),",
+    ]
+    for r in range(1, iters + 1):
+        prev = f"a{r - 1}"
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT s.node FROM sym s "
+            f"JOIN {prev} x ON x.node = s.node "
+            f"JOIN {prev} y ON y.node = s.nbr "
+            f"GROUP BY 1 HAVING COUNT(*) >= {k}),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT s.node, COUNT(*) AS core_degree FROM sym s "
+        f"JOIN a{iters} x ON x.node = s.node "
+        f"JOIN a{iters} y ON y.node = s.nbr GROUP BY 1"
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    seed: int = 7,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks from every node (the DeepWalk /
+    node2vec p=q=1 corpus generator, Perozzi et al. KDD 2014) — the
+    sentence-like node sequences a graph-embedding trainer consumes, and
+    a crawl-scheduler's cheap reachability sampler. "Random" is a pure
+    function of the data: step ``t`` from node ``c`` on the walk started
+    at ``s`` picks neighbor index ``md5('walk'|seed|s|t|c) mod outdeg(c)``
+    over neighbors ranked by ``dst`` ascending — resume-safe,
+    repartition-invariant, and replayable by the DuckDB twin (the
+    weighted_sample md5 discipline; never ``rand()``).
+
+    Scale shape, per step: ONE equi-join of the walk frontier onto the
+    (src, outdeg) table to compute the choice, then ONE two-key equi-join
+    onto the persisted indexed adjacency ``(src, idx) → dst`` — the
+    pre-computed neighbor rank means a 10^7-degree hub never fans out:
+    each walk row moves to exactly one neighbor row. Dead ends terminate
+    walks early (inner join). Lineage truncated per step. Returns
+    ``(start, step, node)`` BIGINTs, step 0 = the start itself.
+    """
+    if walk_len < 1:
+        raise ValueError(f"need walk_len >= 1, got {walk_len}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    from pyspark.sql import Window
+
+    nbr = e.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+    ).persist()
+    deg = nbr.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cur = nodes.select(
+        F.col("node").alias("start"), F.col("node").alias("cur")
+    ).localCheckpoint()
+    out = cur.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    for t in range(1, walk_len + 1):
+        h = F.md5(
+            F.concat(
+                F.lit(f"walk{seed}|"),
+                F.col("start").cast("string"),
+                F.lit("|"),
+                F.lit(str(t)),
+                F.lit("|"),
+                F.col("cur").cast("string"),
+            )
+        )
+        choice = (
+            cur.join(deg, deg["src"] == cur["cur"])
+            .select(
+                "start",
+                "cur",
+                (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.col("outdeg"))
+                .cast("int")
+                .alias("choice"),
+            )
+        )
+        cur = (
+            choice.join(nbr, (nbr["src"] == choice["cur"]) & (nbr["idx"] == choice["choice"]))
+            .select("start", F.col("dst").alias("cur"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            cur.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+    out = out.localCheckpoint()
+    nbr.unpersist()
+    deg.unpersist()
+    return out
+
+
+def random_walks_oracle_sql(edges_sql: str, walk_len: int = 4, seed: int = 7) -> str:
+    """DuckDB twin of :func:`random_walks`: the same md5 choice arithmetic
+    over the same dst-ranked adjacency, one chained CTE per step."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nbr AS MATERIALIZED (SELECT src, dst, "
+        "ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e),",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "w0 AS (SELECT node AS start, node AS cur FROM nodes),",
+    ]
+    sel = ["SELECT start, 0 AS step, cur AS node FROM w0"]
+    for t in range(1, walk_len + 1):
+        prev = f"w{t - 1}"
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT w.start, n.dst AS cur "
+            f"FROM {prev} w "
+            f"JOIN deg d ON d.src = w.cur "
+            f"JOIN nbr n ON n.src = w.cur AND n.idx = CAST("
+            f"CAST(('0x' || substr(md5('walk{seed}|' || w.start::VARCHAR || '|{t}|' "
+            f"|| w.cur::VARCHAR), 1, 8)) AS UBIGINT) % d.outdeg AS BIGINT)),"
+        )
+        sel.append(f"SELECT start, {t} AS step, cur AS node FROM w{t}")
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\n" + "\nUNION ALL\n".join(sel)
+
+
 def triangle_oracle_sql(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangle_stats`: the same canonicalization,
     (degree, id) rank orientation, wedge + closing-edge joins and integer

@@ -111,6 +111,11 @@ BENCH_QUERIES = (
     "trust_rank",
     "bm25_rank",
     "heavy_hitters",
+    # r5 session 12 (cont.): 8-round k-core peel (shrinking semi-joins)
+    # and 4-step deterministic random walks (two-key equi-join per step —
+    # the no-fan-out claim) — timed so the per-round costs carry numbers
+    "kcore",
+    "random_walks",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -517,3 +517,136 @@ class TestLabelPropagation:
             (a, b) for a, b in itertools.combinations(range(40), 2) if rng.random() < 0.12
         ]
         assert self._run(spark, edges) == self._py(edges, 4)
+
+
+class TestKcore:
+    def _run(self, spark, edges, k, iters=8):
+        from amazonwebcrawler_spark.operators.webgraph import kcore
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: r.core_degree for r in kcore(e, k=k, iters=iters).collect()}
+
+    @staticmethod
+    def _py(edges, k):
+        """Fixpoint peel mirror — the k-core is unique, so any peel order
+        (including the operator's synchronous rounds) lands here."""
+        und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        adj: dict = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive if sum(m in alive for m in adj[n]) < k}
+            if not drop:
+                break
+            alive -= drop
+        return {n: sum(m in alive for m in adj[n]) for n in alive}
+
+    def test_clique_survives_tail_peels(self, spark):
+        """K5 + a pendant chain: the 3-core is exactly the clique (the
+        chain peels inward one layer per round)."""
+        import itertools
+
+        k5 = list(itertools.combinations(range(5), 2))
+        tail = [(4, 10), (10, 11), (11, 12)]
+        assert self._run(spark, k5 + tail, k=3) == {i: 4 for i in range(5)}
+
+    def test_path_empty_cycle_survives(self, spark):
+        """A path has no 2-core; a cycle IS its own 2-core."""
+        path = [(i, i + 1) for i in range(6)]
+        assert self._run(spark, path, k=2) == {}
+        cycle = path + [(6, 0)]
+        assert self._run(spark, cycle, k=2) == {i: 2 for i in range(7)}
+
+    def test_random_graph_matches_python_peel(self, spark):
+        """Seeded G(40, 0.15): the 8-round synchronous peel reaches the
+        unique fixpoint the Python mirror computes."""
+        import itertools
+        import random
+
+        rng = random.Random(13)
+        edges = [
+            (a, b) for a, b in itertools.combinations(range(40), 2) if rng.random() < 0.15
+        ]
+        assert self._run(spark, edges, k=3) == self._py(edges, 3)
+
+    def test_invalid_k_raises(self, spark):
+        import pytest
+
+        from amazonwebcrawler_spark.operators.webgraph import kcore
+
+        with pytest.raises(ValueError):
+            kcore(spark.createDataFrame([(1, 2)], "src long, dst long"), k=0)
+
+
+class TestRandomWalks:
+    def _run(self, spark, edges, walk_len=4, seed=7):
+        from amazonwebcrawler_spark.operators.webgraph import random_walks
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return sorted(
+            (r.start, r.step, r.node)
+            for r in random_walks(e, walk_len=walk_len, seed=seed).collect()
+        )
+
+    @staticmethod
+    def _py(edges, walk_len, seed):
+        import hashlib
+
+        nbrs: dict = {}
+        for s, d in set(edges):
+            nbrs.setdefault(s, set()).add(d)
+        nbrs = {s: sorted(v) for s, v in nbrs.items()}
+        nodes = sorted({u for ed in edges for u in ed})
+        rows = []
+        for st in nodes:
+            cur = st
+            rows.append((st, 0, st))
+            for t in range(1, walk_len + 1):
+                out = nbrs.get(cur)
+                if not out:
+                    break
+                h = int(
+                    hashlib.md5(f"walk{seed}|{st}|{t}|{cur}".encode()).hexdigest()[:8], 16
+                )
+                cur = out[h % len(out)]
+                rows.append((st, t, cur))
+        return sorted(rows)
+
+    def test_matches_hashlib_mirror(self, spark):
+        """Branching graph: every walk equals the sequential Python replay
+        of the md5 choice arithmetic (dst-ranked neighbors)."""
+        edges = [(i, (i * 3 + 1) % 15) for i in range(15)] + [
+            (i, (i * 7 + 2) % 15) for i in range(15)
+        ]
+        assert self._run(spark, edges) == self._py(edges, 4, 7)
+
+    def test_steps_are_edges_and_deadends_stop(self, spark):
+        """Consecutive walk positions are always edges; a sink node's walk
+        is just its step-0 row."""
+        edges = [(1, 2), (2, 3), (2, 4)]  # 3 and 4 are sinks
+        got = self._run(spark, edges)
+        eset = set(edges)
+        bystart: dict = {}
+        for st, t, n in got:
+            bystart.setdefault(st, {})[t] = n
+        for st, path in bystart.items():
+            for t in range(1, max(path) + 1):
+                assert (path[t - 1], path[t]) in eset
+        assert bystart[3] == {0: 3} and bystart[4] == {0: 4}
+
+    def test_seed_changes_walks(self, spark):
+        edges = [(i, (i * 3 + 1) % 15) for i in range(15)] + [
+            (i, (i * 7 + 2) % 15) for i in range(15)
+        ]
+        assert self._run(spark, edges, seed=7) != self._run(spark, edges, seed=8)
+        assert self._run(spark, edges, seed=7) == self._py(edges, 4, 7)
+
+    def test_invalid_len_raises(self, spark):
+        import pytest
+
+        from amazonwebcrawler_spark.operators.webgraph import random_walks
+
+        with pytest.raises(ValueError):
+            random_walks(spark.createDataFrame([(1, 2)], "src long, dst long"), walk_len=0)
