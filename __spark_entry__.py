@@ -2321,6 +2321,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return random_walks(edges, walk_len=4, seed=7)
 
+    # ----------------------------------------------------- crop-robust image dedup (committed golden)
+    def q_crop_dedup(spark, sf):
+        """Crop/watermark-robust image near-dup by QUADRANT pHash vote
+        (dedup.quadrant_neardup_pairs): pairs need ≥3 of 4 quadrant hashes
+        within hamming ≤2. Planted variants per master, cycling i%4:
+        byte-identical re-encode (4/4 → pair), ONE-quadrant inverted
+        overlay (3/4 → pair — the watermark case whole-image pHash
+        misses), TWO-quadrant overlay (2/4 → rejected), unrelated image
+        (no vote). The golden's capture checker re-derives everything
+        brute-force in numpy AND asserts the one-overlay pairs exceed
+        hamming 2 on the whole-image hash — the operator's reason to
+        exist, pinned at capture."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+        from amazonwebcrawler_spark.operators.dedup import quadrant_neardup_pairs
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        def stamp(px: "np.ndarray", quadrant: int) -> "np.ndarray":
+            px = px.copy()
+            h, w, _ = px.shape
+            hh, hw = h // 2, w // 2
+            y0 = 0 if quadrant in (0, 1) else hh
+            x0 = 0 if quadrant in (0, 2) else hw
+            ys, xs = y0 + hh // 4, x0 + hw // 4
+            px[ys : ys + hh // 2, xs : xs + hw // 2] = (
+                255 - px[ys : ys + hh // 2, xs : xs + hw // 2]
+            )
+            return px
+
+        rows = []
+        for i in range(16):
+            base = world.block_image_record(f"crop-{i}")
+            px = decode_image(base["bytes"])
+            rows.append((f"crop-{i}", bytearray(base["bytes"])))
+            mode = i % 4
+            if mode == 0:
+                var = encode_png(px)
+            elif mode == 1:
+                var = encode_png(stamp(px, (i // 4) % 4))
+            elif mode == 2:
+                var = encode_png(stamp(stamp(px, 0), 3))
+            else:
+                var = world.block_image_record(f"crop-other-{i}")["bytes"]
+            rows.append((f"crop-{i}-v", bytearray(var)))
+        images = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(8)
+        return quadrant_neardup_pairs(images, max_hamming=2, min_quadrants=3)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2540,6 +2588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "kcore": q_kcore,
         "random_walks": q_random_walks,
+        "crop_dedup": q_crop_dedup,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,

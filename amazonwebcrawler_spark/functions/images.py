@@ -144,6 +144,24 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+def quadrant_phashes(pixels: np.ndarray) -> list[int]:
+    """pHash of each 2×2 quadrant (TL, TR, BL, BR by integer halves) —
+    the crop/watermark-robust fingerprint: a corner logo, timestamp
+    overlay or letterbox bar perturbs ONE quadrant's hash while the other
+    three stay near-identical, so quadrant-vote dedup catches variants the
+    whole-image pHash misses (the global mean threshold shifts and bits
+    flip everywhere). Order is row-major; images smaller than 2×2 raise
+    inside phash64's downsample (the decode kernel quarantines them)."""
+    h, w, _ = pixels.shape
+    hh, hw = h // 2, w // 2
+    return [
+        phash64(pixels[:hh, :hw]),
+        phash64(pixels[:hh, hw:]),
+        phash64(pixels[hh:, :hw]),
+        phash64(pixels[hh:, hw:]),
+    ]
+
+
 def embed_image(pixels: np.ndarray, grid: int = 4) -> list[float]:
     """Deterministic visual embedding: ``grid×grid`` per-channel box means,
     centered and L2-normalized → ``3·grid²`` floats (rounded to 6 dp so the

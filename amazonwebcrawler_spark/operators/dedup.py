@@ -811,6 +811,78 @@ def _phash_batches(batches):
         yield pd.DataFrame(out, columns=["image_id", "phash"])
 
 
+QPHASH_SCHEMA = "image_id string, q_idx int, qhash long"
+
+
+def _quadrant_phash_batches(batches):
+    """Arrow-batched bytes → 4 quadrant pHashes per image (ONE decode;
+    the 4-row fan-out happens inside the kernel, not as a Spark explode)."""
+    from amazonwebcrawler_spark.functions.images import decode_image, quadrant_phashes
+
+    for pdf in batches:
+        out = []
+        for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+            try:
+                qs = quadrant_phashes(decode_image(bytes(data)))
+            except Exception:  # noqa: BLE001  # corrupt/unknown container → no fingerprint
+                continue
+            out.extend(
+                {"image_id": image_id, "q_idx": i, "qhash": q} for i, q in enumerate(qs)
+            )
+        yield pd.DataFrame(out, columns=["image_id", "q_idx", "qhash"])
+
+
+def quadrant_neardup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 2,
+    min_quadrants: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Crop/watermark-robust image near-dup pairs by QUADRANT pHash vote:
+    two images pair when ≥ ``min_quadrants`` of their 4 quadrant hashes
+    (functions/images.quadrant_phashes) are within hamming ≤
+    ``max_hamming``. The whole-image pHash (:func:`phash_neardup_pairs`)
+    misses a corner-logo / timestamp / letterbox variant — the overlay
+    shifts the global 8×8 mean and flips bits across the WHOLE hash —
+    while here the perturbation is confined to one quadrant and the other
+    three vote the pair through. min_quadrants=4 degrades to a stricter
+    whole-image match; 3 is the single-overlay setting.
+
+    Scale shape: ONE Arrow decode pass emits 4 fingerprint rows per image
+    (kernel-side fan-out); each quadrant slice rides the exact pigeonhole
+    blocker (:func:`hamming_neardup_pairs` — (t+1)-chunk equi-join, never
+    a cross join, same ``max_bucket`` skew guard), and the vote is one
+    map-side-combinable (id_a, id_b) count. A 10^10-image corpus shuffles
+    4·(t+1) rows per image on 2-int keys — the SimHash/LSH band shape.
+    Returns ``(id_a, id_b, n_quadrants_close)``, id_a < id_b, all exact
+    integers.
+    """
+    if not 1 <= min_quadrants <= 4:
+        raise ValueError(f"need 1 <= min_quadrants <= 4, got {min_quadrants}")
+    q = (
+        images.select(F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes"))
+        .mapInPandas(_quadrant_phash_batches, QPHASH_SCHEMA)
+        .localCheckpoint()  # decode once; 4 blocked joins consume it
+    )
+    votes = None
+    for qi in range(4):
+        p = hamming_neardup_pairs(
+            q.filter(F.col("q_idx") == qi),
+            "image_id",
+            "qhash",
+            max_hamming,
+            max_bucket=max_bucket,
+        ).select("id_a", "id_b")
+        votes = p if votes is None else votes.unionByName(p)
+    return (
+        votes.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_quadrants_close"))
+        .filter(F.col("n_quadrants_close") >= min_quadrants)
+    )
+
+
 def phash_neardup_pairs(
     images: DataFrame,
     id_col: str = "image_id",

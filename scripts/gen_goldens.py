@@ -87,6 +87,7 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "mean_r_milli": "BIGINT", "mean_g_milli": "BIGINT", "mean_b_milli": "BIGINT",
         "luma_micro": "BIGINT", "contrast_micro": "BIGINT", "is_flat": "BOOLEAN",
     },
+    "crop_dedup": {"id_a": "VARCHAR", "id_b": "VARCHAR", "n_quadrants_close": "INTEGER"},
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -193,6 +194,77 @@ def _check_dedup_phash(rows, ctx):
     for i in range(24):
         planted = (f"blk-{i}", f"blk-{i}-v", i % 4)
         assert (planted in got) == (i % 4 <= 2), planted
+
+
+def _check_crop_dedup(rows, ctx):
+    """Re-derive the quadrant vote brute-force (O(n²) over the SAME 32
+    images: decode → 4 quadrant pHashes → pairwise hamming per quadrant →
+    count ≤2-close quadrants, keep ≥3) and assert equality; pin the
+    planted classes: re-encode 4/4, one-overlay EXACTLY 3/4,
+    two-overlay/unrelated absent. Also pin the operator's reason to
+    exist: EVERY one-overlay pair exceeds hamming 2 on the WHOLE-image
+    pHash (phash_neardup_pairs at t=2 misses all of them)."""
+    import numpy as np  # noqa: F401  (decode path uses it)
+
+    from amazonwebcrawler_spark.functions.images import (
+        decode_image,
+        encode_png,
+        hamming64,
+        phash64,
+        quadrant_phashes,
+    )
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    def stamp(px, quadrant):
+        px = px.copy()
+        h, w, _ = px.shape
+        hh, hw = h // 2, w // 2
+        y0 = 0 if quadrant in (0, 1) else hh
+        x0 = 0 if quadrant in (0, 2) else hw
+        ys, xs = y0 + hh // 4, x0 + hw // 4
+        px[ys : ys + hh // 2, xs : xs + hw // 2] = (
+            255 - px[ys : ys + hh // 2, xs : xs + hw // 2]
+        )
+        return px
+
+    imgs = {}
+    for i in range(16):
+        base = block_image_record(f"crop-{i}")
+        px = decode_image(base["bytes"])
+        imgs[f"crop-{i}"] = base["bytes"]
+        mode = i % 4
+        if mode == 0:
+            var = encode_png(px)
+        elif mode == 1:
+            var = encode_png(stamp(px, (i // 4) % 4))
+        elif mode == 2:
+            var = encode_png(stamp(stamp(px, 0), 3))
+        else:
+            var = block_image_record(f"crop-other-{i}")["bytes"]
+        imgs[f"crop-{i}-v"] = var
+    qh = {k: quadrant_phashes(decode_image(v)) for k, v in imgs.items()}
+    wh = {k: phash64(decode_image(v)) for k, v in imgs.items()}
+    expected = {}
+    ids = sorted(qh)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            n = sum(hamming64(qa, qb) <= 2 for qa, qb in zip(qh[a], qh[b]))
+            if n >= 3:
+                expected[(a, b)] = n
+    got = {(r["id_a"], r["id_b"]): r["n_quadrants_close"] for r in rows}
+    assert got == expected, (sorted(got.items() - expected.items()),
+                             sorted(expected.items() - got.items()))
+    for i in range(16):
+        pair = (f"crop-{i}", f"crop-{i}-v")
+        mode = i % 4
+        if mode == 0:
+            assert got.get(pair) == 4, (pair, got.get(pair))
+        elif mode == 1:
+            assert got.get(pair) == 3, (pair, got.get(pair))
+            assert hamming64(wh[pair[0]], wh[pair[1]]) > 2, (
+                pair, "whole-image pHash should miss the overlay variant")
+        else:
+            assert pair not in got, (pair, got.get(pair))
 
 
 def _check_image_dedup_keep(rows, ctx):
@@ -724,6 +796,7 @@ CHECKERS = {
     "video_frame_sample": _check_video_frame_sample,
     "images_resize": _check_images_resize,
     "dedup_phash": _check_dedup_phash,
+    "crop_dedup": _check_crop_dedup,
     "image_dedup_keep": _check_image_dedup_keep,
     "pair_dedup": _check_pair_dedup,
     "semantic_dedup": _check_semantic_dedup,

@@ -1,5 +1,6 @@
 """Image codec + invariant tests (input_hint: PSNR≥40dB lossy, exact PNG,
-caption equality, phash stability). Pure numpy — no Spark session needed."""
+caption equality, phash stability). Mostly pure numpy; the quadrant
+near-dup vote classes drive the Spark operator end to end."""
 
 from __future__ import annotations
 
@@ -295,3 +296,92 @@ class TestPatchGrid:
         # top-left quadrant of the repeated image is pixel (0,0)
         assert ps[(0, 0)]["mean_r_milli"] == 10_000
         assert ps[(3, 3)]["mean_b_milli"] == 120_000
+
+
+class TestQuadrantPhash:
+    def test_quadrants_are_local(self):
+        """Perturbing one quadrant's pixels changes ONLY that quadrant's
+        hash — the locality the crop-dedup vote rides on."""
+        from amazonwebcrawler_spark.functions.images import quadrant_phashes
+
+        px = world.block_image_record("qp-loc")["bytes"]
+        px = decode_image(px)
+        base = quadrant_phashes(px)
+        var = px.copy()
+        var[20:28, 4:12] = 255 - var[20:28, 4:12]  # inside BL quadrant (q2)
+        got = quadrant_phashes(var)
+        assert got[0] == base[0] and got[1] == base[1] and got[3] == base[3]
+        assert got[2] != base[2]
+
+    def test_identical_images_all_quadrants_zero(self):
+        from amazonwebcrawler_spark.functions.images import quadrant_phashes
+
+        px = decode_image(world.block_image_record("qp-id")["bytes"])
+        a, b = quadrant_phashes(px), quadrant_phashes(px.copy())
+        assert a == b and len(a) == 4
+
+
+class TestQuadrantNeardup:
+    def _images(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in rows], "image_id string, bytes binary"
+        ).repartition(4)
+
+    def test_vote_semantics_and_brute_equality(self, spark):
+        """One-overlay variants pair at min_quadrants=3 but NOT at 4; a
+        two-overlay variant never pairs; result equals an O(n²) numpy
+        brute force over the same fixture."""
+        from amazonwebcrawler_spark.functions.images import (
+            hamming64,
+            quadrant_phashes,
+        )
+        from amazonwebcrawler_spark.operators.dedup import quadrant_neardup_pairs
+
+        def stamp(px, q):
+            px = px.copy()
+            h, w, _ = px.shape
+            hh, hw = h // 2, w // 2
+            y0, x0 = (0 if q in (0, 1) else hh), (0 if q in (0, 2) else hw)
+            ys, xs = y0 + hh // 4, x0 + hw // 4
+            px[ys:ys + hh // 2, xs:xs + hw // 2] = 255 - px[ys:ys + hh // 2, xs:xs + hw // 2]
+            return px
+
+        rows = []
+        for i in range(6):
+            b = world.block_image_record(f"qn-{i}")["bytes"]
+            px = decode_image(b)
+            rows.append((f"qn-{i}", b))
+            rows.append((f"qn-{i}-one", encode_png(stamp(px, i % 4))))
+            rows.append((f"qn-{i}-two", encode_png(stamp(stamp(px, 0), 3))))
+        rows.append(("qn-corrupt", b"\x00\x01notanimage"))
+        df = self._images(spark, rows)
+        got3 = {
+            (r.id_a, r.id_b): r.n_quadrants_close
+            for r in quadrant_neardup_pairs(df, min_quadrants=3).collect()
+        }
+        qh = {i: quadrant_phashes(decode_image(bytes(b))) for i, b in rows[:-1]}
+        ids = sorted(qh)
+        want3 = {}
+        for ai, a in enumerate(ids):
+            for b2 in ids[ai + 1:]:
+                n = sum(hamming64(x, y) <= 2 for x, y in zip(qh[a], qh[b2]))
+                if n >= 3:
+                    want3[(a, b2)] = n
+        assert got3 == want3
+        for i in range(6):
+            assert got3.get((f"qn-{i}", f"qn-{i}-one")) == 3
+            assert (f"qn-{i}", f"qn-{i}-two") not in got3
+        got4 = {
+            (r.id_a, r.id_b)
+            for r in quadrant_neardup_pairs(df, min_quadrants=4).collect()
+        }
+        assert not any((f"qn-{i}", f"qn-{i}-one") in got4 for i in range(6))
+
+    def test_invalid_min_quadrants_raises(self, spark):
+        from amazonwebcrawler_spark.operators.dedup import quadrant_neardup_pairs
+
+        df = self._images(spark, [("a", b"\x00")])
+        with pytest.raises(ValueError):
+            quadrant_neardup_pairs(df, min_quadrants=0)
+        with pytest.raises(ValueError):
+            quadrant_neardup_pairs(df, min_quadrants=5)
