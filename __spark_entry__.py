@@ -2369,6 +2369,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         images = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(8)
         return quadrant_neardup_pairs(images, max_hamming=2, min_quadrants=3)
 
+    def q_pmi_pairs(spark, sf):
+        """Top-40 PMI collocations (functions/text.pmi_collocations) over
+        adjacent token pairs of the documents corpus — phrase mining for
+        tokenizer vocab induction, the token-level companion to the
+        character-level bpe_pairs. min_count=3 drops hapax-pair noise;
+        totals ride 1-row broadcast crossJoins; micro-unit BIGINT with the
+        (pmi desc, lhs, rhs) total order pinning the top-k cut."""
+        from amazonwebcrawler_spark.functions.text import pmi_collocations
+
+        d = _t(spark, sf, "documents")
+        return pmi_collocations(d, "text", "doc_id", k=40, min_count=3)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2589,6 +2601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "random_walks": q_random_walks,
         "crop_dedup": q_crop_dedup,
+        "pmi_pairs": q_pmi_pairs,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -3310,6 +3323,32 @@ FROM (
     ], x -> x <> '')), '&') AS kept
   FROM obs2 o2 JOIN pv USING (host)
 ) o
+""",
+        "pmi_pairs": rf"""
+-- top-40 adjacent-token collocations by PMI = ln(c_ab·N_uni² / (N_bi·c_a·c_b)),
+-- pair_count >= 3, total (pmi desc, lhs, rhs) order pins the cut; micro BIGINT
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+uni AS (SELECT u.w FROM tk, UNNEST(toks) AS u(w)),
+cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+nu AS (SELECT SUM(c) AS n_uni FROM cu),
+bi AS (
+  SELECT toks[g.i - 1] AS lhs, toks[g.i] AS rhs
+  FROM tk, UNNEST(generate_series(2, len(toks))) AS g(i)
+  WHERE len(toks) >= 2
+),
+cb AS (
+  SELECT lhs, rhs, COUNT(*) AS pair_count FROM bi GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+),
+nb AS (SELECT COUNT(*) AS n_bi FROM bi)
+SELECT cb.lhs, cb.rhs, cb.pair_count,
+  CAST(round(ln(
+    (cb.pair_count::DOUBLE * nu.n_uni * nu.n_uni) / (nb.n_bi::DOUBLE * a.c * b.c)
+  ) * 1000000) AS BIGINT) AS pmi_micro
+FROM cb JOIN cu a ON a.w = cb.lhs JOIN cu b ON b.w = cb.rhs
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_micro DESC, cb.lhs ASC, cb.rhs ASC LIMIT 40
 """,
         "bpe_pairs": r"""
 WITH words AS (

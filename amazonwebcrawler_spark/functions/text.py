@@ -722,6 +722,77 @@ def bpe_merge_pairs(df, text_col: str, id_col: str, k: int = 50):
     ).limit(k)
 
 
+def pmi_collocations(df, text_col: str, id_col: str, k: int = 40, min_count: int = 3):
+    """Top-``k`` collocations by pointwise mutual information over adjacent
+    token pairs (Church & Hanks 1990) — the phrase-mining signal that
+    feeds tokenizer vocab induction ("new york", "machine learning" become
+    single tokens) and the multi-word-expression half of `bpe_merge_pairs`
+    (which counts CHARACTER pairs inside words; this counts TOKEN pairs
+    across the stream):
+
+        pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )
+                 = ln( (c_ab · N_uni²) / (N_bi · c_a · c_b) )
+
+    ``min_count`` drops rare-pair noise (PMI's classic failure mode: two
+    hapaxes adjacent once score the maximum) BEFORE the unigram joins, so
+    the joined bigram table is already the interesting sliver.
+
+    Scale shape: one materialized tokenization (attribute capture only —
+    the bind_once doctrine), one pair explode, two map-side-combinable
+    counts (bigrams, unigrams), totals as 1-row broadcast crossJoins (the
+    bm25 idiom), two equi joins of the filtered bigram sliver onto the
+    vocab-sized unigram table, and a TakeOrderedAndProject top-k — never
+    a global sort. Returns ``(lhs, rhs, pair_count, pmi_micro)``
+    totally ordered by (pmi_micro desc, lhs, rhs) so the cut boundary
+    is cross-engine deterministic; micro-unit BIGINT (tfidf drift
+    argument).
+    """
+    toks = df.select(tokens(F.col(text_col)).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = cu.agg(F.sum("c").alias("n_uni"))
+    bi = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("toks")),
+                lambda i: F.struct(
+                    F.get(F.col("toks"), i - 2).alias("lhs"),
+                    F.get(F.col("toks"), i - 1).alias("rhs"),
+                ),
+            )
+        ).alias("p")
+    )
+    cb = (
+        bi.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    n_bi = bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    scored = (
+        cb.join(cu.select(F.col("w").alias("lhs"), F.col("c").alias("ca")), "lhs")
+        .join(cu.select(F.col("w").alias("rhs"), F.col("c").alias("cb")), "rhs")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "lhs",
+            "rhs",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_bi").cast("double") * F.col("ca") * F.col("cb"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+    ).limit(k)
+
+
 def crossdoc_segment_dedup(df, text_col: str, id_col: str, chunk: int = 10):
     """Cross-document segment dedup, FIRST occurrence kept (the CCNet /
     RefinedWeb paragraph-dedup rule: one copy of every duplicated

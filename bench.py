@@ -116,6 +116,10 @@ BENCH_QUERIES = (
     # the no-fan-out claim) — timed so the per-round costs carry numbers
     "kcore",
     "random_walks",
+    # r5 session 12 (cont.): PMI collocation mining — bigram + unigram
+    # map-side aggs with a TakeOrderedAndProject top-k; timed so the
+    # never-a-global-sort claim carries a number
+    "pmi_pairs",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -189,6 +189,10 @@ CHECKS = {
     # to the distinct-key probe; exact counts are one map-side-combinable
     # hash agg; no Python, no sort-merge, no cartesian (NEG)
     "heavy_hitters": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
+    # PMI collocations: map-side-combinable bigram/unigram counts, top-k
+    # via per-partition heaps (TakeOrderedAndProject — never a global
+    # Sort), totals broadcast; no Python (NEG)
+    "pmi_pairs": ["HashAggregate", "partial_count", "TakeOrderedAndProject", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -203,7 +207,7 @@ NO_AQE = {
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate", "param_policy", "param_apply",
     "dsir_weights", "ann_recall", "epoch_shuffle",
-    "bm25_rank", "heavy_hitters",
+    "bm25_rank", "heavy_hitters", "pmi_pairs",
 }
 
 NEG_CHECKS = {
@@ -341,6 +345,14 @@ NEG_CHECKS = {
         "SortMergeJoin", "NestedLoop", "Cartesian",
         "Exchange SinglePartition",
     ],
+    # pmi: the 1-row totals broadcast as BNLJ Cross and their global
+    # aggregates are bounded 1-row SinglePartition exchanges (accepted
+    # shapes, the bm25 precedent); a global Sort node would mean the
+    # top-k lost its TakeOrderedAndProject form, so it IS forbidden
+    "pmi_pairs": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "SortMergeJoin", "Cartesian", "Sort ",
+    ],
 }
 
 
@@ -385,6 +397,7 @@ LAMBDA_CAPTURE_QUERIES = (
     "bpe_pairs",
     "chunk_documents",
     "text_stats",
+    "pmi_pairs",
 )
 
 

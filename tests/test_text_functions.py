@@ -720,3 +720,70 @@ class TestBM25:
         out = {r.doc_id: r.bm25_micro for r in bm25_scores(d, "text", "doc_id", ("common", "rare")).collect()}
         assert all(v > 0 for v in out.values())
         assert out[1] > max(v for k, v in out.items() if k != 1)
+
+
+class TestPmiCollocations:
+    def _run(self, spark, docs, **kw):
+        from amazonwebcrawler_spark.functions.text import pmi_collocations
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        return [
+            (r.lhs, r.rhs, r.pair_count, r.pmi_micro)
+            for r in pmi_collocations(d, "text", "doc_id", **kw).collect()
+        ]
+
+    @staticmethod
+    def _py(docs, k, min_count):
+        import math
+        import re
+        from collections import Counter
+
+        cu, cb = Counter(), Counter()
+        n_bi = 0
+        for _, text in docs:
+            toks = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+            toks = [t for t in toks if t]
+            cu.update(toks)
+            for a, b in zip(toks, toks[1:]):
+                cb[(a, b)] += 1
+                n_bi += 1
+        n_uni = sum(cu.values())
+        rows = []
+        for (a, b), c in cb.items():
+            if c < min_count:
+                continue
+            pmi = math.log((c * n_uni * n_uni) / (n_bi * cu[a] * cu[b]))
+            rows.append((a, b, c, round(pmi * 1_000_000)))
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        return rows[:k]
+
+    def test_planted_collocation_tops_the_list(self, spark):
+        """'new york' always adjacent; 'the' ubiquitous: the fixed phrase
+        gets the max PMI, the stopword pair the min, and every row equals
+        the Counter/math mirror (micro ints, ±1 ulp on the cut)."""
+        docs = [
+            (i, f"the city of new york and the port of new york w{i} the end")
+            for i in range(6)
+        ]
+        got = self._run(spark, docs, k=40, min_count=3)
+        want = self._py(docs, 40, 3)
+        assert len(got) == len(want)
+        for g, w in zip(sorted(got), sorted(want)):
+            assert g[:3] == w[:3] and abs(g[3] - w[3]) <= 1, (g, w)
+        by_pair = {(l, r): p for l, r, _, p in got}
+        # the fixed phrase scores above every stopword-anchored pair
+        stop_best = max(p for (l, r), p in by_pair.items() if l == "the" or r == "the")
+        assert by_pair[("new", "york")] > stop_best
+
+    def test_min_count_drops_hapax_pairs(self, spark):
+        docs = [(1, "alpha beta alpha beta alpha beta unique pair")]
+        got = self._run(spark, docs, k=40, min_count=3)
+        pairs = {(l, r) for l, r, _, _ in got}
+        assert ("unique", "pair") not in pairs
+        assert ("alpha", "beta") in pairs
+
+    def test_empty_and_single_token_docs_ignored(self, spark):
+        docs = [(1, ""), (2, "solo"), (3, "a b a b a b")]
+        got = self._run(spark, docs, k=10, min_count=3)
+        # (a,b) occurs 3× (>= min_count); (b,a) only 2× and is dropped
+        assert {(l, r) for l, r, _, _ in got} == {("a", "b")}
