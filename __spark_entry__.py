@@ -2381,6 +2381,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return pmi_collocations(d, "text", "doc_id", k=40, min_count=3)
 
+    def q_opic(spark, sf):
+        """OPIC crawl priority (operators/linkrank.opic_priority): 5
+        synchronous cash rounds of Abiteboul et al.'s online page-
+        importance model over the trust_rank two-family link graph — the
+        ONLINE frontier-ordering companion to the offline host_rank
+        PageRank. Exact integer micro-cash (DIV splits, % remainders to a
+        virtual root with a cross-round carry), so the twin replays it
+        bit-identically and conservation holds to the last unit. The
+        fixture's dst-only nodes (31..40) are dangling, exercising the
+        root path every round."""
+        from amazonwebcrawler_spark.operators.linkrank import opic_priority
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = o.select((k % 31).alias("src"), ((k * 5 + 3) % 41).alias("dst")).unionByName(
+            o.select(((k * 11 + 2) % 23).alias("src"), ((k * 13 + 7) % 31).alias("dst"))
+        )
+        return opic_priority(edges, iters=5)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2602,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "crop_dedup": q_crop_dedup,
         "pmi_pairs": q_pmi_pairs,
+        "opic_priority": q_opic,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -2820,7 +2840,10 @@ def oracle_sql() -> dict[str, str]:
         random_walks_oracle_sql,
         triangle_oracle_sql,
     )
-    from amazonwebcrawler_spark.operators.linkrank import personalized_pagerank_oracle_sql
+    from amazonwebcrawler_spark.operators.linkrank import (
+        opic_oracle_sql,
+        personalized_pagerank_oracle_sql,
+    )
     from amazonwebcrawler_spark.operators.corpus import countmin_oracle_sql
 
     perm_values = ", ".join(
@@ -3675,6 +3698,12 @@ SELECT node AS src, nxt AS final_url, hops FROM (
             "SELECT o_orderkey % 37, (o_orderkey * 5) % 29 + 100 FROM orders "
             "WHERE o_orderkey % 101 = 0",
             iters=4,
+        ),
+        "opic_priority": opic_oracle_sql(
+            "SELECT o_orderkey % 31 AS src, (o_orderkey * 5 + 3) % 41 AS dst FROM orders "
+            "UNION ALL "
+            "SELECT (o_orderkey * 11 + 2) % 23, (o_orderkey * 13 + 7) % 31 FROM orders",
+            iters=5,
         ),
         "trust_rank": personalized_pagerank_oracle_sql(
             "SELECT o_orderkey % 31 AS src, (o_orderkey * 5 + 3) % 41 AS dst FROM orders "

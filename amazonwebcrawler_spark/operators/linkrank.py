@@ -253,6 +253,192 @@ def personalized_pagerank_oracle_sql(
     )
 
 
+def opic_priority(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    init_cash: int = 1_000_000,
+) -> DataFrame:
+    """On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+    WWW 2003) — the ONLINE crawl-priority signal beside the offline
+    :func:`pagerank`: every page holds *cash*; each wave it distributes
+    its cash equally across its outlinks and banks the amount into its
+    *history*; importance ≈ history + cash, and "fetch the page with the
+    most cash" is the classic frontier ordering that converges to page
+    importance without ever storing the full link matrix. The reference
+    scraper has no frontier at all (it walks fixed SERP pagination,
+    getRank.py:24-60) — this is new 10^10-URL capability.
+
+    This is the synchronous batch variant in EXACT integer arithmetic so
+    the DuckDB twin is bit-identical and conservation is testable to the
+    last unit: cash is integer micro-units (``init_cash`` per node), a
+    node with outdegree ``d`` sends ``cash DIV d`` along each edge and
+    the remainder ``cash % d`` to the virtual root page; dangling nodes
+    send ALL cash to the root; the root redistributes ``R DIV n``
+    uniformly and carries ``R % n`` into the next round. The invariant
+    ``sum(cash) + root_carry == n·init_cash`` holds exactly after every
+    round (tests pin it).
+
+    Scale shape per round (the pagerank discipline): one equi-join of the
+    cash table onto the persisted (src, dst, outdeg) edge table + one
+    map-side-combinable sum by dst; remainders/dangling collapse into a
+    1-row aggregate that crossJoins back as a broadcast (never a driver
+    collect); lineage truncated by eager localCheckpoint. The only
+    driver-side scalar is ``nodes.count()``.
+
+    Returns ``(node, cash, hist, imp_ppm)`` — all BIGINT; ``imp_ppm`` is
+    the importance share ``((hist+cash)·1e6) DIV Σ(hist+cash)`` in parts
+    per million, the exact-integer priority key.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # the only driver-side scalar (pagerank precedent)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # fold outdeg into the edge ONCE; the loop never recomputes it
+    e_deg = (
+        e.join(deg.withColumnRenamed("node", "src"), "src")
+        .select("src", "dst", "outdeg")
+        .persist()
+    )
+    e_deg.count()
+    node_deg = nodes.join(deg, "node", "left").persist()  # outdeg NULL = dangling
+
+    state = nodes.select(
+        "node",
+        F.lit(int(init_cash)).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    ).localCheckpoint()
+    root = state.sparkSession.createDataFrame([(0,)], "carry long").localCheckpoint()
+    for _ in range(iters):
+        new_state, r_total = _opic_round(state, root, e_deg, node_deg, n)
+        # 1-row purse, evaluated once — the state build and the carry reuse it
+        r_total = r_total.localCheckpoint()
+        state = (
+            new_state.crossJoin(F.broadcast(r_total))
+            .select(
+                "node",
+                (F.col("cash_recv") + F.expr(f"r DIV {n}")).alias("cash"),
+                "hist",
+            )
+            .localCheckpoint()
+        )
+        root = r_total.select((F.col("r") % n).alias("carry"))
+    total = state.agg(F.sum(F.col("hist") + F.col("cash")).alias("total"))
+    out = (
+        state.crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            "cash",
+            "hist",
+            F.expr("((hist + cash) * 1000000L) DIV total").alias("imp_ppm"),
+        )
+        .localCheckpoint()
+    )
+    nodes.unpersist()
+    e_deg.unpersist()
+    node_deg.unpersist()
+    return out
+
+
+def _opic_round(
+    state: DataFrame,
+    root: DataFrame,
+    e_deg: DataFrame,
+    node_deg: DataFrame,
+    n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """One un-checkpointed OPIC cash round — split out so
+    scripts/explain_plans.py can assert the per-round plan shape (recv is
+    one equi-join + map-side-combinable sum; the root purse is a 1-row
+    broadcast) that the checkpointed loop hides (the pagerank _iterate
+    discipline). Returns ``(partial_state, r_total)``: partial_state
+    carries ``cash_recv`` (received splits, before the uniform root
+    redistribution the caller adds) and the updated ``hist``."""
+    recv = (
+        e_deg.join(state.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.expr("cash DIV outdeg")).alias("recv"))
+    )
+    # remainders of the splits + the whole cash of dangling nodes + the
+    # previous round's carry = this round's root purse R (1 row)
+    r_total = (
+        node_deg.join(state, "node")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("outdeg").isNull(), F.col("cash")).otherwise(
+                        F.col("cash") % F.col("outdeg")
+                    )
+                ),
+                F.lit(0),
+            ).alias("rem_sum")
+        )
+        .crossJoin(F.broadcast(root))
+        .select((F.col("rem_sum") + F.col("carry")).alias("r"))
+    )
+    partial = (
+        state.select("node", (F.col("hist") + F.col("cash")).alias("hist"))
+        .join(recv, "node", "left")
+        .select("node", F.coalesce("recv", F.lit(0)).alias("cash_recv"), "hist")
+    )
+    return partial, r_total
+
+
+def opic_oracle_sql(edges_sql: str, iters: int = 5, init_cash: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`opic_priority`: the same integer cash rounds
+    unrolled into chained CTEs (pagerank_oracle_sql idiom) — ``//`` and
+    ``%`` replay ``DIV``/``%`` exactly on BIGINTs, so the twin is
+    bit-identical, not approximately equal."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS (SELECT count(*) AS n FROM nodes),",
+        "deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),",
+        "ed AS MATERIALIZED (SELECT e.src, e.dst, deg.outdeg FROM e"
+        " JOIN deg ON deg.node = e.src),",
+        "nd AS MATERIALIZED (SELECT n.node, deg.outdeg FROM nodes n"
+        " LEFT JOIN deg ON deg.node = n.node),",
+        f"s0 AS (SELECT node, {int(init_cash)}::BIGINT AS cash, 0::BIGINT AS hist"
+        " FROM nodes),",
+        "c0 AS (SELECT 0::BIGINT AS carry),",
+    ]
+    for k in range(1, iters + 1):
+        p, c = f"s{k - 1}", f"c{k - 1}"
+        parts.append(
+            f"r{k} AS (SELECT (SELECT SUM(CASE WHEN nd.outdeg IS NULL THEN s.cash"
+            f" ELSE s.cash % nd.outdeg END) FROM {p} s JOIN nd ON nd.node = s.node)"
+            f" + (SELECT carry FROM {c}) AS r),"
+        )
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT s.node,"
+            f" COALESCE(rv.recv, 0) + (SELECT r FROM r{k}) // (SELECT n FROM nn) AS cash,"
+            f" s.hist + s.cash AS hist"
+            f" FROM {p} s LEFT JOIN (SELECT ed.dst AS node,"
+            f" SUM(s2.cash // ed.outdeg) AS recv FROM ed"
+            f" JOIN {p} s2 ON s2.node = ed.src GROUP BY 1) rv ON rv.node = s.node),"
+        )
+        parts.append(
+            f"c{k} AS (SELECT (SELECT r FROM r{k}) % (SELECT n FROM nn) AS carry),"
+        )
+    body = "\n".join(parts).rstrip(",")
+    return (
+        f"{body}\nSELECT node, cash, hist,"
+        f" ((hist + cash) * 1000000) // (SELECT SUM(hist + cash) FROM s{iters})"
+        f" AS imp_ppm FROM s{iters}"
+    )
+
+
 def pagerank_oracle_sql(
     edges_sql: str, iters: int = 5, damping: float = 0.85
 ) -> str:

@@ -120,6 +120,10 @@ BENCH_QUERIES = (
     # map-side aggs with a TakeOrderedAndProject top-k; timed so the
     # never-a-global-sort claim carries a number
     "pmi_pairs",
+    # OPIC crawl priority — 5 integer cash rounds (join + map-side sum +
+    # 1-row purse broadcast per round); timed beside host_rank so the
+    # online-vs-offline priority cost comparison carries numbers
+    "opic_priority",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

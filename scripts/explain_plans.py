@@ -538,6 +538,39 @@ def check_pagerank_iteration(spark) -> list[str]:
     return []
 
 
+def check_opic_round(spark) -> list[str]:
+    """One OPIC cash round must (a) sum the DIV splits map-side
+    (partial_sum) before the single dst shuffle and (b) take the 1-row
+    root purse as a broadcast (BroadcastNestedLoopJoin — never a shuffled
+    join against a scalar), staying pure JVM — the pagerank_iteration
+    discipline applied to the online cash model. The checkpointed loop
+    hides the shape, so the split-out _opic_round is explained directly
+    (union of both returned frames: state build + purse)."""
+    from amazonwebcrawler_spark.operators import linkrank
+
+    e = spark.range(0, 500).selectExpr("id % 17 AS src", "(id * 3 + 1) % 23 AS dst")
+    nodes = e.selectExpr("src AS node").union(e.selectExpr("dst AS node")).distinct()
+    deg = e.groupBy(F.col("src").alias("node")).count().withColumnRenamed("count", "outdeg")
+    e_deg = e.join(deg.withColumnRenamed("node", "src"), "src").select("src", "dst", "outdeg")
+    node_deg = nodes.join(deg, "node", "left")
+    state = nodes.selectExpr("node", "1000000L AS cash", "0L AS hist")
+    root = spark.createDataFrame([(0,)], "carry long")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        partial, r_total = linkrank._opic_round(state, root, e_deg, node_deg, 23)
+        txt = plan_text(partial) + plan_text(r_total)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    missing = [e_ for e_ in ("BroadcastNestedLoopJoin", "partial_sum", "[codegen id :") if e_ not in txt]
+    forbidden = [e_ for e_ in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian") if e_ in txt]
+    if missing or forbidden:
+        print(f"FAIL opic_round: missing {missing} forbidden-present {forbidden}")
+        print(txt[:2500])
+        return ["opic_round"]
+    print("ok   opic_round: purse broadcasts, splits combine map-side, pure JVM")
+    return []
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entrymod
@@ -557,6 +590,7 @@ def main() -> int:
     bad += check_no_lambda_capture(spark, sf_dir, qs)
     bad += check_bucketed_join(spark, sf_dir)
     bad += check_pagerank_iteration(spark)
+    bad += check_opic_round(spark)
     for name, expected in CHECKS.items():
         if name in NO_AQE:
             spark.conf.set("spark.sql.adaptive.enabled", "false")

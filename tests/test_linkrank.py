@@ -182,3 +182,96 @@ class TestPersonalizedPagerank:
             assert got[v] == pytest.approx(want[v], abs=1e-12)
         with pytest.raises(ValueError, match="no seed"):
             self._run(spark, edges, [999])
+
+
+def _py_opic(edges, iters, init_cash=1_000_000):
+    """Pure-Python integer mirror of opic_priority — exact, not approx."""
+    e = sorted(set(edges))
+    nodes = sorted({u for p in e for u in p})
+    n = len(nodes)
+    out = {}
+    for s, d in e:
+        out.setdefault(s, []).append(d)
+    cash = {u: init_cash for u in nodes}
+    hist = {u: 0 for u in nodes}
+    carry = 0
+    for _ in range(iters):
+        recv = {u: 0 for u in nodes}
+        R = carry
+        for u in nodes:
+            dsts = out.get(u, ())
+            if not dsts:
+                R += cash[u]
+            else:
+                q, r = divmod(cash[u], len(dsts))
+                for v in dsts:
+                    recv[v] += q
+                R += r
+        for u in nodes:
+            hist[u] += cash[u]
+            cash[u] = recv[u] + R // n
+        carry = R % n
+    total = sum(hist[u] + cash[u] for u in nodes)
+    return (
+        {u: (cash[u], hist[u], (hist[u] + cash[u]) * 1_000_000 // total) for u in nodes},
+        carry,
+    )
+
+
+class TestOpicPriority:
+    EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 0), (3, 1), (3, 2), (4, 4), (5, 0), (2, 6), (0, 1)]
+
+    def _run(self, spark, edges, iters=5):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r.node: (r.cash, r.hist, r.imp_ppm)
+            for r in linkrank.opic_priority(df, iters=iters).collect()
+        }
+
+    def test_matches_python_mirror_exactly(self, spark):
+        """Integer cash rounds are EXACT (==, never approx) against the
+        pure-Python mirror — dangling node 6 and the self-loop at 4
+        exercise the root path and remainder carries."""
+        got = self._run(spark, self.EDGES)
+        want, _ = _py_opic(self.EDGES, iters=5)
+        assert got == want
+
+    def test_cash_conservation_every_round(self, spark):
+        """sum(cash) + root carry == n * init_cash exactly after every
+        round — the OPIC invariant, testable only because the arithmetic
+        is integral."""
+        for iters in (1, 2, 3):
+            got = self._run(spark, self.EDGES, iters=iters)
+            want, carry = _py_opic(self.EDGES, iters=iters)
+            assert got == want
+            n = len(want)
+            assert sum(c for c, _, _ in got.values()) + carry == n * 1_000_000
+
+    def test_hub_target_outranks_periphery(self, spark):
+        """Everything points at 0; nothing points at the leaf sources —
+        0 accumulates the history."""
+        edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+        got = self._run(spark, edges)
+        imp = {u: p for u, (_, _, p) in got.items()}
+        assert imp[0] == max(imp.values())
+        assert imp[0] > imp[2]
+
+    def test_repartition_invariant(self, spark):
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = {
+            r.node: (r.cash, r.hist, r.imp_ppm)
+            for r in linkrank.opic_priority(df.repartition(7), iters=4).collect()
+        }
+        b = {
+            r.node: (r.cash, r.hist, r.imp_ppm)
+            for r in linkrank.opic_priority(df.coalesce(1), iters=4).collect()
+        }
+        assert a == b
+
+    def test_oracle_sql_twin_matches_exactly(self, spark, duckdb_conn):
+        vals = ", ".join(f"({s},{d})" for s, d in self.EDGES)
+        sql = linkrank.opic_oracle_sql(
+            f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iters=5
+        )
+        got = {r[0]: (r[1], r[2], r[3]) for r in duckdb_conn.execute(sql).fetchall()}
+        assert got == self._run(spark, self.EDGES)

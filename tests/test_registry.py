@@ -24,7 +24,7 @@ FLAGSHIP_SLOTS = ("crawl_rank_wave", "robots_filter")
 POST_FREEZE = (
     "probe_train", "ann_recall", "epoch_shuffle", "triangle_count",
     "label_prop", "trust_rank", "bm25_rank", "heavy_hitters",
-    "kcore", "random_walks", "crop_dedup", "pmi_pairs",
+    "kcore", "random_walks", "crop_dedup", "pmi_pairs", "opic_priority",
 )
 
 
