@@ -2400,6 +2400,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return opic_priority(edges, iters=5)
 
+    def q_containment(spark, sf):
+        """One-sided shingle containment dedup (operators/dedup.
+        containment_pairs, Broder 1997): the corpus plus a planted
+        200-char quote fragment of every 97th document — cont(quote in
+        original) ≈ 1 while Jaccard ≈ |quote|/|original| sits far below
+        any usable symmetric threshold, the case the whole operator
+        exists for. Rare-shingle (df ∈ [2,10]) blocking, exact
+        verification over ALL shared shingles, micro-integer floor
+        divisions on both engine sides."""
+        from amazonwebcrawler_spark.operators.dedup import containment_pairs
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        quotes = d.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.substring("text", 1, 200).alias("text"),
+        )
+        return containment_pairs(
+            d.unionByName(quotes), "text", "doc_id",
+            threshold=0.8, shingle_n=3, max_df=10,
+        )
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2622,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_dedup": q_crop_dedup,
         "pmi_pairs": q_pmi_pairs,
         "opic_priority": q_opic,
+        "containment_dedup": q_containment,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -3699,6 +3721,40 @@ SELECT node AS src, nxt AS final_url, hops FROM (
             "WHERE o_orderkey % 101 = 0",
             iters=4,
         ),
+        "containment_dedup": rf"""
+-- Broder one-sided containment over corpus + planted 200-char quotes of
+-- every 97th doc; rare-shingle (df 2..10) blocking, exact verify over ALL
+-- shared shingles, micro floor divisions — bit-identical to the Spark side
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, substr(text, 1, 200) FROM documents WHERE doc_id % 97 = 0
+),
+norm AS (SELECT doc_id, {norm} AS t FROM docs),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+),
+dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+rare AS (SELECT s FROM dfreq WHERE df BETWEEN 2 AND 10),
+shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, i.n_inter,
+  (i.n_inter * 1000000) // sa.n AS cont_a_micro,
+  (i.n_inter * 1000000) // sb.n AS cont_b_micro
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE greatest((i.n_inter * 1000000) // sa.n,
+               (i.n_inter * 1000000) // sb.n) >= 800000
+""",
         "opic_priority": opic_oracle_sql(
             "SELECT o_orderkey % 31 AS src, (o_orderkey * 5 + 3) % 41 AS dst FROM orders "
             "UNION ALL "

@@ -321,6 +321,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int = 10,
+) -> DataFrame:
+    """One-sided shingle containment pairs (Broder 1997, "On the
+    resemblance and containment of documents"):
+
+        cont(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+
+    The asymmetric companion to Jaccard that the symmetric measures
+    structurally miss: a short document quoted inside a much longer one
+    has ``cont(A in B) ≈ 1`` while ``J(A,B) ≈ |A|/|B| ≈ 0`` — below any
+    usable Jaccard threshold. This is the quote / boilerplate-wrapped
+    copy / superset-page detector in a training-data pipeline (keep the
+    superset, drop the contained fragment — or the reverse for
+    boilerplate).
+
+    Blocking: candidate pairs share at least one *rare* shingle —
+    corpus document frequency in ``[2, max_df]``. A shingle carried by
+    thousands of documents generates quadratic candidates and carries no
+    identity signal; bounding df bounds per-shingle fan-out at
+    ``max_df²`` rows, the skew guard. Pairs that share ONLY ubiquitous
+    (df > max_df) shingles are missed by construction — the documented
+    post-blocking semantic (the ngram_jaccard caveat), mirrored exactly
+    in the DuckDB twin. Verification is exact over ALL shared shingles
+    (not just rare ones): the candidate sliver broadcasts back onto the
+    full shingle table twice (the minhash_lsh_pairs verify idiom).
+
+    Emits ``(id_a, id_b, n_inter, cont_a_micro, cont_b_micro)`` with
+    ``id_a < id_b``, kept when ``greatest(cont_a, cont_b) ≥ threshold``
+    — all exact integers (``(n_inter·1e6) DIV n``, the jaccard_micro
+    floor-division equivalence argument), so the twin is bit-identical.
+    """
+    threshold_micro = int(round(threshold * 1_000_000))
+    sh = shingle_rows(df, text_col, id_col, shingle_n).persist()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    rare = (
+        sh.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("_s")
+    )
+    sh_rare = sh.join(rare, "_s", "left_semi")
+    cand = (
+        sh_rare.select(F.col("_id").alias("id_a"), "_s")
+        .join(sh_rare.select(F.col("_id").alias("id_b"), "_s"), "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sh.select(F.col("_id").alias("id_a"), "_s")
+    sh_b = sh.select(F.col("_id").alias("id_b"), "_s")
+    inter = (
+        sh_a.join(F.broadcast(cand), "id_a")
+        .join(sh_b, ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    pairs = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_ni").alias("n_inter"),
+            F.expr("(_ni * 1000000L) DIV _na").alias("cont_a_micro"),
+            F.expr("(_ni * 1000000L) DIV _nb").alias("cont_b_micro"),
+        )
+        .filter(
+            F.greatest("cont_a_micro", "cont_b_micro") >= F.lit(threshold_micro)
+        )
+    )
+    # the containment sliver is tiny; eager-checkpoint it so the shingle
+    # cache releases here instead of leaking per call (minhash discipline)
+    pairs = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
+    return pairs
+
+
 # ------------------------------------------- connected components (groups)
 def connected_components(
     pairs: DataFrame,

@@ -124,6 +124,9 @@ BENCH_QUERIES = (
     # 1-row purse broadcast per round); timed beside host_rank so the
     # online-vs-offline priority cost comparison carries numbers
     "opic_priority",
+    # containment dedup — rare-shingle blocking + broadcast exact verify;
+    # timed so the df-cap skew-guard claim carries a number
+    "containment_dedup",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -1088,3 +1088,87 @@ class TestRecallAtK:
         want = {q: (len(s), len(s & ap.get(q, set()))) for q, s in ex.items()}
         assert got == want
         assert set(got) == {0, 1, 2, 3}
+
+
+class TestContainmentPairs:
+    @staticmethod
+    def _py_mirror(docs, threshold=0.8, n=3, max_df=10):
+        """Pure-Python mirror: normalize → distinct 3-gram shingles →
+        rare-shingle blocking → exact containment, integer micro floors."""
+        import re
+
+        sh = {}
+        for i, t in docs:
+            toks = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+            sh[i] = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)} if len(toks) >= n else set()
+        from collections import Counter
+
+        dfreq = Counter(s for g in sh.values() for s in g)
+        rare = {s for s, c in dfreq.items() if 2 <= c <= max_df}
+        cand = set()
+        ids = sorted(sh)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                if (sh[a] & sh[b]) & rare:
+                    cand.add((a, b))
+        thr = round(threshold * 1_000_000)
+        out = {}
+        for a, b in cand:
+            ni = len(sh[a] & sh[b])
+            if ni == 0:
+                continue
+            ca, cb = ni * 1_000_000 // len(sh[a]), ni * 1_000_000 // len(sh[b])
+            if max(ca, cb) >= thr:
+                out[(a, b)] = (ni, ca, cb)
+        return out
+
+    def _run(self, spark, docs, **kw):
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            (r.id_a, r.id_b): (r.n_inter, r.cont_a_micro, r.cont_b_micro)
+            for r in dedup.containment_pairs(d, "text", "doc_id", **kw).collect()
+        }
+
+    def test_quote_in_superset_found_where_jaccard_misses(self, spark):
+        """The operator's reason to exist: a short quote inside a much
+        longer document has containment ≈ 1 but Jaccard ≈ |A|/|B| far
+        under 0.5 — ngram_jaccard_pairs at 0.5 misses the pair,
+        containment_pairs at 0.8 catches it."""
+        quote = "the quick brown fox jumps over the lazy dog near the river bank today"
+        filler = " ".join(f"unrelated filler token{i} for doc body" for i in range(40))
+        docs = [(1, quote), (2, quote + " " + filler)]
+        got = self._run(spark, docs)
+        assert (1, 2) in got
+        ni, ca, cb = got[(1, 2)]
+        assert ca == 1_000_000          # every shingle of the quote is in the superset
+        assert cb < 500_000             # but the superset is NOT mostly the quote
+        d = spark.createDataFrame([(i, t, "en") for i, t in docs], "doc_id long, text string, lang string")
+        jac = dedup.ngram_jaccard_pairs(d, "text", "doc_id", "lang", threshold=0.5).collect()
+        assert jac == []                # symmetric Jaccard at 0.5 misses it
+
+    def test_matches_python_mirror_exactly(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = [
+            (1, base),
+            (2, base + " lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (3, "totally different content about ships and harbors and tides"),
+            (4, base),  # exact dup of 1 — mutual containment 1.0
+            (5, ""),    # empty doc — no shingles, never pairs
+        ]
+        got = self._run(spark, docs)
+        want = self._py_mirror(docs)
+        assert got == want
+        assert (1, 4) in got and got[(1, 4)][1] == got[(1, 4)][2] == 1_000_000
+
+    def test_pairs_sharing_only_ubiquitous_shingles_blocked(self, spark):
+        """Documented post-blocking semantic: a shingle carried by more
+        than max_df docs generates no candidates — two docs overlapping
+        ONLY through it never pair."""
+        common = "one two three"
+        docs = [(i, common) for i in range(1, 13)]  # df=12 > max_df=10
+        got = self._run(spark, docs, max_df=10)
+        assert got == {}
+        # the same corpus pairs fine once max_df admits the shingle
+        got_loose = self._run(spark, docs, max_df=12)
+        assert len(got_loose) == 66  # C(12,2) mutual exact dups
