@@ -2421,6 +2421,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.8, shingle_n=3, max_df=10,
         )
 
+    def q_border_crop(spark, sf):
+        """Letterbox/pillarbox/frame detection + autocrop
+        (functions/images.border_crop_kernel): per-side uniform-border
+        depths by exact uint8 integer compare, the crop box, and the
+        pHash of the CROPPED region — the normalization pass that runs
+        BEFORE perceptual-hash dedup (bars shift the global luma mean, so
+        the same picture letterboxed lands 13-27 hamming bits away on the
+        whole-image pHash while its cropped pHash is bit-identical; the
+        golden's capture checker pins both sides of that claim). Mix: 16
+        block masters + planted 8-row black letterbox / 6-px white frame
+        variants + corrupt bytes (quarantined, pytest-owned)."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as imgf
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(16):
+            base = world.block_image_record(f"bdr-{i}")
+            px = imgf.decode_image(base["bytes"])
+            rows.append((f"bdr-{i}", bytearray(base["bytes"])))
+            mode = i % 4
+            if mode == 1:
+                padded = np.zeros((px.shape[0] + 16, px.shape[1], 3), np.uint8)
+                padded[8:-8] = px
+                rows.append((f"bdr-{i}-lb", bytearray(imgf.encode_png(padded))))
+            elif mode == 2:
+                h, w, _ = px.shape
+                framed = np.full((h + 12, w + 12, 3), 255, np.uint8)
+                framed[6:-6, 6:-6] = px
+                rows.append((f"bdr-{i}-fr", bytearray(imgf.encode_png(framed))))
+            elif mode == 3:
+                rows.append((f"bdr-{i}-x", bytearray(b"NOTANIMAGE" + bytes([i]))))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        out = df.repartition(8).mapInPandas(imgf.border_crop_kernel(), imgf.BORDER_SCHEMA)
+        # quarantined undecodables carry all-null stats (breaks the driver
+        # compare's sort-leading column) — filtered here, path pytest-owned
+        return out.filter(F.col("decode_ok"))
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2644,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": q_pmi_pairs,
         "opic_priority": q_opic,
         "containment_dedup": q_containment,
+        "border_crop": q_border_crop,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,

@@ -366,6 +366,97 @@ PATCH_SCHEMA = (
 )
 
 
+def border_box(
+    pixels: np.ndarray, tol: int = 2, max_frac: float = 0.375
+) -> tuple[int, int, int, int]:
+    """Uniform-border (letterbox / pillarbox / solid frame) depths per side,
+    in pixels: ``(top, bottom, left, right)``.
+
+    A side's depth counts consecutive outermost lines whose every pixel is
+    within ``tol`` (per channel, exact uint8 integer compare — no float
+    ever) of that side's reference color = the corner pixel of its
+    outermost line. Each side references independently, so a black
+    letterbox bar above a white footer bar both crop. The scan is capped
+    at ``floor(dim·max_frac)`` lines per side, so a near-solid image can
+    never crop itself away (the crop always keeps ≥ 25% of each dimension
+    at the 0.375 default).
+
+    This is the normalization pass that runs BEFORE perceptual hashing in
+    an image dedup pipeline: letterbox bars shift the global luma mean, so
+    the SAME picture with and without bars lands many hamming bits apart
+    on the whole-image pHash — cropping first makes them bit-identical
+    (the border_crop golden pins exactly this)."""
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.int16)
+
+    def depth(lines: np.ndarray, cap: int) -> int:
+        # lines: (n_lines, line_len, 3), outermost first
+        ref = lines[0, 0]
+        d = 0
+        for i in range(cap):
+            if np.abs(lines[i] - ref).max() <= tol:
+                d += 1
+            else:
+                break
+        return d
+
+    cap_h, cap_w = int(h * max_frac), int(w * max_frac)
+    top = depth(px, cap_h)
+    bottom = depth(px[::-1], cap_h)
+    left = depth(px.transpose(1, 0, 2), cap_w)
+    right = depth(px.transpose(1, 0, 2)[::-1], cap_w)
+    return top, bottom, left, right
+
+
+#: Spark schema of border_crop_kernel's output
+BORDER_SCHEMA = (
+    "image_id string, w int, h int, b_top int, b_bottom int, b_left int, "
+    "b_right int, crop_w int, crop_h int, phash_cropped long, "
+    "changed boolean, decode_ok boolean"
+)
+
+
+def border_crop_kernel(tol: int = 2, max_frac: float = 0.375):
+    """mapInPandas kernel ``(image_id, bytes) → BORDER_SCHEMA`` — decode
+    once, detect uniform borders (:func:`border_box`), and emit the crop
+    box plus the pHash of the CROPPED region, so downstream hamming dedup
+    keys on letterbox-invariant fingerprints without a second decode pass.
+    Undecodable bytes quarantine with null stats and ``decode_ok=False``
+    (the quality_stats_kernel policy — never crash the wave)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(bytes(data))
+                    h, w, _ = px.shape
+                    t, b, le, r = border_box(px, tol=tol, max_frac=max_frac)
+                    crop = px[t : h - b, le : w - r]
+                    rows.append({
+                        "image_id": iid, "w": w, "h": h,
+                        "b_top": t, "b_bottom": b, "b_left": le, "b_right": r,
+                        "crop_w": w - le - r, "crop_h": h - t - b,
+                        "phash_cropped": phash64(crop),
+                        "changed": bool(t or b or le or r),
+                        "decode_ok": True,
+                    })
+                except Exception:
+                    rows.append({
+                        "image_id": iid, "w": None, "h": None,
+                        "b_top": None, "b_bottom": None, "b_left": None, "b_right": None,
+                        "crop_w": None, "crop_h": None, "phash_cropped": None,
+                        "changed": None, "decode_ok": False,
+                    })
+            out = pd.DataFrame(rows)
+            for c in ("w", "h", "b_top", "b_bottom", "b_left", "b_right", "crop_w", "crop_h", "phash_cropped"):
+                out[c] = pd.array([r[c] for r in rows], dtype="Int64")
+            yield out
+
+    return gen
+
+
 def patch_grid_stats(pixels: np.ndarray, grid: int = 4) -> list[dict]:
     """ViT-style patchification: split the image into a ``grid×grid`` cell
     grid (integer boundaries ``r·h//grid``, so uneven dimensions distribute

@@ -127,6 +127,9 @@ BENCH_QUERIES = (
     # containment dedup — rare-shingle blocking + broadcast exact verify;
     # timed so the df-cap skew-guard claim carries a number
     "containment_dedup",
+    # border autocrop — one Arrow decode pass per image; timed beside the
+    # other single-decode image kernels
+    "border_crop",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -88,6 +88,13 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "luma_micro": "BIGINT", "contrast_micro": "BIGINT", "is_flat": "BOOLEAN",
     },
     "crop_dedup": {"id_a": "VARCHAR", "id_b": "VARCHAR", "n_quadrants_close": "INTEGER"},
+    "border_crop": {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "b_top": "INTEGER", "b_bottom": "INTEGER",
+        "b_left": "INTEGER", "b_right": "INTEGER",
+        "crop_w": "INTEGER", "crop_h": "INTEGER",
+        "phash_cropped": "BIGINT", "changed": "BOOLEAN", "decode_ok": "BOOLEAN",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -788,6 +795,73 @@ def _check_cuckoo_stats(rows, ctx):
     assert twins <= 20, f"deleted_still_seen={twins} far above fingerprint-twin rate"
 
 
+def _check_border_crop(rows, ctx):
+    """Re-derive every row brute-force (decode → border_box → crop →
+    phash64) over the SAME fixture and assert equality; pin the planted
+    classes exactly: masters (0,0,0,0) unchanged, letterboxed variants
+    exactly (8,8,0,0), framed variants exactly (6,6,6,6); corrupt rows
+    absent. Then pin the operator's reason to exist: every letterboxed/
+    framed variant's WHOLE-image pHash sits > 2 hamming bits from its
+    master (phash dedup at t=2 misses all of them) while its CROPPED
+    pHash equals the master's phash_cropped bit-for-bit."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import (
+        border_box,
+        decode_image,
+        encode_png,
+        hamming64,
+        phash64,
+    )
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    fixture: dict[str, bytes] = {}
+    variants: list[tuple[str, str]] = []  # (variant_id, master_id)
+    n_corrupt = 0
+    for i in range(16):
+        base = block_image_record(f"bdr-{i}")
+        px = decode_image(base["bytes"])
+        fixture[f"bdr-{i}"] = base["bytes"]
+        mode = i % 4
+        if mode == 1:
+            padded = np.zeros((px.shape[0] + 16, px.shape[1], 3), np.uint8)
+            padded[8:-8] = px
+            fixture[f"bdr-{i}-lb"] = encode_png(padded)
+            variants.append((f"bdr-{i}-lb", f"bdr-{i}"))
+        elif mode == 2:
+            h, w, _ = px.shape
+            framed = np.full((h + 12, w + 12, 3), 255, np.uint8)
+            framed[6:-6, 6:-6] = px
+            fixture[f"bdr-{i}-fr"] = encode_png(framed)
+            variants.append((f"bdr-{i}-fr", f"bdr-{i}"))
+        elif mode == 3:
+            n_corrupt += 1
+    assert len(rows) == len(fixture) and n_corrupt == 4, (len(rows), n_corrupt)
+    by_id = {r["image_id"]: r for r in rows}
+    whole_phash: dict[str, int] = {}
+    for iid, data in fixture.items():
+        px = decode_image(data)
+        h, w, _ = px.shape
+        t, b, le, ri = border_box(px)
+        crop = px[t : h - b, le : w - ri]
+        whole_phash[iid] = phash64(px)
+        r = by_id[iid]
+        assert (r["w"], r["h"]) == (w, h), iid
+        assert (r["b_top"], r["b_bottom"], r["b_left"], r["b_right"]) == (t, b, le, ri), iid
+        assert (r["crop_w"], r["crop_h"]) == (w - le - ri, h - t - b), iid
+        assert r["phash_cropped"] == phash64(crop) and r["decode_ok"], iid
+        assert r["changed"] == bool(t or b or le or ri), iid
+        if iid.endswith("-lb"):
+            assert (t, b, le, ri) == (8, 8, 0, 0), iid
+        elif iid.endswith("-fr"):
+            assert (t, b, le, ri) == (6, 6, 6, 6), iid
+        else:
+            assert (t, b, le, ri) == (0, 0, 0, 0) and not r["changed"], iid
+    for vid, mid in variants:
+        assert hamming64(whole_phash[vid], whole_phash[mid]) > 2, (vid, mid)
+        assert by_id[vid]["phash_cropped"] == by_id[mid]["phash_cropped"], (vid, mid)
+
+
 CHECKERS = {
     "crawl_rank_wave": _check_crawl_rank_wave,
     "ann_ivf": _check_ann_ivf,
@@ -805,6 +879,7 @@ CHECKERS = {
     "image_quality": _check_image_quality,
     "image_pipeline": _check_image_pipeline,
     "image_patches": _check_image_patches,
+    "border_crop": _check_border_crop,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,
 }

@@ -385,3 +385,92 @@ class TestQuadrantNeardup:
             quadrant_neardup_pairs(df, min_quadrants=0)
         with pytest.raises(ValueError):
             quadrant_neardup_pairs(df, min_quadrants=5)
+
+
+class TestBorderCrop:
+    def test_border_box_planted_bars_exact(self):
+        from amazonwebcrawler_spark.functions.images import border_box, decode_image
+
+        base = world.block_image_record("bb-unit")
+        px = decode_image(base["bytes"])
+        assert border_box(px) == (0, 0, 0, 0)
+        lb = np.zeros((px.shape[0] + 10, px.shape[1], 3), np.uint8)
+        lb[5:-5] = px
+        assert border_box(lb) == (5, 5, 0, 0)
+        fr = np.full((px.shape[0] + 6, px.shape[1] + 14, 3), 255, np.uint8)
+        fr[3:-3, 7:-7] = px
+        assert border_box(fr) == (3, 3, 7, 7)
+
+    def test_sides_reference_independently(self):
+        """Black top bar over a white bottom bar — each side crops against
+        its OWN reference color."""
+        from amazonwebcrawler_spark.functions.images import border_box, decode_image
+
+        px = decode_image(world.block_image_record("bb-mixed")["bytes"])
+        h, w, _ = px.shape
+        out = np.zeros((h + 8, w, 3), np.uint8)
+        out[4 : 4 + h] = px
+        out[-4:] = 255
+        assert border_box(out) == (4, 4, 0, 0)
+
+    def test_max_frac_caps_solid_images(self):
+        """A solid image must never crop itself away: depths cap at
+        floor(dim·max_frac) per side."""
+        from amazonwebcrawler_spark.functions.images import border_box
+
+        solid = np.full((32, 32, 3), 7, np.uint8)
+        assert border_box(solid) == (12, 12, 12, 12)  # 32·0.375 = 12, 8px kept
+
+    def test_tolerance_boundary(self):
+        """A line tol+1 away from the reference stops the scan; one at
+        exactly tol continues it."""
+        from amazonwebcrawler_spark.functions.images import border_box
+
+        px = np.zeros((16, 16, 3), np.uint8)
+        px[8:] = 200  # bottom half is content
+        px[2] = 2     # within tol=2 of the black ref → still border
+        px[3] = 3     # 3 > tol → scan stops here
+        assert border_box(px, tol=2)[0] == 3
+
+    def test_kernel_crop_restores_master_phash(self, spark):
+        """Spark end-to-end: letterboxed variant's phash_cropped equals
+        the master's, while the whole-image pHashes differ by > 2 —
+        the bars-before-dedup normalization claim."""
+        from amazonwebcrawler_spark.functions.images import (
+            BORDER_SCHEMA,
+            border_crop_kernel,
+            decode_image,
+            encode_png,
+            hamming64,
+            phash64,
+        )
+
+        rows = []
+        masters = {}
+        for i in range(4):
+            base = world.block_image_record(f"bk-{i}")
+            px = decode_image(base["bytes"])
+            masters[f"bk-{i}"] = px
+            rows.append((f"bk-{i}", bytearray(base["bytes"])))
+            lb = np.zeros((px.shape[0] + 16, px.shape[1], 3), np.uint8)
+            lb[8:-8] = px
+            rows.append((f"bk-{i}-lb", bytearray(encode_png(lb))))
+        rows.append(("bk-corrupt", bytearray(b"NOTANIMAGE")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        out = {
+            r.image_id: r
+            for r in df.repartition(4)
+            .mapInPandas(border_crop_kernel(), BORDER_SCHEMA)
+            .collect()
+        }
+        assert not out["bk-corrupt"].decode_ok and out["bk-corrupt"].w is None
+        for i in range(4):
+            m, v = out[f"bk-{i}"], out[f"bk-{i}-lb"]
+            assert m.decode_ok and v.decode_ok
+            assert not m.changed and v.changed
+            assert (v.b_top, v.b_bottom, v.b_left, v.b_right) == (8, 8, 0, 0)
+            assert (v.crop_w, v.crop_h) == (m.w, m.h)
+            assert v.phash_cropped == m.phash_cropped == phash64(masters[f"bk-{i}"])
+            lb_px = np.zeros((masters[f"bk-{i}"].shape[0] + 16, masters[f"bk-{i}"].shape[1], 3), np.uint8)
+            lb_px[8:-8] = masters[f"bk-{i}"]
+            assert hamming64(phash64(lb_px), phash64(masters[f"bk-{i}"])) > 2
