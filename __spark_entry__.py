@@ -2460,6 +2460,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compare's sort-leading column) — filtered here, path pytest-owned
         return out.filter(F.col("decode_ok"))
 
+    def q_postings(spark, sf):
+        """Positional inverted-index build (functions/text.build_postings):
+        one (term, doc) posting row with tf, windowed df, and the
+        delta-encoded position list as a '|'-joined gap string (IIR ch.5
+        index compression) — the retrieval structure behind bm25_rank.
+        min_df=3 drops hapax noise; max_df=380 drops the stopword-grade
+        terms whose posting lists would be corpus-length (both bounds
+        exercised at every SF: the synthetic vocab has hyper-common AND
+        mid-band terms). String gaps keep the twin hash engine-neutral."""
+        from amazonwebcrawler_spark.functions.text import build_postings
+
+        d = _t(spark, sf, "documents")
+        return build_postings(d, "text", "doc_id", min_df=3, max_df=380)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2684,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_priority": q_opic,
         "containment_dedup": q_containment,
         "border_crop": q_border_crop,
+        "postings_build": q_postings,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -3794,6 +3809,30 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE greatest((i.n_inter * 1000000) // sa.n,
                (i.n_inter * 1000000) // sb.n) >= 800000
+""",
+        "postings_build": rf"""
+-- positional postings: (term, doc) tf + windowed df + '|'-joined gap string
+-- (first position, then successive deltas); df bounds [3, 380] mirror the
+-- Spark min_df/max_df — both engines window over the SAME (term, doc) agg
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+tr AS (
+  SELECT doc_id, toks[g.i] AS term, g.i - 1 AS pos
+  FROM tk, UNNEST(generate_series(1, len(toks))) AS g(i)
+),
+gapped AS (
+  SELECT doc_id, term, pos,
+    pos - COALESCE(LAG(pos) OVER (PARTITION BY term, doc_id ORDER BY pos), 0) AS gap
+  FROM tr
+),
+pd AS (
+  SELECT term, doc_id, COUNT(*)::BIGINT AS tf,
+    string_agg(gap::VARCHAR, '|' ORDER BY pos) AS gaps
+  FROM gapped GROUP BY 1, 2
+),
+dfx AS (SELECT term, doc_id, tf, gaps, COUNT(*) OVER (PARTITION BY term) AS df FROM pd)
+SELECT term, doc_id, tf, df::BIGINT AS df, gaps
+FROM dfx WHERE df BETWEEN 3 AND 380
 """,
         "opic_priority": opic_oracle_sql(
             "SELECT o_orderkey % 31 AS src, (o_orderkey * 5 + 3) % 41 AS dst FROM orders "

@@ -793,6 +793,69 @@ def pmi_collocations(df, text_col: str, id_col: str, k: int = 40, min_count: int
     ).limit(k)
 
 
+def build_postings(
+    df,
+    text_col: str,
+    id_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+):
+    """Positional inverted-index postings — the retrieval structure behind
+    BM25 / phrase search, built relationally: one row per (term, doc)
+    with term frequency and the in-document positions DELTA-encoded
+    (gap list, the standard index compression: gaps are small ints where
+    absolute positions grow with document length — Manning et al., IIR
+    ch. 5). Emitted as ``(term, doc_id, tf, df, gaps)``:
+
+    - ``tf``: occurrences of term in doc (BIGINT),
+    - ``df``: documents containing the term (BIGINT, window over term),
+    - ``gaps``: ``'|'``-joined first-position + successive gaps — a string
+      so the twin contract hashes identically (array renderings differ
+      across engines).
+
+    ``min_df`` drops hapax terms (index noise); ``max_df`` drops
+    stopword-grade terms whose posting lists would be as long as the
+    corpus (the classic index skew: at 10^10 docs 'the' is a posting
+    list nobody scans — BM25 idf already scores it ≈ 0). Both bounds are
+    evaluated on the windowed df, so the plan is: one posexplode, ONE
+    (term, doc) aggregation (tf + sorted position list in the same
+    ObjectHashAggregate), one term-partitioned window — never a global
+    window, never a second pass over the token stream.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("_toks").alias("_pos", "term")
+    )
+    agg = pos.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("_pos")).alias("_parr"),
+    )
+    w = Window.partitionBy("term")
+    out = (
+        agg.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") >= min_df)
+    )
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    gaps = F.array_join(
+        bind_once(
+            F.col("_parr"),
+            lambda p: F.transform(
+                F.sequence(F.lit(1), F.size(p)),
+                lambda i: F.when(i == 1, F.get(p, 0)).otherwise(
+                    F.get(p, i - 1) - F.get(p, i - 2)
+                ),
+            ),
+        ),
+        "|",
+    )
+    return out.select("term", "doc_id", "tf", "df", gaps.alias("gaps"))
+
+
 def crossdoc_segment_dedup(df, text_col: str, id_col: str, chunk: int = 10):
     """Cross-document segment dedup, FIRST occurrence kept (the CCNet /
     RefinedWeb paragraph-dedup rule: one copy of every duplicated

@@ -130,6 +130,9 @@ BENCH_QUERIES = (
     # border autocrop — one Arrow decode pass per image; timed beside the
     # other single-decode image kernels
     "border_crop",
+    # postings build — one ObjectHashAggregate + term-partitioned window;
+    # timed so the one-pass-index claim carries a number
+    "postings_build",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -193,6 +193,10 @@ CHECKS = {
     # via per-partition heaps (TakeOrderedAndProject — never a global
     # Sort), totals broadcast; no Python (NEG)
     "pmi_pairs": ["HashAggregate", "partial_count", "TakeOrderedAndProject", "[codegen id :"],
+    # postings build: tf + sorted position list in ONE ObjectHashAggregate
+    # over (term, doc); df via a term-PARTITIONED window (never global —
+    # NEG forbids SinglePartition); no Python anywhere
+    "postings_build": ["ObjectHashAggregate", "Window", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -207,7 +211,7 @@ NO_AQE = {
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate", "param_policy", "param_apply",
     "dsir_weights", "ann_recall", "epoch_shuffle",
-    "bm25_rank", "heavy_hitters", "pmi_pairs",
+    "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build",
 }
 
 NEG_CHECKS = {
@@ -353,6 +357,14 @@ NEG_CHECKS = {
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "SortMergeJoin", "Cartesian", "Sort ",
     ],
+    # postings: window sorts are partition-local by construction; forbid
+    # Python, joins (df comes from the window, not a self-join), and any
+    # single-partition exchange
+    "postings_build": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "SortMergeJoin", "BroadcastHashJoin", "Cartesian",
+        "Exchange SinglePartition",
+    ],
 }
 
 
@@ -398,6 +410,7 @@ LAMBDA_CAPTURE_QUERIES = (
     "chunk_documents",
     "text_stats",
     "pmi_pairs",
+    "postings_build",
 )
 
 

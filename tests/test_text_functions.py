@@ -787,3 +787,71 @@ class TestPmiCollocations:
         got = self._run(spark, docs, k=10, min_count=3)
         # (a,b) occurs 3× (>= min_count); (b,a) only 2× and is dropped
         assert {(l, r) for l, r, _, _ in got} == {("a", "b")}
+
+
+class TestBuildPostings:
+    @staticmethod
+    def _py(docs, min_df=2, max_df=None):
+        import re
+        from collections import defaultdict
+
+        post = defaultdict(list)
+        for i, t in docs:
+            tk = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+            for p, w in enumerate(tk):
+                post[(w, i)].append(p)
+        dfreq = defaultdict(set)
+        for (w, i) in post:
+            dfreq[w].add(i)
+        out = {}
+        for (w, i), ps in post.items():
+            d = len(dfreq[w])
+            if d < min_df or (max_df is not None and d > max_df):
+                continue
+            gaps = [ps[0]] + [b - a for a, b in zip(ps, ps[1:])]
+            out[(w, i)] = (len(ps), d, "|".join(map(str, gaps)))
+        return out
+
+    def _run(self, spark, docs, **kw):
+        from amazonwebcrawler_spark.functions.text import build_postings
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        return {
+            (r.term, r.doc_id): (r.tf, r.df, r.gaps)
+            for r in build_postings(d, "text", "doc_id", **kw).collect()
+        }
+
+    DOCS = [
+        (1, "the cat sat on the mat the end"),
+        (2, "the dog sat near the cat"),
+        (3, "cat cat cat adjacent repeats"),
+        (4, ""),
+        (5, "solo-token"),
+    ]
+
+    def test_matches_python_mirror_exactly(self, spark):
+        got = self._run(spark, self.DOCS, min_df=2)
+        assert got == self._py(self.DOCS, min_df=2)
+        # gap semantics pinned by hand: 'the' in doc 1 at 0, 4, 6 → "0|4|2"
+        assert got[("the", 1)] == (3, 2, "0|4|2")
+        # adjacent repeats → gaps of 1
+        assert got[("cat", 3)] == (3, 3, "0|1|1")
+
+    def test_df_bounds(self, spark):
+        # min_df drops hapax terms; max_df drops the corpus-wide stopword
+        got = self._run(spark, self.DOCS, min_df=3, max_df=2)
+        assert got == {}               # disjoint bounds → empty index
+        got = self._run(spark, self.DOCS, min_df=2, max_df=2)
+        assert got == self._py(self.DOCS, min_df=2, max_df=2)
+        assert ("cat", 3) not in got   # 'cat' df=3 > max_df → capped out
+        assert ("the", 1) in got       # 'the' df=2 ≤ max_df → kept
+        loose = self._run(spark, self.DOCS, min_df=1)
+        assert ("solo-token", 5) in loose and loose[("solo-token", 5)] == (1, 1, "0")
+
+    def test_repartition_invariant(self, spark):
+        from amazonwebcrawler_spark.functions.text import build_postings
+
+        d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = {(r.term, r.doc_id): r.gaps for r in build_postings(d.repartition(7), "text", "doc_id").collect()}
+        b = {(r.term, r.doc_id): r.gaps for r in build_postings(d.coalesce(1), "text", "doc_id").collect()}
+        assert a == b
