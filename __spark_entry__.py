@@ -2369,6 +2369,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         images = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(8)
         return quadrant_neardup_pairs(images, max_hamming=2, min_quadrants=3)
 
+    def q_flip_dedup(spark, sf):
+        """Flip/rotation-robust image dedup (dedup.flip_neardup_pairs):
+        hamming pairs over the orientation-canonical pHash (unsigned-min
+        of identity / h-mirror / v-mirror / 180°). Planted variants cycle
+        i%4: h-mirror, v-mirror, 180° (all pair at hamming 0 while their
+        whole-image pHash sits ~32 bits away — the golden's capture
+        checker pins that phash_neardup_pairs misses every one of them),
+        unrelated (no pair). ONE Arrow decode per image; the four
+        orientations are numpy views inside the kernel."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+        from amazonwebcrawler_spark.operators.dedup import flip_neardup_pairs
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(16):
+            base = world.block_image_record(f"flp-{i}")
+            px = decode_image(base["bytes"])
+            rows.append((f"flp-{i}", bytearray(base["bytes"])))
+            mode = i % 4
+            if mode == 0:
+                var = encode_png(np.ascontiguousarray(px[:, ::-1]))
+            elif mode == 1:
+                var = encode_png(np.ascontiguousarray(px[::-1]))
+            elif mode == 2:
+                var = encode_png(np.ascontiguousarray(px[::-1, ::-1]))
+            else:
+                var = world.block_image_record(f"flp-other-{i}")["bytes"]
+            rows.append((f"flp-{i}-v", bytearray(var)))
+        images = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(8)
+        return flip_neardup_pairs(images, max_hamming=2)
+
     def q_pmi_pairs(spark, sf):
         """Top-40 PMI collocations (functions/text.pmi_collocations) over
         adjacent token pairs of the documents corpus — phrase mining for
@@ -2699,6 +2732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dedup": q_containment,
         "border_crop": q_border_crop,
         "postings_build": q_postings,
+        "flip_dedup": q_flip_dedup,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,

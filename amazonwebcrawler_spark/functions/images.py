@@ -162,6 +162,36 @@ def quadrant_phashes(pixels: np.ndarray) -> list[int]:
     ]
 
 
+def orientation_phashes(pixels: np.ndarray) -> list[int]:
+    """pHash of the four axis-aligned orientations — identity, horizontal
+    mirror, vertical mirror, 180° rotation (the flip subgroup of the
+    dihedral group that preserves aspect ratio). Each is the EXACT hash of
+    the transformed pixels, not a bit-permutation approximation."""
+    return [
+        phash64(pixels),
+        phash64(pixels[:, ::-1]),
+        phash64(pixels[::-1]),
+        phash64(pixels[::-1, ::-1]),
+    ]
+
+
+def flip_canonical_phash(pixels: np.ndarray) -> int:
+    """Orientation-canonical perceptual hash: the minimum of the four
+    :func:`orientation_phashes` under UNSIGNED 64-bit comparison (a
+    deterministic total order; signed min would split the space at the
+    sign bit). Mirrored re-uploads — one of the classic duplicate classes
+    in scraped image corpora — hash ~32 hamming bits away from their
+    master on the plain pHash (the 8×8 grid mirrors, half the off-axis
+    bit pairs flip) but land on the SAME canonical hash, so downstream
+    hamming dedup catches them with no extra blocking cost. Near-dup
+    noise caveat: an almost-symmetric image whose identity and mirror
+    hashes are within the noise radius of each other may canonicalize
+    inconsistently across its variants — the documented miss class."""
+    u = [h & 0xFFFFFFFFFFFFFFFF for h in orientation_phashes(pixels)]
+    m = min(u)
+    return m - 0x10000000000000000 if m >= 0x8000000000000000 else m
+
+
 def embed_image(pixels: np.ndarray, grid: int = 4) -> list[float]:
     """Deterministic visual embedding: ``grid×grid`` per-channel box means,
     centered and L2-normalized → ``3·grid²`` floats (rounded to 6 dp so the

@@ -891,7 +891,11 @@ def _phash_batches(batches):
             except Exception:  # noqa: BLE001  # corrupt/unknown container → no fingerprint
                 ph = None
             out.append({"image_id": image_id, "phash": ph})
-        yield pd.DataFrame(out, columns=["image_id", "phash"])
+        pdf_out = pd.DataFrame(out, columns=["image_id", "phash"])
+        # a None in the batch coerces the column to float64, silently
+        # truncating int64 hashes past 2^53 — rebuild as nullable Int64
+        pdf_out["phash"] = pd.array([r["phash"] for r in out], dtype="Int64")
+        yield pdf_out
 
 
 QPHASH_SCHEMA = "image_id string, q_idx int, qhash long"
@@ -963,6 +967,58 @@ def quadrant_neardup_pairs(
         votes.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_quadrants_close"))
         .filter(F.col("n_quadrants_close") >= min_quadrants)
+    )
+
+
+def _flip_canon_batches(batches):
+    """Arrow-batched bytes → orientation-canonical pHash (ONE decode; the
+    four orientation hashes are numpy views, not re-decodes)."""
+    from amazonwebcrawler_spark.functions.images import decode_image, flip_canonical_phash
+
+    for pdf in batches:
+        out = []
+        for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+            try:
+                ph = flip_canonical_phash(decode_image(bytes(data)))
+            except Exception:  # noqa: BLE001  # corrupt container → no fingerprint
+                ph = None
+            out.append({"image_id": image_id, "canon": ph})
+        pdf_out = pd.DataFrame(out, columns=["image_id", "canon"])
+        # a None in the batch coerces the column to float64, silently
+        # truncating int64 hashes past 2^53 — rebuild as nullable Int64
+        pdf_out["canon"] = pd.array([r["canon"] for r in out], dtype="Int64")
+        yield pdf_out
+
+
+def flip_neardup_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Flip/rotation-robust image near-dup pairs: hamming dedup over the
+    orientation-CANONICAL pHash (functions/images.flip_canonical_phash —
+    unsigned-min over identity / h-mirror / v-mirror / 180°). A mirrored
+    re-upload sits ~32 hamming bits from its master on the plain pHash
+    (:func:`phash_neardup_pairs` at t=2 misses it categorically; the
+    flip_dedup golden pins this) but hamming 0 on the canonical hash.
+
+    Scale shape: identical to phash_neardup_pairs — ONE Arrow decode per
+    image (the 4 orientations are numpy views inside the kernel, never
+    extra decodes or Spark rows), then the exact (t+1)-chunk pigeonhole
+    blocker on a single 64-bit column. Corrupt images drop (no
+    fingerprint). Returns ``(id_a, id_b, hamming)``, id_a < id_b.
+    """
+    keyed = images.select(
+        F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes")
+    ).mapInPandas(_flip_canon_batches, "image_id string, canon long")
+    return hamming_neardup_pairs(
+        keyed.filter(F.col("canon").isNotNull()),
+        "image_id",
+        "canon",
+        max_hamming,
+        max_bucket=max_bucket,
     )
 
 

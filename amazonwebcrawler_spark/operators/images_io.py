@@ -50,13 +50,19 @@ def _validate_batches(batches):
             except Exception:  # noqa: BLE001  # corrupt / unknown container
                 pass
             rows.append(rec)
-        yield pd.DataFrame(
+        pdf_out = pd.DataFrame(
             rows,
             columns=[
                 "image_id", "decode_ok", "dims_ok", "fmt_ok", "phash_ok",
                 "phash_recomputed", "caption_len", "n_bytes",
             ],
         )
+        # a None (undecodable row) coerces the column to float64, silently
+        # truncating int64 hashes past 2^53 — rebuild as nullable Int64
+        pdf_out["phash_recomputed"] = pd.array(
+            [r["phash_recomputed"] for r in rows], dtype="Int64"
+        )
+        yield pdf_out
 
 
 def validate_images(images: DataFrame) -> DataFrame:

@@ -133,6 +133,9 @@ BENCH_QUERIES = (
     # postings build — one ObjectHashAggregate + term-partitioned window;
     # timed so the one-pass-index claim carries a number
     "postings_build",
+    # flip-canonical dedup — one decode, four numpy-view hashes, pigeonhole
+    # blocker on the canonical hash
+    "flip_dedup",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -88,6 +88,7 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "luma_micro": "BIGINT", "contrast_micro": "BIGINT", "is_flat": "BOOLEAN",
     },
     "crop_dedup": {"id_a": "VARCHAR", "id_b": "VARCHAR", "n_quadrants_close": "INTEGER"},
+    "flip_dedup": {"id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "INTEGER"},
     "border_crop": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
         "b_top": "INTEGER", "b_bottom": "INTEGER",
@@ -795,6 +796,61 @@ def _check_cuckoo_stats(rows, ctx):
     assert twins <= 20, f"deleted_still_seen={twins} far above fingerprint-twin rate"
 
 
+def _check_flip_dedup(rows, ctx):
+    """Re-derive the canonical-hash pairs brute-force (O(n²) over the SAME
+    32 images) and assert equality; pin the planted classes: every
+    h-mirror / v-mirror / 180° variant pairs with its master at hamming 0
+    on the canonical hash, is NOT paired by the whole-image pHash at t=2
+    (hamming > 2 — the operator's reason to exist), and every unrelated
+    variant is absent."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import (
+        decode_image,
+        encode_png,
+        flip_canonical_phash,
+        hamming64,
+        phash64,
+    )
+    from amazonwebcrawler_spark.sources.synthetic_world import block_image_record
+
+    fixture: dict[str, bytes] = {}
+    planted: list[tuple[str, str, bool]] = []  # (variant, master, should_pair)
+    for i in range(16):
+        base = block_image_record(f"flp-{i}")
+        px = decode_image(base["bytes"])
+        fixture[f"flp-{i}"] = base["bytes"]
+        mode = i % 4
+        if mode == 0:
+            var = encode_png(np.ascontiguousarray(px[:, ::-1]))
+        elif mode == 1:
+            var = encode_png(np.ascontiguousarray(px[::-1]))
+        elif mode == 2:
+            var = encode_png(np.ascontiguousarray(px[::-1, ::-1]))
+        else:
+            var = block_image_record(f"flp-other-{i}")["bytes"]
+        fixture[f"flp-{i}-v"] = var
+        planted.append((f"flp-{i}-v", f"flp-{i}", mode != 3))
+    canon = {iid: flip_canonical_phash(decode_image(b)) for iid, b in fixture.items()}
+    whole = {iid: phash64(decode_image(b)) for iid, b in fixture.items()}
+    ids = sorted(canon)
+    expected = {
+        (a, b): hamming64(canon[a], canon[b])
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if hamming64(canon[a], canon[b]) <= 2
+    }
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got == expected, (sorted(set(got) - set(expected)), sorted(set(expected) - set(got)))
+    for vid, mid, should in planted:
+        key = (mid, vid) if mid < vid else (vid, mid)
+        if should:
+            assert got.get(key) == 0, key
+            assert hamming64(whole[vid], whole[mid]) > 2, key  # plain pHash misses it
+        else:
+            assert key not in got, key
+
+
 def _check_border_crop(rows, ctx):
     """Re-derive every row brute-force (decode → border_box → crop →
     phash64) over the SAME fixture and assert equality; pin the planted
@@ -879,6 +935,7 @@ CHECKERS = {
     "image_quality": _check_image_quality,
     "image_pipeline": _check_image_pipeline,
     "image_patches": _check_image_patches,
+    "flip_dedup": _check_flip_dedup,
     "border_crop": _check_border_crop,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,

@@ -474,3 +474,43 @@ class TestBorderCrop:
             lb_px = np.zeros((masters[f"bk-{i}"].shape[0] + 16, masters[f"bk-{i}"].shape[1], 3), np.uint8)
             lb_px[8:-8] = masters[f"bk-{i}"]
             assert hamming64(phash64(lb_px), phash64(masters[f"bk-{i}"])) > 2
+
+
+class TestFlipCanonicalPhash:
+    def test_all_orientations_share_the_canonical_hash(self):
+        from amazonwebcrawler_spark.functions.images import (
+            decode_image,
+            flip_canonical_phash,
+        )
+
+        px = decode_image(world.block_image_record("flip-unit")["bytes"])
+        c = flip_canonical_phash(px)
+        for v in (px[:, ::-1], px[::-1], px[::-1, ::-1]):
+            assert flip_canonical_phash(np.ascontiguousarray(v)) == c
+
+    def test_plain_phash_misses_the_mirror(self):
+        from amazonwebcrawler_spark.functions.images import (
+            decode_image,
+            hamming64,
+            phash64,
+        )
+
+        px = decode_image(world.block_image_record("flip-unit")["bytes"])
+        assert hamming64(phash64(px), phash64(px[:, ::-1])) > 2
+
+    def test_pairs_operator_end_to_end(self, spark):
+        from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+        from amazonwebcrawler_spark.operators.dedup import flip_neardup_pairs
+
+        rows = []
+        for i in range(4):
+            base = world.block_image_record(f"fl-{i}")
+            px = decode_image(base["bytes"])
+            rows.append((f"fl-{i}", bytearray(base["bytes"])))
+            rows.append((f"fl-{i}-m", bytearray(encode_png(np.ascontiguousarray(px[:, ::-1])))))
+        rows.append(("fl-corrupt", bytearray(b"NOTANIMAGE")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(4)
+        got = {(r.id_a, r.id_b): r.hamming for r in flip_neardup_pairs(df).collect()}
+        for i in range(4):
+            assert got.get((f"fl-{i}", f"fl-{i}-m")) == 0
+        assert not any("corrupt" in a or "corrupt" in b for a, b in got)

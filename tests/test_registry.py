@@ -25,7 +25,7 @@ POST_FREEZE = (
     "probe_train", "ann_recall", "epoch_shuffle", "triangle_count",
     "label_prop", "trust_rank", "bm25_rank", "heavy_hitters",
     "kcore", "random_walks", "crop_dedup", "pmi_pairs", "opic_priority",
-    "containment_dedup", "border_crop", "postings_build",
+    "containment_dedup", "border_crop", "postings_build", "flip_dedup",
 )
 
 
