@@ -721,6 +721,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_probe=4 measured 0.44 on the sf0.01 embeddings
         return similarity.ivf_topk(e, qs, "vec_id", "embedding", k=10, n_centroids=16, n_probe=6)
 
+    def q_ann_pq(spark, sf):
+        """Product-quantization ANN (operators/similarity.pq_topk, Jégou
+        et al. 2011): m=8 subspace codebooks of 32 centroids from the
+        bounded ordered sample, corpus encoded to 8 codes (40 bits/vector
+        — a 100× storage cut vs raw float64[64]), queries score by ADC
+        table lookups (8 adds per pair instead of a 64-wide dot), top-8k
+        shortlist re-ranks by EXACT cosine micro (measured recall@10 0.88
+        at both SFs). Committed golden; the capture checker enforces the
+        same recall@10 ≥ 0.5 floor as ann_ivf AND re-verifies every
+        emitted cosine in numpy."""
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5)
+        return similarity.pq_topk(e, qs, "vec_id", "embedding", k=10)
+
     # ----------------------------------------------------- ANN: recall@k eval
     def q_ann_recall(spark, sf):
         """Distributed recall@10 of the LSH index against the exact
@@ -2507,6 +2521,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return build_postings(d, "text", "doc_id", min_df=3, max_df=380)
 
+    def q_compaction_plan(spark, sf):
+        """Small-file compaction planning (functions/layout.plan_compaction,
+        the Iceberg rewrite_data_files binpack shape): a synthetic
+        file listing (7 partitions, skewed sizes incl. multi-target jumbo
+        files and sub-kilobyte stragglers from the orders table) grouped
+        into ~64 KB merge groups by the exact prefix-sum DIV rule — pure
+        window math, zero joins, reproducible plan. `rewrite` exercises
+        both branches: multi-file groups and lone straggler files rewrite,
+        lone jumbo files are left alone."""
+        from amazonwebcrawler_spark.functions.layout import plan_compaction
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        listing = o.select(
+            (k % 7).alias("part"),
+            k.alias("file_id"),
+            # mostly small deltas; every 83rd file is jumbo (> target)
+            F.when(k % 83 == 0, (k % 3 + 2) * 64_000 + k % 977)
+            .otherwise((k * 37) % 5_000 + 100)
+            .alias("n_bytes"),
+        )
+        return plan_compaction(listing, "part", "file_id", "n_bytes", target_bytes=64_000)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2733,6 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "border_crop": q_border_crop,
         "postings_build": q_postings,
         "flip_dedup": q_flip_dedup,
+        "ann_pq": q_ann_pq,
+        "compaction_plan": q_compaction_plan,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -3843,6 +3882,30 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE greatest((i.n_inter * 1000000) // sa.n,
                (i.n_inter * 1000000) // sb.n) >= 800000
+""",
+        "compaction_plan": r"""
+-- binpack compaction plan: group = (bytes before file in partition) DIV
+-- target; group stats via a second partitioned window — mirrors the Spark
+-- window math exactly (integer DIV, never a float floor)
+WITH listing AS (
+  SELECT o_orderkey % 7 AS part, o_orderkey AS file_id,
+    CASE WHEN o_orderkey % 83 = 0
+         THEN (o_orderkey % 3 + 2) * 64000 + o_orderkey % 977
+         ELSE (o_orderkey * 37) % 5000 + 100 END AS n_bytes
+  FROM orders
+),
+run AS (
+  SELECT part, file_id, n_bytes::BIGINT AS n_bytes,
+    (SUM(n_bytes) OVER (PARTITION BY part ORDER BY file_id) - n_bytes) // 64000
+      AS group_id
+  FROM listing
+)
+SELECT part, file_id, n_bytes, group_id::BIGINT AS group_id,
+  SUM(n_bytes) OVER (PARTITION BY part, group_id) AS group_bytes,
+  COUNT(*) OVER (PARTITION BY part, group_id) AS group_files,
+  (COUNT(*) OVER (PARTITION BY part, group_id) > 1
+   OR SUM(n_bytes) OVER (PARTITION BY part, group_id) * 2 < 64000) AS rewrite
+FROM run
 """,
         "postings_build": rf"""
 -- positional postings: (term, doc) tf + windowed df + '|'-joined gap string

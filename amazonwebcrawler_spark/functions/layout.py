@@ -59,3 +59,68 @@ def zorder_key_sql(x: str, y: str, bits: int = 10) -> str:
         terms.append(f"((((({x}) & {mask}) >> {i}) & 1) << {2 * i})")
         terms.append(f"((((({y}) & {mask}) >> {i}) & 1) << {2 * i + 1})")
     return "(" + " | ".join(terms) + ")"
+
+
+def plan_compaction(
+    files,
+    part_col: str,
+    file_col: str,
+    size_col: str,
+    target_bytes: int,
+):
+    """Small-file compaction plan (the Iceberg ``rewrite_data_files``
+    binpack shape) for the snapshot state tables: every crawl wave
+    appends a few small delta files per partition, and after 10^5 waves
+    the frontier scan is metadata-bound — reading 10^7 footers costs more
+    than the data. This operator turns the file listing into deterministic
+    merge groups of ~``target_bytes`` each, entirely as column math:
+
+        group_id = (bytes before this file in the partition) DIV target
+
+    i.e. a group is the set of files whose START offset in the
+    partition's concatenated byte stream falls in the same target-sized
+    window. Every group's total is < target + max_file_bytes (a file that
+    straddles a boundary joins the group where it starts) — the same
+    bounded-overshoot contract as GPT-style sequence packing
+    (`text.pack_sequences`), and unlike greedy first-fit it is a pure
+    function of (partition, file order), so the plan is reproducible and
+    windowable: one partition-local running-sum window + one group-stats
+    window, ZERO joins, zero driver state, no global sort.
+
+    ``rewrite`` marks groups worth rewriting: more than one file, or a
+    single file well under target (half) — a lone already-compact file is
+    left alone (rewriting it is pure write amplification).
+
+    Returns ``(part, file_id, n_bytes, group_id, group_bytes,
+    group_files, rewrite)`` — all exact integers/boolean.
+    """
+    from pyspark.sql import Window
+
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    f = files.select(
+        F.col(part_col).alias("part"),
+        F.col(file_col).alias("file_id"),
+        F.col(size_col).cast("long").alias("n_bytes"),
+    )
+    w_run = (
+        Window.partitionBy("part")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = f.withColumn("_cum_before", F.sum("n_bytes").over(w_run) - F.col("n_bytes"))
+    # exact integer floor — a double division is one rounding boundary away
+    # from an off-by-one group at cum ≈ k·target (the no-DOUBLE doctrine)
+    f = f.withColumn("group_id", F.expr(f"_cum_before DIV {int(target_bytes)}L")).drop(
+        "_cum_before"
+    )
+    w_grp = Window.partitionBy("part", "group_id")
+    return (
+        f.withColumn("group_bytes", F.sum("n_bytes").over(w_grp))
+        .withColumn("group_files", F.count(F.lit(1)).over(w_grp))
+        .withColumn(
+            "rewrite",
+            (F.col("group_files") > 1)
+            | (F.col("group_bytes") * 2 < F.lit(int(target_bytes))),
+        )
+    )

@@ -297,6 +297,126 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
+    """(offset, width) per PQ subspace — ``m`` near-equal contiguous slices
+    of the vector (first ``dim % m`` get the extra component), the
+    hamming_chunks arithmetic applied to float dimensions."""
+    base, extra = divmod(dim, m)
+    widths = [base + (1 if j < extra else 0) for j in range(m)]
+    offsets = [sum(widths[:j]) for j in range(m)]
+    return list(zip(offsets, widths))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 32,
+    rerank: int = 8,
+    seed: int = 42,
+    sample_size: int = 1024,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou, Douze & Schmid,
+    TPAMI 2011): split the vector into ``m`` contiguous subspaces, k-means
+    each on a bounded driver-side sample (``n_codes`` centroids per
+    subspace — the codebooks), encode every corpus vector as ``m`` small
+    integer codes, and score query-to-corpus with ASYMMETRIC DISTANCE
+    COMPUTATION: the query precomputes one lookup table per subspace
+    (dot of its sub-vector with every centroid — m·n_codes dots ONCE per
+    query), after which scoring a corpus row is ``m`` table lookups + adds
+    instead of a ``dim``-wide dot product. That is the PQ economics at
+    10^10 vectors: the corpus stores m·log2(n_codes) bits per vector
+    (the m=8, n_codes=32 default → 40 bits vs 4 096 for raw float64[64]
+    — a 100× cut) and the scan does m adds per pair.
+
+    The ADC score approximates ``dot(q, x)`` (with L2-normalized inputs,
+    cosine); the top ``rerank·k`` ADC candidates per query re-rank by
+    EXACT cosine, so emitted values are exact micro-integers and only
+    candidate selection is approximate — the same contract as lsh_topk /
+    ivf_topk. Codebooks ride the plan as literals (the IVF 'literal'
+    path; swap in a broadcast-matrix pandas kernel past ~10³ codes, the
+    `_cell_assign_udfs` precedent). Returns
+    ``(query_id, neighbor_id, cos_sim_micro, rank)``, rank ≤ k.
+    """
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    if len(sample) < n_codes:
+        raise ValueError(
+            f"pq_topk: k-means needs sample ≥ n_codes "
+            f"(sample={len(sample)}, n_codes={n_codes})"
+        )
+    dim = sample.shape[1]
+    if not 1 <= m <= dim:
+        raise ValueError(f"pq_topk: need 1 <= m <= dim, got m={m}, dim={dim}")
+    bounds = _subspace_bounds(dim, m)
+    books = [
+        _kmeans(np.ascontiguousarray(sample[:, lo : lo + w]), n_codes, seed + 101 * j)
+        for j, (lo, w) in enumerate(bounds)
+    ]
+
+    def sub(vec, lo: int, w: int):
+        return F.slice(vec, lo + 1, w)
+
+    def code_expr(vec, j: int):
+        # argmin ||x_sub - c||² = argmax (dot(x_sub, c) - ||c||²/2);
+        # ties break to the LOWEST code via array_position-of-max
+        lo, w = bounds[j]
+        scores = F.array(
+            *[
+                _dot(sub(vec, lo, w), F.array(*[F.lit(float(x)) for x in c]))
+                - F.lit(float((c**2).sum() / 2.0))
+                for c in books[j]
+            ]
+        )
+        return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+    def lut_expr(vec, j: int):
+        lo, w = bounds[j]
+        return F.array(
+            *[_dot(sub(vec, lo, w), F.array(*[F.lit(float(x)) for x in c])) for c in books[j]]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        *[code_expr(F.col(vec_col), j).alias(f"_code{j}") for j in range(m)],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        *[lut_expr(F.col(vec_col), j).alias(f"_lut{j}") for j in range(m)],
+    )
+    adc = sum(
+        (F.element_at(F.col(f"_lut{j}"), F.col(f"_code{j}") + 1) for j in range(1, m)),
+        F.element_at(F.col("_lut0"), F.col("_code0") + 1),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv", adc.alias("_adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("_ar", F.row_number().over(w_adc))
+        .filter(F.col("_ar") <= rerank * k)
+        .select(
+            "query_id", "neighbor_id",
+            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cos_sim_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return shortlist.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     dim: int | None = None, n_planes: int = 6, seed: int = 7

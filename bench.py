@@ -136,6 +136,12 @@ BENCH_QUERIES = (
     # flip-canonical dedup — one decode, four numpy-view hashes, pigeonhole
     # blocker on the canonical hash
     "flip_dedup",
+    # PQ ANN — ADC table-lookup scan + exact re-rank; timed beside
+    # ann_topk/ann_lsh/ann_ivf so the four-way index comparison is complete
+    "ann_pq",
+    # compaction planning — two partitioned windows over the file listing;
+    # timed so the zero-join maintenance-plan claim carries a number
+    "compaction_plan",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

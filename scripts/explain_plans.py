@@ -197,6 +197,13 @@ CHECKS = {
     # over (term, doc); df via a term-PARTITIONED window (never global —
     # NEG forbids SinglePartition); no Python anywhere
     "postings_build": ["ObjectHashAggregate", "Window", "[codegen id :"],
+    # PQ ANN: queries broadcast (BNLJ cross, the brute_force/ivf idiom);
+    # ADC is pure element_at column math; both rank windows are
+    # query-partitioned (NEG forbids SinglePartition and Python)
+    "ann_pq": ["BroadcastNestedLoopJoin", "Window", "[codegen id :"],
+    # compaction plan: two PARTITIONED windows, zero joins, zero Python,
+    # never a single-partition exchange (NEG)
+    "compaction_plan": ["Window", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -211,7 +218,8 @@ NO_AQE = {
     "etld1_domain", "anchor_rollup", "template_detect", "canonical_group",
     "capture_novelty", "budget_allocate", "param_policy", "param_apply",
     "dsir_weights", "ann_recall", "epoch_shuffle",
-    "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build",
+    "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build", "ann_pq",
+    "compaction_plan",
 }
 
 NEG_CHECKS = {
@@ -364,6 +372,15 @@ NEG_CHECKS = {
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "SortMergeJoin", "BroadcastHashJoin", "Cartesian",
         "Exchange SinglePartition",
+    ],
+    "ann_pq": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "SortMergeJoin", "Exchange SinglePartition",
+    ],
+    "compaction_plan": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "Cartesian", "Exchange SinglePartition",
     ],
 }
 

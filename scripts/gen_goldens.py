@@ -89,6 +89,13 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
     },
     "crop_dedup": {"id_a": "VARCHAR", "id_b": "VARCHAR", "n_quadrants_close": "INTEGER"},
     "flip_dedup": {"id_a": "VARCHAR", "id_b": "VARCHAR", "hamming": "INTEGER"},
+    # PQ ANN is deterministic end to end (ordered bounded sample, seeded
+    # per-subspace k-means, literal-chain ADC sums, exact-integer cosine
+    # re-rank with total tiebreaks) — same golden treatment as ann_ivf
+    "ann_pq": {
+        "query_id": "BIGINT", "neighbor_id": "BIGINT",
+        "cos_sim_micro": "BIGINT", "rank": "INTEGER",
+    },
     "border_crop": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
         "b_top": "INTEGER", "b_bottom": "INTEGER",
@@ -111,7 +118,11 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
 #: (fixtures / the synthetic crawl world) carry no pin. check_oracle.py skips
 #: pinned goldens when run at a different sf instead of failing by
 #: construction (ADVICE r2).
-PINNED_SF: dict[str, str] = {"ann_ivf": "sf0.01", "semantic_dedup": "sf0.01"}
+PINNED_SF: dict[str, str] = {
+    "ann_ivf": "sf0.01",
+    "semantic_dedup": "sf0.01",
+    "ann_pq": "sf0.01",
+}
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -142,6 +153,30 @@ def _check_ann_ivf(rows, ctx):
     assert recall >= 0.5, f"ann_ivf recall@10 vs exact = {recall:.2f} < 0.5"
     for r in rows:
         assert 1 <= r["rank"] <= 10 and -1_000_000 <= r["cos_sim_micro"] <= 1_000_001, r
+
+
+def _check_ann_pq(rows, ctx):
+    """Same recall@10 ≥ 0.5 floor as ann_ivf vs the exact brute-force
+    top-k, plus a full numpy re-verification of every emitted cosine
+    (the micro-int contract — emitted VALUES are exact even though
+    candidate selection is approximate)."""
+    import numpy as np
+
+    exact_rows = ctx["qs"]["ann_topk"](ctx["spark"], ctx["sf_dir"]).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ann_pq recall@10 vs exact = {recall:.2f} < 0.5"
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in ctx["spark"].read.parquet(f"{ctx['sf_dir']}/embeddings.parquet").collect()
+    }
+    for r in rows:
+        assert 1 <= r["rank"] <= 10, r
+        a, b = emb[r["query_id"]], emb[r["neighbor_id"]]
+        denom = float(np.sqrt(a @ a) * np.sqrt(b @ b))
+        want = round(float(a @ b) / denom * 1_000_000) if denom > 0 else 0
+        assert abs(r["cos_sim_micro"] - want) <= 1, (r, want)
 
 
 def _check_images_decode(rows, ctx):
@@ -936,6 +971,7 @@ CHECKERS = {
     "image_pipeline": _check_image_pipeline,
     "image_patches": _check_image_patches,
     "flip_dedup": _check_flip_dedup,
+    "ann_pq": _check_ann_pq,
     "border_crop": _check_border_crop,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,

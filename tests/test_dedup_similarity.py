@@ -1172,3 +1172,49 @@ class TestContainmentPairs:
         # the same corpus pairs fine once max_df admits the shingle
         got_loose = self._run(spark, docs, max_df=12)
         assert len(got_loose) == 66  # C(12,2) mutual exact dups
+
+
+class TestPQTopk:
+    def test_subspace_bounds_arithmetic(self):
+        assert similarity._subspace_bounds(64, 4) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+        assert similarity._subspace_bounds(10, 3) == [(0, 4), (4, 3), (7, 3)]
+        # widths cover the vector exactly, no overlap
+        for dim, m in ((64, 4), (10, 3), (7, 7), (5, 2)):
+            b = similarity._subspace_bounds(dim, m)
+            assert sum(w for _, w in b) == dim
+            assert all(b[i][0] + b[i][1] == b[i + 1][0] for i in range(len(b) - 1))
+
+    def test_pq_recall_floor(self, spark, sf_dir):
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 10)
+        exact = similarity.brute_force_topk(e, qs, "vec_id", "embedding", k=5)
+        approx = similarity.pq_topk(e, qs, "vec_id", "embedding", k=5)
+        ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+        ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        recall = len(ex & ap) / len(ex)
+        assert recall >= 0.5, f"PQ recall@5 too low: {recall:.2f}"
+
+    def test_emitted_cosines_are_exact(self, spark, sf_dir):
+        """Only candidate SELECTION is approximate: every emitted
+        cos_sim_micro must equal the exact brute-force value for the same
+        pair (the lsh/ivf re-rank contract)."""
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 3)
+        exact = {
+            (r.query_id, r.neighbor_id): r.cos_sim_micro
+            for r in similarity.brute_force_topk(e, qs, "vec_id", "embedding", k=50).collect()
+        }
+        for r in similarity.pq_topk(e, qs, "vec_id", "embedding", k=5).collect():
+            key = (r.query_id, r.neighbor_id)
+            if key in exact:  # brute-force table is top-50 — deep enough for k=5
+                assert r.cos_sim_micro == exact[key], key
+
+    def test_parameter_validation(self, spark, sf_dir):
+        import pytest as _pytest
+
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 2)
+        with _pytest.raises(ValueError, match="sample"):
+            similarity.pq_topk(e, qs, "vec_id", "embedding", n_codes=16, sample_size=8)
+        with _pytest.raises(ValueError, match="1 <= m <= dim"):
+            similarity.pq_topk(e, qs, "vec_id", "embedding", m=0)

@@ -219,3 +219,69 @@ class TestParseSitemap:
             ("https://a.example/x", "2024-05-01"),
             ("https://a.example/y", ""),
         ]
+
+
+class TestPlanCompaction:
+    FILES = [
+        # (part, file_id, n_bytes)
+        (0, 1, 100), (0, 2, 200), (0, 3, 450), (0, 4, 900), (0, 5, 50),
+        (1, 6, 2000),            # lone jumbo (> target) — left alone
+        (2, 7, 10),              # lone straggler (< target/2) — rewrites
+        (3, 8, 300), (3, 9, 300),
+    ]
+    TARGET = 500
+
+    @classmethod
+    def _py(cls):
+        from collections import defaultdict
+
+        by_part = defaultdict(list)
+        for p, f, b in cls.FILES:
+            by_part[p].append((f, b))
+        out = {}
+        groups = defaultdict(lambda: [0, 0])  # (part, gid) -> [bytes, files]
+        for p, fs in by_part.items():
+            cum = 0
+            for f, b in sorted(fs):
+                gid = cum // cls.TARGET
+                out[f] = (p, b, gid)
+                groups[(p, gid)][0] += b
+                groups[(p, gid)][1] += 1
+                cum += b
+        full = {}
+        for f, (p, b, gid) in out.items():
+            gb, gf = groups[(p, gid)]
+            full[f] = (p, b, gid, gb, gf, gf > 1 or gb * 2 < cls.TARGET)
+        return full
+
+    def _run(self, spark):
+        from amazonwebcrawler_spark.functions.layout import plan_compaction
+
+        df = spark.createDataFrame(self.FILES, "part long, file_id long, n_bytes long")
+        rows = plan_compaction(df.repartition(5), "part", "file_id", "n_bytes", self.TARGET).collect()
+        return {
+            r.file_id: (r.part, r.n_bytes, r.group_id, r.group_bytes, r.group_files, r.rewrite)
+            for r in rows
+        }
+
+    def test_matches_python_mirror_exactly(self, spark):
+        assert self._run(spark) == self._py()
+
+    def test_group_semantics_pinned(self, spark):
+        got = self._run(spark)
+        # part 0: cum-before = 0,100,300,750,1650 → groups 0,0,0,1,3
+        assert [got[f][2] for f in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 3]
+        # bounded overshoot: every group total < target + max_file_in_group
+        assert got[4][3] == 900  # straddling file stays whole in ONE group
+        # lone jumbo not rewritten; lone straggler rewritten
+        assert got[6][5] is False
+        assert got[7][5] is True
+
+    def test_invalid_target_raises(self, spark):
+        from amazonwebcrawler_spark.functions.layout import plan_compaction
+
+        df = spark.createDataFrame(self.FILES, "part long, file_id long, n_bytes long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            plan_compaction(df, "part", "file_id", "n_bytes", 0)
