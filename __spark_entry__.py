@@ -2544,6 +2544,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return plan_compaction(listing, "part", "file_id", "n_bytes", target_bytes=64_000)
 
+    def q_phrase_match(spark, sf):
+        """Exact positional phrase search (functions/text.phrase_match):
+        every document containing 'slow hash batch' consecutively, with
+        occurrence count and first position — the positional-retrieval
+        capability bm25_rank's bag-of-words scoring lacks and the reason
+        postings_build stores positions. Vote form: token at pos p
+        matching phrase[i] votes for start p−i; a start with all 3 votes
+        is an occurrence — two map-side-combinable aggs, zero joins, and
+        only phrase-vocabulary tokens ever shuffle."""
+        from amazonwebcrawler_spark.functions.text import phrase_match
+
+        d = _t(spark, sf, "documents")
+        return phrase_match(d, "text", "doc_id", ("slow", "hash", "batch"))
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2772,6 +2786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flip_dedup": q_flip_dedup,
         "ann_pq": q_ann_pq,
         "compaction_plan": q_compaction_plan,
+        "phrase_match": q_phrase_match,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -3882,6 +3897,26 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE greatest((i.n_inter * 1000000) // sa.n,
                (i.n_inter * 1000000) // sb.n) >= 800000
+""",
+        "phrase_match": rf"""
+-- positional phrase search for 'slow hash batch': token at pos p matching
+-- phrase[i] votes for start p-i; starts with all 3 votes are occurrences
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+tr AS (
+  SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS term
+  FROM tk, UNNEST(generate_series(1, len(toks))) AS g(i)
+  WHERE toks[g.i] IN ('slow', 'hash', 'batch')
+),
+slots AS (
+  SELECT tr.doc_id, tr.pos - s.i AS st
+  FROM tr JOIN (VALUES (0, 'slow'), (1, 'hash'), (2, 'batch')) AS s(i, w)
+    ON tr.term = s.w
+  WHERE tr.pos - s.i >= 0
+),
+starts AS (SELECT doc_id, st FROM slots GROUP BY 1, 2 HAVING COUNT(*) = 3)
+SELECT doc_id, COUNT(*)::BIGINT AS n_occurrences, MIN(st)::BIGINT AS first_pos
+FROM starts GROUP BY 1
 """,
         "compaction_plan": r"""
 -- binpack compaction plan: group = (bytes before file in partition) DIV

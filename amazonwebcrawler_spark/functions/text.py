@@ -856,6 +856,60 @@ def build_postings(
     return out.select("term", "doc_id", "tf", "df", gaps.alias("gaps"))
 
 
+def phrase_match(df, text_col: str, id_col: str, phrase: tuple[str, ...] | list[str]):
+    """Exact positional phrase matching — the retrieval capability a
+    bag-of-words scorer (``bm25_scores``) structurally lacks and the
+    reason :func:`build_postings` stores positions: find every document
+    containing the tokens of ``phrase`` CONSECUTIVELY, with the
+    occurrence count and first position.
+
+    Relational form (no joins at all): a token at position ``p`` matching
+    ``phrase[i]`` votes for a candidate start ``p − i``; a start that
+    collects all ``len(phrase)`` votes is an occurrence. Per (doc, start)
+    each vote index arises from a distinct position, so a plain count
+    equals the distinct-slot count — ONE map-side-combinable aggregation
+    over the (already filtered) token stream, then one per-doc rollup.
+    Tokens not in the phrase vocabulary are filtered BEFORE the shuffle,
+    so a 100 TB corpus moves only its phrase-term tokens. Overlapping
+    occurrences count separately ('a a a' contains 'a a' twice);
+    repeated-word phrases work because one token may vote for several
+    slots (the explode below).
+
+    Returns ``(doc_id, n_occurrences, first_pos)`` — all exact integers.
+    """
+    terms = list(phrase)
+    if not terms:
+        raise ValueError("phrase_match: phrase must be non-empty")
+    m = len(terms)
+    pos = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_term"),
+    ).filter(F.col("_term").isin(terms))
+    # one token may fill several slots of a repeated-word phrase
+    slots = pos.select(
+        "doc_id",
+        "_pos",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(m)])
+        ).alias("_i"),
+        "_term",
+    ).filter(
+        F.col("_term")
+        == F.element_at(F.array(*[F.lit(t) for t in terms]), F.col("_i") + 1)
+    )
+    starts = (
+        slots.select("doc_id", (F.col("_pos") - F.col("_i")).alias("_start"))
+        .filter(F.col("_start") >= 0)
+        .groupBy("doc_id", "_start")
+        .agg(F.count(F.lit(1)).alias("_votes"))
+        .filter(F.col("_votes") == m)
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("_start").alias("first_pos"),
+    )
+
+
 def crossdoc_segment_dedup(df, text_col: str, id_col: str, chunk: int = 10):
     """Cross-document segment dedup, FIRST occurrence kept (the CCNet /
     RefinedWeb paragraph-dedup rule: one copy of every duplicated

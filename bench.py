@@ -142,6 +142,8 @@ BENCH_QUERIES = (
     # compaction planning — two partitioned windows over the file listing;
     # timed so the zero-join maintenance-plan claim carries a number
     "compaction_plan",
+    # phrase search — filtered Generate + two map-side aggs, zero joins
+    "phrase_match",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

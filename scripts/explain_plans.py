@@ -204,6 +204,9 @@ CHECKS = {
     # compaction plan: two PARTITIONED windows, zero joins, zero Python,
     # never a single-partition exchange (NEG)
     "compaction_plan": ["Window", "[codegen id :"],
+    # phrase search: vote construction is a filtered Generate; both aggs
+    # combine map-side; zero joins, zero Python, no single partition (NEG)
+    "phrase_match": ["Generate", "HashAggregate", "partial_count", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -219,7 +222,7 @@ NO_AQE = {
     "capture_novelty", "budget_allocate", "param_policy", "param_apply",
     "dsir_weights", "ann_recall", "epoch_shuffle",
     "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build", "ann_pq",
-    "compaction_plan",
+    "compaction_plan", "phrase_match",
 }
 
 NEG_CHECKS = {
@@ -378,6 +381,11 @@ NEG_CHECKS = {
         "SortMergeJoin", "Exchange SinglePartition",
     ],
     "compaction_plan": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+        "Cartesian", "Exchange SinglePartition",
+    ],
+    "phrase_match": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
         "Cartesian", "Exchange SinglePartition",

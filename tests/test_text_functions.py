@@ -855,3 +855,52 @@ class TestBuildPostings:
         a = {(r.term, r.doc_id): r.gaps for r in build_postings(d.repartition(7), "text", "doc_id").collect()}
         b = {(r.term, r.doc_id): r.gaps for r in build_postings(d.coalesce(1), "text", "doc_id").collect()}
         assert a == b
+
+
+class TestPhraseMatch:
+    DOCS = [
+        (1, "the quick brown fox and the quick brown dog"),
+        (2, "a a a b"),
+        (3, "quick brown nothing"),
+        (4, "the the the"),
+        (5, ""),
+    ]
+
+    def _run(self, spark, phrase):
+        from amazonwebcrawler_spark.functions.text import phrase_match
+
+        d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {
+            r.doc_id: (r.n_occurrences, r.first_pos)
+            for r in phrase_match(d, "text", "doc_id", phrase).collect()
+        }
+
+    @staticmethod
+    def _py(docs, phrase):
+        import re
+
+        out = {}
+        m = len(phrase)
+        for i, t in docs:
+            tk = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+            hits = [p for p in range(len(tk) - m + 1) if tuple(tk[p : p + m]) == tuple(phrase)]
+            if hits:
+                out[i] = (len(hits), hits[0])
+        return out
+
+    def test_matches_python_mirror(self, spark):
+        for ph in (("quick", "brown"), ("a", "a"), ("the", "the"), ("quick", "brown", "fox"), ("zzz",)):
+            assert self._run(spark, ph) == self._py(self.DOCS, ph), ph
+
+    def test_overlapping_occurrences_count_separately(self, spark):
+        got = self._run(spark, ("a", "a"))
+        assert got == {2: (2, 0)}  # 'a a a' holds 'a a' at 0 AND 1
+
+    def test_empty_phrase_raises(self, spark):
+        import pytest as _pytest
+
+        from amazonwebcrawler_spark.functions.text import phrase_match
+
+        d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            phrase_match(d, "text", "doc_id", ())
