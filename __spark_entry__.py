@@ -2558,6 +2558,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return phrase_match(d, "text", "doc_id", ("slow", "hash", "batch"))
 
+    def q_skipgram(spark, sf):
+        """Skip-gram co-occurrence mining (functions/text.skipgram_pairs,
+        the word2vec/SGNS training-pair generator): top-50 (center,
+        context) pairs within a ±3 window over the documents corpus,
+        distance-weighted by the exact integer 1000 DIV d. Linear plan:
+        each token explodes into 6 signed offsets and lands on its
+        context via a two-key (doc, pos+d) equi join — never a per-doc
+        quadratic self-join; min_count=3, total (weight desc, center,
+        context) order pins the top-k cut."""
+        from amazonwebcrawler_spark.functions.text import skipgram_pairs
+
+        d = _t(spark, sf, "documents")
+        return skipgram_pairs(d, "text", "doc_id", window=3, min_count=3, k=50)
+
     def q_hits_scores(spark, sf):
         """HITS hub/authority (operators/webgraph.hits): 5 L1-normalized
         power iterations over a deterministic two-family link graph from
@@ -2787,6 +2801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "compaction_plan": q_compaction_plan,
         "phrase_match": q_phrase_match,
+        "skipgram_pairs": q_skipgram,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -3897,6 +3912,32 @@ JOIN sizes sa ON sa.doc_id = i.id_a
 JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE greatest((i.n_inter * 1000000) // sa.n,
                (i.n_inter * 1000000) // sb.n) >= 800000
+""",
+        "skipgram_pairs": rf"""
+-- top-50 skip-gram pairs, ±3 window, weight = sum(1000 // d); total
+-- (weight desc, center, context) order pins the cut — mirrors the Spark
+-- offset-explode + equi-join exactly (pair multiset identical)
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+tr AS (
+  SELECT doc_id, g.i - 1 AS pos, toks[g.i] AS tok
+  FROM tk, UNNEST(generate_series(1, len(toks))) AS g(i)
+),
+pairs AS (
+  SELECT a.tok AS center, b.tok AS context,
+    1000 // abs(b.pos - a.pos) AS w
+  FROM tr a JOIN tr b
+    ON a.doc_id = b.doc_id
+   AND b.pos BETWEEN a.pos - 3 AND a.pos + 3
+   AND b.pos <> a.pos
+),
+agg AS (
+  SELECT center, context, COUNT(*)::BIGINT AS n_pairs,
+    SUM(w)::BIGINT AS weight_milli
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT center, context, n_pairs, weight_milli FROM agg
+ORDER BY weight_milli DESC, center ASC, context ASC LIMIT 50
 """,
         "phrase_match": rf"""
 -- positional phrase search for 'slow hash batch': token at pos p matching

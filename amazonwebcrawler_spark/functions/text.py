@@ -910,6 +910,73 @@ def phrase_match(df, text_col: str, id_col: str, phrase: tuple[str, ...] | list[
     )
 
 
+def skipgram_pairs(
+    df,
+    text_col: str,
+    id_col: str,
+    window: int = 3,
+    min_count: int = 3,
+    k: int = 50,
+):
+    """Top-``k`` skip-gram co-occurrence pairs within a ±``window`` token
+    context — the word2vec/SGNS training-pair generator (Mikolov et al.
+    2013): each (center, context) pair is counted once per co-occurrence
+    and distance-weighted (the standard 1/d falloff) as the exact integer
+    ``1000 DIV d`` milli-weight, so the twin reproduces the ranking
+    bit-for-bit. The window generalizes :func:`pmi_collocations`'s
+    adjacent-only bigrams (w=1 context ≈ its pair stream, directed).
+
+    Scale shape: the naive form self-joins token rows per doc and goes
+    QUADRATIC in document length; here each token row explodes into the
+    2·``window`` signed offsets and lands on exactly one context token
+    via a two-key ``(doc, pos+d)`` equi join (the random_walks indexed-
+    adjacency discipline) — linear, 2w shuffled rows per token. One
+    map-side-combinable (center, context) count + a TakeOrderedAndProject
+    top-k; ``min_count`` drops hapax-pair noise. Returns
+    ``(center, context, n_pairs, weight_milli)`` totally ordered by
+    (weight desc, center, context).
+    """
+    if window < 1:
+        raise ValueError(f"skipgram_pairs: window must be >= 1, got {window}")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("_pos", "_tok"),
+    ).persist()
+    offsets = [d for d in range(-window, window + 1) if d != 0]
+    probes = toks.select(
+        "doc_id",
+        F.col("_tok").alias("center"),
+        F.explode(
+            F.array(*[(F.col("_pos") + F.lit(d)).alias(str(d)) for d in offsets])
+        ).alias("_ctx_pos"),
+        F.col("_pos"),
+    )
+    ctx = toks.select(
+        "doc_id", F.col("_pos").alias("_ctx_pos"), F.col("_tok").alias("context")
+    )
+    pairs = (
+        probes.join(ctx, ["doc_id", "_ctx_pos"])
+        .select(
+            "center",
+            "context",
+            F.abs(F.col("_ctx_pos") - F.col("_pos")).cast("long").alias("_d"),
+        )
+        .select("center", "context", F.expr("1000L DIV _d").alias("_w"))
+        .groupBy("center", "context")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_w").alias("weight_milli"),
+        )
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    out = pairs.orderBy(
+        F.col("weight_milli").desc(), F.col("center").asc(), F.col("context").asc()
+    ).limit(k)
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out
+
+
 def crossdoc_segment_dedup(df, text_col: str, id_col: str, chunk: int = 10):
     """Cross-document segment dedup, FIRST occurrence kept (the CCNet /
     RefinedWeb paragraph-dedup rule: one copy of every duplicated

@@ -144,6 +144,9 @@ BENCH_QUERIES = (
     "compaction_plan",
     # phrase search — filtered Generate + two map-side aggs, zero joins
     "phrase_match",
+    # skip-gram mining — offset explode + two-key equi join (linear, never
+    # a per-doc quadratic self-join); timed so that claim carries a number
+    "skipgram_pairs",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

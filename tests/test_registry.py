@@ -26,7 +26,7 @@ POST_FREEZE = (
     "label_prop", "trust_rank", "bm25_rank", "heavy_hitters",
     "kcore", "random_walks", "crop_dedup", "pmi_pairs", "opic_priority",
     "containment_dedup", "border_crop", "postings_build", "flip_dedup",
-    "ann_pq", "compaction_plan", "phrase_match",
+    "ann_pq", "compaction_plan", "phrase_match", "skipgram_pairs",
 )
 
 

@@ -904,3 +904,73 @@ class TestPhraseMatch:
         d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
         with _pytest.raises(ValueError):
             phrase_match(d, "text", "doc_id", ())
+
+
+class TestSkipgramPairs:
+    DOCS = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran to the cat"),
+        (3, "solo"),
+        (4, ""),
+    ]
+
+    def _run(self, spark, **kw):
+        from amazonwebcrawler_spark.functions.text import skipgram_pairs
+
+        d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return [
+            (r.center, r.context, r.n_pairs, r.weight_milli)
+            for r in skipgram_pairs(d, "text", "doc_id", **kw).collect()
+        ]
+
+    @staticmethod
+    def _py(docs, window, min_count, k):
+        import re
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0])
+        for _, t in docs:
+            tk = [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+            for i, c in enumerate(tk):
+                for j in range(max(0, i - window), min(len(tk), i + window + 1)):
+                    if j == i:
+                        continue
+                    e = agg[(c, tk[j])]
+                    e[0] += 1
+                    e[1] += 1000 // abs(j - i)
+        rows = [
+            (c, x, n, w) for (c, x), (n, w) in agg.items() if n >= min_count
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+        return rows[:k]
+
+    def test_matches_python_mirror_exactly(self, spark):
+        got = self._run(spark, window=2, min_count=1, k=100)
+        want = self._py(self.DOCS, window=2, min_count=1, k=100)
+        assert sorted(got) == sorted(want)
+        # the top-k cut itself is the same total order
+        assert got == want
+
+    def test_symmetry_and_distance_weight(self, spark):
+        got = {(c, x): (n, w) for c, x, n, w in self._run(spark, window=3, min_count=1, k=500)}
+        # co-occurrence is symmetric in counts
+        assert got[("cat", "sat")][0] == got[("sat", "cat")][0]
+        # doc1: 'the'(4) is mat's only in-window 'the' (distance 1; the
+        # first 'the' sits at distance 5, outside ±3) → weight 1000
+        assert got[("mat", "the")] == (1, 1000)
+        # 'sat'(2) sees both 'the's: distances 2 and 2 → 2 × 500
+        assert got[("sat", "the")] == (2, 1000)
+
+    def test_window_one_is_adjacent_only(self, spark):
+        got = {(c, x) for c, x, _, _ in self._run(spark, window=1, min_count=1, k=500)}
+        assert ("the", "sat") not in got  # distance 2
+        assert ("the", "cat") in got
+
+    def test_invalid_window_raises(self, spark):
+        import pytest as _pytest
+
+        from amazonwebcrawler_spark.functions.text import skipgram_pairs
+
+        d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        with _pytest.raises(ValueError):
+            skipgram_pairs(d, "text", "doc_id", window=0)
