@@ -2701,6 +2701,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).agg(F.count("*").alias("demand"))
         return allocate_budget(demand, total_budget=10_000)
 
+    # ----------------------------------------------------- C4 line cleaning
+    def q_c4_clean(spark, sf):
+        """C4-style line-level boilerplate cleaning (functions/text.
+        c4_line_clean — Raffel et al. 2020 §2.2): terminal-punctuation /
+        min-words / javascript / curly-brace / lorem-ipsum line rules, doc
+        keep = ≥2 surviving lines. The documents table carries no
+        newlines, so lines are PLANTED deterministically from the token
+        stream (5-token lines; punctuation, a 'javascript ' prefix and a
+        ' {x}' suffix keyed on (doc_id+line) mod classes) — both engines
+        build the identical text, then the twin replays split → rules →
+        ordered reassembly; clean_md5 value-checks the surviving content
+        byte-for-byte."""
+        from amazonwebcrawler_spark.functions.text import (
+            _token_chunks,
+            c4_line_clean,
+            tokens as _tokens,
+        )
+
+        d = _t(spark, sf, "documents")
+        doc = F.col("doc_id")
+        chunks = _token_chunks(_tokens(F.col("text")), 5)
+        decorated = F.transform(
+            chunks,
+            lambda c, i: F.concat(
+                F.when((doc + i) % 7 == 0, F.lit("javascript ")).otherwise(F.lit("")),
+                c,
+                F.when((doc + i) % 11 == 0, F.lit(" {x}")).otherwise(F.lit("")),
+                F.when((doc + i) % 4 == 0, F.lit("."))
+                .when((doc + i) % 4 == 1, F.lit("?"))
+                .when((doc + i) % 4 == 2, F.lit(""))
+                .otherwise(F.lit(".")),
+            ),
+        )
+        planted = d.select("doc_id", F.array_join(decorated, "\n").alias("text2"))
+        return c4_line_clean(planted, "text2", "doc_id", min_words=3, min_lines=2)
+
+    # ----------------------------------------------------- n-gram novelty
+    def q_gram_novelty(spark, sf):
+        """Per-document n-gram novelty in discovery order (operators/
+        corpus.gram_novelty): of each doc's distinct 3-grams, the fraction
+        whose corpus-wide FIRST occurrence is this doc — the 'is wave k
+        still finding new content?' crawl signal and a curriculum score.
+        Exact integers only; twin replays min-first-doc over the shared
+        shingle CTE."""
+        from amazonwebcrawler_spark.operators.corpus import gram_novelty
+
+        return gram_novelty(_t(spark, sf, "documents"), "text", "doc_id", n=3)
+
+    # ----------------------------------------------------- CCNet ppl tiers
+    def q_ppl_buckets(spark, sf):
+        """CCNet-style head/middle/tail perplexity tiers per language
+        (functions/text.ppl_buckets — Wenzek et al. 2020): unigram-LM
+        nll_micro (the green lm_score contract) tiered by exact-integer
+        ntile arithmetic over the (nll_micro, doc_id) total order within
+        each language — no float quantiles, both engines compute the
+        identical partition. The tier window partitions by language (never
+        a SinglePartition exchange)."""
+        from amazonwebcrawler_spark.functions.text import ppl_buckets
+
+        return ppl_buckets(_t(spark, sf, "documents"), "text", "doc_id", "lang")
+
+    # ----------------------------------------------------- mirror detection
+    def q_mirror_detect(spark, sf):
+        """Host-level mirror detection (operators/webgraph.mirror_pairs):
+        hosts pair through a content-fingerprint equi join (never
+        host×host) with a boilerplate skew guard; containment_micro =
+        shared DIV min(|a|,|b|) as exact integers. Hosts are planted:
+        every doc serves on h{doc_id%20}, and every third doc ALSO on
+        m{doc_id%20} — each (h_k, m_k) pair is a true partial mirror the
+        operator must find, and any cross-host duplicate texts in the
+        corpus surface exactly the same way in the twin."""
+        from amazonwebcrawler_spark.functions.text import normalize_text
+        from amazonwebcrawler_spark.operators.webgraph import mirror_pairs
+
+        d = _t(spark, sf, "documents")
+        fp = F.md5(normalize_text(F.col("text")))
+        base = d.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+            fp.alias("fp"),
+        )
+        mirror = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("m"), (F.col("doc_id") % 20).cast("string")).alias("host"),
+            fp.alias("fp"),
+        )
+        return mirror_pairs(
+            base.unionByName(mirror),
+            "host",
+            "fp",
+            min_shared=3,
+            min_containment_micro=500_000,
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -2802,6 +2894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "phrase_match": q_phrase_match,
         "skipgram_pairs": q_skipgram,
+        "c4_clean": q_c4_clean,
+        "gram_novelty": q_gram_novelty,
+        "ppl_buckets": q_ppl_buckets,
+        "mirror_detect": q_mirror_detect,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -4681,6 +4777,116 @@ SELECT r.doc_id, COUNT(*) AS n_tokens,
   CAST(round(-AVG(ln(c.cnt::DOUBLE / t.total)) * 1000000) AS BIGINT) AS nll_micro
 FROM term_rows r JOIN counts c USING (term) CROSS JOIN total t
 GROUP BY r.doc_id
+""",
+        "c4_clean": rf"""
+-- plant 5-token lines with (doc_id+i)-keyed decorations, then replay the
+-- C4 line rules and the ordered reassembly digest
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (
+  SELECT doc_id,
+    CASE WHEN t = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS toks
+  FROM norm
+),
+ln AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    ELSE list_transform(
+      generate_series(0, CAST(ceil(len(toks) / 5.0) AS INT) - 1),
+      i -> (CASE WHEN (doc_id + i) % 7 = 0 THEN 'javascript ' ELSE '' END)
+        || array_to_string(list_slice(toks, i*5 + 1, least((i+1)*5, len(toks))), ' ')
+        || (CASE WHEN (doc_id + i) % 11 = 0 THEN ' {{x}}' ELSE '' END)
+        || (CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '?' WHEN 2 THEN '' ELSE '.' END))
+    END AS lines
+  FROM tk
+),
+sp AS (SELECT doc_id, string_split(array_to_string(lines, chr(10)), chr(10)) AS ls FROM ln),
+ex AS (
+  SELECT doc_id, i, list_extract(ls, i) AS line
+  FROM sp, UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+mk AS (
+  SELECT doc_id, i, line,
+    (regexp_matches(trim(line), '[.!?"]$')
+     AND (CASE WHEN lt = '' THEN 0 ELSE len(string_split(lt, ' ')) END) >= 3
+     AND NOT contains(lower(line), 'javascript')
+     AND NOT contains(line, '{{') AND NOT contains(line, '}}')
+     AND NOT contains(lower(line), 'lorem ipsum')) AS kept
+  FROM (SELECT doc_id, i, line,
+          trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS lt FROM ex)
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_lines,
+  CAST(COUNT(*) FILTER (WHERE kept) AS INT) AS n_kept,
+  CAST(COALESCE(SUM(length(line)) FILTER (WHERE kept), 0) AS BIGINT) AS kept_chars,
+  md5(COALESCE(string_agg(line, chr(10) ORDER BY i) FILTER (WHERE kept), '')) AS clean_md5,
+  COUNT(*) FILTER (WHERE kept) >= 2 AS keep
+FROM mk GROUP BY doc_id
+""",
+        "gram_novelty": rf"""
+WITH {shingle_cte},
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+per AS (
+  SELECT sh.doc_id, COUNT(*) AS n_distinct_grams,
+    SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_new_grams
+  FROM sh JOIN firsts f USING (s) GROUP BY sh.doc_id
+)
+SELECT doc_id, CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
+  CAST(n_new_grams AS BIGINT) AS n_new_grams,
+  CAST((n_new_grams * 1000000) // n_distinct_grams AS BIGINT) AS novelty_micro
+FROM per
+""",
+        "ppl_buckets": rf"""
+-- lm_score's unigram-NLL CTE + exact-integer ntile per language
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+term_rows AS (SELECT doc_id, u.term FROM tk, UNNEST(toks) AS u(term)),
+counts AS (SELECT term, COUNT(*) AS cnt FROM term_rows GROUP BY term),
+total AS (SELECT COUNT(*) AS total FROM term_rows),
+scored AS (
+  SELECT r.doc_id, COUNT(*) AS n_tokens,
+    CAST(round(-AVG(ln(c.cnt::DOUBLE / t.total)) * 1000000) AS BIGINT) AS nll_micro
+  FROM term_rows r JOIN counts c USING (term) CROSS JOIN total t
+  GROUP BY r.doc_id
+),
+j AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.nll_micro,
+    row_number() OVER (PARTITION BY d.lang ORDER BY s.nll_micro, s.doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, nll_micro,
+  CASE WHEN rn * 3 <= n THEN 'head'
+       WHEN rn * 3 <= n * 2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM j
+""",
+        "mirror_detect": rf"""
+WITH f AS (SELECT doc_id, md5({norm}) AS fp FROM documents),
+hf0 AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host, fp FROM f
+  UNION ALL
+  SELECT 'm' || CAST(doc_id % 20 AS VARCHAR) AS host, fp FROM f WHERE doc_id % 3 = 0
+),
+hf1 AS (SELECT DISTINCT host, fp FROM hf0),
+hf AS (
+  SELECT host, fp FROM (
+    SELECT host, fp, COUNT(*) OVER (PARTITION BY fp) AS nh FROM hf1
+  ) WHERE nh <= 64
+),
+sizes AS (SELECT host, COUNT(*) AS n_fps FROM hf GROUP BY host),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared_fps
+  FROM hf a JOIN hf b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT s.host_a, s.host_b, CAST(s.shared_fps AS BIGINT) AS shared_fps,
+  CAST(sa.n_fps AS BIGINT) AS n_a, CAST(sb.n_fps AS BIGINT) AS n_b,
+  CAST((s.shared_fps * 1000000) // least(sa.n_fps, sb.n_fps) AS BIGINT)
+    AS containment_micro
+FROM shared s
+JOIN sizes sa ON sa.host = s.host_a
+JOIN sizes sb ON sb.host = s.host_b
+WHERE s.shared_fps >= 3
+  AND (s.shared_fps * 1000000) // least(sa.n_fps, sb.n_fps) >= 500000
 """,
         "stratified_sample": """
 -- per-language equal quota: smallest md5('strat' || doc_id) order wins;

@@ -570,3 +570,129 @@ def patch_stats_kernel(grid: int = 4):
             yield pd.DataFrame(rows, columns=["image_id", *cols])
 
     return gen
+
+
+# ------------------------------------------------------- blur / focus measure
+#: Spark schema of blur_stats_kernel's output. ``lap_var`` is the Laplacian
+#: variance in milli-luma² units — exact integer (same no-DOUBLE contract as
+#: QUALITY_SCHEMA).
+BLUR_SCHEMA = "image_id string, w int, h int, lap_var long, is_blurry boolean"
+
+#: Laplacian-variance floor below which an image is flagged blurry (defocused
+#: / heavily smoothed / flat placeholder). Calibrated on the synthetic-world
+#: product shots: sharp originals measure ≳10^9 milli-luma², one 3×3 box-blur
+#: pass drops them by ~10-30×, flat tiles measure 0.
+BLUR_VAR_MIN = 50_000_000
+
+
+def blur_stats(pixels: np.ndarray) -> dict:
+    """Variance-of-Laplacian focus measure (Pech-Pacheco et al., ICPR 2000
+    — the standard OpenCV ``cv2.Laplacian(...).var()`` blur detector),
+    computed in EXACT integer arithmetic on the milli-luma plane so the
+    committed golden is bit-stable across numpy/BLAS builds:
+
+    - 4-neighbour Laplacian ``4c − up − down − left − right`` over the
+      interior (valid region (h−2)×(w−2)); each response fits int64
+      (|v| ≤ 1.02e6 in milli-luma).
+    - variance numerator ``n·Σv² − (Σv)²`` in unbounded Python ints; the
+      int64 hazard is Σv² (~1e12 per pixel), so squares are summed per
+      ROW in int64 (safe to w ≈ 8.8e6 columns) then totalled in Python.
+    - ``lap_var = var_num // n²`` — exact floor division, milli-luma².
+
+    Images smaller than 3×3 have no interior: null variance, flagged
+    blurry (quarantine semantics, like undecodable bytes)."""
+    h, w, _ = pixels.shape
+    if h < 3 or w < 3:
+        return {"w": int(w), "h": int(h), "lap_var": None, "is_blurry": True}
+    px = pixels.astype(np.int64)
+    y = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+    lap = (
+        4 * y[1:-1, 1:-1]
+        - y[:-2, 1:-1]
+        - y[2:, 1:-1]
+        - y[1:-1, :-2]
+        - y[1:-1, 2:]
+    )
+    n = int(lap.size)
+    s1 = int(lap.sum())
+    s2 = sum(int(r) for r in (lap * lap).sum(axis=1))
+    var_num = n * s2 - s1 * s1
+    lap_var = var_num // (n * n)
+    return {
+        "w": int(w),
+        "h": int(h),
+        "lap_var": lap_var,
+        "is_blurry": bool(lap_var < BLUR_VAR_MIN),
+    }
+
+
+def blur_stats_kernel():
+    """mapInPandas kernel ``(image_id, bytes) → BLUR_SCHEMA`` — same Arrow
+    batch shape and quarantine policy as quality_stats_kernel (undecodable
+    bytes → null stats, ``is_blurry=True``)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    stats = blur_stats(decode_image(bytes(data)))
+                except Exception:
+                    stats = {"w": None, "h": None, "lap_var": None, "is_blurry": True}
+                rows.append({"image_id": iid, **stats})
+            out = pd.DataFrame(rows)
+            for c in ("w", "h", "lap_var"):
+                out[c] = pd.array([r[c] for r in rows], dtype="Int64")
+            yield out
+
+    return gen
+
+
+# --------------------------------------------------- channel normalization
+#: Spark schema of channel_sums_kernel's output: one row per (image,
+#: channel) with exact integer pixel sums — the map side of the classic
+#: "compute per-channel mean/std over the training corpus" pass.
+CHANNEL_SUMS_SCHEMA = (
+    "image_id string, channel string, n_px long, sum_c long, sumsq_c long"
+)
+
+
+def channel_sums_kernel():
+    """mapInPandas kernel ``(image_id, bytes) → CHANNEL_SUMS_SCHEMA``:
+    per-image exact per-channel pixel sums (Σc, Σc²) in raw 0-255 units.
+    The corpus-level mean/variance reduce is pure Spark aggregation over
+    these rows (see operators/images_io.channel_norm_stats) — the kernel
+    only ever sees one image, so one decode pass feeds a corpus-wide
+    normalization constant with a 3-row result. Σc² ≤ 65025·n fits int64
+    to ~1.4e14 pixels per IMAGE (no image is that large); corpus totals
+    aggregate in DECIMAL(38,0) on the Spark side. Undecodable bytes yield
+    no rows (the normalization constant must never see garbage pixels —
+    quarantine is quality_stats_kernel's job)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(bytes(data)).astype(np.int64)
+                except Exception:
+                    continue
+                n = int(px.shape[0] * px.shape[1])
+                for ci, ch in enumerate(("r", "g", "b")):
+                    c = px[..., ci]
+                    rows.append(
+                        {
+                            "image_id": iid,
+                            "channel": ch,
+                            "n_px": n,
+                            "sum_c": int(c.sum()),
+                            "sumsq_c": sum(int(r) for r in (c * c).sum(axis=1)),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "channel", "n_px", "sum_c", "sumsq_c"]
+            )
+
+    return gen

@@ -1305,3 +1305,121 @@ def dsir_weights(df, text_col: str, id_col: str, target_pred, n_buckets: int = 4
         "logw_micro",
         (F.col("logw_micro") >= 0).cast("int").alias("keep"),
     )
+
+
+def c4_line_clean(
+    df,
+    text_col: str,
+    id_col: str,
+    min_words: int = 3,
+    min_lines: int = 2,
+):
+    """C4-style line-level boilerplate cleaning (Raffel et al. 2020, §2.2
+    "Colossal Clean Crawled Corpus" heuristics): a line survives iff it
+
+    - ends in a terminal punctuation mark (``. ! ? "``),
+    - has at least ``min_words`` whitespace tokens,
+    - does not mention ``javascript`` (the enable-JS boilerplate),
+    - contains no curly brace (code/templating), and
+    - does not contain the ``lorem ipsum`` placeholder,
+
+    and a document is kept iff at least ``min_lines`` lines survive. The
+    reference scraper has no cleaning stage — this is the canonical first
+    pass of a crawl→training-corpus pipeline, applied line-wise so one
+    nav-bar line doesn't kill a good page.
+
+    Returns ``(doc_id, n_lines, n_kept, kept_chars, clean_md5, keep)``;
+    ``clean_md5`` digests the surviving lines re-joined with ``\\n`` in
+    original order, so the twin value-checks the reassembled content
+    without shipping text. Plan shape: one codegen ``posexplode`` over the
+    line split, pure column predicates, one per-doc hash aggregate (the
+    only shuffle, on the document key) — linear at 100 TB, no cross-doc
+    edges. The collect_list is per-document and bounded by document size,
+    same bound as reading the document itself."""
+    lines = F.split(F.col(text_col), "\n")
+    ex = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(lines).alias("pos", "line")
+    )
+    ltrim = F.trim(F.col("line"))
+    lword = F.lower(F.col("line"))
+    n_words = F.size(tokens(F.col("line")))
+    kept = (
+        ltrim.rlike(r'[.!?"]$')
+        & (n_words >= min_words)
+        & ~lword.contains("javascript")
+        & ~F.col("line").contains("{")
+        & ~F.col("line").contains("}")
+        & ~lword.contains("lorem ipsum")
+    )
+    marked = ex.select(
+        "doc_id",
+        "pos",
+        "line",
+        kept.alias("_keep"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("_keep"), F.length("line"))), F.lit(0)
+        ).cast("long").alias("kept_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            )
+        ).alias("clean_md5"),
+        (F.sum(F.col("_keep").cast("int")) >= min_lines).alias("keep"),
+    )
+
+
+def ppl_buckets(df, text_col: str, id_col: str, lang_col: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the self-trained unigram LM (:func:`unigram_nll`) and
+    split each language into head / middle / tail thirds by score — the
+    standard quality tiers used to build training mixtures (head = fluent
+    common-vocabulary text, tail = rare-token soup).
+
+    Tier arithmetic is exact-integer ntile: with per-language rank ``rn``
+    (ordered by ``(nll_micro, doc_id)``, a total order) and language size
+    ``n``, head is ``rn·3 ≤ n``, middle is ``rn·3 ≤ 2n``, else tail — both
+    engines compute the identical partition with no float quantiles.
+
+    Scale shape: the LM scoring is :func:`unigram_nll`'s key-partitioned
+    joins; the tiering adds ONE window partitioned by language. At 100 TB
+    a per-language sort is the honest cost of exact tertiles; the
+    approximate production variant replaces the window with per-language
+    ``percentile_approx`` cutoffs broadcast back (no sort), at the price
+    of SQL-twin exactness. Returns
+    ``(doc_id, lang, n_tokens, nll_micro, bucket)``."""
+    from pyspark.sql import Window
+
+    scored = unigram_nll(df, text_col, id_col)
+    langs = df.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang"))
+    j = scored.join(langs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("nll_micro", "doc_id")
+    wn = Window.partitionBy("lang")
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "nll_micro",
+            F.when(F.col("_rn") * 3 <= F.col("_n"), "head")
+            .when(F.col("_rn") * 3 <= F.col("_n") * 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -65,6 +65,45 @@ def decontaminate(
     )
 
 
+def gram_novelty(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of a document's DISTINCT word n-grams,
+    how many occur for the FIRST time in this document, scanning the corpus
+    in ``id_col`` order (discovery order in a crawl — the same
+    ``discovery_seq`` discipline the frontier uses). The curve of
+    ``novelty_micro`` over discovery order is the standard "is wave k still
+    finding new content?" crawl-observability signal, and per-document it
+    is a curriculum/dedup score (near-zero novelty ≈ recombined
+    boilerplate).
+
+    Returns ``(doc_id, n_distinct_grams, n_new_grams, novelty_micro)``
+    with ``novelty_micro = (new·1e6) DIV distinct`` — exact integers only.
+
+    Plan shape: distinct shingles (one shuffle on ``(doc, gram)``), a
+    gram-keyed ``min(doc)`` aggregate (map-side combinable), then one join
+    back on the gram key and a per-doc count — every stage key-partitioned,
+    nothing quadratic, no global sort. At 100 TB the gram-key shuffle is
+    the dedup-family cost already paid by MinHash/ExactSubstr; skewed
+    mega-grams are impossible because shingles are per-doc DISTINCT and
+    the min-aggregate collapses them before the join."""
+    sh = shingle_rows(df, text_col, id_col, n)  # distinct (_id, _s)
+    first = sh.groupBy("_s").agg(F.min("_id").alias("_first"))
+    per_doc = sh.join(first, "_s").groupBy("_id").agg(
+        F.count("*").alias("n_distinct_grams"),
+        F.sum((F.col("_id") == F.col("_first")).cast("long")).alias("n_new_grams"),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_distinct_grams",
+        "n_new_grams",
+        F.expr("(n_new_grams * 1000000L) DIV n_distinct_grams").alias("novelty_micro"),
+    )
+
+
 def hash_bucket(key: Column, n_buckets: int = 10_000, salt: str = "") -> Column:
     """Deterministic bucket in [0, n_buckets): first 8 md5 hex chars of
     (salt || key) as an int, mod n_buckets. Engine-portable (md5 semantics

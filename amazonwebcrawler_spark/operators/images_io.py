@@ -241,3 +241,46 @@ def image_pipeline(
             "resize_w", "resize_h", "crop_x", "crop_y",
         )],
     )
+
+
+def channel_norm_stats(images: DataFrame) -> DataFrame:
+    """Corpus-wide per-channel normalization constants — the classic
+    "compute the dataset mean/std once, bake it into the training
+    transform" pass (torchvision's ImageNet ``[0.485, 0.456, 0.406]``
+    numbers are exactly this statistic):
+
+    - map side: ONE Arrow decode per image emitting exact integer
+      ``(Σc, Σc²)`` per channel (functions/images.channel_sums_kernel);
+      undecodable rows contribute nothing.
+    - reduce side: a 3-group hash aggregate (map-side combinable; the
+      shuffle carries ≤ 3 rows per task) totalling in DECIMAL(38,0) —
+      int64 would overflow ``Σc²`` past ~1.4e14 corpus pixels, i.e. well
+      inside 100 TB.
+
+    Returns 3 rows ``(channel, n_px, mean_milli, var_micro)`` — mean in
+    milli-units of the 0-255 scale and variance in micro-units², both
+    EXACT floor divisions of decimal integers (no float ever exists, so
+    the committed golden is environment-proof)."""
+    from pyspark.sql import functions as F
+
+    from amazonwebcrawler_spark.functions.images import (
+        CHANNEL_SUMS_SCHEMA,
+        channel_sums_kernel,
+    )
+
+    per = images.select("image_id", "bytes").mapInPandas(
+        channel_sums_kernel(), CHANNEL_SUMS_SCHEMA
+    )
+    agg = per.groupBy("channel").agg(
+        F.sum(F.col("n_px").cast("decimal(38,0)")).alias("_n"),
+        F.sum(F.col("sum_c").cast("decimal(38,0)")).alias("_s1"),
+        F.sum(F.col("sumsq_c").cast("decimal(38,0)")).alias("_s2"),
+    )
+    return agg.select(
+        "channel",
+        F.col("_n").cast("long").alias("n_px"),
+        F.expr("CAST((_s1 * 1000) DIV _n AS BIGINT)").alias("mean_milli"),
+        F.expr(
+            "CAST(((_n * _s2 - _s1 * _s1) * 1000000) DIV (_n * _n) AS BIGINT)"
+        ).alias("var_micro"),
+    )

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -325,6 +325,83 @@ def triangle_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     und.unpersist()
     o.unpersist()
     return out
+
+
+def mirror_pairs(
+    df: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    min_shared: int = 3,
+    min_containment_micro: int = 500_000,
+    max_hosts_per_fp: int = 64,
+) -> DataFrame:
+    """Host-level mirror detection: pairs of hosts whose page-content
+    fingerprint sets overlap enough that one is (partially) a mirror of
+    the other — the crawl-budget guard that keeps a 10^10-URL frontier
+    from fetching the same catalog through every CDN alias and country
+    mirror. The reference scraper targets one fixed host and cannot see
+    this; a general scheduler demotes (or aliases) the smaller host of a
+    confirmed mirror pair before the next wave.
+
+    Input: one row per (host, page fingerprint) — any content digest works
+    (``functions.text.fingerprint`` md5 of normalized text here). Returns
+    ``(host_a, host_b, shared_fps, n_a, n_b, containment_micro)`` with
+    ``host_a < host_b`` and ``containment_micro = (shared·1e6) DIV
+    min(n_a, n_b)`` — exact integers; a pair survives when it shares at
+    least ``min_shared`` fingerprints and containment clears the
+    threshold.
+
+    Scale shape: hosts pair ONLY through a fingerprint equi self-join —
+    never host × host. Two skew guards make that join safe at 10^10 pages:
+    (1) (host, fp) pairs are distinct'd first, so a host re-serving one
+    page 10^6 times contributes one row; (2) fingerprints carried by more
+    than ``max_hosts_per_fp`` hosts are dropped BEFORE the self-join —
+    a shared empty-page/soft-404/licence-text digest otherwise explodes
+    into (n_hosts choose 2) pairs on one key. Dropping them is semantically
+    right, not just cheap: universal boilerplate carries no mirror signal.
+    Remaining stages are host-keyed aggregates and one broadcast-size join
+    of per-host totals (host cardinality ≪ page cardinality)."""
+    hf = df.select(
+        F.col(host_col).alias("host"), F.col(fp_col).alias("fp")
+    ).distinct()
+    hf = (
+        hf.withColumn("_nh", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("_nh") <= max_hosts_per_fp)
+        .drop("_nh")
+    )
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = hf.select(F.col("host").alias("host_a"), "fp")
+    b = hf.select(F.col("host").alias("host_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("n_fps").alias("n_a")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("n_fps").alias("n_b")),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            F.col("shared_fps").cast("long").alias("shared_fps"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(shared_fps * 1000000L) DIV least(n_a, n_b)").alias(
+                "containment_micro"
+            ),
+        )
+    )
+    return out.filter(
+        (F.col("shared_fps") >= min_shared)
+        & (F.col("containment_micro") >= min_containment_micro)
+    )
 
 
 def label_propagation(

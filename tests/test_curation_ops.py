@@ -1,0 +1,229 @@
+"""Unit tests for the session-14 curation operators: C4 line cleaning,
+CCNet perplexity tiers, n-gram novelty, and host-mirror detection."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from amazonwebcrawler_spark.functions.text import c4_line_clean, ppl_buckets
+from amazonwebcrawler_spark.operators.corpus import gram_novelty
+from amazonwebcrawler_spark.operators.webgraph import mirror_pairs
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+class TestC4LineClean:
+    def _run(self, spark, docs, **kw):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = c4_line_clean(df, "text", "doc_id", **kw).collect()
+        return {r.doc_id: r for r in rows}
+
+    def test_rules_each_drop_exactly_one_line(self, spark):
+        good1 = "this line is perfectly fine."
+        good2 = "and another good line here!"
+        no_punct = "this line has no terminal punctuation"
+        short = "too short."
+        js = "please enable javascript to continue."
+        brace = "var x = {a: 1}; render it."
+        lorem = "lorem ipsum dolor sit amet."
+        text = "\n".join([good1, no_punct, short, js, brace, lorem, good2])
+        out = self._run(spark, [(1, text)])[1]
+        assert out.n_lines == 7
+        assert out.n_kept == 2
+        assert out.keep is True
+        assert out.clean_md5 == _md5(good1 + "\n" + good2)
+        assert out.kept_chars == len(good1) + len(good2)
+
+    def test_terminal_punct_variants(self, spark):
+        text = 'ends with period okay.\nends with bang okay!\nends with question okay?\nends with quote okay."\nends with comma not okay,'
+        out = self._run(spark, [(1, text)])[1]
+        assert out.n_kept == 4
+
+    def test_min_lines_boundary(self, spark):
+        one = "only one surviving line here."
+        out = self._run(spark, [(1, one + "\nnope"), (2, one + "\n" + one)])
+        assert out[1].keep is False and out[1].n_kept == 1
+        assert out[2].keep is True and out[2].n_kept == 2
+
+    def test_empty_and_whitespace_doc(self, spark):
+        out = self._run(spark, [(1, ""), (2, "   ")])
+        assert out[1].n_kept == 0 and out[1].keep is False
+        assert out[1].clean_md5 == _md5("")
+        assert out[2].n_kept == 0
+
+    def test_ordering_preserved_in_digest(self, spark):
+        a = "alpha line is first always."
+        b = "beta line is second always."
+        c = "gamma line is third always."
+        out = self._run(spark, [(1, "\n".join([c, "x", a, b]))])[1]
+        # surviving lines re-join in ORIGINAL order (c, a, b), not sorted
+        assert out.clean_md5 == _md5("\n".join([c, a, b]))
+
+    def test_repartition_invariant(self, spark):
+        docs = [(i, f"line number {i} is quite fine.\njunk\nsecond good line {i} here.") for i in range(50)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        a = sorted(map(tuple, c4_line_clean(df, "text", "doc_id").collect()))
+        b = sorted(map(tuple, c4_line_clean(df.repartition(7), "text", "doc_id").collect()))
+        assert a == b
+
+
+class TestPplBuckets:
+    def _corpus(self):
+        # lang 'en': 6 docs with strictly increasing rarity; lang 'de': 3 docs
+        common = "the cat sat on the mat"
+        docs = [
+            (1, common + " " + common, "en"),
+            (2, common + " quite", "en"),
+            (3, common + " rare1", "en"),
+            (4, common + " rare2 rare3", "en"),
+            (5, "rare4 rare5 rare6 the", "en"),
+            (6, "rare7 rare8 rare9 rare10", "en"),
+            (7, "der hund und der ball", "de"),
+            (8, "der hund und seltenes", "de"),
+            (9, "einzig artig selten wort", "de"),
+        ]
+        return docs
+
+    def _py_nll(self, docs):
+        toks = {d: t.lower().split() for d, t, _ in docs}
+        allt = [w for ts in toks.values() for w in ts]
+        total = len(allt)
+        cnt: dict[str, int] = {}
+        for w in allt:
+            cnt[w] = cnt.get(w, 0) + 1
+        return {
+            d: round(-sum(math.log(cnt[w] / total) for w in ts) / len(ts) * 1_000_000)
+            for d, ts in toks.items()
+        }
+
+    def test_tiers_match_exact_ntile(self, spark):
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+        rows = {r.doc_id: r for r in ppl_buckets(df, "text", "doc_id", "lang").collect()}
+        nll = self._py_nll(docs)
+        for d, r in rows.items():
+            assert r.nll_micro == nll[d], (d, r.nll_micro, nll[d])
+        # per-lang exact thirds: en (n=6) → 2/2/2; de (n=3) → 1/1/1
+        by_lang: dict[str, list] = {}
+        for r in rows.values():
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rs in by_lang.items():
+            order = sorted(rs, key=lambda r: (r.nll_micro, r.doc_id))
+            n = len(order)
+            for i, r in enumerate(order, start=1):
+                want = "head" if i * 3 <= n else ("middle" if i * 3 <= 2 * n else "tail")
+                assert r.bucket == want, (lang, r.doc_id, r.bucket, want)
+
+    def test_repartition_invariant(self, spark):
+        docs = self._corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+        a = sorted(map(tuple, ppl_buckets(df, "text", "doc_id", "lang").collect()))
+        b = sorted(
+            map(tuple, ppl_buckets(df.repartition(5), "text", "doc_id", "lang").collect())
+        )
+        assert a == b
+
+
+class TestGramNovelty:
+    def _run(self, spark, docs, n=3):
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {r.doc_id: r for r in gram_novelty(df, "text", "doc_id", n=n).collect()}
+
+    def test_exact_duplicate_has_zero_novelty(self, spark):
+        t = "alpha beta gamma delta epsilon"
+        out = self._run(spark, [(1, t), (2, t)])
+        assert out[1].novelty_micro == 1_000_000
+        assert out[2].novelty_micro == 0
+        assert out[1].n_distinct_grams == out[2].n_distinct_grams == 3
+
+    def test_partial_overlap_counts(self, spark):
+        out = self._run(spark, [(1, "a b c d"), (2, "b c d e")])
+        # doc2 grams: {b c d, c d e}; 'b c d' first seen in doc1
+        assert out[2].n_distinct_grams == 2
+        assert out[2].n_new_grams == 1
+        assert out[2].novelty_micro == 500_000
+
+    def test_python_mirror_random(self, spark):
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+            for d in range(1, 31)
+        ]
+        out = self._run(spark, docs)
+        first: dict[tuple, int] = {}
+        grams_by_doc: dict[int, set] = {}
+        for d, t in docs:
+            toks = t.split()
+            gs = {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            grams_by_doc[d] = gs
+            for g in gs:
+                first.setdefault(g, d)
+        for d, gs in grams_by_doc.items():
+            if not gs:
+                assert d not in out
+                continue
+            new = sum(1 for g in gs if first[g] == d)
+            assert out[d].n_distinct_grams == len(gs)
+            assert out[d].n_new_grams == new
+            assert out[d].novelty_micro == new * 1_000_000 // len(gs)
+
+    def test_short_docs_absent(self, spark):
+        out = self._run(spark, [(1, "one two"), (2, "x y z")])
+        assert 1 not in out and 2 in out
+
+
+class TestMirrorPairs:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "host string, fp string")
+        return {
+            (r.host_a, r.host_b): r
+            for r in mirror_pairs(df, "host", "fp", **kw).collect()
+        }
+
+    def test_planted_mirror_found(self, spark):
+        rows = [("h1", f"f{i}") for i in range(10)]
+        rows += [("m1", f"f{i}") for i in range(5)]  # full subset → containment 1.0
+        rows += [("h2", f"g{i}") for i in range(8)]  # unrelated
+        out = self._run(spark, rows, min_shared=3, min_containment_micro=500_000)
+        assert set(out) == {("h1", "m1")}
+        r = out[("h1", "m1")]
+        assert r.shared_fps == 5 and r.n_a == 10 and r.n_b == 5
+        assert r.containment_micro == 1_000_000
+
+    def test_min_shared_floor(self, spark):
+        rows = [("a", "f1"), ("a", "f2"), ("b", "f1"), ("b", "f2")]
+        assert self._run(spark, rows, min_shared=3) == {}
+        out = self._run(spark, rows, min_shared=2)
+        assert ("a", "b") in out
+
+    def test_boilerplate_skew_guard(self, spark):
+        # one fp shared by 5 hosts is dropped when the guard is 4 —
+        # without it every host pair would be a (spurious) candidate
+        rows = [(f"x{i}", "common") for i in range(5)]
+        rows += [("x0", "u1"), ("x1", "u2")]
+        out = self._run(spark, rows, min_shared=1, min_containment_micro=1, max_hosts_per_fp=4)
+        assert out == {}
+        out2 = self._run(spark, rows, min_shared=1, min_containment_micro=1, max_hosts_per_fp=8)
+        assert len(out2) == 10  # all C(5,2) pairs via 'common'
+
+    def test_page_refetch_collapses(self, spark):
+        # duplicate (host, fp) rows count once — a host re-serving one page
+        # a million times is one fingerprint
+        rows = [("a", "f1")] * 4 + [("b", "f1"), ("b", "f2")]
+        out = self._run(spark, rows, min_shared=1, min_containment_micro=1)
+        r = out[("a", "b")]
+        assert r.n_a == 1 and r.shared_fps == 1
+        assert r.containment_micro == 1_000_000
+
+    def test_canonical_pair_order(self, spark):
+        rows = [("zeta", "f"), ("alpha", "f"), ("zeta", "g"), ("alpha", "g"), ("zeta", "h"), ("alpha", "h")]
+        out = self._run(spark, rows)
+        assert list(out) == [("alpha", "zeta")]

@@ -27,6 +27,7 @@ POST_FREEZE = (
     "kcore", "random_walks", "crop_dedup", "pmi_pairs", "opic_priority",
     "containment_dedup", "border_crop", "postings_build", "flip_dedup",
     "ann_pq", "compaction_plan", "phrase_match", "skipgram_pairs",
+    "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
 )
 
 
