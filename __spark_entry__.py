@@ -2793,6 +2793,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_containment_micro=500_000,
         )
 
+    # ----------------------------------------------------- blur detection
+    def q_blur_detect(spark, sf):
+        """Variance-of-Laplacian blur/defocus detection (functions/images.
+        blur_stats_kernel — the cv2.Laplacian().var() focus measure) in
+        exact integer milli-luma² — image-curation's 'drop the out-of-focus
+        shots' gate. Mix: 24 synthetic-world product shots (sharp,
+        ~1.2e9), 3×3 box-blurred variants of the first six (~2.7e7 — one
+        smoothing pass crosses the 5e7 floor), a flat tile (0), a sub-3px
+        image and corrupt bytes (quarantined null rows, filtered here —
+        pytest owns that path). Committed-golden twin; capture recomputes
+        every row brute-force and pins sharp > floor > blurred."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as imgf
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        def boxblur(px: np.ndarray) -> np.ndarray:
+            p = px.astype(np.int64)
+            s = (
+                p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+                + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+            )
+            out = p.copy()
+            out[1:-1, 1:-1] = s // 9
+            return out.astype(np.uint8)
+
+        rows, seen = [], set()
+        n_blurred = 0
+        for i in range(1, 40):
+            if len(seen) == 24:
+                break
+            rec = world.image_record(world.asin_for("blur probe", 1, i))
+            if rec["image_id"] in seen:
+                continue
+            seen.add(rec["image_id"])
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+            if n_blurred < 6:
+                px = imgf.decode_image(rec["bytes"])
+                rows.append(
+                    (rec["image_id"] + "-blur", bytearray(imgf.encode_png(boxblur(px))))
+                )
+                n_blurred += 1
+        flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+        tiny = np.full((2, 8, 3), 100, dtype=np.uint8)
+        rows += [
+            ("diag-flat", bytearray(imgf.encode_png(flat))),
+            ("diag-tiny", bytearray(imgf.encode_png(tiny))),
+            ("diag-corrupt", bytearray(b"NOTANIMAGE")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        out = df.repartition(8).mapInPandas(imgf.blur_stats_kernel(), imgf.BLUR_SCHEMA)
+        return out.filter(F.col("lap_var").isNotNull())
+
+    # ----------------------------------------------------- channel norm stats
+    def q_channel_stats(spark, sf):
+        """Corpus-wide per-channel mean/variance for training normalization
+        (operators/images_io.channel_norm_stats — the torchvision
+        ImageNet-constants pass): ONE Arrow decode per image emitting exact
+        integer (Σc, Σc²) rows, then a 3-group DECIMAL(38,0) aggregate —
+        mean_milli and var_micro are exact floor divisions, no float ever
+        exists. Mix: 24 world shots + a solid-(10,20,30) tile and a
+        half-black/half-white tile with analytically known stats + corrupt
+        bytes (contributes nothing). Committed-golden twin; capture
+        recomputes the corpus totals independently and pins the plants."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as imgf
+        from amazonwebcrawler_spark.operators.images_io import channel_norm_stats
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows, seen = [], set()
+        for i in range(1, 40):
+            if len(seen) == 24:
+                break
+            rec = world.image_record(world.asin_for("norm probe", 1, i))
+            if rec["image_id"] in seen:
+                continue
+            seen.add(rec["image_id"])
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        solid = np.zeros((16, 16, 3), dtype=np.uint8)
+        solid[..., 0], solid[..., 1], solid[..., 2] = 10, 20, 30
+        half = np.zeros((32, 32, 3), dtype=np.uint8)
+        half[:16, :, :] = 255
+        rows += [
+            ("diag-solid", bytearray(imgf.encode_png(solid))),
+            ("diag-half", bytearray(imgf.encode_png(half))),
+            ("diag-corrupt", bytearray(b"NOTANIMAGE")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        return channel_norm_stats(df)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -2898,6 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_novelty": q_gram_novelty,
         "ppl_buckets": q_ppl_buckets,
         "mirror_detect": q_mirror_detect,
+        "blur_detect": q_blur_detect,
+        "channel_stats": q_channel_stats,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,

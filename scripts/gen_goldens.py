@@ -103,6 +103,14 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "crop_w": "INTEGER", "crop_h": "INTEGER",
         "phash_cropped": "BIGINT", "changed": "BOOLEAN", "decode_ok": "BOOLEAN",
     },
+    "blur_detect": {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "lap_var": "BIGINT", "is_blurry": "BOOLEAN",
+    },
+    "channel_stats": {
+        "channel": "VARCHAR", "n_px": "BIGINT",
+        "mean_milli": "BIGINT", "var_micro": "BIGINT",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -811,6 +819,134 @@ def _check_image_patches(rows, ctx):
     assert not any(r["image_id"] == "diag-corrupt" for r in rows)
 
 
+def _check_blur_detect(rows, ctx):
+    """Re-derive every Laplacian variance through an INDEPENDENT arithmetic
+    path (Fraction mean-centred variance instead of the kernel's
+    n·Σv²−(Σv)² identity), and pin the planted ordering: every sharp world
+    shot sits above the floor, every box-blurred variant below it, the
+    flat tile at exactly 0; sub-3px and corrupt rows are filtered."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import (
+        BLUR_VAR_MIN,
+        decode_image,
+        encode_png,
+    )
+    from amazonwebcrawler_spark.sources.synthetic_world import asin_for, image_record
+
+    def boxblur(px):
+        p = px.astype(np.int64)
+        s = (
+            p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+            + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+            + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+        )
+        out = p.copy()
+        out[1:-1, 1:-1] = s // 9
+        return out.astype(np.uint8)
+
+    def lap_var(px) -> int:
+        px = px.astype(np.int64)
+        y = 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+        v = (
+            4 * y[1:-1, 1:-1] - y[:-2, 1:-1] - y[2:, 1:-1]
+            - y[1:-1, :-2] - y[1:-1, 2:]
+        )
+        vals = [int(x) for x in v.ravel()]
+        n = len(vals)
+        mu = Fraction(sum(vals), n)
+        var = sum((Fraction(x) - mu) ** 2 for x in vals) / n
+        return int(var)  # int() of a Fraction floors toward zero; var ≥ 0
+
+    inputs, seen, n_blurred = {}, set(), 0
+    for i in range(1, 40):
+        if len(seen) == 24:
+            break
+        rec = image_record(asin_for("blur probe", 1, i))
+        if rec["image_id"] in seen:
+            continue
+        seen.add(rec["image_id"])
+        inputs[rec["image_id"]] = rec["bytes"]
+        if n_blurred < 6:
+            inputs[rec["image_id"] + "-blur"] = encode_png(
+                boxblur(decode_image(rec["bytes"]))
+            )
+            n_blurred += 1
+    inputs["diag-flat"] = encode_png(np.full((32, 32, 3), 128, dtype=np.uint8))
+
+    by_id = {r["image_id"]: r for r in rows}
+    assert len(rows) == 31 and set(by_id) == set(inputs), (len(rows), set(by_id) ^ set(inputs))
+    assert "diag-tiny" not in by_id and "diag-corrupt" not in by_id
+    assert by_id["diag-flat"]["lap_var"] == 0 and by_id["diag-flat"]["is_blurry"]
+    for iid, data in inputs.items():
+        px = decode_image(data)
+        want = lap_var(px)
+        got = by_id[iid]
+        assert got["lap_var"] == want, (iid, got["lap_var"], want)
+        assert got["is_blurry"] == (want < BLUR_VAR_MIN), iid
+        assert (got["w"], got["h"]) == (px.shape[1], px.shape[0]), iid
+        if iid.endswith("-blur"):
+            sharp = by_id[iid[: -len("-blur")]]
+            assert got["lap_var"] < BLUR_VAR_MIN < sharp["lap_var"], iid
+        elif not iid.startswith("diag-"):
+            assert not got["is_blurry"], iid
+
+
+def _check_channel_stats(rows, ctx):
+    """Recompute the corpus totals independently (Python-int accumulation
+    over every decodable input) and verify the exact floor-div outputs;
+    pin the two analytic plants against closed-form sums so a codec bug
+    can't silently shift the constants."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+    from amazonwebcrawler_spark.sources.synthetic_world import asin_for, image_record
+
+    inputs, seen = {}, set()
+    for i in range(1, 40):
+        if len(seen) == 24:
+            break
+        rec = image_record(asin_for("norm probe", 1, i))
+        if rec["image_id"] in seen:
+            continue
+        seen.add(rec["image_id"])
+        inputs[rec["image_id"]] = rec["bytes"]
+    solid = np.zeros((16, 16, 3), dtype=np.uint8)
+    solid[..., 0], solid[..., 1], solid[..., 2] = 10, 20, 30
+    half = np.zeros((32, 32, 3), dtype=np.uint8)
+    half[:16, :, :] = 255
+    inputs["diag-solid"] = encode_png(solid)
+    inputs["diag-half"] = encode_png(half)
+
+    # analytic plants: decode must reproduce the closed-form sums exactly
+    spx = decode_image(inputs["diag-solid"]).astype(np.int64)
+    for ci, v in enumerate((10, 20, 30)):
+        assert int(spx[..., ci].sum()) == 256 * v
+        assert int((spx[..., ci] ** 2).sum()) == 256 * v * v
+    hpx = decode_image(inputs["diag-half"]).astype(np.int64)
+    for ci in range(3):
+        assert int(hpx[..., ci].sum()) == 512 * 255
+        assert int((hpx[..., ci] ** 2).sum()) == 512 * 255 * 255
+
+    tot = {ch: [0, 0, 0] for ch in ("r", "g", "b")}  # n, s1, s2
+    for data in inputs.values():
+        px = decode_image(data).astype(np.int64)
+        n = int(px.shape[0] * px.shape[1])
+        for ci, ch in enumerate(("r", "g", "b")):
+            c = px[..., ci]
+            tot[ch][0] += n
+            tot[ch][1] += int(c.sum())
+            tot[ch][2] += sum(int(r) for r in (c * c).sum(axis=1))
+    assert len(rows) == 3 and {r["channel"] for r in rows} == {"r", "g", "b"}
+    for r in rows:
+        n, s1, s2 = tot[r["channel"]]
+        assert r["n_px"] == n, (r, n)
+        assert r["mean_milli"] == (s1 * 1000) // n, r
+        assert r["var_micro"] == ((n * s2 - s1 * s1) * 1_000_000) // (n * n), r
+
+
 def _check_bloom_stats(rows, ctx):
     """10 000 planted URLs, zero false negatives — the Bloom contract."""
     assert len(rows) == 8, len(rows)
@@ -975,6 +1111,8 @@ CHECKERS = {
     "border_crop": _check_border_crop,
     "bloom_stats": _check_bloom_stats,
     "cuckoo_stats": _check_cuckoo_stats,
+    "blur_detect": _check_blur_detect,
+    "channel_stats": _check_channel_stats,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

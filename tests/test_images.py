@@ -514,3 +514,126 @@ class TestFlipCanonicalPhash:
         for i in range(4):
             assert got.get((f"fl-{i}", f"fl-{i}-m")) == 0
         assert not any("corrupt" in a or "corrupt" in b for a, b in got)
+
+
+class TestBlurStats:
+    def test_flat_and_checkerboard_exact(self):
+        from amazonwebcrawler_spark.functions.images import blur_stats
+
+        flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+        st = blur_stats(flat)
+        assert st["lap_var"] == 0 and st["is_blurry"]
+        # 6×6 checkerboard: interior responses are ±4·255000 in equal
+        # numbers → mean 0, variance exactly (4·255000)²
+        cb = np.zeros((6, 6, 3), dtype=np.uint8)
+        cb[::2, ::2] = 255
+        cb[1::2, 1::2] = 255
+        st = blur_stats(cb)
+        assert st["lap_var"] == (4 * 255_000) ** 2
+        assert not st["is_blurry"]
+
+    def test_blur_reduces_variance_monotonically(self):
+        from amazonwebcrawler_spark.functions.images import blur_stats, decode_image
+
+        rec = world.image_record(world.asin_for("blurmono", 1, 1))
+        px = decode_image(rec["bytes"]).astype(np.int64)
+
+        def boxblur(p):
+            s = (
+                p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+                + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+                + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+            )
+            out = p.copy()
+            out[1:-1, 1:-1] = s // 9
+            return out
+
+        v0 = blur_stats(px.astype(np.uint8))["lap_var"]
+        b1 = boxblur(px)
+        v1 = blur_stats(b1.astype(np.uint8))["lap_var"]
+        v2 = blur_stats(boxblur(b1).astype(np.uint8))["lap_var"]
+        assert v0 > v1 > v2
+
+    def test_sub3px_quarantined(self):
+        from amazonwebcrawler_spark.functions.images import blur_stats
+
+        st = blur_stats(np.full((2, 10, 3), 5, dtype=np.uint8))
+        assert st["lap_var"] is None and st["is_blurry"]
+
+    def test_kernel_matches_direct_and_quarantines_corrupt(self, spark):
+        from amazonwebcrawler_spark.functions.images import (
+            BLUR_SCHEMA,
+            blur_stats,
+            blur_stats_kernel,
+            decode_image,
+        )
+
+        rows = []
+        for i in range(1, 5):
+            rec = world.image_record(world.asin_for("blurk", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        rows.append(("bad", bytearray(b"JUNK")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(3)
+        got = {r.image_id: r for r in df.mapInPandas(blur_stats_kernel(), BLUR_SCHEMA).collect()}
+        assert got["bad"].lap_var is None and got["bad"].is_blurry
+        for iid, data in rows[:-1]:
+            want = blur_stats(decode_image(bytes(data)))
+            assert got[iid].lap_var == want["lap_var"]
+            assert got[iid].is_blurry == want["is_blurry"]
+
+
+class TestChannelNormStats:
+    def _run(self, spark, rows):
+        from amazonwebcrawler_spark.operators.images_io import channel_norm_stats
+
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        return {r.channel: r for r in channel_norm_stats(df).collect()}
+
+    def test_solid_exact(self, spark):
+        solid = np.zeros((16, 16, 3), dtype=np.uint8)
+        solid[..., 0], solid[..., 1], solid[..., 2] = 10, 20, 30
+        out = self._run(spark, [("s", bytearray(encode_png(solid)))])
+        assert out["r"].mean_milli == 10_000 and out["r"].var_micro == 0
+        assert out["g"].mean_milli == 20_000 and out["b"].mean_milli == 30_000
+        assert all(out[c].n_px == 256 for c in "rgb")
+
+    def test_half_black_white_exact(self, spark):
+        half = np.zeros((32, 32, 3), dtype=np.uint8)
+        half[:16, :, :] = 255
+        out = self._run(spark, [("h", bytearray(encode_png(half)))])
+        # mean = 127.5 → 127500 milli; var = 255²/4 → 16256.25 → micro
+        for c in "rgb":
+            assert out[c].mean_milli == 127_500
+            assert out[c].var_micro == 16_256_250_000
+
+    def test_corrupt_contributes_nothing(self, spark):
+        solid = np.full((8, 8, 3), 100, dtype=np.uint8)
+        a = self._run(spark, [("s", bytearray(encode_png(solid)))])
+        b = self._run(
+            spark,
+            [("s", bytearray(encode_png(solid))), ("bad", bytearray(b"NOPE"))],
+        )
+        assert {c: tuple(a[c]) for c in "rgb"} == {c: tuple(b[c]) for c in "rgb"}
+
+    def test_mixed_sizes_match_python_totals(self, spark):
+        from amazonwebcrawler_spark.functions.images import decode_image
+
+        rows = []
+        for i in range(1, 6):
+            rec = world.image_record(world.asin_for("normk", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        out = self._run(spark, rows)
+        tot = {ch: [0, 0, 0] for ch in "rgb"}
+        for _, data in rows:
+            px = decode_image(bytes(data)).astype(np.int64)
+            n = int(px.shape[0] * px.shape[1])
+            for ci, ch in enumerate("rgb"):
+                c = px[..., ci]
+                tot[ch][0] += n
+                tot[ch][1] += int(c.sum())
+                tot[ch][2] += int((c * c).sum())
+        for ch in "rgb":
+            n, s1, s2 = tot[ch]
+            assert out[ch].n_px == n
+            assert out[ch].mean_milli == (s1 * 1000) // n
+            assert out[ch].var_micro == ((n * s2 - s1 * s1) * 1_000_000) // (n * n)
