@@ -147,6 +147,18 @@ BENCH_QUERIES = (
     # skip-gram mining — offset explode + two-key equi join (linear, never
     # a per-doc quadratic self-join); timed so that claim carries a number
     "skipgram_pairs",
+    # r5 session 14: C4 line cleaning (one Generate + one per-doc agg),
+    # n-gram novelty (gram-keyed min + join back), CCNet ppl tiers
+    # (lm_score joins + language-partitioned window), mirror detection
+    # (fingerprint equi self-join + skew-guard window), blur detection
+    # and channel-normalization stats (one Arrow decode pass each) —
+    # timed so each scale claim carries a number
+    "c4_clean",
+    "gram_novelty",
+    "ppl_buckets",
+    "mirror_detect",
+    "blur_detect",
+    "channel_stats",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

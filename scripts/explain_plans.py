@@ -207,6 +207,29 @@ CHECKS = {
     # phrase search: vote construction is a filtered Generate; both aggs
     # combine map-side; zero joins, zero Python, no single partition (NEG)
     "phrase_match": ["Generate", "HashAggregate", "partial_count", "[codegen id :"],
+    # C4 line cleaning: one posexplode Generate + ONE per-doc aggregate
+    # (ObjectHashAggregate — collect_list buffer); zero joins, zero
+    # Python, never a single-partition exchange (NEG)
+    "c4_clean": ["Generate", "ObjectHashAggregate", "[codegen id :"],
+    # n-gram novelty: shingle Generate + gram-keyed min agg (map-side
+    # partial_min) + equi join back — no nested-loop, no Python, no
+    # global sort (NEG)
+    "gram_novelty": ["Generate", "HashAggregate", "partial_min", "[codegen id :"],
+    # CCNet tiers: lm_score's broadcast-total shape (BNLJ Cross is the
+    # accepted 1-row-broadcast idiom) + LANGUAGE-partitioned windows —
+    # the 1-row total agg's SinglePartition exchange is the accepted
+    # bounded shape (budget_allocate precedent), so not forbidden
+    "ppl_buckets": ["Window", "BroadcastNestedLoopJoin", "HashAggregate", "[codegen id :"],
+    # mirror detection: fp-PARTITIONED guard window + fp equi self-join +
+    # map-side-combinable pair counts — never host×host (NEG forbids
+    # nested-loop/cartesian), no Python, no single-partition exchange
+    "mirror_detect": ["Window", "HashAggregate", "partial_count", "[codegen id :"],
+    # blur detection: exactly ONE Python crossing (the Arrow decode
+    # kernel); no join anywhere (NEG)
+    "blur_detect": ["MapInPandas"],
+    # channel normalization: ONE Arrow decode crossing + a 3-group hash
+    # aggregate with map-side partials; no join (NEG)
+    "channel_stats": ["MapInPandas", "HashAggregate", "partial_sum"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -223,6 +246,7 @@ NO_AQE = {
     "dsir_weights", "ann_recall", "epoch_shuffle",
     "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build", "ann_pq",
     "compaction_plan", "phrase_match",
+    "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
 }
 
 NEG_CHECKS = {
@@ -390,6 +414,25 @@ NEG_CHECKS = {
         "SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
         "Cartesian", "Exchange SinglePartition",
     ],
+    "c4_clean": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Join", "Exchange SinglePartition",
+    ],
+    "gram_novelty": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian", "Exchange SinglePartition",
+    ],
+    # ppl_buckets: the 1-row corpus-total agg's SinglePartition exchange
+    # and its BNLJ-Cross broadcast are the accepted bounded shapes
+    # (budget_allocate/bm25 precedents) — only Python and a cartesian
+    # product are forbidden
+    "ppl_buckets": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian"],
+    "mirror_detect": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian", "Exchange SinglePartition",
+    ],
+    "blur_detect": ["Join", "Cartesian"],
+    "channel_stats": ["Join", "Cartesian", "Exchange SinglePartition"],
 }
 
 
