@@ -2793,6 +2793,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_containment_micro=500_000,
         )
 
+    # ----------------------------------------------------- BPE tokenization
+    def q_bpe_encode(spark, sf):
+        """BPE tokenizer application (functions/text.bpe_encode_kernel —
+        Sennrich et al. 2016 / the GPT-2 encode loop): merges train
+        driver-side on a BOUNDED 64-doc sample (the IVF-codebook
+        discipline — tokenizers train on a sample, apply to the corpus),
+        then ONE Arrow crossing encodes every document with a per-batch
+        word cache collapsing the Zipf distribution. Output digests the
+        exact token stream (tokens_md5) plus fertility counters
+        (n_tokens/n_words/n_chars). Committed golden pinned to sf0.01;
+        capture re-derives merges AND every encoding through independent
+        implementations (Counter-based trainer, sequential rank-order
+        replay encoder) and asserts the end-of-word round-trip."""
+        from amazonwebcrawler_spark.functions.text import (
+            BPE_ENCODE_SCHEMA,
+            bpe_encode_kernel,
+            train_bpe,
+        )
+
+        d = _t(spark, sf, "documents")
+        sample = [
+            r.text for r in d.select("doc_id", "text").orderBy("doc_id").limit(64).collect()
+        ]
+        merges = train_bpe(sample, n_merges=200)
+        return (
+            d.select("doc_id", "text")
+            .repartition(8)
+            .mapInPandas(bpe_encode_kernel(merges), BPE_ENCODE_SCHEMA)
+        )
+
     # ----------------------------------------------------- blur detection
     def q_blur_detect(spark, sf):
         """Variance-of-Laplacian blur/defocus detection (functions/images.
@@ -2992,6 +3022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_detect": q_mirror_detect,
         "blur_detect": q_blur_detect,
         "channel_stats": q_channel_stats,
+        "bpe_encode": q_bpe_encode,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,

@@ -722,6 +722,139 @@ def bpe_merge_pairs(df, text_col: str, id_col: str, k: int = 50):
     ).limit(k)
 
 
+#: end-of-word marker for BPE symbol sequences (Sennrich et al. 2016)
+BPE_EOW = "</w>"
+
+#: the word splitter shared by the trainer and the encode kernel — the
+#: pure-Python twin of :func:`word_tokens` (runs of word chars OR single
+#: non-space non-word chars, lowercased)
+import re as _re  # noqa: E402
+
+_BPE_WORD_RE = _re.compile(r"(\w+|[^\w\s])")
+
+
+def bpe_word_split(text: str) -> list[str]:
+    return _BPE_WORD_RE.findall(text.lower())
+
+
+def train_bpe(texts, n_merges: int = 200) -> list[tuple[str, str]]:
+    """Reference BPE trainer (Sennrich et al. 2016) over a BOUNDED sample —
+    driver-side pure Python, the same bounded-sample discipline as the IVF
+    k-means codebook: tokenizers are trained on a few GB sample and
+    APPLIED to the 100 TB corpus, so the expensive distributed primitive
+    is the per-round pair count (:func:`bpe_merge_pairs`), not this loop.
+
+    Deterministic: ties on pair count break to the lexicographically
+    smallest (left, right); training stops early when no pair repeats.
+    Returns the ordered merge list — index = rank."""
+    word_freq: dict[tuple[str, ...], int] = {}
+    for t in texts:
+        for w in bpe_word_split(t):
+            key = tuple(w) + (BPE_EOW,)
+            word_freq[key] = word_freq.get(key, 0) + 1
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in word_freq.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, n in word_freq.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + n
+        word_freq = nxt
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """GPT-2-style BPE application: repeatedly merge the LOWEST-RANK
+    adjacent pair (leftmost on rank ties) until none remains — equivalent
+    to replaying the merges in training order, but O(len²·merges-present)
+    per word instead of O(len·n_merges)."""
+    syms = list(word) + [BPE_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_kernel(merges):
+    """mapInPandas kernel ``(doc_id, text) → BPE_ENCODE_SCHEMA``: apply a
+    trained merge table to every document — the tokenize-and-count stage
+    between curation and sequence packing. The merge table is a closure
+    constant (a few KB — it ships in the serialized task like the IVF
+    codebook literals); a per-batch WORD CACHE collapses the Zipf
+    distribution, so the per-word loop runs once per distinct word per
+    batch, not once per occurrence.
+
+    Output per doc: ``n_words``, ``n_tokens`` (BPE symbols incl. the
+    end-of-word markers), ``n_chars`` (normalized word chars — fertility
+    denominator), and ``tokens_md5`` digesting the full space-joined
+    token stream in document order, so the twin value-checks the exact
+    tokenization without shipping it."""
+    import hashlib
+
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def gen(batches):
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                words = bpe_word_split(text or "")
+                toks: list[str] = []
+                for w in words:
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = bpe_encode_word(w, ranks)
+                        cache[w] = enc
+                    toks.extend(enc)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_words": len(words),
+                        "n_tokens": len(toks),
+                        "n_chars": sum(len(w) for w in words),
+                        "tokens_md5": hashlib.md5(" ".join(toks).encode()).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_tokens", "n_chars", "tokens_md5"]
+            )
+
+    return gen
+
+
+#: Spark schema of bpe_encode_kernel's output
+BPE_ENCODE_SCHEMA = (
+    "doc_id long, n_words int, n_tokens int, n_chars int, tokens_md5 string"
+)
+
+
 def pmi_collocations(df, text_col: str, id_col: str, k: int = 40, min_count: int = 3):
     """Top-``k`` collocations by pointwise mutual information over adjacent
     token pairs (Church & Hanks 1990) — the phrase-mining signal that

@@ -159,6 +159,10 @@ BENCH_QUERIES = (
     "mirror_detect",
     "blur_detect",
     "channel_stats",
+    # BPE tokenizer application — bounded-sample driver training + one
+    # Arrow encode crossing with a per-batch word cache; timed so the
+    # tokenize-and-count stage carries a number
+    "bpe_encode",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -227,6 +227,10 @@ CHECKS = {
     # blur detection: exactly ONE Python crossing (the Arrow decode
     # kernel); no join anywhere (NEG)
     "blur_detect": ["MapInPandas"],
+    # BPE encode: exactly ONE Python crossing (the Arrow tokenize
+    # kernel; the merge table is a closure constant) — no join, no
+    # window, no shuffle beyond the round-robin repartition (NEG)
+    "bpe_encode": ["MapInPandas"],
     # channel normalization: ONE Arrow decode crossing + a 3-group hash
     # aggregate with map-side partials; no join (NEG)
     "channel_stats": ["MapInPandas", "HashAggregate", "partial_sum"],
@@ -433,6 +437,7 @@ NEG_CHECKS = {
     ],
     "blur_detect": ["Join", "Cartesian"],
     "channel_stats": ["Join", "Cartesian", "Exchange SinglePartition"],
+    "bpe_encode": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
 }
 
 

@@ -111,6 +111,10 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "channel": "VARCHAR", "n_px": "BIGINT",
         "mean_milli": "BIGINT", "var_micro": "BIGINT",
     },
+    "bpe_encode": {
+        "doc_id": "BIGINT", "n_words": "INTEGER", "n_tokens": "INTEGER",
+        "n_chars": "INTEGER", "tokens_md5": "VARCHAR",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -130,6 +134,7 @@ PINNED_SF: dict[str, str] = {
     "ann_ivf": "sf0.01",
     "semantic_dedup": "sf0.01",
     "ann_pq": "sf0.01",
+    "bpe_encode": "sf0.01",
 }
 
 OUT = os.path.join(
@@ -947,6 +952,88 @@ def _check_channel_stats(rows, ctx):
         assert r["var_micro"] == ((n * s2 - s1 * s1) * 1_000_000) // (n * n), r
 
 
+def _check_bpe_encode(rows, ctx):
+    """Re-derive the WHOLE tokenization through independent
+    implementations: a Counter-over-occurrence-lists trainer (vs the
+    kernel's freq-dict trainer) and a sequential rank-order replay encoder
+    (vs the kernel's lowest-rank-first loop — their equivalence is the
+    classic BPE apply identity, so disagreement means a real bug). Also
+    asserts the end-of-word round-trip on every distinct word."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from amazonwebcrawler_spark.functions.text import BPE_EOW, bpe_word_split
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{ctx['sf_dir']}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    sample = [t for _, t in docs[:64]]
+
+    # independent trainer: occurrence lists + Counter
+    corpus = [list(w) + [BPE_EOW] for t in sample for w in bpe_word_split(t)]
+    merges = []
+    for _ in range(200):
+        c = Counter()
+        for syms in corpus:
+            c.update(zip(syms, syms[1:]))
+        if not c:
+            break
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if c[best] < 2:
+            break
+        merges.append(best)
+        for k, syms in enumerate(corpus):
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            corpus[k] = out
+
+    def encode_replay(word: str) -> list[str]:
+        syms = list(word) + [BPE_EOW]
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    by_id = {r["doc_id"]: r for r in rows}
+    assert len(rows) == len(docs), (len(rows), len(docs))
+    cache: dict[str, list[str]] = {}
+    for did, text in docs:
+        words = bpe_word_split(text or "")
+        toks = []
+        for w in words:
+            if w not in cache:
+                enc = encode_replay(w)
+                assert "".join(enc) == w + BPE_EOW, (w, enc)  # round-trip
+                cache[w] = enc
+            toks.extend(cache[w])
+        got = by_id[did]
+        assert got["n_words"] == len(words), did
+        assert got["n_chars"] == sum(len(w) for w in words), did
+        assert got["n_tokens"] == len(toks), (did, got["n_tokens"], len(toks))
+        want_md5 = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got["tokens_md5"] == want_md5, did
+    # the merges must actually compress: corpus-wide tokens < chars+words
+    total_toks = sum(r["n_tokens"] for r in rows)
+    total_syms = sum(r["n_chars"] + r["n_words"] for r in rows)
+    assert 0 < total_toks < total_syms, (total_toks, total_syms)
+
+
 def _check_bloom_stats(rows, ctx):
     """10 000 planted URLs, zero false negatives — the Bloom contract."""
     assert len(rows) == 8, len(rows)
@@ -1113,6 +1200,7 @@ CHECKERS = {
     "cuckoo_stats": _check_cuckoo_stats,
     "blur_detect": _check_blur_detect,
     "channel_stats": _check_channel_stats,
+    "bpe_encode": _check_bpe_encode,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

@@ -974,3 +974,88 @@ class TestSkipgramPairs:
         d = spark.createDataFrame(self.DOCS, "doc_id long, text string")
         with _pytest.raises(ValueError):
             skipgram_pairs(d, "text", "doc_id", window=0)
+
+
+class TestBpeEncode:
+    def test_trainer_learns_most_frequent_pair_first(self):
+        from amazonwebcrawler_spark.functions.text import train_bpe
+
+        # 'ab' appears in every word; first merge must be ('a','b')
+        merges = train_bpe(["abab abx aby", "ab abz"], n_merges=3)
+        assert merges[0] == ("a", "b")
+        assert train_bpe(["abab abx aby", "ab abz"], 3) == train_bpe(
+            ["abab abx aby", "ab abz"], 3
+        )
+
+    def test_encode_round_trip_and_replay_equivalence(self):
+        import random
+
+        from amazonwebcrawler_spark.functions.text import (
+            BPE_EOW,
+            bpe_encode_word,
+            train_bpe,
+        )
+
+        rng = random.Random(9)
+        words = ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 12))) for _ in range(300)]
+        merges = train_bpe([" ".join(words)], n_merges=60)
+        ranks = {p: i for i, p in enumerate(merges)}
+
+        def replay(word):
+            syms = list(word) + [BPE_EOW]
+            for left, right in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for w in set(words):
+            enc = bpe_encode_word(w, ranks)
+            assert "".join(enc) == w + BPE_EOW
+            assert enc == replay(w), w
+
+    def test_merges_compress(self):
+        from amazonwebcrawler_spark.functions.text import bpe_encode_word, train_bpe
+
+        text = "the cat sat on the mat the cat sat"
+        merges = train_bpe([text], n_merges=30)
+        ranks = {p: i for i, p in enumerate(merges)}
+        assert len(bpe_encode_word("the", ranks)) < len("the") + 1
+
+    def test_kernel_matches_direct(self, spark):
+        import hashlib
+
+        from amazonwebcrawler_spark.functions.text import (
+            BPE_ENCODE_SCHEMA,
+            bpe_encode_kernel,
+            bpe_encode_word,
+            bpe_word_split,
+            train_bpe,
+        )
+
+        docs = [
+            (1, "The cat sat on the mat."),
+            (2, "A cat! A mat!"),
+            (3, ""),
+            (4, "unseen zzqq words"),
+        ]
+        merges = train_bpe([t for _, t in docs], n_merges=40)
+        ranks = {p: i for i, p in enumerate(merges)}
+        df = spark.createDataFrame(docs, "doc_id long, text string").repartition(3)
+        got = {
+            r.doc_id: r
+            for r in df.mapInPandas(bpe_encode_kernel(merges), BPE_ENCODE_SCHEMA).collect()
+        }
+        for did, text in docs:
+            words = bpe_word_split(text)
+            toks = [t for w in words for t in bpe_encode_word(w, ranks)]
+            assert got[did].n_words == len(words)
+            assert got[did].n_tokens == len(toks)
+            assert got[did].tokens_md5 == hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert got[3].n_tokens == 0 and got[3].n_words == 0
