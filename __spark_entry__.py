@@ -2793,6 +2793,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_containment_micro=500_000,
         )
 
+    # ----------------------------------------------------- LSH banding eval
+    def q_lsh_eval(spark, sf):
+        """MinHash-banding quality evaluation (operators/dedup.
+        lsh_candidate_eval): candidate pairs from EXACTLY the pipeline's
+        banding (_lsh_candidates — shared code) graded against the exact
+        all-pairs-sharing-a-shingle Jaccard ground truth; one row of
+        exact-integer precision/recall micros. The twin recomposes the
+        same measurement from the shared minhash CTE chain plus an
+        independent exact-truth CTE."""
+        from amazonwebcrawler_spark.operators import dedup as _dedup
+
+        return _dedup.lsh_candidate_eval(
+            _t(spark, sf, "documents"), "text", "doc_id",
+            k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200,
+        )
+
     # ----------------------------------------------------- BPE tokenization
     def q_bpe_encode(spark, sf):
         """BPE tokenizer application (functions/text.bpe_encode_kernel —
@@ -3023,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blur_detect": q_blur_detect,
         "channel_stats": q_channel_stats,
         "bpe_encode": q_bpe_encode,
+        "lsh_eval": q_lsh_eval,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -4680,6 +4697,33 @@ GROUP BY d
         "dedup_minhash_lsh": rf"""
 WITH {minhash_pairs_ctes}
 SELECT id_a, id_b, jaccard_micro FROM pairs
+""",
+        "lsh_eval": rf"""
+-- banding precision/recall: the shared minhash chain supplies cand; the
+-- exact truth re-derives all-pairs-sharing-a-shingle Jaccard independently
+WITH {minhash_pairs_ctes},
+tru AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh a JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT t.id_a, t.id_b
+  FROM tru t
+  JOIN sizes sa ON sa.doc_id = t.id_a
+  JOIN sizes sb ON sb.doc_id = t.id_b
+  WHERE (t.ni * 1000000) // (sa.n + sb.n - t.ni) >= 500000
+),
+h AS (SELECT COUNT(*) AS n_hit FROM truth JOIN cand USING (id_a, id_b)),
+tc AS (SELECT COUNT(*) AS n_true FROM truth),
+cc AS (SELECT COUNT(*) AS n_cand FROM cand)
+SELECT CAST(n_true AS BIGINT) AS n_true, CAST(n_cand AS BIGINT) AS n_cand,
+  CAST(n_hit AS BIGINT) AS n_hit,
+  CAST(CASE WHEN n_cand > 0 THEN (n_hit * 1000000) // n_cand ELSE 0 END AS BIGINT)
+    AS precision_micro,
+  CAST(CASE WHEN n_true > 0 THEN (n_hit * 1000000) // n_true ELSE 0 END AS BIGINT)
+    AS recall_micro
+FROM tc, cc, h
 """,
         "dedup_groups": rf"""
 -- pairs → connected components: transitive closure by label propagation

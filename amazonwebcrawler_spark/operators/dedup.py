@@ -186,6 +186,48 @@ def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _lsh_candidates(sh, k: int, n_bands: int, rows_per_band: int, max_bucket: int):
+    """MinHash-band candidate pairs from shingle rows ``(_id, _s)`` —
+    the banding half of :func:`minhash_lsh_pairs`, shared with
+    :func:`lsh_candidate_eval` so the evaluated candidates are EXACTLY the
+    pipeline's.
+
+    Signature: hash each shingle ONCE → k affine-permutation partial-min
+    aggregates (map-side combine). Mirrors the DuckDB oracle SQL exactly
+    (GROUP BY doc_id, j, MIN((a_j*h + b_j) % P)). Band shuffle carries
+    ONLY (id, band, bh) — shuffle volume = n_bands×docs; buckets above
+    ``max_bucket`` drop (the degenerate all-same-bucket guard); pair
+    generation is local inside each surviving bucket."""
+    perms = minhash_perm_consts(k)
+    sig = (
+        sh.select("_id", shingle_hash31(F.col("_s")).alias("_h"))
+        .groupBy("_id")
+        .agg(
+            F.array(
+                *[
+                    F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{j}")
+                    for j, (a, b) in enumerate(perms)
+                ]
+            ).alias("_sig")
+        )
+    )
+    banded = sig.withColumn("_bands", lsh_bands(F.col("_sig"), n_bands, rows_per_band))
+    exploded = banded.select("_id", F.explode("_bands").alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_list("_id").alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    return (
+        buckets.select(F.explode("members").alias("id_a"), F.col("members"))
+        .select("id_a", F.explode("members").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -223,40 +265,7 @@ def minhash_lsh_pairs(
     # intersection counts, and the sizes (cheap: (id, short-string) rows)
     sh = shingle_rows(docs, "_t", "_id", shingle_n).persist()
 
-    # signature: hash each shingle ONCE → k affine-permutation partial-min
-    # aggregates (map-side combine). Mirrors the DuckDB oracle SQL exactly
-    # (GROUP BY doc_id, j, MIN((a_j*h + b_j) % P)).
-    perms = minhash_perm_consts(k)
-    sig = (
-        sh.select("_id", shingle_hash31(F.col("_s")).alias("_h"))
-        .groupBy("_id")
-        .agg(
-            F.array(
-                *[
-                    F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{j}")
-                    for j, (a, b) in enumerate(perms)
-                ]
-            ).alias("_sig")
-        )
-    )
-    banded = sig.withColumn("_bands", lsh_bands(F.col("_sig"), n_bands, rows_per_band))
-
-    # band shuffle carries ONLY (id, band, bh); shuffle volume = n_bands×docs
-    exploded = banded.select("_id", F.explode("_bands").alias("b")).select(
-        "_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
-    buckets = (
-        exploded.groupBy("band", "bh")
-        .agg(F.collect_list("_id").alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
-    )
-    # local pair generation: explode members twice, keep ordered pairs
-    cand = (
-        buckets.select(F.explode("members").alias("id_a"), F.col("members"))
-        .select("id_a", F.explode("members").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sh, k, n_bands, rows_per_band, max_bucket)
     # exact-Jaccard verify, relationally: |A∩B| by joining the candidate set
     # (small — broadcast) against the shingle rows twice; |A|,|B| from a
     # per-doc count. Pairs with zero intersection fall out of the inner join
@@ -287,6 +296,87 @@ def minhash_lsh_pairs(
     pairs = pairs.localCheckpoint(eager=True)
     sh.unpersist()
     return pairs
+
+
+def lsh_candidate_eval(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Banding quality evaluation — the dedup twin of ann_recall's
+    "measure, don't guess" discipline: LSH CANDIDATE pairs (post-banding,
+    PRE-verify — precision of the verified output is 1 by construction,
+    so the banding is the only thing worth measuring) against the exact
+    ground truth of all pairs with exact Jaccard ≥ threshold.
+
+    Returns ONE row ``(n_true, n_cand, n_hit, precision_micro,
+    recall_micro)`` — exact integer ratios. The theoretical recall of
+    b bands × r rows at similarity s is ``1−(1−s^r)^b``; this measures
+    the real thing on the real corpus instead.
+
+    Scale shape: candidates are :func:`_lsh_candidates` (exactly the
+    pipeline's); ground truth joins the shingle table with itself on the
+    shingle key (any pair with J ≥ t > 0 shares a shingle, so the join is
+    EXACT) — that self-join is quadratic in per-shingle document
+    frequency, which is precisely why evaluation runs on a bounded sample
+    of the corpus in production (the ann_recall discipline), while the
+    banding path it grades stays the linear production shape. The three
+    result counts are bounded 1-row aggregates."""
+    threshold_micro = int(round(threshold * 1_000_000))
+    rows_per_band = k // n_bands
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .repartition(n_part, "_id")
+    )
+    sh = shingle_rows(docs, "_t", "_id", shingle_n).persist()
+    cand = _lsh_candidates(sh, k, n_bands, rows_per_band, max_bucket)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    sh_a = sh.select(F.col("_id").alias("id_a"), "_s")
+    sh_b = sh.select(F.col("_id").alias("id_b"), "_s")
+    inter_all = (
+        sh_a.join(sh_b, "_s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_ni"))
+    )
+    truth = (
+        inter_all.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+        )
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .filter(
+            F.expr("(_ni * 1000000L) DIV (_na + _nb - _ni)") >= threshold_micro
+        )
+        .select("id_a", "id_b")
+    )
+    hit = truth.join(cand, ["id_a", "id_b"])
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    out = (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_cand > 0 THEN (n_hit * 1000000L) DIV n_cand ELSE 0 END"
+            ).alias("precision_micro"),
+            F.expr(
+                "CASE WHEN n_true > 0 THEN (n_hit * 1000000L) DIV n_true ELSE 0 END"
+            ).alias("recall_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

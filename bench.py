@@ -163,6 +163,9 @@ BENCH_QUERIES = (
     # Arrow encode crossing with a per-batch word cache; timed so the
     # tokenize-and-count stage carries a number
     "bpe_encode",
+    # LSH banding eval — pipeline candidates vs exact shingle-join truth;
+    # timed so the eval-on-a-sample discipline carries a number
+    "lsh_eval",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

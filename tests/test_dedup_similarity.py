@@ -1218,3 +1218,79 @@ class TestPQTopk:
             similarity.pq_topk(e, qs, "vec_id", "embedding", n_codes=16, sample_size=8)
         with _pytest.raises(ValueError, match="1 <= m <= dim"):
             similarity.pq_topk(e, qs, "vec_id", "embedding", m=0)
+
+
+class TestLshCandidateEval:
+    def _corpus_exact_dupes(self, spark):
+        base = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "red orange yellow green blue indigo violet purple pink brown",
+        ]
+        rows = []
+        did = 0
+        for t in base:
+            for _ in range(3):  # 3 exact copies each -> 3 true pairs per group
+                rows.append((did, t))
+                did += 1
+        rows += [(did + i, f"unique doc number {i} with its own words entirely") for i in range(5)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_dupes_full_recall_and_precision(self, spark):
+        df = self._corpus_exact_dupes(spark)
+        r = dedup.lsh_candidate_eval(df, "text", "doc_id", k=16, n_bands=4).collect()[0]
+        assert r.n_true == 9  # 3 groups x C(3,2)
+        assert r.n_hit == 9 and r.recall_micro == 1_000_000
+        assert r.n_hit <= r.n_cand
+        assert r.precision_micro == r.n_hit * 1_000_000 // r.n_cand
+
+    def test_truth_matches_python_brute_force(self, spark):
+        import itertools
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f x y"),
+            (3, "a b c d z z q w"),
+            (4, "totally different words here now"),
+            (5, "a b c d e f g h"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = dedup.lsh_candidate_eval(df, "text", "doc_id", k=16, n_bands=4, threshold=0.5).collect()[0]
+
+        def sh3(t):
+            toks = t.split()
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+        truth = 0
+        for (da, ta), (db, tb) in itertools.combinations(rows, 2):
+            a, b = sh3(ta), sh3(tb)
+            if a and b and len(a & b) * 1_000_000 // len(a | b) >= 500_000:
+                truth += 1
+        assert r.n_true == truth
+
+    def test_few_bands_miss_mid_similarity_pairs(self, spark):
+        """With 2 bands of 8 rows, a ~0.55-Jaccard pair survives banding
+        with probability ≈ 2·0.55^8 ≈ 1.6% — across 20 planted pairs the
+        deterministic md5 minhashes miss most of them, so measured recall
+        must drop below 1 while exact-dupe recall stays perfect."""
+        rows = []
+        for g in range(20):
+            common = " ".join(f"w{g}x{i}" for i in range(14))
+            rows.append((2 * g, common + f" tail{g}a1 tail{g}a2 tail{g}a3"))
+            rows.append((2 * g + 1, common + f" tail{g}b1 tail{g}b2 tail{g}b3"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = dedup.lsh_candidate_eval(
+            df, "text", "doc_id", k=16, n_bands=2, threshold=0.5
+        ).collect()[0]
+        assert r.n_true == 20
+        assert r.n_hit < r.n_true, (r.n_hit, r.n_true)
+        assert r.recall_micro == r.n_hit * 1_000_000 // r.n_true
+
+    def test_candidates_match_pipeline_banding(self, spark):
+        """The evaluated candidates must be EXACTLY the pipeline's: every
+        verified minhash_lsh_pairs pair is (trivially) a candidate, so
+        n_cand >= the pair count and n_hit >= verified-truth overlap."""
+        df = self._corpus_exact_dupes(spark)
+        pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", k=16, n_bands=4).count()
+        r = dedup.lsh_candidate_eval(df, "text", "doc_id", k=16, n_bands=4).collect()[0]
+        assert r.n_cand >= pairs

@@ -28,7 +28,7 @@ POST_FREEZE = (
     "containment_dedup", "border_crop", "postings_build", "flip_dedup",
     "ann_pq", "compaction_plan", "phrase_match", "skipgram_pairs",
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
-    "blur_detect", "channel_stats", "bpe_encode",
+    "blur_detect", "channel_stats", "bpe_encode", "lsh_eval",
 )
 
 
