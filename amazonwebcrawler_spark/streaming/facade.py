@@ -163,6 +163,44 @@ def images_ingest_stream(spark: SparkSession, src_dir: str, out_dir: str, schema
     )
 
 
+def clean_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    min_words: int = 3,
+    min_lines: int = 2,
+    schema=None,
+):
+    """Streaming C4 cleaning: documents arriving as files are line-cleaned
+    with the SAME operator the batch side uses
+    (``functions/text.c4_line_clean`` inside ``foreachBatch`` — documents
+    arrive whole, so the per-doc aggregate is micro-batch-local by
+    construction and needs no streaming state). The crawl-time shape:
+    pages are cleaned as they land, keep/drop decided per wave, one
+    implementation for batch backfills and the live stream."""
+    from amazonwebcrawler_spark.functions.text import c4_line_clean
+
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+
+    def process_batch(batch_df, _batch_id):
+        c4_line_clean(
+            batch_df, "text", "doc_id", min_words=min_words, min_lines=min_lines
+        ).write.mode("append").parquet(f"{out_dir}/docs_cleaned")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def neardup_ingest_stream(
     spark: SparkSession,
     src_dir: str,

@@ -232,3 +232,43 @@ def test_neardup_ingest_stream_bucketed_corpus(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_clean_ingest_stream_matches_batch(spark, tmp_path):
+    """Streaming C4 cleaning runs the batch operator unchanged inside
+    foreachBatch: the drained stream's union must equal c4_line_clean over
+    all rows as one batch — documents arrive whole, so per-doc results are
+    micro-batch-local and batch≡stream holds exactly."""
+    from amazonwebcrawler_spark.functions.text import c4_line_clean
+    from amazonwebcrawler_spark.streaming.facade import clean_ingest_stream
+
+    src = str(tmp_path / "doc_src")
+    out = str(tmp_path / "doc_out")
+    texts = [
+        "good first line stays here.\njunk\nsecond good line stays too!",
+        "no terminal punctuation anywhere at all",
+        "please enable javascript to view.\nreal content line is here.",
+        "short.\nvar x = {1};\nlorem ipsum dolor sit.\nactual sentence survives fine.",
+    ]
+    did = 0
+    for part in range(3):  # three files → three micro-batches
+        rows = []
+        for t in texts:
+            rows.append((did, t))
+            did += 1
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    q = clean_ingest_stream(spark, src, out)
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(f"{out}/docs_cleaned").collect()))
+    want = sorted(
+        map(tuple, c4_line_clean(spark.read.parquet(src), "text", "doc_id").collect())
+    )
+    assert got == want and len(got) == 12
+    by_id = {r[0]: r for r in got}
+    # column order: doc_id, n_lines, n_kept, kept_chars, clean_md5, keep
+    assert by_id[0][2] == 2 and by_id[0][5] is True
+    assert by_id[1][2] == 0 and by_id[1][5] is False
