@@ -2793,6 +2793,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_containment_micro=500_000,
         )
 
+    # ----------------------------------------------------- novelty-steered budget
+    def q_novelty_budget(spark, sf):
+        """Focused-crawl composition (Chakrabarti et al. 1999 shape):
+        next wave's fetch budget apportioned by CONTENT NOVELTY per host —
+        corpus.gram_novelty's per-doc first-occurrence counts roll up to a
+        host demand signal, and politeness.allocate_budget Hamilton-splits
+        the global budget over it. Hosts whose pages stopped contributing
+        new n-grams (mirrors, templates, crawler traps) decay to zero
+        demand and drop out of the next wave's allocation entirely — the
+        adaptive answer to 'which of 10^7 hosts deserve the next 10^4
+        fetches'. Proves the two operators COMPOSE; the twin recomposes
+        both CTE chains."""
+        from amazonwebcrawler_spark.operators.corpus import gram_novelty
+        from amazonwebcrawler_spark.operators.politeness import allocate_budget
+
+        d = _t(spark, sf, "documents")
+        nov = gram_novelty(d, "text", "doc_id", n=3)
+        hosts = d.select(
+            "doc_id",
+            F.concat(F.lit("h"), (F.col("doc_id") % 16).cast("string")).alias("host"),
+        )
+        demand = (
+            nov.join(hosts, "doc_id")
+            .groupBy("host")
+            .agg(F.sum("n_new_grams").alias("demand"))
+        )
+        return allocate_budget(
+            demand, total_budget=10_000, key_col="host", demand_col="demand"
+        )
+
     # ----------------------------------------------------- LSH banding eval
     def q_lsh_eval(spark, sf):
         """MinHash-banding quality evaluation (operators/dedup.
@@ -3040,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "channel_stats": q_channel_stats,
         "bpe_encode": q_bpe_encode,
         "lsh_eval": q_lsh_eval,
+        "novelty_budget": q_novelty_budget,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -5002,6 +5033,39 @@ SELECT doc_id, CAST(n_distinct_grams AS BIGINT) AS n_distinct_grams,
   CAST(n_new_grams AS BIGINT) AS n_new_grams,
   CAST((n_new_grams * 1000000) // n_distinct_grams AS BIGINT) AS novelty_micro
 FROM per
+""",
+        "novelty_budget": rf"""
+-- novelty rollup per host → Hamilton apportionment (both twins recomposed)
+WITH {shingle_cte},
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+per AS (
+  SELECT sh.doc_id,
+    SUM(CASE WHEN sh.doc_id = f.first_doc THEN 1 ELSE 0 END) AS n_new_grams
+  FROM sh JOIN firsts f USING (s) GROUP BY sh.doc_id
+),
+dm AS (
+  SELECT 'h' || (doc_id % 16)::VARCHAR AS domain, SUM(n_new_grams) AS demand
+  FROM per GROUP BY 1
+),
+d AS (SELECT domain, demand FROM dm WHERE demand > 0),
+tot AS (SELECT SUM(demand) AS dd FROM d),
+b AS (
+  SELECT domain, demand,
+    CAST((demand * 10000) // dd AS BIGINT) AS base_quota,
+    (demand * 10000) % dd AS rem
+  FROM d, tot
+),
+lo AS (SELECT 10000 - SUM(base_quota) AS leftover FROM b),
+r AS (
+  SELECT domain, demand, base_quota,
+    row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+  FROM b
+)
+SELECT domain, CAST(demand AS BIGINT) AS demand, base_quota,
+  CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS extra,
+  base_quota + CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT)
+    AS quota
+FROM r
 """,
         "ppl_buckets": rf"""
 -- lm_score's unigram-NLL CTE + exact-integer ntile per language

@@ -166,6 +166,9 @@ BENCH_QUERIES = (
     # LSH banding eval — pipeline candidates vs exact shingle-join truth;
     # timed so the eval-on-a-sample discipline carries a number
     "lsh_eval",
+    # novelty-steered budget — the gram_novelty ∘ allocate_budget
+    # composition; timed so the focused-crawl loop closure carries a number
+    "novelty_budget",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

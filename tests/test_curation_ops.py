@@ -227,3 +227,37 @@ class TestMirrorPairs:
         rows = [("zeta", "f"), ("alpha", "f"), ("zeta", "g"), ("alpha", "g"), ("zeta", "h"), ("alpha", "h")]
         out = self._run(spark, rows)
         assert list(out) == [("alpha", "zeta")]
+
+
+class TestNoveltyBudgetComposition:
+    def test_exhausted_hosts_drop_and_budget_conserves(self, spark):
+        """gram_novelty ∘ allocate_budget: a host serving only content
+        first seen elsewhere has zero novelty demand and receives NO
+        quota; the budget still sums exactly to B over the live hosts."""
+        from amazonwebcrawler_spark.operators.corpus import gram_novelty
+        from amazonwebcrawler_spark.operators.politeness import allocate_budget
+
+        rows = []
+        # host 0 (even doc_ids 0..18): unique content — real novelty
+        for i in range(10):
+            rows.append((2 * i, f"fresh u{i} v{i} w{i} x{i} y{i} z{i}"))
+        # host 1 (odd doc_ids 21..39 — all AFTER host 0's ids): byte-exact
+        # mirrors of host 0's pages — zero first occurrences
+        for i in range(10):
+            rows.append((21 + 2 * i, f"fresh u{i} v{i} w{i} x{i} y{i} z{i}"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        nov = gram_novelty(df, "text", "doc_id", n=3)
+        from pyspark.sql import functions as F2
+
+        hosts = df.select(
+            "doc_id", (F2.col("doc_id") % 2).cast("string").alias("host")
+        )
+        demand = (
+            nov.join(hosts, "doc_id")
+            .groupBy("host")
+            .agg(F2.sum("n_new_grams").alias("demand"))
+        )
+        out = allocate_budget(demand, total_budget=1000, key_col="host", demand_col="demand")
+        got = {r.domain: r for r in out.collect()}
+        assert set(got) == {"0"}  # the mirror host got nothing
+        assert got["0"].quota == 1000
