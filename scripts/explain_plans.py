@@ -231,6 +231,11 @@ CHECKS = {
     # kernel; the merge table is a closure constant) — no join, no
     # window, no shuffle beyond the round-robin repartition (NEG)
     "bpe_encode": ["MapInPandas"],
+    # novelty budget composition: the gram-keyed min agg (partial_min)
+    # feeds the SHARD-partitioned Hamilton remainder window — no Python
+    # anywhere (NEG; the 1-row D/leftover broadcasts are the accepted
+    # budget_allocate shapes)
+    "novelty_budget": ["Window", "HashAggregate", "partial_min", "[codegen id :"],
     # channel normalization: ONE Arrow decode crossing + a 3-group hash
     # aggregate with map-side partials; no join (NEG)
     "channel_stats": ["MapInPandas", "HashAggregate", "partial_sum"],
@@ -251,6 +256,7 @@ NO_AQE = {
     "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build", "ann_pq",
     "compaction_plan", "phrase_match",
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
+    "novelty_budget",
 }
 
 NEG_CHECKS = {
@@ -438,6 +444,7 @@ NEG_CHECKS = {
     "blur_detect": ["Join", "Cartesian"],
     "channel_stats": ["Join", "Cartesian", "Exchange SinglePartition"],
     "bpe_encode": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
+    "novelty_budget": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian"],
 }
 
 
