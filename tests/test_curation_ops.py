@@ -261,3 +261,99 @@ class TestNoveltyBudgetComposition:
         got = {r.domain: r for r in out.collect()}
         assert set(got) == {"0"}  # the mirror host got nothing
         assert got["0"].quota == 1000
+
+
+class TestCurationRandomizedMirrors:
+    def test_c4_clean_matches_python_mirror_random(self, spark):
+        """Seeded random documents (lines drawn from good/bad templates in
+        random order) must match a pure-Python restatement of the rules
+        exactly — digest included."""
+        import random
+        import re
+
+        rng = random.Random(1234)
+        good = [
+            "a perfectly reasonable sentence lives here.",
+            "quality content with enough words!",
+            "does this line survive the filter?",
+        ]
+        bad = [
+            "no terminal punctuation on this line",
+            "short.",
+            "please enable javascript now.",
+            "code { block } here.",
+            "lorem ipsum dolor sit amet again.",
+            "",
+            "   ",
+        ]
+        docs = []
+        for d in range(40):
+            n = rng.randint(1, 8)
+            lines = [rng.choice(good + bad) for _ in range(n)]
+            docs.append((d, "\n".join(lines)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r.doc_id: r for r in c4_line_clean(df, "text", "doc_id").collect()}
+
+        def words(line: str) -> int:
+            t = re.sub(r"\s+", " ", line.lower()).strip()
+            return 0 if not t else len(t.split(" "))
+
+        for d, text in docs:
+            lines = text.split("\n")
+            kept = [
+                ln for ln in lines
+                if re.search(r'[.!?"]$', ln.strip())
+                and words(ln) >= 3
+                and "javascript" not in ln.lower()
+                and "{" not in ln and "}" not in ln
+                and "lorem ipsum" not in ln.lower()
+            ]
+            r = got[d]
+            assert r.n_lines == len(lines) and r.n_kept == len(kept), d
+            assert r.clean_md5 == _md5("\n".join(kept)), d
+            assert r.keep == (len(kept) >= 2), d
+            assert r.kept_chars == sum(len(x) for x in kept), d
+
+    def test_mirror_pairs_matches_brute_force_random(self, spark):
+        """Seeded random (host, fp) incidence vs an O(hosts²) Python brute
+        force with the same guard semantics."""
+        import itertools
+        import random
+
+        rng = random.Random(77)
+        hosts = [f"h{i}" for i in range(12)]
+        fps = [f"f{i}" for i in range(30)]
+        rows = []
+        for h in hosts:
+            for fp in rng.sample(fps, rng.randint(2, 12)):
+                rows.append((h, fp))
+                if rng.random() < 0.3:
+                    rows.append((h, fp))  # duplicate serving
+        df = spark.createDataFrame(rows, "host string, fp string")
+        kw = dict(min_shared=2, min_containment_micro=400_000, max_hosts_per_fp=5)
+        got = {
+            (r.host_a, r.host_b): (r.shared_fps, r.n_a, r.n_b, r.containment_micro)
+            for r in mirror_pairs(df, "host", "fp", **kw).collect()
+        }
+        inc: dict[str, set] = {}
+        for h, fp in rows:
+            inc.setdefault(h, set()).add(fp)
+        fp_hosts: dict[str, int] = {}
+        for h, s in inc.items():
+            for fp in s:
+                fp_hosts[fp] = fp_hosts.get(fp, 0) + 1
+        inc = {
+            h: {fp for fp in s if fp_hosts[fp] <= 5} for h, s in inc.items()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(inc), 2):
+            sa, sb = inc[a], inc[b]
+            if not sa or not sb:
+                continue
+            shared = len(sa & sb)
+            if shared < 2:
+                continue
+            cm = shared * 1_000_000 // min(len(sa), len(sb))
+            if cm >= 400_000:
+                want[(a, b)] = (shared, len(sa), len(sb), cm)
+        assert got == want
