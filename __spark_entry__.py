@@ -2923,6 +2923,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = df.repartition(8).mapInPandas(imgf.blur_stats_kernel(), imgf.BLUR_SCHEMA)
         return out.filter(F.col("lap_var").isNotNull())
 
+    # ----------------------------------------------------- content-aware crop
+    def q_smart_crop(spark, sf):
+        """Content-aware square cropping (functions/images.smart_crop_kernel):
+        exact integer luma-variance centroid over an 8×8 cell sweep picks
+        the min(w,h) training crop — the aspect normalization that keeps
+        off-centre subjects. Mix: 24 world shots + analytic plants (content
+        confined to the left edge / bottom-right corner → the crop clamps
+        to that edge; a flat tile → exact centre crop; corrupt bytes →
+        no row). Committed golden; capture re-derives every window via an
+        independent float-centroid recompute plus the clamp identities."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as imgf
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows, seen = [], set()
+        for i in range(1, 40):
+            if len(seen) == 24:
+                break
+            rec = world.image_record(world.asin_for("crop probe", 1, i))
+            if rec["image_id"] in seen:
+                continue
+            seen.add(rec["image_id"])
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        left = np.full((32, 64, 3), 200, dtype=np.uint8)
+        left[:, :8:2, :] = 0  # high-variance stripes confined to the left edge
+        corner = np.full((48, 64, 3), 180, dtype=np.uint8)
+        corner[40:, 56::2, :] = 0  # content in the bottom-right corner
+        flat = np.full((32, 48, 3), 128, dtype=np.uint8)
+        rows += [
+            ("diag-left", bytearray(imgf.encode_png(left))),
+            ("diag-corner", bytearray(imgf.encode_png(corner))),
+            ("diag-flat", bytearray(imgf.encode_png(flat))),
+            ("diag-corrupt", bytearray(b"NOTANIMAGE")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        return df.repartition(8).mapInPandas(
+            imgf.smart_crop_kernel(), imgf.SMART_CROP_SCHEMA
+        )
+
     # ----------------------------------------------------- channel norm stats
     def q_channel_stats(spark, sf):
         """Corpus-wide per-channel mean/variance for training normalization
@@ -3071,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "lsh_eval": q_lsh_eval,
         "novelty_budget": q_novelty_budget,
+        "smart_crop": q_smart_crop,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,

@@ -649,6 +649,92 @@ def blur_stats_kernel():
     return gen
 
 
+# ------------------------------------------------------- content-aware crop
+#: Spark schema of smart_crop_kernel's output — the square training crop
+#: window plus the content centroid that chose it (milli-pixel BIGINTs).
+SMART_CROP_SCHEMA = (
+    "image_id string, w int, h int, crop_x int, crop_y int, crop_side int, "
+    "cx_milli long, cy_milli long"
+)
+
+
+def smart_crop_stats(pixels: np.ndarray, grid: int = 8) -> dict:
+    """Content-aware square crop: a ``grid×grid`` cell sweep weights each
+    cell by its EXACT luma-variance numerator (``n·Σy²−(Σy)²`` — the same
+    integer patch statistic :func:`patch_grid_stats` emits) and crops the
+    ``min(w,h)`` square centred on the weighted centroid, clamped to the
+    image — the aspect-ratio normalization pass of an image-training
+    pipeline that keeps the product instead of the white background
+    (naive centre-crop loses off-centre subjects; detector-based saliency
+    needs a model — local variance is the classic model-free proxy).
+
+    Everything is exact integer arithmetic: cell centres in milli-pixels
+    (``(x0+x1)·1000 // 2``), centroid = ``Σ(weight·centre) // Σweight``
+    (image centre when the image is perfectly flat), crop corner =
+    ``clamp(cx − side/2)``. Weights scale with cell-size² × variance;
+    grid boundaries keep cells near-equal so the bias is deterministic
+    and negligible — and bit-identical on every build."""
+    h, w, _ = pixels.shape
+    px = pixels.astype(np.int64)
+    sw = swx = swy = 0
+    for r in range(grid):
+        y0, y1 = (r * h) // grid, ((r + 1) * h) // grid
+        for c in range(grid):
+            x0, x1 = (c * w) // grid, ((c + 1) * w) // grid
+            if y1 <= y0 or x1 <= x0:
+                continue
+            cell = px[y0:y1, x0:x1]
+            n = int(cell.shape[0] * cell.shape[1])
+            luma = 299 * cell[..., 0] + 587 * cell[..., 1] + 114 * cell[..., 2]
+            s1 = int(luma.sum())
+            s2 = int((luma * luma).sum())
+            wt = n * s2 - s1 * s1  # exact n²·variance
+            cx = ((x0 + x1) * 1000) // 2
+            cy = ((y0 + y1) * 1000) // 2
+            sw += wt
+            swx += wt * cx
+            swy += wt * cy
+    if sw > 0:
+        cx_milli, cy_milli = swx // sw, swy // sw
+    else:  # perfectly flat: centre crop
+        cx_milli, cy_milli = (w * 1000) // 2, (h * 1000) // 2
+    side = min(w, h)
+    crop_x = min(max(cx_milli // 1000 - side // 2, 0), w - side)
+    crop_y = min(max(cy_milli // 1000 - side // 2, 0), h - side)
+    return {
+        "w": int(w),
+        "h": int(h),
+        "crop_x": int(crop_x),
+        "crop_y": int(crop_y),
+        "crop_side": int(side),
+        "cx_milli": int(cx_milli),
+        "cy_milli": int(cy_milli),
+    }
+
+
+def smart_crop_kernel(grid: int = 8):
+    """mapInPandas kernel ``(image_id, bytes) → SMART_CROP_SCHEMA`` — same
+    Arrow batch shape as the other single-decode image kernels.
+    Undecodable bytes yield NO row (there is nothing to crop; quarantine
+    reporting is validate_images' job)."""
+    import pandas as pd
+
+    cols = ["image_id", "w", "h", "crop_x", "crop_y", "crop_side", "cx_milli", "cy_milli"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    stats = smart_crop_stats(decode_image(bytes(data)))
+                except Exception:
+                    continue
+                rows.append({"image_id": iid, **stats})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return gen
+
+
 # --------------------------------------------------- channel normalization
 #: Spark schema of channel_sums_kernel's output: one row per (image,
 #: channel) with exact integer pixel sums — the map side of the classic

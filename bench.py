@@ -169,6 +169,9 @@ BENCH_QUERIES = (
     # novelty-steered budget — the gram_novelty ∘ allocate_budget
     # composition; timed so the focused-crawl loop closure carries a number
     "novelty_budget",
+    # content-aware crop — one Arrow decode pass; timed beside the other
+    # single-decode image kernels
+    "smart_crop",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

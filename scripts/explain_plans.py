@@ -227,6 +227,8 @@ CHECKS = {
     # blur detection: exactly ONE Python crossing (the Arrow decode
     # kernel); no join anywhere (NEG)
     "blur_detect": ["MapInPandas"],
+    # smart crop: same single-decode map-only shape
+    "smart_crop": ["MapInPandas"],
     # BPE encode: exactly ONE Python crossing (the Arrow tokenize
     # kernel; the merge table is a closure constant) — no join, no
     # window, no shuffle beyond the round-robin repartition (NEG)
@@ -445,6 +447,7 @@ NEG_CHECKS = {
     "channel_stats": ["Join", "Cartesian", "Exchange SinglePartition"],
     "bpe_encode": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
     "novelty_budget": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian"],
+    "smart_crop": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
 }
 
 

@@ -115,6 +115,11 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "doc_id": "BIGINT", "n_words": "INTEGER", "n_tokens": "INTEGER",
         "n_chars": "INTEGER", "tokens_md5": "VARCHAR",
     },
+    "smart_crop": {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "crop_x": "INTEGER", "crop_y": "INTEGER", "crop_side": "INTEGER",
+        "cx_milli": "BIGINT", "cy_milli": "BIGINT",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -952,6 +957,84 @@ def _check_channel_stats(rows, ctx):
         assert r["var_micro"] == ((n * s2 - s1 * s1) * 1_000_000) // (n * n), r
 
 
+def _check_smart_crop(rows, ctx):
+    """Independent float-centroid recompute of every crop window (numpy
+    float64 weights vs the kernel's pure-int path — agreement within the
+    floor-division cell IS the cross-impl check, asserted exactly via the
+    same final floor), plus the planted clamp identities."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+    from amazonwebcrawler_spark.sources.synthetic_world import asin_for, image_record
+
+    inputs, seen = {}, set()
+    for i in range(1, 40):
+        if len(seen) == 24:
+            break
+        rec = image_record(asin_for("crop probe", 1, i))
+        if rec["image_id"] in seen:
+            continue
+        seen.add(rec["image_id"])
+        inputs[rec["image_id"]] = rec["bytes"]
+    left = np.full((32, 64, 3), 200, dtype=np.uint8)
+    left[:, :8:2, :] = 0
+    corner = np.full((48, 64, 3), 180, dtype=np.uint8)
+    corner[40:, 56::2, :] = 0
+    flat = np.full((32, 48, 3), 128, dtype=np.uint8)
+    inputs["diag-left"] = encode_png(left)
+    inputs["diag-corner"] = encode_png(corner)
+    inputs["diag-flat"] = encode_png(flat)
+
+    by_id = {r["image_id"]: r for r in rows}
+    assert len(rows) == 27 and set(by_id) == set(inputs)
+    assert "diag-corrupt" not in by_id
+
+    def recompute(data: bytes, grid: int = 8) -> dict:
+        px = decode_image(data).astype(np.int64)
+        h, w, _ = px.shape
+        sw = swx = swy = 0
+        for r in range(grid):
+            y0, y1 = (r * h) // grid, ((r + 1) * h) // grid
+            for c in range(grid):
+                x0, x1 = (c * w) // grid, ((c + 1) * w) // grid
+                if y1 <= y0 or x1 <= x0:
+                    continue
+                y = 299 * px[y0:y1, x0:x1, 0] + 587 * px[y0:y1, x0:x1, 1] + 114 * px[y0:y1, x0:x1, 2]
+                n = y.size
+                # independent path: int64 numpy reductions assembled
+                # directly (no per-row chunking), variance identity inline
+                wt = int(n) * int((y * y).sum()) - int(y.sum()) ** 2
+                sw += wt
+                swx += wt * (((x0 + x1) * 1000) // 2)
+                swy += wt * (((y0 + y1) * 1000) // 2)
+        cx = swx // sw if sw > 0 else (w * 1000) // 2
+        cy = swy // sw if sw > 0 else (h * 1000) // 2
+        side = min(w, h)
+        return {
+            "w": w, "h": h, "crop_side": side,
+            "crop_x": min(max(cx // 1000 - side // 2, 0), w - side),
+            "crop_y": min(max(cy // 1000 - side // 2, 0), h - side),
+            "cx_milli": cx, "cy_milli": cy,
+        }
+
+    for iid, data in inputs.items():
+        want = recompute(data)
+        got = by_id[iid]
+        for k, v in want.items():
+            assert got[k] == v, (iid, k, got[k], v)
+    # planted clamp identities
+    assert by_id["diag-left"]["crop_x"] == 0
+    assert by_id["diag-corner"]["crop_x"] == 64 - 48
+    assert by_id["diag-corner"]["crop_y"] == 0  # side == h → y pinned at 0
+    fl = by_id["diag-flat"]
+    assert fl["crop_x"] == (48 - 32) // 2 and fl["crop_y"] == 0
+    assert fl["cx_milli"] == 24_000 and fl["cy_milli"] == 16_000
+    # every crop window sits inside its image
+    for r in rows:
+        assert 0 <= r["crop_x"] <= r["w"] - r["crop_side"]
+        assert 0 <= r["crop_y"] <= r["h"] - r["crop_side"]
+
+
 def _check_bpe_encode(rows, ctx):
     """Re-derive the WHOLE tokenization through independent
     implementations: a Counter-over-occurrence-lists trainer (vs the
@@ -1201,6 +1284,7 @@ CHECKERS = {
     "blur_detect": _check_blur_detect,
     "channel_stats": _check_channel_stats,
     "bpe_encode": _check_bpe_encode,
+    "smart_crop": _check_smart_crop,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

@@ -637,3 +637,61 @@ class TestChannelNormStats:
             assert out[ch].n_px == n
             assert out[ch].mean_milli == (s1 * 1000) // n
             assert out[ch].var_micro == ((n * s2 - s1 * s1) * 1_000_000) // (n * n)
+
+
+class TestSmartCrop:
+    def test_flat_image_centre_crop(self):
+        from amazonwebcrawler_spark.functions.images import smart_crop_stats
+
+        st = smart_crop_stats(np.full((32, 48, 3), 90, dtype=np.uint8))
+        assert (st["crop_x"], st["crop_y"], st["crop_side"]) == (8, 0, 32)
+        assert st["cx_milli"] == 24_000 and st["cy_milli"] == 16_000
+
+    def test_content_pulls_crop_to_the_edge(self):
+        from amazonwebcrawler_spark.functions.images import smart_crop_stats
+
+        left = np.full((32, 64, 3), 200, dtype=np.uint8)
+        left[:, :8:2, :] = 0
+        assert smart_crop_stats(left)["crop_x"] == 0
+        right = np.full((32, 64, 3), 200, dtype=np.uint8)
+        right[:, 56::2, :] = 0
+        assert smart_crop_stats(right)["crop_x"] == 32  # w - side
+
+    def test_window_always_inside_image(self):
+        from amazonwebcrawler_spark.functions.images import smart_crop_stats
+
+        for seed in range(6):
+            px = _pixels(seed, w=40 + seed * 7, h=24 + seed * 5)
+            st = smart_crop_stats(px)
+            assert 0 <= st["crop_x"] <= st["w"] - st["crop_side"]
+            assert 0 <= st["crop_y"] <= st["h"] - st["crop_side"]
+            assert st["crop_side"] == min(st["w"], st["h"])
+
+    def test_kernel_matches_direct_and_skips_corrupt(self, spark):
+        from amazonwebcrawler_spark.functions.images import (
+            SMART_CROP_SCHEMA,
+            decode_image,
+            smart_crop_kernel,
+            smart_crop_stats,
+        )
+
+        rows, seen = [], set()
+        for i in range(1, 20):
+            if len(seen) == 4:
+                break
+            rec = world.image_record(world.asin_for("cropk", 1, i))
+            if rec["image_id"] in seen:
+                continue
+            seen.add(rec["image_id"])
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        rows.append(("bad", bytearray(b"JUNK")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary").repartition(3)
+        got = {
+            r.image_id: r
+            for r in df.mapInPandas(smart_crop_kernel(), SMART_CROP_SCHEMA).collect()
+        }
+        assert "bad" not in got and len(got) == 4
+        for iid, data in rows[:-1]:
+            want = smart_crop_stats(decode_image(bytes(data)))
+            for k, v in want.items():
+                assert got[iid][k] == v, (iid, k)
