@@ -2318,6 +2318,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kcore(edges, k=4, iters=8)
 
+    def q_scc(spark, sf):
+        """Strongly connected components (operators/webgraph.scc): the
+        distributed trim + forward-min-color + backward-confirm scheme
+        (Slota et al. 2014 / GraphX's SCC — never Tarjan, which is
+        sequential) over a fixture of two chorded directed rings (11 and
+        7 nodes), a one-way bridge between them, a 2-layer bipartite DAG
+        periphery hanging off ring B, and a self-loop singleton. The
+        rings survive as the two nontrivial SCCs; everything else trims
+        or colors out as singletons. The twin verifies against the
+        DEFINITION — recursive-CTE transitive closure + mutual-reach
+        min — an independent derivation, not a replay. Pure integer
+        output (node, scc_id); non-convergence raises."""
+        from amazonwebcrawler_spark.operators.webgraph import scc
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = (
+            o.select((k % 11).alias("src"), ((k % 11 + 1) % 11).alias("dst"))
+            .unionByName(o.select((k % 11).alias("src"), ((k % 11 + 3) % 11).alias("dst")))
+            .unionByName(
+                o.select((k % 7 + 50).alias("src"), ((k % 7 + 1) % 7 + 50).alias("dst"))
+            )
+            .unionByName(
+                o.select((k % 7 + 50).alias("src"), ((k % 7 + 3) % 7 + 50).alias("dst"))
+            )
+            .unionByName(
+                o.select((k % 97 + 100).alias("src"), ((k * 7 + 3) % 97 + 200).alias("dst"))
+            )
+            .unionByName(
+                o.filter(k % 101 == 0).select(
+                    F.lit(0).cast("long").alias("src"), F.lit(50).cast("long").alias("dst")
+                )
+            )
+            .unionByName(
+                o.filter(k % 103 == 0).select(
+                    F.lit(50).cast("long").alias("src"), (k % 97 + 100).alias("dst")
+                )
+            )
+            .unionByName(
+                o.filter(k % 107 == 0).select(
+                    F.lit(999).cast("long").alias("src"), F.lit(999).cast("long").alias("dst")
+                )
+            )
+        )
+        return scc(edges, rounds=2, trim_iters=3, prop_iters=6)
+
     def q_random_walks(spark, sf):
         """Deterministic uniform random walks (operators/webgraph.
         random_walks): the DeepWalk corpus generator — 4-step walks from
@@ -3074,6 +3120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsir_weights — 48 uncovered keys + these two fill the window.
         "crawl_rank_wave": q_crawl_rank_wave,
         "robots_filter": q_robots_filter,
+        # ------- post-freeze additions (position 51+, local gate + pytest
+        # ------- coverage; see tests/test_registry.py POST_FREEZE)
+        "scc": q_scc,
         # --- position 51+: no driver row this round. Every key below is
         # already driver-green in r3 (media/report rows) or r4 (the bulk
         # family); all stay covered by the local gate + pytest.
@@ -3328,6 +3377,7 @@ def oracle_sql() -> dict[str, str]:
         kcore_oracle_sql,
         label_prop_oracle_sql,
         random_walks_oracle_sql,
+        scc_oracle_sql,
         triangle_oracle_sql,
     )
     from amazonwebcrawler_spark.operators.linkrank import (
@@ -4062,6 +4112,18 @@ FROM tok GROUP BY token
 ORDER BY tf DESC, token ASC
 LIMIT 25
 """,
+        "scc": scc_oracle_sql(
+            "SELECT o_orderkey % 11 AS src, (o_orderkey % 11 + 1) % 11 AS dst FROM orders "
+            "UNION ALL SELECT o_orderkey % 11, (o_orderkey % 11 + 3) % 11 FROM orders "
+            "UNION ALL SELECT o_orderkey % 7 + 50, (o_orderkey % 7 + 1) % 7 + 50 FROM orders "
+            "UNION ALL SELECT o_orderkey % 7 + 50, (o_orderkey % 7 + 3) % 7 + 50 FROM orders "
+            "UNION ALL SELECT o_orderkey % 97 + 100, (o_orderkey * 7 + 3) % 97 + 200 "
+            "FROM orders "
+            "UNION ALL SELECT 0, 50 FROM orders WHERE o_orderkey % 101 = 0 "
+            "UNION ALL SELECT 50, o_orderkey % 97 + 100 FROM orders "
+            "WHERE o_orderkey % 103 = 0 "
+            "UNION ALL SELECT 999, 999 FROM orders WHERE o_orderkey % 107 = 0"
+        ),
         "surt_key": rf"""
 WITH raw AS (
   SELECT o_orderkey,

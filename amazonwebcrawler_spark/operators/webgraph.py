@@ -743,3 +743,162 @@ SELECT d.node,
     ELSE 0 END AS BIGINT) AS clustering_micro
 FROM deg d LEFT JOIN cnt c USING (node)
 """
+
+
+def scc(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 2,
+    trim_iters: int = 3,
+    prop_iters: int = 6,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED link graph — the
+    link-ring / redirect-cycle detector beside the undirected community
+    signal (:func:`label_propagation`). A crawl scheduler treats a
+    nontrivial SCC (a set of hosts that all link back into each other)
+    as one logical site with a shared budget, and an SCC containing a
+    redirect cycle as a trap (functions/urls.host_trap_stats gives the
+    per-host symptom; this gives the graph-level cause).
+
+    Algorithm: the distributed trim + forward-color + backward-confirm
+    scheme (the FW-BW/coloring family — Slota et al. 2014, GraphX's SCC;
+    NOT Tarjan, which is inherently sequential). Per outer round:
+
+    1. **Trim** (``trim_iters`` sub-rounds): a node with in-degree 0 or
+       out-degree 0 in the remaining induced subgraph can sit on no
+       cycle, so it is its own SCC — assign ``scc_id = node`` and drop
+       it. Peels DAG peripheries layer by layer.
+    2. **Color** (``prop_iters`` sub-rounds): propagate ``f(v) = min
+       label of any vertex that reaches v`` along edge direction to
+       fixpoint (min-label propagation, the connected-components idiom
+       restricted to one direction).
+    3. **Confirm backward**: roots are nodes with ``f(v) == v``; walk
+       edges BACKWARD marking ``u`` when ``u → w``, ``w`` is marked and
+       ``f(u) == f(w)``. Marked nodes are exactly the SCC of their root
+       (v marked ⟺ v reaches its color root within its color class ⟺
+       mutual reachability), one SCC extracted per color class per
+       round — all color classes in parallel.
+
+    Determinism: every step is a pure function of the edge set
+    (min-labels, synchronous sweeps), so the DuckDB twin can verify it
+    against the DEFINITION — transitive-closure mutual reachability —
+    an independent derivation, not a replay.
+
+    Budgets are static (no convergence probes inside the loop — the
+    label_propagation discipline); one bounded scalar at the end checks
+    every node was assigned and raises otherwise, the dedup_groups
+    non-convergence contract. ``prop_iters`` must cover the largest SCC
+    diameter + the color class's reach depth; ``rounds`` must cover the
+    longest chain of mutually-entangled color classes (2 suffices for
+    any fixture whose nontrivial SCCs are entered from at most one
+    smaller-labeled SCC).
+
+    Scale shape, per sub-round: one equi-join of the (always shrinking)
+    remaining/label table against the persisted induced edge table +
+    one map-side-combinable min/distinct — no windows, no Python, no
+    driver collects except the final convergence scalar; lineage
+    truncated per sub-round via localCheckpoint. Returns
+    ``(node BIGINT, scc_id BIGINT)`` for every distinct endpoint.
+    """
+    e_all = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    ).distinct()
+    nodes = (
+        e_all.select(F.col("src").alias("node"))
+        .unionByName(e_all.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = e_all.filter(F.col("src") != F.col("dst")).persist()
+    remaining = nodes.localCheckpoint()
+    pieces: list[DataFrame] = []
+    for _ in range(rounds):
+        for _ in range(trim_iters):
+            er = e.join(
+                remaining.withColumnRenamed("node", "src"), "src", "left_semi"
+            ).join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            # survivors need BOTH an in- and an out-edge in the induced graph
+            keep = (
+                er.select(F.col("src").alias("node"))
+                .distinct()
+                .join(er.select(F.col("dst").alias("node")).distinct(), "node", "left_semi")
+            )
+            trimmed = remaining.join(keep, "node", "left_anti")
+            pieces.append(
+                trimmed.select("node", F.col("node").alias("scc_id")).localCheckpoint()
+            )
+            remaining = remaining.join(keep, "node", "left_semi").localCheckpoint()
+        er = (
+            e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        f = remaining.select("node", F.col("node").alias("f")).localCheckpoint()
+        for _ in range(prop_iters):
+            cand = er.join(
+                f.select(F.col("node").alias("src"), F.col("f").alias("fs")), "src"
+            ).select(F.col("dst").alias("node"), F.col("fs").alias("f"))
+            f = (
+                f.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("f").alias("f"))
+                .localCheckpoint()
+            )
+        marked = f.filter(F.col("f") == F.col("node")).select("node").localCheckpoint()
+        for _ in range(prop_iters):
+            new = (
+                er.join(marked.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                .join(f.select(F.col("node").alias("src"), F.col("f").alias("fu")), "src")
+                .join(f.select(F.col("node").alias("dst"), F.col("f").alias("fw")), "dst")
+                .filter(F.col("fu") == F.col("fw"))
+                .select(F.col("src").alias("node"))
+            )
+            marked = marked.unionByName(new).distinct().localCheckpoint()
+        pieces.append(
+            f.join(marked, "node", "left_semi")
+            .select("node", F.col("f").alias("scc_id"))
+            .localCheckpoint()
+        )
+        remaining = remaining.join(marked, "node", "left_anti").localCheckpoint()
+    leftover = remaining.count()
+    e.unpersist()
+    if leftover:
+        raise RuntimeError(
+            f"scc did not converge: {leftover} nodes unassigned after "
+            f"{rounds} rounds (raise rounds/trim_iters/prop_iters)"
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scc_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`scc` — an INDEPENDENT derivation from the
+    definition, not a replay: recursive-CTE transitive closure, then
+    ``scc_id(v) = min(w)`` over ``{v} ∪ {w : v→w ∧ w→v}``. Valid only at
+    oracle scale (closure is O(n·reach)); the Spark side never builds a
+    closure."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM ({edges_sql}) WHERE src <> dst
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM ({edges_sql})
+    UNION ALL SELECT dst FROM ({edges_sql})
+  )
+),
+reach AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+),
+pair AS (
+  SELECT node, node AS other FROM nodes
+  UNION
+  SELECT a.src AS node, a.dst AS other
+  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+)
+SELECT node, MIN(other) AS scc_id FROM pair GROUP BY node
+"""

@@ -172,6 +172,10 @@ BENCH_QUERIES = (
     # content-aware crop — one Arrow decode pass; timed beside the other
     # single-decode image kernels
     "smart_crop",
+    # r5 session 15: distributed SCC (trim + forward-min color + backward
+    # confirm, ~38 localCheckpointed sub-rounds) — timed so the
+    # iterative-rounds cost of the link-ring detector carries a number
+    "scc",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

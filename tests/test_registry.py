@@ -29,7 +29,7 @@ POST_FREEZE = (
     "ann_pq", "compaction_plan", "phrase_match", "skipgram_pairs",
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
     "blur_detect", "channel_stats", "bpe_encode", "lsh_eval",
-    "novelty_budget", "smart_crop",
+    "novelty_budget", "smart_crop", "scc",
 )
 
 

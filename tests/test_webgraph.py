@@ -650,3 +650,90 @@ class TestRandomWalks:
 
         with pytest.raises(ValueError):
             random_walks(spark.createDataFrame([(1, 2)], "src long, dst long"), walk_len=0)
+
+
+def _py_tarjan_scc(edge_rows):
+    """Independent Tarjan oracle (iterative): node -> min label of its SCC."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    for s, d in edge_rows:
+        nodes.add(s)
+        nodes.add(d)
+        if s != d:
+            adj[s].append(d)
+    index, low, on, stack, out = {}, {}, set(), [], {}
+    counter = [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            descended = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if not descended:
+                work.pop()
+                if work:
+                    low[work[-1][0]] = min(low[work[-1][0]], low[v])
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        out[w] = m
+    return out
+
+
+class TestScc:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "src long, dst long")
+        return {r["node"]: r["scc_id"] for r in webgraph.scc(df, **kw).collect()}
+
+    def test_two_cycles_one_bridge(self, spark):
+        # 3-cycle, 2-cycle, one-way bridge, DAG tail, pure sink
+        rows = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10), (11, 20), (20, 21)]
+        got = self._run(spark, rows)
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+    def test_self_loop_and_multiplicity_collapse(self, spark):
+        rows = [(5, 5), (5, 5), (1, 2), (1, 2), (2, 1)]
+        got = self._run(spark, rows)
+        assert got == {5: 5, 1: 1, 2: 1}
+
+    def test_random_digraph_matches_tarjan(self, spark):
+        import random
+
+        rng = random.Random(37)
+        rows = sorted(
+            {(rng.randrange(40), rng.randrange(40)) for _ in range(100)}
+            | {(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10)}
+        )
+        got = self._run(spark, rows, rounds=8, trim_iters=4, prop_iters=12)
+        assert got == _py_tarjan_scc(rows)
+
+    def test_nonconvergence_raises(self, spark):
+        # two entangled cycles need 2 extraction rounds; rounds=1 must raise
+        rows = [(1, 2), (2, 1), (1, 10), (10, 11), (11, 10)]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            webgraph.scc(df, rounds=1, trim_iters=1, prop_iters=4).collect()
