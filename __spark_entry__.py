@@ -3047,6 +3047,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         df = spark.createDataFrame(rows, "image_id string, bytes binary")
         return channel_norm_stats(df)
 
+    def q_shard_rebalance(spark, sf):
+        """Rendezvous-hash resharding plan for the URL-seen store
+        (operators/sharding.rebalance_plan): growing the Bloom/cuckoo
+        state from 8 to 10 shards under HRW moves ONLY keys whose argmax
+        is a NEW shard (provably minimal movement — mod-hashing would
+        remap ~80%), and the whole plan is one map-only codegen scan.
+        Output = the move matrix (old→new cell counts + the exact
+        store_moved_milli fraction); the minimal-movement property
+        itself is asserted in tests/test_sharding.py."""
+        from amazonwebcrawler_spark.operators.sharding import rebalance_plan, rebalance_summary
+
+        keys = _t(spark, sf, "orders").select(
+            F.concat(F.lit("u-"), F.col("o_orderkey").cast("string")).alias("url")
+        )
+        old = [f"s{i:02d}" for i in range(8)]
+        new = old + ["s08", "s09"]
+        return rebalance_summary(rebalance_plan(keys, "url", old, new)).select(
+            "old_shard", "new_shard", "n_keys", "n_moved", "store_moved_milli"
+        )
+
+    def q_caption_filter(spark, sf):
+        """LAION-style caption curation on the image+caption shape
+        (functions/text.caption_quality): exact-integer caption stats +
+        first-failing-rule keep/drop over a deterministic mix of filename
+        alt-text, too-short/one-word captions, digit soup, symbol soup,
+        boilerplate placeholders, and clean 'a photo of <name>' rows —
+        every rule family exercised, both engines synthesize the same
+        captions from part."""
+        from amazonwebcrawler_spark.functions.text import caption_quality
+
+        k = F.col("p_partkey")
+        caption = (
+            F.when(k % 7 == 0, F.concat(F.lit("IMG_"), k.cast("string"), F.lit(".jpg")))
+            .when(k % 7 == 1, F.lit("ok"))
+            .when(k % 7 == 2, F.lit("photograph"))
+            .when(k % 7 == 3, F.concat(k.cast("string"), F.lit(" "), k.cast("string")))
+            .when(k % 7 == 4, F.lit("no image available"))
+            .when(k % 7 == 5, F.lit("### $$$ %%%"))
+            .otherwise(F.concat(F.lit("a photo of "), F.col("p_name")))
+        )
+        pairs = _t(spark, sf, "part").select(
+            F.concat(F.lit("img-"), k.cast("string")).alias("image_id"),
+            caption.alias("caption"),
+        )
+        return caption_quality(pairs).select(
+            "image_id", "caption_chars", "caption_words", "digit_milli",
+            "alpha_milli", "is_filename", "dup_count", "drop_reason", "keep",
+        )
+
+    def q_aimd_rate(spark, sf):
+        """AIMD per-host politeness rate (operators/politeness.aimd_rate):
+        the TCP control law folded over each host's wave history — +1
+        after a clean wave (cap 16), halve after an error wave (floor 1)
+        — as ONE codegen F.aggregate over the sorted outcome array; the
+        DuckDB twin replays the identical fold with list_reduce. Wave
+        outcomes are a deterministic md5 bit on (host, wave), so both
+        engines fold the same history."""
+        from amazonwebcrawler_spark.operators.politeness import aimd_rate
+
+        o = _t(spark, sf, "orders")
+        pairs = o.select(
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 37).cast("string")).alias("host"),
+            ((F.col("o_orderkey") * 7) % 23).cast("int").alias("wave"),
+        ).distinct()
+        flag = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("host"), F.lit("#"), F.col("wave").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+            == 0
+        )
+        log = pairs.withColumn("had_error", flag)
+        return aimd_rate(log, initial_rate=4, max_rate=16).select(
+            "host", "n_waves", "n_error_waves", "rate"
+        )
+
+    def q_contam_spans(spark, sf):
+        """Span-level decontamination (operators/corpus.contam_spans):
+        instead of dropping a whole contaminated training doc, locate the
+        matched-3-gram TOKEN SPANS (merged islands over hit positions)
+        so the pipeline trims the leak and keeps the remainder. Same
+        eval fixture as decontaminate (doc_id % 97), same normalized
+        tokenization as the dedup family; all outputs exact integers."""
+        from amazonwebcrawler_spark.operators.corpus import contam_spans
+
+        d = _t(spark, sf, "documents")
+        ev = d.filter(F.col("doc_id") % 97 == 0)
+        return contam_spans(d, ev, "text", "doc_id", n=3).select(
+            "doc_id", "span_start", "span_end", "span_words",
+            "n_spans", "n_tokens", "removed_milli",
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3161,6 +3257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_eval": q_lsh_eval,
         "novelty_budget": q_novelty_budget,
         "smart_crop": q_smart_crop,
+        "shard_rebalance": q_shard_rebalance,
+        "caption_filter": q_caption_filter,
+        "aimd_rate": q_aimd_rate,
+        "contam_spans": q_contam_spans,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -5169,6 +5269,160 @@ SELECT domain, CAST(demand AS BIGINT) AS demand, base_quota,
   base_quota + CAST(CASE WHEN rk <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END AS BIGINT)
     AS quota
 FROM r
+""",
+        "shard_rebalance": rf"""
+-- rendezvous (HRW) assignment replayed per shard list: weight = top 60
+-- bits of md5(key || '|' || shard); argmax with (w DESC, s DESC) = the
+-- Spark array_max over struct(w, s)
+WITH keys AS (SELECT 'u-' || o_orderkey::VARCHAR AS url FROM orders),
+so AS (SELECT * FROM (VALUES ('s00'),('s01'),('s02'),('s03'),('s04'),('s05'),('s06'),('s07')) t(s)),
+sn AS (SELECT s FROM so UNION ALL SELECT * FROM (VALUES ('s08'),('s09')) t2(s)),
+wo AS (
+  SELECT url, s,
+    CAST(CAST(('0x' || substr(md5(url || '|' || s), 1, 15)) AS UBIGINT) AS BIGINT) AS w
+  FROM keys CROSS JOIN so
+),
+wn AS (
+  SELECT url, s,
+    CAST(CAST(('0x' || substr(md5(url || '|' || s), 1, 15)) AS UBIGINT) AS BIGINT) AS w
+  FROM keys CROSS JOIN sn
+),
+ao AS (SELECT url, s AS old_shard FROM
+  (SELECT url, s, row_number() OVER (PARTITION BY url ORDER BY w DESC, s DESC) AS rk FROM wo)
+  WHERE rk = 1),
+an AS (SELECT url, s AS new_shard FROM
+  (SELECT url, s, row_number() OVER (PARTITION BY url ORDER BY w DESC, s DESC) AS rk FROM wn)
+  WHERE rk = 1),
+pl AS (SELECT ao.url, old_shard, new_shard, old_shard <> new_shard AS moved
+       FROM ao JOIN an USING (url)),
+tot AS (SELECT COUNT(*) AS c, SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS m FROM pl)
+SELECT old_shard, new_shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+  CAST((t.m * 1000) // t.c AS BIGINT) AS store_moved_milli
+FROM pl, tot t GROUP BY old_shard, new_shard, t.m, t.c
+""",
+        "caption_filter": rf"""
+-- LAION-style caption rules replayed expression-for-expression (regex
+-- patterns are lookahead-free so Java regex and RE2 agree)
+WITH cap AS (
+  SELECT 'img-' || p_partkey::VARCHAR AS image_id,
+    CASE p_partkey % 7
+      WHEN 0 THEN 'IMG_' || p_partkey::VARCHAR || '.jpg'
+      WHEN 1 THEN 'ok'
+      WHEN 2 THEN 'photograph'
+      WHEN 3 THEN p_partkey::VARCHAR || ' ' || p_partkey::VARCHAR
+      WHEN 4 THEN 'no image available'
+      WHEN 5 THEN '### $$$ %%%'
+      ELSE 'a photo of ' || p_name
+    END AS caption
+  FROM part
+),
+st AS (SELECT image_id, trim(caption) AS t, lower(trim(caption)) AS nrm FROM cap),
+m AS (
+  SELECT image_id, t, nrm,
+    CAST(length(t) AS INT) AS caption_chars,
+    CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split_regex(t, '\s+')) END AS INT)
+      AS caption_words,
+    length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS nd,
+    length(regexp_replace(nrm, '[^a-z]', '', 'g')) AS na
+  FROM st
+),
+r AS (
+  SELECT image_id, caption_chars, caption_words,
+    CAST(CASE WHEN caption_chars > 0 THEN (nd * 1000) // caption_chars ELSE 0 END AS BIGINT)
+      AS digit_milli,
+    CAST(CASE WHEN caption_chars > 0 THEN (na * 1000) // caption_chars ELSE 0 END AS BIGINT)
+      AS alpha_milli,
+    (regexp_matches(nrm, '^(img|dsc|dcim|pxl)[-_]?[0-9]+\.(jpg|jpeg|png|gif|webp)$')
+     OR (regexp_matches(nrm, '^[a-z0-9_\-]+\.(jpg|jpeg|png|gif|webp)$')
+         AND caption_words = 1)) AS is_filename,
+    CAST(COUNT(*) OVER (PARTITION BY md5(nrm)) AS BIGINT) AS dup_count
+  FROM m
+),
+dec AS (
+  SELECT *,
+    CASE WHEN caption_chars < 5 THEN 'too_short'
+         WHEN is_filename THEN 'filename'
+         WHEN caption_words < 2 THEN 'too_few_words'
+         WHEN digit_milli > 300 THEN 'digit_heavy'
+         WHEN alpha_milli < 500 THEN 'low_alpha'
+         WHEN dup_count > 10 THEN 'boilerplate_dup'
+         END AS drop_reason
+  FROM r
+)
+SELECT image_id, caption_chars, caption_words, digit_milli, alpha_milli,
+  is_filename, dup_count, drop_reason, drop_reason IS NULL AS keep
+FROM dec
+""",
+        "aimd_rate": rf"""
+-- the AIMD fold replayed with list_reduce: initial rate prepended to the
+-- wave-ordered 0/1 error flags (rates are >=1 and flags 0/1, so the seed
+-- element is unambiguous)
+WITH pairs AS (
+  SELECT DISTINCT 'h' || (o_orderkey % 37)::VARCHAR AS host,
+    CAST((o_orderkey * 7) % 23 AS INT) AS wave
+  FROM orders
+),
+flag AS (
+  SELECT host, wave,
+    (CAST(('0x' || substr(md5(host || '#' || wave::VARCHAR), 1, 8)) AS UBIGINT) % 4 = 0)
+      AS had_error
+  FROM pairs
+),
+agg AS (
+  SELECT host, COUNT(*) AS n_waves,
+    SUM(CASE WHEN had_error THEN 1 ELSE 0 END) AS n_error_waves,
+    list(CAST(had_error AS BIGINT) ORDER BY wave, had_error) AS es
+  FROM flag GROUP BY host
+)
+SELECT host, CAST(n_waves AS BIGINT) AS n_waves,
+  CAST(n_error_waves AS BIGINT) AS n_error_waves,
+  list_reduce(list_prepend(CAST(4 AS BIGINT), es),
+    (acc, x) -> CASE WHEN x = 1 THEN greatest(1, acc // 2)
+                     ELSE least(16, acc + 1) END) AS rate
+FROM agg
+""",
+        "contam_spans": rf"""
+-- positional shingles (NOT distinct - positions matter), eval-gram probe,
+-- then the classic islands merge per doc
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+pos AS (
+  SELECT doc_id, len(toks) AS n_tokens, i - 1 AS strt,
+    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+  FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+),
+ev AS (SELECT DISTINCT s FROM pos WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT p.doc_id, p.n_tokens, p.strt, p.strt + 2 AS e
+  FROM pos p JOIN ev USING (s)
+),
+isl AS (
+  SELECT doc_id, n_tokens, strt, e,
+    CASE WHEN max(e) OVER w IS NULL OR strt > max(e) OVER w + 1
+         THEN 1 ELSE 0 END AS nw
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY strt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT *, SUM(nw) OVER (PARTITION BY doc_id ORDER BY strt
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, n_tokens, island, MIN(strt) AS span_start, MAX(e) AS span_end
+  FROM isl2 GROUP BY doc_id, n_tokens, island
+)
+SELECT doc_id, CAST(span_start AS INT) AS span_start,
+  CAST(span_end AS INT) AS span_end,
+  CAST(span_end - span_start + 1 AS BIGINT) AS span_words,
+  CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_spans,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST((SUM(span_end - span_start + 1) OVER (PARTITION BY doc_id) * 1000) // n_tokens AS BIGINT)
+    AS removed_milli
+FROM spans
 """,
         "ppl_buckets": rf"""
 -- lm_score's unigram-NLL CTE + exact-integer ntile per language

@@ -12,7 +12,7 @@ large-scale training-data pipeline would need').
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 #: tiny public stopword lists — enough for a deterministic heuristic
@@ -1555,4 +1555,77 @@ def ppl_buckets(df, text_col: str, id_col: str, lang_col: str):
             .otherwise("tail")
             .alias("bucket"),
         )
+    )
+
+
+def caption_quality(
+    df,
+    caption_col: str = "caption",
+    min_chars: int = 5,
+    min_words: int = 2,
+    max_digit_milli: int = 300,
+    min_alpha_milli: int = 500,
+    max_dup: int = 10,
+):
+    """LAION/DataComp-style caption curation over the image+caption table
+    (the input_hint's exact shape): per row, exact-integer caption stats
+    and a keep/drop decision with the FIRST failing rule named — the
+    standard pre-CLIP-filter pass that removes alt-text noise before any
+    model ever scores the pair.
+
+    Rules, in fixed precedence (mirrors the published LAION-5B prefilter
+    family): ``too_short`` (< min_chars after trim), ``filename`` (the
+    caption is a camera filename or bare image path — 'IMG_1234.jpg' alt
+    text; checked before the word count because filenames ARE single
+    words), ``too_few_words``, ``digit_heavy`` (digit ratio > 30%),
+    ``low_alpha`` (letters < 50% — emoji/markup soup), ``boilerplate_dup``
+    (the SAME normalized caption on > max_dup images — 'No image
+    available' style placeholders; near-dup captions are the job of
+    dedup_minhash_lsh, this rule is the exact-string fanout cut).
+
+    Shapes: every stat is pure codegen column math; the only shuffle is
+    ONE window COUNT partitioned by the normalized-caption md5 (never
+    global, key cardinality ≈ distinct captions). Ratios are exact
+    integers (``·1000 DIV chars``), so the contract is bit-stable.
+    """
+    t = F.trim(F.col(caption_col))
+    norm = F.lower(t)
+    chars = F.length(t)
+    words = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    digits = chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    alpha = F.length(F.regexp_replace(norm, r"[^a-z]", ""))
+    digit_milli = F.when(chars > 0, F.expr(f"(_cq_digits * 1000L) DIV _cq_chars")).otherwise(
+        F.lit(0).cast("long")
+    )
+    alpha_milli = F.when(chars > 0, F.expr(f"(_cq_alpha * 1000L) DIV _cq_chars")).otherwise(
+        F.lit(0).cast("long")
+    )
+    filename_like = norm.rlike(r"^(img|dsc|dcim|pxl)[-_]?[0-9]+\.(jpg|jpeg|png|gif|webp)$") | (
+        norm.rlike(r"^[a-z0-9_\-]+\.(jpg|jpeg|png|gif|webp)$") & (words == 1)
+    )
+    w = Window.partitionBy(F.md5(norm))
+    staged = (
+        df.withColumn("_cq_chars", chars)
+        .withColumn("_cq_words", words)
+        .withColumn("_cq_digits", digits)
+        .withColumn("_cq_alpha", alpha)
+        .withColumn("caption_chars", F.col("_cq_chars").cast("int"))
+        .withColumn("caption_words", F.col("_cq_words").cast("int"))
+        .withColumn("digit_milli", digit_milli)
+        .withColumn("alpha_milli", alpha_milli)
+        .withColumn("is_filename", filename_like)
+        .withColumn("dup_count", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    reason = (
+        F.when(F.col("caption_chars") < min_chars, F.lit("too_short"))
+        .when(F.col("is_filename"), F.lit("filename"))
+        .when(F.col("caption_words") < min_words, F.lit("too_few_words"))
+        .when(F.col("digit_milli") > max_digit_milli, F.lit("digit_heavy"))
+        .when(F.col("alpha_milli") < min_alpha_milli, F.lit("low_alpha"))
+        .when(F.col("dup_count") > max_dup, F.lit("boilerplate_dup"))
+    )
+    return (
+        staged.withColumn("drop_reason", reason)
+        .withColumn("keep", F.col("drop_reason").isNull())
+        .drop("_cq_chars", "_cq_words", "_cq_digits", "_cq_alpha")
     )

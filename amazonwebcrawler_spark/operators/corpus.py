@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from amazonwebcrawler_spark.functions.text import normalize_text
 from amazonwebcrawler_spark.operators.dedup import shingle_rows
 
 
@@ -633,3 +634,85 @@ SELECT e.key, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
   CAST(s.cms_est - e.exact_cnt AS BIGINT) AS overcount
 FROM exact e JOIN est s USING (key)
 """
+
+
+def contam_spans(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Span-level decontamination — the FineWeb/"exact-substring" refinement
+    of :func:`decontaminate`: instead of dropping a whole training document
+    that shares n-grams with the eval set, locate the contaminated TOKEN
+    SPANS so the pipeline can trim them and keep the clean remainder. (A
+    10-word eval leak inside a 10k-word document should cost 10 words, not
+    the document.)
+
+    Per matching n-gram occurrence the hit covers tokens [i, i+n-1] (0-based
+    positions over the SAME normalized tokenization the dedup family uses);
+    overlapping or adjacent hits merge into maximal spans via the classic
+    islands window: a hit starts a new island iff its start exceeds the
+    running max end + 1 of all earlier hits (doc-partitioned window, never
+    global). Output one row per merged span — (doc_id, span_start,
+    span_end, span_words, n_spans, n_tokens, removed_milli) with
+    ``removed_milli = (Σ span words · 1000) DIV n_tokens`` repeated per the
+    doc's rows — exact integers only.
+
+    Scale shapes: eval grams are DISTINCT + broadcast (the 100 TB train
+    side never shuffles for the probe); positional shingles are the same
+    codegen explode as ``shingle_rows`` WITHOUT the distinct (positions
+    matter); the islands pass is two doc-keyed windows — cost bounded by
+    hits, not corpus size, because the probe join filters first.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    base = train.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks"), F.size(toks).alias("n_tokens")
+    ).filter(F.size("_toks") >= n)
+    pos = base.select(
+        "_id",
+        "n_tokens",
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.size("_toks") - n)).alias("_i"),
+    )
+    gram = F.concat_ws(" ", *[F.get(F.col("_toks"), F.col("_i") + j) for j in range(n)])
+    hits = pos.select("_id", "n_tokens", F.col("_i").alias("_start"), gram.alias("_s"))
+
+    eval_grams = shingle_rows(eval_df, text_col, id_col, n).select("_s").distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    matched = hits.join(eval_grams, "_s").select(
+        "_id", "n_tokens", "_start", (F.col("_start") + (n - 1)).alias("_end")
+    )
+
+    w_scan = Window.partitionBy("_id").orderBy("_start")
+    prev_max_end = F.max("_end").over(
+        w_scan.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = matched.withColumn(
+        "_new", (prev_max_end.isNull() | (F.col("_start") > prev_max_end + 1)).cast("long")
+    ).withColumn("_island", F.sum("_new").over(w_scan.rowsBetween(Window.unboundedPreceding, 0)))
+    spans = flagged.groupBy("_id", "n_tokens", "_island").agg(
+        F.min("_start").alias("span_start"),
+        F.max("_end").alias("span_end"),
+    )
+    w_doc = Window.partitionBy("_id")
+    span_words = (F.col("span_end") - F.col("span_start") + 1).cast("long")
+    return (
+        spans.withColumn("span_words", span_words)
+        .withColumn("n_spans", F.count(F.lit(1)).over(w_doc).cast("long"))
+        .withColumn("_removed", F.sum("span_words").over(w_doc))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            "span_words",
+            "n_spans",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("(_removed * 1000L) DIV n_tokens").alias("removed_milli"),
+        )
+    )

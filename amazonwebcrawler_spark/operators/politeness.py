@@ -313,3 +313,54 @@ def adaptive_backoff(
         .withColumn("next_delay_ms", delay)
         .drop("_cum_ok")
     )
+
+
+def aimd_rate(
+    wave_log: DataFrame,
+    host_col: str = "host",
+    wave_col: str = "wave",
+    error_col: str = "had_error",
+    initial_rate: int = 4,
+    max_rate: int = 64,
+) -> DataFrame:
+    """AIMD per-host fetch-rate controller — TCP congestion control's
+    additive-increase / multiplicative-decrease recurrence applied to the
+    politeness budget: after a clean wave a host's tokens-per-wave rate
+    grows by +1 (probing for capacity, capped at ``max_rate``); after a
+    wave with any throttle/error signal it HALVES (floor, min 1). AIMD is
+    the provably-fair control law (Chiu & Jain 1989) — unlike
+    ``adaptive_backoff`` (which reacts to the CURRENT error run for the
+    next delay), this folds the ENTIRE wave history into a steady-state
+    rate, so hosts that alternate good/bad epochs converge to a fair
+    sustainable budget instead of oscillating to the cap.
+
+    The recurrence ``r ← had_error ? max(r DIV 2, 1) : min(r+1, max)`` is
+    order-dependent and non-linear, so no window trick linearizes it —
+    instead it runs as ONE codegen fold: ``sort_array(collect_list(
+    struct(wave, err)))`` per host, then ``F.aggregate`` over the bounded
+    wave history (a crawl runs tens of waves — the array is small by
+    construction; this is the flagship wave loop's own bound). One hash
+    aggregate on the host key, zero Python, zero windows. The DuckDB twin
+    replays the identical fold via ``list_reduce`` with the initial rate
+    prepended (flag values are 0/1, rates ≥ 1, so the prepended seed is
+    unambiguous).
+
+    Output: (host, n_waves, n_error_waves, rate) — exact integers.
+    """
+    errs_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(wave_col).alias("w"), F.col(error_col).alias("e")))
+        ),
+        lambda s: s["e"].cast("long"),
+    )
+    return wave_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_waves"),
+        F.sum(F.col(error_col).cast("long")).alias("n_error_waves"),
+        F.aggregate(
+            errs_sorted,
+            F.lit(initial_rate).cast("long"),
+            lambda acc, e: F.when(
+                e == 1, F.greatest(F.lit(1).cast("long"), F.shiftright(acc, 1))
+            ).otherwise(F.least(F.lit(max_rate).cast("long"), acc + 1)),
+        ).alias("rate"),
+    )

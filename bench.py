@@ -176,6 +176,16 @@ BENCH_QUERIES = (
     # confirm, ~38 localCheckpointed sub-rounds) — timed so the
     # iterative-rounds cost of the link-ring detector carries a number
     "scc",
+    # rendezvous resharding plan — one map-only HRW scan + the move
+    # matrix aggregate; timed so the state-store growth path has a number
+    "shard_rebalance",
+    # LAION-style caption rules — codegen stats + one md5-partitioned
+    # window (the image+caption prefilter pass)
+    "caption_filter",
+    # AIMD politeness fold — ObjectHashAggregate + codegen F.aggregate
+    "aimd_rate",
+    # span decontamination — broadcast eval-gram probe + islands windows
+    "contam_spans",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

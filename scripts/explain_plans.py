@@ -241,6 +241,21 @@ CHECKS = {
     # channel normalization: ONE Arrow decode crossing + a 3-group hash
     # aggregate with map-side partials; no join (NEG)
     "channel_stats": ["MapInPandas", "HashAggregate", "partial_sum"],
+    # rendezvous resharding: the HRW argmax is a pure codegen projection
+    # (md5 weights + array_max) — the only exchanges are the move-matrix
+    # aggregate and the 1-row totals broadcast (NEG forbids Python/NLJ
+    # beyond the accepted 1-row broadcast crossJoin)
+    "shard_rebalance": ["md5", "array_max", "HashAggregate"],
+    # caption curation: pure column stats + ONE window partitioned by
+    # the normalized-caption md5 (NEG: never a global sort / Python)
+    "caption_filter": ["md5", "Window"],
+    # AIMD fold: one hash aggregate on the host key (collect_list →
+    # ObjectHashAggregate) then a codegen'd F.aggregate fold (NEG: no
+    # Python, no window, no join)
+    "aimd_rate": ["ObjectHashAggregate", "aggregate("],
+    # span decontamination: eval grams broadcast (the 100 TB train side
+    # never shuffles for the probe), islands windows doc-partitioned
+    "contam_spans": ["BroadcastHashJoin", "Window"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -448,6 +463,21 @@ NEG_CHECKS = {
     "bpe_encode": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
     "novelty_budget": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian"],
     "smart_crop": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
+    # the 1-row totals broadcast is the accepted crossJoin shape; a
+    # NESTED-loop over the key table would be the scale-killer
+    "shard_rebalance": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian"],
+    "caption_filter": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
+    ],
+    "aimd_rate": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Window", "Join", "Exchange SinglePartition",
+    ],
+    "contam_spans": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian", "Exchange SinglePartition",
+    ],
 }
 
 

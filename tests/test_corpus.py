@@ -469,3 +469,46 @@ class TestCountminCertify:
             corpus.countmin_certify(df, "key", depth=0)
         with pytest.raises(ValueError):
             corpus.countmin_certify(df, "key", width=1)
+
+
+class TestContamSpans:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_spans_merge_and_trim_arithmetic(self, spark):
+        train = self._docs(
+            spark,
+            [
+                # tokens: the eval gram "a b c" hits at 2 and 3 (overlap →
+                # one span [2,5]); "x y z" hits at 8 (span [8,10])
+                (1, "w0 w1 a b c b c q w7x x y z"),
+                (2, "clean words only nothing shared here"),
+            ],
+        )
+        ev = self._docs(spark, [(100, "a b c b c x y z")])
+        from amazonwebcrawler_spark.operators.corpus import contam_spans
+
+        out = contam_spans(train, ev, "text", "doc_id", n=3)
+        rows = sorted(
+            ((r["doc_id"], r["span_start"], r["span_end"], r["span_words"]) for r in out.collect())
+        )
+        # doc 1 tokens: [w0,w1,a,b,c,b,c,q,w7x,x,y,z] — grams "a b c"@2,
+        # "b c b"@3? (not in eval), "c b c"@4? (in eval: ev grams are all
+        # 3-grams of "a b c b c x y z": abc,bcb,cbc,bcx,cxy,xyz) → hits at
+        # 2 (abc), 3 (bcb), 4 (cbc), 9 (xyz) → spans [2,6] and [9,11]
+        assert rows == [(1, 2, 6, 5), (1, 9, 11, 3)]
+        (r1,) = [r for r in out.collect() if r["span_start"] == 2]
+        assert r1["n_spans"] == 2 and r1["n_tokens"] == 12
+        assert r1["removed_milli"] == (5 + 3) * 1000 // 12
+
+    def test_clean_docs_absent_and_adjacent_merge(self, spark):
+        train = self._docs(spark, [(1, "p q r s t u"), (2, "a b c d e f g")])
+        ev = self._docs(spark, [(9, "a b c"), (10, "d e f")])
+        from amazonwebcrawler_spark.operators.corpus import contam_spans
+
+        rows = contam_spans(train, ev, "text", "doc_id", n=3).collect()
+        assert {r["doc_id"] for r in rows} == {2}
+        # hits at 0 ("a b c") and 3 ("d e f") — span ends 2 and 5 are
+        # ADJACENT (3 == 2+1) → one merged span [0,5]
+        (r,) = rows
+        assert (r["span_start"], r["span_end"], r["span_words"]) == (0, 5, 6)

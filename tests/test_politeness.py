@@ -193,3 +193,65 @@ class TestAdaptiveBackoff:
         # order is (ts, event_id): err → ok → err
         by_id = {r.event_id: r.consec_errors for r in adaptive_backoff(df).collect()}
         assert by_id == {0: 1, 1: 0, 2: 1}
+
+
+class TestAimdRate:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, wave int, had_error boolean")
+
+    def test_fold_matches_python_replay(self, spark):
+        import hashlib
+
+        rows = []
+        for h in range(8):
+            for w in range(12):
+                err = int(hashlib.md5(f"h{h}#{w}".encode()).hexdigest()[:8], 16) % 3 == 0
+                rows.append((f"h{h}", w, err))
+        from amazonwebcrawler_spark.operators.politeness import aimd_rate
+
+        got = {
+            r["host"]: (r["n_waves"], r["n_error_waves"], r["rate"])
+            for r in aimd_rate(self._log(spark, rows), initial_rate=4, max_rate=16).collect()
+        }
+        for h in range(8):
+            rate = 4
+            errs = 0
+            for w in range(12):
+                err = int(hashlib.md5(f"h{h}#{w}".encode()).hexdigest()[:8], 16) % 3 == 0
+                if err:
+                    rate = max(1, rate // 2)
+                    errs += 1
+                else:
+                    rate = min(16, rate + 1)
+            assert got[f"h{h}"] == (12, errs, rate)
+
+    def test_all_errors_floor_at_one(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import aimd_rate
+
+        rows = [("h", w, True) for w in range(10)]
+        (r,) = aimd_rate(self._log(spark, rows), initial_rate=8, max_rate=64).collect()
+        assert r["rate"] == 1 and r["n_error_waves"] == 10
+
+    def test_all_clean_caps_at_max(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import aimd_rate
+
+        rows = [("h", w, False) for w in range(100)]
+        (r,) = aimd_rate(self._log(spark, rows), initial_rate=4, max_rate=32).collect()
+        assert r["rate"] == 32 and r["n_error_waves"] == 0
+
+    def test_order_matters_and_is_wave_order(self, spark):
+        """error-last vs error-first histories give different rates —
+        proving the fold really runs in wave order, not input order."""
+        from amazonwebcrawler_spark.operators.politeness import aimd_rate
+
+        last = [("h", 0, False), ("h", 1, False), ("h", 2, True)]
+        first = [("h", 0, True), ("h", 1, False), ("h", 2, False)]
+        # feed rows REVERSED to prove input order is irrelevant
+        (rl,) = aimd_rate(
+            self._log(spark, list(reversed(last))), initial_rate=4, max_rate=16
+        ).collect()
+        (rf,) = aimd_rate(
+            self._log(spark, list(reversed(first))), initial_rate=4, max_rate=16
+        ).collect()
+        assert rl["rate"] == 3  # 4→5→6→3
+        assert rf["rate"] == 4  # 4→2→3→4

@@ -30,6 +30,7 @@ POST_FREEZE = (
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
     "blur_detect", "channel_stats", "bpe_encode", "lsh_eval",
     "novelty_budget", "smart_crop", "scc",
+    "shard_rebalance", "caption_filter", "aimd_rate", "contam_spans",
 )
 
 

@@ -1059,3 +1059,43 @@ class TestBpeEncode:
             assert got[did].n_tokens == len(toks)
             assert got[did].tokens_md5 == hashlib.md5(" ".join(toks).encode()).hexdigest()
         assert got[3].n_tokens == 0 and got[3].n_words == 0
+
+
+class TestCaptionQuality:
+    def _run(self, spark, caps, **kw):
+        from amazonwebcrawler_spark.functions.text import caption_quality
+
+        df = spark.createDataFrame([(i, c) for i, c in enumerate(caps)], "i long, caption string")
+        return {r["i"]: r for r in caption_quality(df, **kw).collect()}
+
+    def test_rule_families(self, spark):
+        caps = [
+            "IMG_1234.jpg",                  # 0 filename
+            "ok",                            # 1 too_short
+            "photograph",                    # 2 too_few_words (1 word)
+            "12345 67890",                   # 3 digit_heavy
+            "### $$$ %%%",                   # 4 low_alpha
+            "a photo of a golden retriever", # 5 keep
+            "sunset_beach.png",              # 6 filename (bare path, 1 word)
+        ]
+        out = self._run(spark, caps)
+        assert out[0]["drop_reason"] == "filename" and out[0]["is_filename"]
+        assert out[1]["drop_reason"] == "too_short"
+        assert out[2]["drop_reason"] == "too_few_words"
+        assert out[3]["drop_reason"] == "digit_heavy" and out[3]["digit_milli"] > 300
+        assert out[4]["drop_reason"] == "low_alpha" and out[4]["alpha_milli"] == 0
+        assert out[5]["keep"] and out[5]["drop_reason"] is None
+        assert out[6]["drop_reason"] == "filename"
+
+    def test_boilerplate_dup_fanout(self, spark):
+        caps = ["no image available"] * 12 + ["a real caption about a cat"]
+        out = self._run(spark, caps, max_dup=10)
+        assert out[0]["drop_reason"] == "boilerplate_dup" and out[0]["dup_count"] == 12
+        assert out[12]["keep"] and out[12]["dup_count"] == 1
+
+    def test_exact_integer_ratios(self, spark):
+        out = self._run(spark, ["ab1 cd2 ef"])  # 10 chars, 2 digits, 6 alpha
+        r = out[0]
+        assert r["digit_milli"] == 2 * 1000 // 10
+        assert r["alpha_milli"] == 6 * 1000 // 10
+        assert r["caption_words"] == 3 and r["caption_chars"] == 10
