@@ -2969,6 +2969,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = df.repartition(8).mapInPandas(imgf.blur_stats_kernel(), imgf.BLUR_SCHEMA)
         return out.filter(F.col("lap_var").isNotNull())
 
+    def q_hist_quantiles(spark, sf):
+        """Exact quantiles by COUNTING (operators/corpus.hist_quantiles):
+        per-language p50/p90/p99 of document length via the distinct-value
+        histogram — count-per-value agg + a cumulative sum over VALUES
+        (the window sorts the histogram, never the rows) + min-value pick
+        per quantile. Type-1/inverted-CDF definition: pure integer
+        comparison cum·1000 ≥ p·n, no interpolation — the monitoring
+        quantile that must be a value that EXISTS in the data."""
+        from amazonwebcrawler_spark.operators.corpus import hist_quantiles
+
+        d = _t(spark, sf, "documents").select("lang", F.length("text").alias("len"))
+        return hist_quantiles(d, "lang", "len", (500, 900, 990))
+
+    def q_ndcg_eval(spark, sf):
+        """nDCG@10 retrieval eval (operators/similarity.ndcg_eval): graded
+        position-discounted ranking quality over deterministic candidate
+        lists (15 per query, md5-derived grades 0-3) — completes
+        ann_recall's binary recall@k. The discount table is hardcoded
+        micro literals so both engines sum identical integers; the ideal
+        re-rank is a query-partitioned window."""
+        from pyspark.sql import Window as W
+
+        from amazonwebcrawler_spark.operators.similarity import ndcg_eval
+
+        o = _t(spark, sf, "orders").select(
+            (F.col("o_orderkey") % 50).alias("query_id"),
+            F.col("o_orderkey").alias("item_id"),
+        )
+        w = W.partitionBy("query_id").orderBy("item_id")
+        cand = o.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 15)
+        rel = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("rel-"), F.col("item_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        )
+        return ndcg_eval(cand.withColumn("rel", rel), k=10).select(
+            "query_id", "dcg_micro", "idcg_micro", "ndcg_micro"
+        )
+
+    # ----------------------------------------------------- color statistics
+    def q_color_stats(spark, sf):
+        """Coarse-palette / monochrome curation stats (functions/images.
+        color_stats_kernel): 4×4×4 RGB histogram → dominant-bin milli
+        fraction, occupied-bin count, and near-gray pixel fraction — the
+        'placeholder/solid/grayscale tile' gate beside blur and quality.
+        Mix: 24 world shots + analytic plants (a solid tile → dom_milli
+        1000 / 1 bin / gray 1000; a 4-quadrant tile → 4 bins at 250 each;
+        a grayscale ramp → gray_milli 1000 with multiple bins; corrupt
+        bytes → quarantined null row, filtered here — pytest owns that
+        path). Committed golden; capture recomputes every row with an
+        independent per-pixel Python loop (no numpy vector path)."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as imgf
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows, seen = [], set()
+        for i in range(1, 40):
+            if len(seen) == 24:
+                break
+            rec = world.image_record(world.asin_for("color probe", 1, i))
+            if rec["image_id"] in seen:
+                continue
+            seen.add(rec["image_id"])
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        solid = np.full((32, 32, 3), 200, dtype=np.uint8)
+        quad = np.zeros((32, 32, 3), dtype=np.uint8)
+        quad[:16, :16] = (250, 10, 10)
+        quad[:16, 16:] = (10, 250, 10)
+        quad[16:, :16] = (10, 10, 250)
+        quad[16:, 16:] = (250, 250, 10)
+        ramp = np.repeat(
+            np.arange(0, 256, 8, dtype=np.uint8).reshape(1, 32, 1), 32, axis=0
+        ).repeat(3, axis=2)
+        rows += [
+            ("diag-solid", bytearray(imgf.encode_png(solid))),
+            ("diag-quad", bytearray(imgf.encode_png(quad))),
+            ("diag-gray-ramp", bytearray(imgf.encode_png(ramp))),
+            ("diag-corrupt", bytearray(b"NOTANIMAGE")),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        out = df.repartition(8).mapInPandas(imgf.color_stats_kernel(), imgf.COLOR_SCHEMA)
+        return out.filter(F.col("dom_milli").isNotNull()).withColumn(
+            "is_lowinfo", (F.col("dom_milli") >= 900) | (F.col("n_bins_used") <= 2)
+        )
+
     # ----------------------------------------------------- content-aware crop
     def q_smart_crop(spark, sf):
         """Content-aware square cropping (functions/images.smart_crop_kernel):
@@ -3261,6 +3352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_filter": q_caption_filter,
         "aimd_rate": q_aimd_rate,
         "contam_spans": q_contam_spans,
+        "hist_quantiles": q_hist_quantiles,
+        "ndcg_eval": q_ndcg_eval,
+        "color_stats": q_color_stats,
         "dead_letter": q_dead_letter,
         "alignment_filter": q_alignment_filter,
         "images_decode": q_images_decode,
@@ -5423,6 +5517,61 @@ SELECT doc_id, CAST(span_start AS INT) AS span_start,
   CAST((SUM(span_end - span_start + 1) OVER (PARTITION BY doc_id) * 1000) // n_tokens AS BIGINT)
     AS removed_milli
 FROM spans
+""",
+        "hist_quantiles": rf"""
+-- exact type-1 quantiles from the distinct-value histogram: cumulative
+-- count over VALUES, min value with cum*1000 >= p*n
+WITH h AS (
+  SELECT lang, length(text) AS val, COUNT(*) AS cnt FROM documents GROUP BY 1, 2
+),
+c AS (
+  SELECT lang, val,
+    SUM(cnt) OVER (PARTITION BY lang ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM h
+),
+p AS (
+  SELECT lang, val, n, u.p_milli
+  FROM c, UNNEST([500, 900, 990]) AS u(p_milli)
+  WHERE cum * 1000 >= u.p_milli * n
+)
+SELECT lang, CAST(p_milli AS INT) AS p_milli,
+  CAST(MIN(val) AS INT) AS q_value, CAST(MIN(n) AS BIGINT) AS n_rows
+FROM p GROUP BY lang, p_milli
+""",
+        "ndcg_eval": rf"""
+-- nDCG@10 with the SAME hardcoded micro discount literals the Spark
+-- operator ships (similarity.NDCG_DISC_MICRO); ideal re-rank =
+-- (rel DESC, item ASC) window per query
+WITH base AS (
+  SELECT o_orderkey % 50 AS query_id, o_orderkey AS item_id,
+    row_number() OVER (PARTITION BY o_orderkey % 50 ORDER BY o_orderkey) AS rnk
+  FROM orders
+),
+cand AS (
+  SELECT query_id, item_id, rnk,
+    CAST(CAST(('0x' || substr(md5('rel-' || item_id::VARCHAR), 1, 8)) AS UBIGINT) % 4
+      AS BIGINT) AS rel
+  FROM base WHERE rnk <= 15
+),
+disc(r, d) AS (VALUES (1, 1000000), (2, 630930), (3, 500000), (4, 430677),
+  (5, 386853), (6, 356207), (7, 333333), (8, 315465), (9, 301030), (10, 289065)),
+sysd AS (
+  SELECT query_id, SUM(rel * d) AS dcg_micro
+  FROM cand JOIN disc ON rnk = r WHERE rnk <= 10 GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, SUM(rel * d) AS idcg_micro FROM (
+    SELECT query_id, rel,
+      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, item_id ASC) AS ir
+    FROM cand
+  ) JOIN disc ON ir = r WHERE ir <= 10 GROUP BY query_id
+)
+SELECT s.query_id, CAST(dcg_micro AS BIGINT) AS dcg_micro,
+  CAST(idcg_micro AS BIGINT) AS idcg_micro,
+  CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro
+FROM sysd s JOIN ideal USING (query_id) WHERE idcg_micro > 0
 """,
         "ppl_buckets": rf"""
 -- lm_score's unigram-NLL CTE + exact-integer ntile per language

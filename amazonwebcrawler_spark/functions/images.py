@@ -782,3 +782,69 @@ def channel_sums_kernel():
             )
 
     return gen
+
+
+# ------------------------------------------------------- color statistics
+#: Spark schema of color_stats_kernel's output — coarse-palette and
+#: monochrome statistics in exact integers (milli-unit BIGINTs).
+COLOR_SCHEMA = (
+    "image_id string, w int, h int, dom_bin int, dom_milli long, "
+    "n_bins_used int, gray_milli long"
+)
+
+
+def color_stats(pixels: np.ndarray) -> dict:
+    """Coarse-palette statistics for image curation — the 'is this a real
+    photo or a placeholder/solid/monochrome tile' gate a LAION-style
+    pipeline runs beside blur and quality: pixels quantize to a 4×4×4 RGB
+    cube (64 bins, ``bin = (r>>6)·16 + (g>>6)·4 + (b>>6)``), and the
+    kernel reports the dominant bin (argmax count, ties → SMALLEST bin —
+    numpy argmax's first-hit rule, deterministic), its exact milli
+    fraction (``count·1000 // n_px``), the number of occupied bins, and
+    the monochrome fraction (pixels whose channel spread ``max−min ≤ 16``
+    — near-gray). A near-solid placeholder shows ``dom_milli ≥ 900``
+    with ``n_bins_used`` ≈ 1; a grayscale scan shows ``gray_milli`` ≈
+    1000. Everything is integer arithmetic — no float ever exists, so
+    the golden is bit-stable on any numpy/libm."""
+    h, w, _ = pixels.shape
+    q = (pixels >> 6).astype(np.int64)
+    bins = q[:, :, 0] * 16 + q[:, :, 1] * 4 + q[:, :, 2]
+    counts = np.bincount(bins.ravel(), minlength=64)
+    n_px = h * w
+    dom_bin = int(counts.argmax())
+    mx = pixels.max(axis=2).astype(np.int64)
+    mn = pixels.min(axis=2).astype(np.int64)
+    return {
+        "w": w,
+        "h": h,
+        "dom_bin": dom_bin,
+        "dom_milli": int(counts[dom_bin]) * 1000 // n_px,
+        "n_bins_used": int((counts > 0).sum()),
+        "gray_milli": int(((mx - mn) <= 16).sum()) * 1000 // n_px,
+    }
+
+
+def color_stats_kernel():
+    """mapInPandas kernel ``(image_id, bytes) → COLOR_SCHEMA`` — same Arrow
+    batch shape and quarantine policy as blur_stats_kernel (undecodable
+    bytes → null stats)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    stats = color_stats(decode_image(bytes(data)))
+                except Exception:
+                    stats = {
+                        "w": None, "h": None, "dom_bin": None,
+                        "dom_milli": None, "n_bins_used": None, "gray_milli": None,
+                    }
+                rows.append({"image_id": iid, **stats})
+            out = pd.DataFrame(rows)
+            for c in ("w", "h", "dom_bin", "dom_milli", "n_bins_used", "gray_milli"):
+                out[c] = pd.array([r[c] for r in rows], dtype="Int64")
+            yield out
+
+    return gen

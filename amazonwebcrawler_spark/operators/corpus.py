@@ -716,3 +716,54 @@ def contam_spans(
             F.expr("(_removed * 1000L) DIV n_tokens").alias("removed_milli"),
         )
     )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps_milli: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Exact per-group quantiles by COUNTING — the 100 TB alternative to a
+    per-group sort: for bounded-domain integer statistics (document
+    lengths, token counts, status codes) the distinct-value histogram is
+    tiny even when the row count is astronomical, so the exact quantile is
+    a count-per-value aggregate (map-side combinable, one shuffle on
+    (group, value)) + a cumulative sum over the DISTINCT VALUES (the
+    window sorts the histogram, never the rows) + a min-value pick per
+    requested quantile.
+
+    Definition (type-1 / inverted-CDF, the integer-exact one): the
+    p-quantile is the smallest value whose cumulative count satisfies
+    ``cum · 1000 ≥ p_milli · n`` — pure integer comparison, no
+    interpolation, bit-stable on every engine. (``winsorize`` keeps the
+    interpolated form for clipping; this is the reporting/monitoring
+    shape where the answer must be a VALUE THAT EXISTS in the data.)
+
+    Output: one row per (group, p_milli) — (group, p_milli, q_value,
+    n_rows). Window is group-partitioned (never global); the quantile
+    pick is a groupBy min over the ≤|ps| surviving rows per value.
+    """
+    from pyspark.sql import Window
+
+    if not ps_milli or any(not 0 < p <= 1000 for p in ps_milli):
+        raise ValueError(f"ps_milli must be in (0, 1000], got {ps_milli}")
+    hist = df.groupBy(F.col(group_col).alias("grp"), F.col(value_col).alias("val")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("grp").orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("grp")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn("n", F.sum("cnt").over(wn))
+    ps = F.explode(F.array(*[F.lit(int(p)) for p in ps_milli])).alias("p_milli")
+    return (
+        cum.select("grp", "val", "cum", "n", ps)
+        .filter(F.col("cum") * 1000 >= F.col("p_milli") * F.col("n"))
+        .groupBy("grp", "p_milli")
+        .agg(F.min("val").alias("q_value"), F.first("n").alias("n_rows"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("p_milli").cast("int").alias("p_milli"),
+            "q_value",
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )

@@ -718,3 +718,70 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         F.expr("(coalesce(n_hits, 0) * 1000000L) DIV n_exact").alias("recall_micro"),
     )
+
+
+#: micro-unit DCG discounts round(1e6 / log2(rank+1)) for rank 1..20 —
+#: HARDCODED literals (not computed at runtime) so both engines consume
+#: the identical integers; ranks 1/3/15 are exact (log2 powers), every
+#: other value sits ≥0.03 from a rounding boundary (generated once with
+#: python -c "round(1e6/math.log2(i+1))").
+NDCG_DISC_MICRO: tuple[int, ...] = (
+    1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465,
+    301030, 289065, 278943, 270238, 262650, 255958, 250000, 244651,
+    239812, 235409, 231378, 227670,
+)
+
+
+def ndcg_eval(
+    ranked: DataFrame,
+    query_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    item_col: str = "item_id",
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k of a ranked retrieval run with graded relevance — the eval
+    that completes ``ann_recall`` (recall@k is binary; ranking quality
+    needs position-discounted grades). One row per query:
+    (query, dcg_micro, idcg_micro, ndcg_micro) in exact micro-unit
+    integers: DCG = Σ_{r≤k} rel_r · disc_micro[r] with the discount table
+    above, IDCG the same sum over the query's relevances re-ranked ideally
+    (rel DESC — the ideal order depends only on the grade multiset, the
+    item tiebreak just keeps the window total), and
+    ``ndcg_micro = dcg·1e6 DIV idcg``. Queries whose top-k ideal grades
+    are all zero are dropped (nDCG undefined).
+
+    Scale shapes: the ideal re-rank is a query-partitioned window (never
+    global — bounded by the per-query candidate list the retriever
+    already materialized); both DCG sums are map-side-combinable
+    aggregates; the discount table rides the plan as a literal array
+    (``element_at``), so there is no join anywhere.
+    """
+    if not 1 <= k <= len(NDCG_DISC_MICRO):
+        raise ValueError(f"k must be in [1, {len(NDCG_DISC_MICRO)}], got {k}")
+    disc = F.array(*[F.lit(d).cast("long") for d in NDCG_DISC_MICRO[:k]])
+    q = F.col(query_col)
+    rel = F.col(rel_col).cast("long")
+
+    sys_dcg = (
+        ranked.filter(F.col(rank_col) <= k)
+        .groupBy(q.alias("query_id"))
+        .agg(F.sum(rel * F.element_at(disc, F.col(rank_col).cast("int"))).alias("dcg_micro"))
+    )
+    w = Window.partitionBy(query_col).orderBy(rel.desc(), F.col(item_col).asc())
+    ideal = (
+        ranked.withColumn("_irank", F.row_number().over(w))
+        .filter(F.col("_irank") <= k)
+        .groupBy(q.alias("query_id"))
+        .agg(F.sum(rel * F.element_at(disc, F.col("_irank"))).alias("idcg_micro"))
+    )
+    return (
+        sys_dcg.join(ideal, "query_id")
+        .filter(F.col("idcg_micro") > 0)
+        .select(
+            "query_id",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("(dcg_micro * 1000000L) DIV idcg_micro").alias("ndcg_micro"),
+        )
+    )

@@ -186,6 +186,12 @@ BENCH_QUERIES = (
     "aimd_rate",
     # span decontamination — broadcast eval-gram probe + islands windows
     "contam_spans",
+    # counting quantiles — histogram agg + value-window, rows never sorted
+    "hist_quantiles",
+    # graded retrieval eval — literal discount table, query windows
+    "ndcg_eval",
+    # coarse-palette curation stats — one Arrow decode crossing
+    "color_stats",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -256,6 +256,16 @@ CHECKS = {
     # span decontamination: eval grams broadcast (the 100 TB train side
     # never shuffles for the probe), islands windows doc-partitioned
     "contam_spans": ["BroadcastHashJoin", "Window"],
+    # counting quantiles: count-per-value agg (map-side partials) + a
+    # lang-partitioned cumulative window over the HISTOGRAM + the literal
+    # quantile explode (Generate) — the rows themselves are never sorted
+    "hist_quantiles": ["HashAggregate", "partial_count", "Window", "Generate"],
+    # nDCG: query-partitioned ideal-rank window + map-side-combinable DCG
+    # sums; the discount table is a literal array (no join for it)
+    "ndcg_eval": ["Window", "HashAggregate"],
+    # color histogram: ONE Arrow decode crossing, stats are computed
+    # in-kernel — no join, no window, no shuffle beyond the repartition
+    "color_stats": ["MapInPandas"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -478,6 +488,15 @@ NEG_CHECKS = {
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "NestedLoop", "Cartesian", "Exchange SinglePartition",
     ],
+    "hist_quantiles": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition", "Join",
+    ],
+    "ndcg_eval": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian", "Exchange SinglePartition",
+    ],
+    "color_stats": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
 }
 
 

@@ -120,6 +120,12 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "crop_x": "INTEGER", "crop_y": "INTEGER", "crop_side": "INTEGER",
         "cx_milli": "BIGINT", "cy_milli": "BIGINT",
     },
+    "color_stats": {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "dom_bin": "INTEGER", "dom_milli": "BIGINT",
+        "n_bins_used": "INTEGER", "gray_milli": "BIGINT",
+        "is_lowinfo": "BOOLEAN",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -1259,6 +1265,78 @@ def _check_border_crop(rows, ctx):
         assert by_id[vid]["phash_cropped"] == by_id[mid]["phash_cropped"], (vid, mid)
 
 
+def _check_color_stats(rows, ctx):
+    """Independent per-pixel PYTHON recompute of every histogram (no numpy
+    vector path — a different accumulation order/dtype chain than the
+    kernel), plus the planted analytic identities: solid tile → one bin at
+    1000 milli and fully gray; 4-quadrant tile → four 250-milli bins, zero
+    gray; grayscale ramp → gray_milli 1000 across four bins; corrupt bytes
+    quarantined (no row)."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+    from amazonwebcrawler_spark.sources.synthetic_world import asin_for, image_record
+
+    inputs, seen = {}, set()
+    for i in range(1, 40):
+        if len(seen) == 24:
+            break
+        rec = image_record(asin_for("color probe", 1, i))
+        if rec["image_id"] in seen:
+            continue
+        seen.add(rec["image_id"])
+        inputs[rec["image_id"]] = rec["bytes"]
+    solid = np.full((32, 32, 3), 200, dtype=np.uint8)
+    quad = np.zeros((32, 32, 3), dtype=np.uint8)
+    quad[:16, :16] = (250, 10, 10)
+    quad[:16, 16:] = (10, 250, 10)
+    quad[16:, :16] = (10, 10, 250)
+    quad[16:, 16:] = (250, 250, 10)
+    ramp = np.repeat(
+        np.arange(0, 256, 8, dtype=np.uint8).reshape(1, 32, 1), 32, axis=0
+    ).repeat(3, axis=2)
+    inputs["diag-solid"] = encode_png(solid)
+    inputs["diag-quad"] = encode_png(quad)
+    inputs["diag-gray-ramp"] = encode_png(ramp)
+
+    by_id = {r["image_id"]: r for r in rows}
+    assert len(rows) == 27 and set(by_id) == set(inputs)
+    assert "diag-corrupt" not in by_id
+
+    for iid, data in inputs.items():
+        px = decode_image(data)
+        h, w, _ = px.shape
+        counts = [0] * 64
+        gray = 0
+        for y in range(h):
+            for x in range(w):
+                r, g, b = int(px[y, x, 0]), int(px[y, x, 1]), int(px[y, x, 2])
+                counts[(r >> 6) * 16 + (g >> 6) * 4 + (b >> 6)] += 1
+                if max(r, g, b) - min(r, g, b) <= 16:
+                    gray += 1
+        n_px = h * w
+        dom_bin = max(range(64), key=lambda i: (counts[i], -i))
+        got = by_id[iid]
+        assert got["w"] == w and got["h"] == h, iid
+        assert got["dom_bin"] == dom_bin, iid
+        assert got["dom_milli"] == counts[dom_bin] * 1000 // n_px, iid
+        assert got["n_bins_used"] == sum(1 for c in counts if c > 0), iid
+        assert got["gray_milli"] == gray * 1000 // n_px, iid
+        assert got["is_lowinfo"] == (
+            got["dom_milli"] >= 900 or got["n_bins_used"] <= 2
+        ), iid
+
+    s = by_id["diag-solid"]
+    assert (s["dom_milli"], s["n_bins_used"], s["gray_milli"], s["is_lowinfo"]) == (
+        1000, 1, 1000, True
+    )
+    q = by_id["diag-quad"]
+    assert (q["dom_bin"], q["dom_milli"], q["n_bins_used"], q["gray_milli"]) == (3, 250, 4, 0)
+    assert not q["is_lowinfo"]
+    g = by_id["diag-gray-ramp"]
+    assert g["gray_milli"] == 1000 and g["n_bins_used"] == 4 and g["dom_milli"] == 250
+
+
 CHECKERS = {
     "crawl_rank_wave": _check_crawl_rank_wave,
     "ann_ivf": _check_ann_ivf,
@@ -1285,6 +1363,7 @@ CHECKERS = {
     "channel_stats": _check_channel_stats,
     "bpe_encode": _check_bpe_encode,
     "smart_crop": _check_smart_crop,
+    "color_stats": _check_color_stats,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

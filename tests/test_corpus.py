@@ -512,3 +512,44 @@ class TestContamSpans:
         # ADJACENT (3 == 2+1) → one merged span [0,5]
         (r,) = rows
         assert (r["span_start"], r["span_end"], r["span_words"]) == (0, 5, 6)
+
+
+class TestHistQuantiles:
+    def test_matches_sorted_definition(self, spark):
+        import math
+
+        from amazonwebcrawler_spark.operators.corpus import hist_quantiles
+
+        vals = {
+            "a": [5, 1, 3, 3, 3, 9, 7, 7, 2, 8],
+            "b": [10, 10, 10, 10],
+            "c": [42],
+        }
+        rows = [(g, v) for g, vs in vals.items() for v in vs]
+        df = spark.createDataFrame(rows, "grp string, v int")
+        ps = (250, 500, 900, 1000)
+        got = {
+            (r["grp"], r["p_milli"]): (r["q_value"], r["n_rows"])
+            for r in hist_quantiles(df, "grp", "v", ps).collect()
+        }
+        for g, vs in vals.items():
+            s = sorted(vs)
+            n = len(s)
+            for p in ps:
+                # type-1 / inverted CDF: smallest value whose cum count
+                # satisfies cum*1000 >= p*n  ⟺  sorted[ceil(p*n/1000)-1]
+                r = math.ceil(p * n / 1000)
+                assert got[(g, p)] == (s[r - 1], n), (g, p)
+
+    def test_p1000_is_max_and_validation(self, spark):
+        import pytest as _pytest
+
+        from amazonwebcrawler_spark.operators.corpus import hist_quantiles
+
+        df = spark.createDataFrame([("x", i) for i in range(100)], "grp string, v int")
+        (r,) = hist_quantiles(df, "grp", "v", (1000,)).collect()
+        assert r["q_value"] == 99
+        with _pytest.raises(ValueError):
+            hist_quantiles(df, "grp", "v", ())
+        with _pytest.raises(ValueError):
+            hist_quantiles(df, "grp", "v", (0,))

@@ -1294,3 +1294,44 @@ class TestLshCandidateEval:
         pairs = dedup.minhash_lsh_pairs(df, "text", "doc_id", k=16, n_bands=4).count()
         r = dedup.lsh_candidate_eval(df, "text", "doc_id", k=16, n_bands=4).collect()[0]
         assert r.n_cand >= pairs
+
+
+class TestNdcgEval:
+    def _ranked(self, spark, rows):
+        return spark.createDataFrame(rows, "query_id long, item_id long, rank int, rel int")
+
+    def test_perfect_ranking_is_one(self, spark):
+        from amazonwebcrawler_spark.operators.similarity import ndcg_eval
+
+        rows = [(1, i, i, 5 - i) for i in range(1, 5)]  # rel desc == rank order
+        (r,) = ndcg_eval(self._ranked(spark, rows), k=4).collect()
+        assert r["dcg_micro"] == r["idcg_micro"]
+        assert r["ndcg_micro"] == 1_000_000
+
+    def test_reversed_ranking_below_one_and_replay(self, spark):
+        from amazonwebcrawler_spark.operators.similarity import (
+            NDCG_DISC_MICRO,
+            ndcg_eval,
+        )
+
+        rels = [0, 3, 1, 2, 0, 1]
+        rows = [(7, i + 1, i + 1, rels[i]) for i in range(len(rels))]
+        (r,) = ndcg_eval(self._ranked(spark, rows), k=5).collect()
+        dcg = sum(rels[i] * NDCG_DISC_MICRO[i] for i in range(5))
+        ideal = sorted(rels, reverse=True)
+        idcg = sum(ideal[i] * NDCG_DISC_MICRO[i] for i in range(5))
+        assert (r["dcg_micro"], r["idcg_micro"]) == (dcg, idcg)
+        assert r["ndcg_micro"] == dcg * 1_000_000 // idcg < 1_000_000
+
+    def test_all_zero_queries_dropped_and_k_validation(self, spark):
+        import pytest as _pytest
+
+        from amazonwebcrawler_spark.operators.similarity import ndcg_eval
+
+        rows = [(1, 1, 1, 0), (1, 2, 2, 0), (2, 3, 1, 2)]
+        out = ndcg_eval(self._ranked(spark, rows), k=2).collect()
+        assert [r["query_id"] for r in out] == [2]
+        with _pytest.raises(ValueError):
+            ndcg_eval(self._ranked(spark, rows), k=0)
+        with _pytest.raises(ValueError):
+            ndcg_eval(self._ranked(spark, rows), k=99)

@@ -695,3 +695,42 @@ class TestSmartCrop:
             want = smart_crop_stats(decode_image(bytes(data)))
             for k, v in want.items():
                 assert got[iid][k] == v, (iid, k)
+
+
+class TestColorStats:
+    def test_planted_tiles(self, spark):
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import (
+            COLOR_SCHEMA,
+            color_stats,
+            color_stats_kernel,
+            encode_png,
+        )
+
+        solid = np.full((32, 32, 3), 200, dtype=np.uint8)
+        s = color_stats(solid)
+        assert (s["dom_milli"], s["n_bins_used"], s["gray_milli"]) == (1000, 1, 1000)
+        # solid 200 → every channel quantizes to 3 → bin 3*16+3*4+3 = 63
+        assert s["dom_bin"] == 63
+
+        quad = np.zeros((32, 32, 3), dtype=np.uint8)
+        quad[:16, :16] = (250, 10, 10)
+        quad[:16, 16:] = (10, 250, 10)
+        quad[16:, :16] = (10, 10, 250)
+        quad[16:, 16:] = (250, 250, 10)
+        q = color_stats(quad)
+        # four equal bins — argmax tie resolves to the SMALLEST bin (3:
+        # the blue quadrant 0*16+0*4+3)
+        assert (q["dom_bin"], q["dom_milli"], q["n_bins_used"], q["gray_milli"]) == (
+            3, 250, 4, 0,
+        )
+
+        df = spark.createDataFrame(
+            [("s", bytearray(encode_png(solid))), ("bad", bytearray(b"NOPE"))],
+            "image_id string, bytes binary",
+        )
+        rows = {r["image_id"]: r for r in
+                df.mapInPandas(color_stats_kernel(), COLOR_SCHEMA).collect()}
+        assert rows["s"]["dom_milli"] == 1000
+        assert rows["bad"]["dom_milli"] is None  # quarantined, not dropped
