@@ -2969,6 +2969,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = df.repartition(8).mapInPandas(imgf.blur_stats_kernel(), imgf.BLUR_SCHEMA)
         return out.filter(F.col("lap_var").isNotNull())
 
+    def q_sitemap_coverage(spark, sf):
+        """Discovery-completeness audit (functions/robots.sitemap_refs +
+        operators/webgraph.sitemap_coverage): robots.txt names the
+        sitemaps (RFC 9309 §2.2.4 — any number, any case, comment-safe),
+        each sitemap names 25 URLs, and the audit compares the declared
+        set against the crawl's seen set per host — coverage_milli plus
+        the undeclared-crawl count that flags stale sitemaps / grey
+        discovery. Even hosts declare two sitemaps, odd hosts one, the
+        crawl saw k%3>0 of the /dp/ space up to 50 per host plus /extra/
+        pages no sitemap declares. The DuckDB twin re-derives the sets
+        ARITHMETICALLY (no XML round-trip), so the Spark parsing chain is
+        value-checked end to end."""
+        from amazonwebcrawler_spark.functions.robots import sitemap_refs
+        from amazonwebcrawler_spark.functions.urls import canonicalize_url
+
+        hosts = spark.range(12).select(F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+                                       (F.col("id") % 2 == 0).alias("_even"))
+        robots_txt = F.concat(
+            F.lit("User-agent: *\nDisallow: /private\nSiteMap: https://"),
+            F.col("host"),
+            F.lit(".example.com/sm-0.xml # primary\n"),
+            F.when(
+                F.col("_even"),
+                F.concat(F.lit("sitemap: https://"), F.col("host"),
+                         F.lit(".example.com/sm-1.xml\n")),
+            ).otherwise(F.lit("")),
+            F.lit("Allow: /dp\n"),
+        )
+        refs = hosts.select(
+            "host", F.explode(sitemap_refs(robots_txt)).alias("ref")
+        ).withColumn("sm", F.regexp_extract("ref", r"sm-([0-9]+)\.xml", 1).cast("int"))
+        xml = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(24)),
+                lambda i: F.concat(
+                    F.lit("<url><loc>https://"), F.col("host"), F.lit(".example.com/dp/"),
+                    (F.col("sm") * 25 + i).cast("string"), F.lit("</loc></url>"),
+                ),
+            ),
+        )
+        from amazonwebcrawler_spark.functions.urls import parse_sitemap_entries
+
+        declared = refs.select(
+            "host", F.explode(parse_sitemap_entries(xml)).alias("e")
+        ).select("host", canonicalize_url(F.col("e.loc")).alias("canonical_url"))
+
+        r = spark.range(600).select(
+            F.concat(F.lit("h"), (F.col("id") % 12).cast("string")).alias("host"),
+            F.expr("id DIV 12").alias("k"),
+        )
+        crawled = (
+            r.filter(F.col("k") % 3 > 0)
+            .select(
+                "host",
+                F.concat(F.lit("https://"), F.col("host"),
+                         F.lit(".example.com/dp/"), F.col("k").cast("string")).alias("canonical_url"),
+            )
+            .unionByName(
+                r.filter(F.col("k") % 5 == 0).select(
+                    "host",
+                    F.concat(F.lit("https://"), F.col("host"),
+                             F.lit(".example.com/extra/"), F.col("k").cast("string")).alias("canonical_url"),
+                )
+            )
+        )
+        from amazonwebcrawler_spark.operators.webgraph import sitemap_coverage
+
+        return sitemap_coverage(declared, crawled).select(
+            "host", "n_declared", "n_crawled_declared",
+            "n_undeclared_crawled", "coverage_milli",
+        )
+
     def q_hist_quantiles(spark, sf):
         """Exact quantiles by COUNTING (operators/corpus.hist_quantiles):
         per-language p50/p90/p99 of document length via the distinct-value
@@ -3352,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_filter": q_caption_filter,
         "aimd_rate": q_aimd_rate,
         "contam_spans": q_contam_spans,
+        "sitemap_coverage": q_sitemap_coverage,
         "hist_quantiles": q_hist_quantiles,
         "ndcg_eval": q_ndcg_eval,
         "color_stats": q_color_stats,
@@ -5517,6 +5591,51 @@ SELECT doc_id, CAST(span_start AS INT) AS span_start,
   CAST((SUM(span_end - span_start + 1) OVER (PARTITION BY doc_id) * 1000) // n_tokens AS BIGINT)
     AS removed_milli
 FROM spans
+""",
+        "sitemap_coverage": rf"""
+-- independent ARITHMETIC re-derivation of the declared/crawled sets (no
+-- XML round-trip): even hosts declare sitemaps 0+1, odd only 0; each
+-- sitemap s declares /dp/(s*25+i) for i in 0..24; the crawl saw k%3>0
+-- of /dp/ plus /extra/ k%5=0
+WITH h AS (
+  SELECT 'h' || i::VARCHAR AS host, i % 2 = 0 AS even
+  FROM UNNEST(generate_series(0, 11)) AS t(i)
+),
+sm AS (
+  SELECT host, 0 AS s FROM h
+  UNION ALL
+  SELECT host, 1 AS s FROM h WHERE even
+),
+declared AS (
+  SELECT DISTINCT host,
+    'https://' || host || '.example.com/dp/' || (s * 25 + g.i)::VARCHAR AS u
+  FROM sm, UNNEST(generate_series(0, 24)) AS g(i)
+),
+r AS (
+  SELECT 'h' || (id % 12)::VARCHAR AS host, id // 12 AS k
+  FROM UNNEST(generate_series(0, 599)) AS t(id)
+),
+crawled AS (
+  SELECT DISTINCT host, 'https://' || host || '.example.com/dp/' || k::VARCHAR AS u
+  FROM r WHERE k % 3 > 0
+  UNION ALL
+  SELECT DISTINCT host, 'https://' || host || '.example.com/extra/' || k::VARCHAR AS u
+  FROM r WHERE k % 5 = 0
+),
+j AS (
+  SELECT COALESCE(d.host, c.host) AS host, d.u AS du, c.u AS cu
+  FROM declared d FULL OUTER JOIN crawled c ON d.host = c.host AND d.u = c.u
+)
+SELECT host,
+  CAST(SUM(CASE WHEN du IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_declared,
+  CAST(SUM(CASE WHEN du IS NOT NULL AND cu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_crawled_declared,
+  CAST(SUM(CASE WHEN du IS NULL AND cu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_undeclared_crawled,
+  CAST((SUM(CASE WHEN du IS NOT NULL AND cu IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+    // SUM(CASE WHEN du IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS coverage_milli
+FROM j GROUP BY host
+HAVING SUM(CASE WHEN du IS NOT NULL THEN 1 ELSE 0 END) > 0
 """,
         "hist_quantiles": rf"""
 -- exact type-1 quantiles from the distinct-value histogram: cumulative

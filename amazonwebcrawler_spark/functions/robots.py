@@ -133,3 +133,20 @@ def robots_match(
             F.coalesce(F.col("_w.pattern"), F.lit("")).alias("match_pattern"),
         )
     )
+
+
+def sitemap_refs(robots_text: Column) -> Column:
+    """``Sitemap:`` directives of a robots.txt column, in file order —
+    RFC 9309 §2.2.4 allows any number, anywhere in the file,
+    case-insensitive, outside any user-agent group. One vectorized
+    ``regexp_extract_all`` (pattern valid and identical under Java regex
+    and RE2: character classes only, no lookaround); the value is taken
+    to end-of-token so comments after whitespace don't leak in.
+
+    This is the missing half of crawl discovery: robots names the
+    sitemaps, sitemaps name the URLs (``urls.parse_sitemap_entries``),
+    and the coverage audit (``webgraph.sitemap_coverage``) closes the
+    loop against the URL-seen state."""
+    return F.regexp_extract_all(
+        robots_text, F.lit(r"(?i)sitemap:[ \t]*([^\s#]+)"), 1
+    )

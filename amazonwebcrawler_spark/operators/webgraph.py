@@ -902,3 +902,53 @@ pair AS (
 )
 SELECT node, MIN(other) AS scc_id FROM pair GROUP BY node
 """
+
+
+def sitemap_coverage(
+    declared: DataFrame,
+    crawled: DataFrame,
+    host_col: str = "host",
+    url_col: str = "canonical_url",
+) -> DataFrame:
+    """Per-host crawl-coverage audit — the discovery-completeness signal a
+    crawl operator actually pages on: of the URLs a host DECLARES (robots
+    ``Sitemap:`` → sitemap ``<loc>`` entries, canonicalized), how many has
+    the crawl seen, and how much crawled inventory is UNDECLARED (grey
+    discovery via links — high ratios flag stale sitemaps or trap
+    expansion). Output per host: ``n_declared``, ``n_crawled_declared``,
+    ``n_undeclared_crawled``, and the exact integer ``coverage_milli =
+    crawled_declared·1000 DIV declared``.
+
+    Scale shape: both inputs collapse to DISTINCT (host, url) first (the
+    audit is set arithmetic, and distinct-before-join bounds the join by
+    inventory, not fetch count); one equi hash join on (host, url) with a
+    full-outer shape folded into ONE aggregate via match flags — no
+    second pass, no window, nothing quadratic. Hosts come out of the
+    aggregate key-partitioned; 10^10 URLs cost one (host,url) shuffle."""
+    d = declared.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("u")
+    ).distinct().withColumn("_d", F.lit(1).cast("long"))
+    c = crawled.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("u")
+    ).distinct().withColumn("_c", F.lit(1).cast("long"))
+    both = d.join(c, ["host", "u"], "full_outer")
+    return (
+        both.groupBy("host")
+        .agg(
+            F.sum(F.coalesce(F.col("_d"), F.lit(0).cast("long"))).alias("n_declared"),
+            F.sum(
+                F.when(F.col("_d").isNotNull() & F.col("_c").isNotNull(), 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_crawled_declared"),
+            F.sum(
+                F.when(F.col("_d").isNull() & F.col("_c").isNotNull(), 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_undeclared_crawled"),
+        )
+        .filter(F.col("n_declared") > 0)
+        .withColumn(
+            "coverage_milli", F.expr("(n_crawled_declared * 1000L) DIV n_declared")
+        )
+    )

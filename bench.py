@@ -192,6 +192,8 @@ BENCH_QUERIES = (
     "ndcg_eval",
     # coarse-palette curation stats — one Arrow decode crossing
     "color_stats",
+    # discovery-completeness audit — robots→sitemap→seen set arithmetic
+    "sitemap_coverage",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -266,6 +266,9 @@ CHECKS = {
     # color histogram: ONE Arrow decode crossing, stats are computed
     # in-kernel — no join, no window, no shuffle beyond the repartition
     "color_stats": ["MapInPandas"],
+    # coverage audit: ONE full-outer hash join on (host, url) folded into
+    # one aggregate via match flags — no second pass, no window
+    "sitemap_coverage": ["FullOuter", "HashAggregate"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -497,6 +500,10 @@ NEG_CHECKS = {
         "NestedLoop", "Cartesian", "Exchange SinglePartition",
     ],
     "color_stats": ["Join", "Cartesian", "Window", "Exchange SinglePartition"],
+    "sitemap_coverage": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "NestedLoop", "Cartesian", "Window", "Exchange SinglePartition",
+    ],
 }
 
 

@@ -31,7 +31,7 @@ POST_FREEZE = (
     "blur_detect", "channel_stats", "bpe_encode", "lsh_eval",
     "novelty_budget", "smart_crop", "scc",
     "shard_rebalance", "caption_filter", "aimd_rate", "contam_spans",
-    "hist_quantiles", "ndcg_eval", "color_stats",
+    "hist_quantiles", "ndcg_eval", "color_stats", "sitemap_coverage",
 )
 
 

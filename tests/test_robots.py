@@ -170,3 +170,50 @@ class TestRobotsRandomized:
         for i, url, host in urls:
             path = _re.sub(r"^https?://[^/]*", "", url)
             assert got[i] == oracle(path, host), (i, path, got[i], oracle(path, host))
+
+
+class TestSitemapRefs:
+    def test_extraction_rules(self, spark):
+        from amazonwebcrawler_spark.functions.robots import sitemap_refs
+        from pyspark.sql import functions as F
+
+        txts = [
+            # mixed case, comment after value, blank lines, mid-file
+            "User-agent: *\nDisallow: /x\nSiteMap: https://a/s1.xml # main\n\n"
+            "sitemap:https://a/s2.xml\nSITEMAP:\thttps://a/s3.xml",
+            "User-agent: *\nDisallow: /",  # none
+            "# sitemap: https://commented/ignored.xml is still matched",
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(txts)], "i long, t string")
+        rows = {r["i"]: r["refs"] for r in
+                df.select("i", sitemap_refs(F.col("t")).alias("refs")).collect()}
+        assert rows[0] == ["https://a/s1.xml", "https://a/s2.xml", "https://a/s3.xml"]
+        assert rows[1] == []
+        # RFC: directives may appear anywhere; a '#'-commented line is
+        # still a match for a plain regex extractor — the politeness layer
+        # treats robots as advisory listings, fetching a dead sitemap is
+        # harmless. Documented, pinned here.
+        assert rows[2] == ["https://commented/ignored.xml"]
+
+
+class TestSitemapCoverage:
+    def test_set_arithmetic(self, spark):
+        from amazonwebcrawler_spark.operators.webgraph import sitemap_coverage
+
+        declared = spark.createDataFrame(
+            [("h1", "u1"), ("h1", "u2"), ("h1", "u2"), ("h1", "u3"), ("h2", "u9")],
+            "host string, canonical_url string",
+        )
+        crawled = spark.createDataFrame(
+            [("h1", "u2"), ("h1", "u2"), ("h1", "u3"), ("h1", "grey1"), ("h1", "grey2"),
+             ("h3", "orphan")],
+            "host string, canonical_url string",
+        )
+        rows = {r["host"]: r for r in sitemap_coverage(declared, crawled).collect()}
+        h1 = rows["h1"]
+        assert (h1["n_declared"], h1["n_crawled_declared"], h1["n_undeclared_crawled"]) == (3, 2, 2)
+        assert h1["coverage_milli"] == 2 * 1000 // 3
+        h2 = rows["h2"]
+        assert (h2["n_declared"], h2["n_crawled_declared"], h2["coverage_milli"]) == (1, 0, 0)
+        # hosts with zero declared URLs have no coverage denominator — out
+        assert "h3" not in rows
