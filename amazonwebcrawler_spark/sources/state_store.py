@@ -335,3 +335,83 @@ class StateStore:
             "bytes_reclaimed": bytes_reclaimed,
             "retained_waves": retained,
         }
+
+    # ---------------------------------------------------------- orphans
+    def orphan_scan(self) -> dict:
+        """Iceberg remove-orphan-files analog, SCAN phase: ``wave=*``
+        directories on disk that NO committed manifest references — the
+        residue of a crashed in-flight commit (``commit_wave`` writes the
+        table directories first; the manifest rename is the commit point,
+        so a crash between the two strands fully-written parquet that
+        resume correctly ignores but nothing ever reclaims — at one wave
+        per politeness epoch over 10^10 URLs that residue is real disk).
+
+        Scan-only and side-effect free: returns ``{"orphans": [(table,
+        path, bytes), ...], "bytes": n}``. Deletion is the separate
+        :meth:`delete_orphans`, age-guarded so a commit IN PROGRESS
+        (directories written, manifest not yet renamed) is never swept —
+        the same two-phase discipline as ``expire_snapshots`` (which
+        handles the complementary set: manifest-referenced but
+        unreachable).
+        """
+        referenced = {
+            path
+            for w in self.committed_waves()
+            for path in self._manifest(w)["tables"].values()
+        }
+        expired = self._expired_paths()
+        orphans: list[tuple[str, str, int]] = []
+        total = 0
+        for entry in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, entry)
+            if entry == "_manifests" or not os.path.isdir(tdir):
+                continue
+            for wdir in sorted(os.listdir(tdir)):
+                p = os.path.join(tdir, wdir)
+                if not wdir.startswith("wave=") or not os.path.isdir(p):
+                    continue
+                if p in referenced or p in expired:
+                    continue
+                size = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _dns, fns in os.walk(p)
+                    for f in fns
+                )
+                orphans.append((entry, p, size))
+                total += size
+        return {"orphans": orphans, "bytes": total}
+
+    def delete_orphans(self, min_age_s: float = 3600.0) -> dict:
+        """Delete orphan wave directories older than ``min_age_s`` (by the
+        NEWEST mtime under each directory — a directory still being
+        written keeps refreshing it, so an in-flight commit can never look
+        old enough to sweep). Returns ``{"deleted": [paths],
+        "bytes_reclaimed": n, "skipped_young": [paths]}``. Run from the
+        driver while no wave is committing, same as expire_snapshots."""
+        import shutil
+
+        scan = self.orphan_scan()
+        now = time.time()
+        deleted: list[str] = []
+        skipped: list[str] = []
+        reclaimed = 0
+        for _table, path, size in scan["orphans"]:
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _dns, fns in os.walk(path)
+                    for f in fns
+                ),
+                default=os.path.getmtime(path),
+            )
+            if now - newest < min_age_s:
+                skipped.append(path)
+                continue
+            shutil.rmtree(path)
+            deleted.append(path)
+            reclaimed += size
+        return {
+            "deleted": deleted,
+            "bytes_reclaimed": reclaimed,
+            "skipped_young": skipped,
+        }

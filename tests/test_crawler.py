@@ -692,3 +692,72 @@ class TestExpiration:
         assert "side_metrics" not in {t for t, _ in out["deleted"]}
         # the known garbage is still reclaimed
         assert "frontier" in {t for t, _ in out["deleted"]}
+
+
+class TestOrphans:
+    """Orphan wave-directory scan/sweep (state_store.orphan_scan /
+    delete_orphans): directories written by a crashed commit (no manifest)
+    are found, age-guarded, and reclaimed; committed and expired paths are
+    never touched; resume semantics are unaffected."""
+
+    def _store(self, spark, tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+        eng = CrawlEngine(
+            spark, _cfg(tmp, max_waves=4), seeds=seeds_df(spark, SEED_ROWS)
+        )
+        return eng.run()["store"]
+
+    def test_scan_finds_only_crashed_writes(self, spark):
+        import os
+
+        store = self._store(spark, "/tmp/crawl_orphans")
+        assert store.orphan_scan() == {"orphans": [], "bytes": 0}
+
+        # simulate a crash: wave dirs written, manifest never renamed
+        crash_wave = max(store.committed_waves()) + 1
+        spark.range(10).write.parquet(
+            os.path.join(store.root, "results", f"wave={crash_wave}")
+        )
+        spark.range(3).write.parquet(
+            os.path.join(store.root, "metrics", f"wave={crash_wave}")
+        )
+        scan = store.orphan_scan()
+        got = {(t, os.path.basename(p)) for t, p, _sz in scan["orphans"]}
+        assert got == {
+            ("results", f"wave={crash_wave}"),
+            ("metrics", f"wave={crash_wave}"),
+        }
+        assert scan["bytes"] > 0
+
+        # resume ignores the stranded dirs: loaders read manifests only
+        n_results = store.load_deltas("results").count()
+        assert n_results == spark.read.parquet(
+            *[store._manifest(w)["tables"]["results"]
+              for w in store.committed_waves()
+              if "results" in store._manifest(w)["tables"]]
+        ).count()
+
+    def test_age_guard_then_sweep(self, spark):
+        import os
+
+        store = self._store(spark, "/tmp/crawl_orphans2")
+        crash_wave = max(store.committed_waves()) + 1
+        p = os.path.join(store.root, "results", f"wave={crash_wave}")
+        spark.range(5).write.parquet(p)
+
+        # young orphan: skipped by the age guard (an in-flight commit keeps
+        # refreshing mtimes, so it can never look old enough)
+        out = store.delete_orphans(min_age_s=3600)
+        assert out["deleted"] == [] and out["skipped_young"] == [p]
+        assert os.path.isdir(p)
+
+        out = store.delete_orphans(min_age_s=0)
+        assert out["deleted"] == [p] and out["bytes_reclaimed"] > 0
+        assert not os.path.exists(p)
+        assert store.orphan_scan() == {"orphans": [], "bytes": 0}
+
+    def test_expired_paths_not_reported_as_orphans(self, spark):
+        store = self._store(spark, "/tmp/crawl_orphans3")
+        store.expire_snapshots(keep_last=1)
+        # expire tombstones paths and deletes them; nothing left to scan
+        assert store.orphan_scan()["orphans"] == []
