@@ -3307,6 +3307,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_spans", "n_tokens", "removed_milli",
         )
 
+    def q_hll_distinct(spark, sf):
+        """Deterministic mergeable HyperLogLog (operators/sketches):
+        unlike sketch_distinct's certified-but-opaque approx_count_distinct
+        (whose HLL++ estimate is partition-order dependent), this sketch's
+        registers AND estimate are exact integer functions of the data —
+        md5 bucket/rank, power-of-two harmonic sum as a scaled BIGINT,
+        integer-division estimate, literal linear-counting table — so the
+        ESTIMATE ITSELF is the cross-engine contract. The fixture builds
+        registers per (host, subshard), MERGES subshards up to host with
+        a register max (union cardinality with no item rescan — the
+        two-data-center crawl dashboard shape), estimates, and certifies
+        against the exact per-host countDistinct at a 40% (≈3 sigma at
+        m=64) bound. Registers are map-side combinable: ≤64 rows per key
+        leave each partition regardless of item count."""
+        from amazonwebcrawler_spark.operators import sketches as sk
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        base = o.select(
+            F.concat(F.lit("host-"), (k % 13).cast("string")).alias("host"),
+            (F.col("o_custkey") % 4).alias("subshard"),
+            ((k * 17 + F.col("o_custkey")) % 2000).alias("item"),
+        )
+        regs = sk.hll_registers(base, ["host", "subshard"], F.col("item"))
+        merged = sk.hll_merge(regs.drop("subshard"), ["host"])
+        est = sk.hll_estimate(merged, ["host"])
+        exact = base.groupBy("host").agg(F.countDistinct("item").alias("n_exact"))
+        return est.join(exact, "host").select(
+            "host",
+            "n_exact",
+            "v_zero",
+            "s_scaled",
+            "est_milli",
+            (
+                F.abs(F.col("est_milli") - F.col("n_exact") * 1000)
+                <= F.col("n_exact") * 400
+            ).alias("within_40pct"),
+        )
+
+    def q_hyperball(spark, sf):
+        """HyperBall harmonic centrality (operators/sketches.hyperball,
+        after Boldi-Vigna ICDMW'13): per-node inbound reachable-set size
+        at every radius t via max-merged deterministic HLL registers —
+        one edges⋈regs join + one grouped max per round, localCheckpoint
+        lineage truncation — then harmonic_micro = Σ (N_t − N_{t−1})·
+        1000 DIV t. This is THE way to rank 10^9-node web graphs by
+        discoverability without all-pairs BFS (O(n·m·T) register traffic
+        vs O(n·(n+m))). The twin recomputes the identical integer
+        estimate over an exact bounded-depth reachability closure, so
+        the APPROXIMATION is value-checked, not just bounded. Graph:
+        a 12-ring with a feeder chain, a broadcast hub, and a sparse
+        orderkey-derived family (diameter < 7)."""
+        from amazonwebcrawler_spark.operators import sketches as sk
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        edges = (
+            o.select((k % 12).alias("src"), ((k % 12) + 1).alias("dst"))
+            .unionByName(o.select(F.lit(12).alias("src"), F.lit(0).alias("dst")))
+            .unionByName(
+                o.select(((k % 5) + 20).alias("src"), ((k % 5) + 21).alias("dst"))
+            )
+            .unionByName(o.select(F.lit(25).alias("src"), F.lit(3).alias("dst")))
+            .unionByName(
+                o.filter(k % 7 == 0).select(
+                    F.lit(30).alias("src"), ((k * 3 + 1) % 12).alias("dst")
+                )
+            )
+            .unionByName(
+                o.select(((k * 11 + 2) % 40 + 100).alias("src"), ((k * 13 + 5) % 40 + 100).alias("dst"))
+            )
+        )
+        return sk.hyperball(edges, max_t=6)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3487,6 +3561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "pii_scrub": q_pii_scrub,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "hll_distinct": q_hll_distinct,
+        "hyperball": q_hyperball,
         }.items()
     }
 
@@ -6385,6 +6461,8 @@ SELECT doc_id, shard,
   CAST(row_number() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS global_pos
 FROM s
 """,
+        "hll_distinct": _hll_distinct_sql(),
+        "hyperball": _hyperball_sql(),
         **_golden_sql(),
     }
 
@@ -6408,6 +6486,49 @@ def _host_rank_sql() -> str:
         "SELECT (o_orderkey * 3 + 1) % 29 AS src, (o_orderkey * 5 + 2) % 43 AS dst FROM orders"
     )
     return pagerank_oracle_sql(edges, iters=5)
+
+
+def _hll_distinct_sql() -> str:
+    """Twin of q_hll_distinct: same md5 bucket/rank register math and
+    integer estimate (operators/sketches.hll_sql_parts /
+    hll_estimate_sql). The subshard merge needs no twin step — register
+    max is associative, so grouping straight to host IS the merged
+    sketch, which independently checks hll_merge's algebra."""
+    from amazonwebcrawler_spark.operators.sketches import hll_estimate_sql, hll_sql_parts
+
+    bucket, rank = hll_sql_parts("item")
+    est = hll_estimate_sql("regs", "host")
+    return f"""
+WITH base AS (
+  SELECT 'host-' || (o_orderkey % 13)::VARCHAR AS host,
+         ((o_orderkey * 17 + o_custkey) % 2000)::BIGINT AS item
+  FROM orders
+),
+regs AS (SELECT host, {bucket} AS bucket, max({rank}) AS r FROM base GROUP BY 1, 2),
+est AS ({est}),
+exact AS (SELECT host, count(DISTINCT item)::BIGINT AS n_exact FROM base GROUP BY host)
+SELECT e.host, x.n_exact, e.v_zero, e.s_scaled, e.est_milli,
+  abs(e.est_milli - x.n_exact * 1000) <= x.n_exact * 400 AS within_40pct
+FROM est e JOIN exact x ON x.host = e.host
+"""
+
+
+def _hyperball_sql() -> str:
+    """Twin of q_hyperball: exact bounded-depth reachability closure +
+    the identical integer register/estimate/harmonic math
+    (operators/sketches.hyperball_oracle_sql)."""
+    from amazonwebcrawler_spark.operators.sketches import hyperball_oracle_sql
+
+    edges = (
+        "SELECT o_orderkey % 12 AS src, (o_orderkey % 12) + 1 AS dst FROM orders "
+        "UNION ALL SELECT 12, 0 FROM orders "
+        "UNION ALL SELECT (o_orderkey % 5) + 20, (o_orderkey % 5) + 21 FROM orders "
+        "UNION ALL SELECT 25, 3 FROM orders "
+        "UNION ALL SELECT 30, (o_orderkey * 3 + 1) % 12 FROM orders WHERE o_orderkey % 7 = 0 "
+        "UNION ALL SELECT (o_orderkey * 11 + 2) % 40 + 100, (o_orderkey * 13 + 5) % 40 + 100 "
+        "FROM orders"
+    )
+    return hyperball_oracle_sql(edges, max_t=6)
 
 
 def _trap_detect_sql() -> str:

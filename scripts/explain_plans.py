@@ -269,6 +269,14 @@ CHECKS = {
     # coverage audit: ONE full-outer hash join on (host, url) folded into
     # one aggregate via match flags — no second pass, no window
     "sitemap_coverage": ["FullOuter", "HashAggregate"],
+    # deterministic HLL: registers + estimate are two map-side-combinable
+    # hash aggregates of pure column math (partial_max proves the register
+    # max combines before the shuffle); no Python eval node (NEG_CHECKS)
+    "hll_distinct": ["HashAggregate", "partial_max", "[codegen id :"],
+    # HyperBall: final leg is the node-partitioned radius window over the
+    # per-round estimates + one grouped harmonic sum; registers upstream are
+    # localCheckpointed, no Python anywhere (NEG_CHECKS)
+    "hyperball": ["Window", "HashAggregate"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -286,12 +294,14 @@ NO_AQE = {
     "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build", "ann_pq",
     "compaction_plan", "phrase_match",
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
-    "novelty_budget",
+    "novelty_budget", "hll_distinct",
 }
 
 NEG_CHECKS = {
     # query -> substrings that must NOT appear in the plan
     "trap_detect": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "hll_distinct": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "hyperball": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
