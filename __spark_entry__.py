@@ -3381,6 +3381,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sk.hyperball(edges, max_t=6)
 
+    def q_cdc_chunks(spark, sf):
+        """Content-defined chunking (operators/dedup.cdc_chunks): rolling-
+        hash cut points that are a pure function of LOCAL content, so a
+        one-byte edit re-chunks only its neighborhood — the storage-level
+        dedup below the document family (the reference stores every page
+        whole, savePageSource.py:18-31). Output spans tile each document
+        exactly; ``is_first`` elects the canonical owner per digest. All
+        columns integer/string/bool (md5 digests) — driver-hash-stable."""
+        from amazonwebcrawler_spark.operators.dedup import cdc_chunks
+
+        d = _t(spark, sf, "documents")
+        return cdc_chunks(d, "text", "doc_id", window=8, modulus=16)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3563,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "hll_distinct": q_hll_distinct,
         "hyperball": q_hyperball,
+        "cdc_chunks": q_cdc_chunks,
         }.items()
     }
 
@@ -6463,6 +6477,7 @@ FROM s
 """,
         "hll_distinct": _hll_distinct_sql(),
         "hyperball": _hyperball_sql(),
+        "cdc_chunks": _cdc_chunks_sql(),
         **_golden_sql(),
     }
 
@@ -6486,6 +6501,22 @@ def _host_rank_sql() -> str:
         "SELECT (o_orderkey * 3 + 1) % 29 AS src, (o_orderkey * 5 + 2) % 43 AS dst FROM orders"
     )
     return pagerank_oracle_sql(edges, iters=5)
+
+
+def _cdc_chunks_sql() -> str:
+    """Twin of q_cdc_chunks: the identical md5 rolling-window cut rule and
+    digest-ownership window re-derived in DuckDB
+    (operators/dedup.cdc_chunks_oracle_sql), re-aliased to the Spark
+    column name doc_id."""
+    from amazonwebcrawler_spark.operators.dedup import cdc_chunks_oracle_sql
+
+    inner = cdc_chunks_oracle_sql(
+        "SELECT doc_id AS id, text FROM documents", window=8, modulus=16
+    )
+    return (
+        "SELECT id AS doc_id, chunk_idx, start, chunk_len, digest, is_first "
+        f"FROM ({inner})"
+    )
 
 
 def _hll_distinct_sql() -> str:

@@ -1348,3 +1348,116 @@ def multimodal_dedup_keep(
     )
     docs = images.select(F.col(id_col), F.length(F.col(bytes_col)).alias("n_bytes"))
     return keep_canonical(docs, edges, id_col=id_col, quality_col="n_bytes")
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    modulus: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC-style) + chunk-level dedup.
+
+    Fixed-width chunking breaks storage dedup the moment one byte is
+    inserted — every later chunk shifts. CDC cuts where a rolling hash of
+    the last ``window`` characters satisfies ``h % modulus == 0``, so cut
+    points are a pure function of LOCAL content: two documents sharing a
+    boilerplate tail (or any long common substring) produce identical
+    chunks there no matter how their prefixes differ. This is the dedup
+    the WARC/revisit storage layer runs below the document-level family —
+    expected chunk length ``modulus`` characters past the window.
+
+    The hash is md5 of the window substring (the cross-engine md5
+    discipline; a production kernel would use a true O(1) rolling
+    polynomial inside ``mapInPandas`` — the md5-per-position form keeps
+    the operator relational and value-checkable, at O(len·window) hash
+    bytes). Positions explode to one row per character offset ≥
+    ``window``; short documents (< window chars) become a single chunk
+    via the unconditional end-of-text cut. ``is_first`` elects the
+    canonical owner of each distinct chunk digest by (id, start) order —
+    storage savings = chunk bytes where NOT is_first.
+
+    Scale shape: the explode is linear in corpus characters and never
+    shuffles (cut detection is per-row column math); the only exchanges
+    are the per-doc cut window and the digest-ownership window, both
+    key-partitioned. Reference scraper stores every page whole
+    (savePageSource.py:18-31); this is the delta-storage replacement.
+
+    Returns ``(id, chunk_idx, start, chunk_len, digest, is_first)``.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_t"),
+        F.length(F.col(text_col)).alias("_len"),
+    ).filter(F.col("_len") > 0)
+
+    pos = base.filter(F.col("_len") >= window).select(
+        "_id",
+        "_t",
+        "_len",
+        F.explode(F.sequence(F.lit(window), F.col("_len"))).alias("i"),
+    )
+    win = F.substring(F.col("_t"), F.col("i") - F.lit(window - 1), F.lit(window))
+    h = F.conv(F.substring(F.md5(win), 1, 8), 16, 10).cast("long")
+    cuts = (
+        pos.filter((h % modulus == 0) | (F.col("i") == F.col("_len")))
+        .select("_id", "i")
+        .unionByName(base.select("_id", F.col("_len").alias("i")))
+        .distinct()
+    )
+    w = Window.partitionBy("_id").orderBy("i")
+    spans = cuts.select(
+        "_id",
+        F.row_number().over(w).alias("chunk_idx"),
+        (F.coalesce(F.lag("i").over(w), F.lit(0)) + 1).alias("start"),
+        F.col("i").alias("end"),
+    )
+    chunks = spans.join(base, "_id").select(
+        F.col("_id").alias(id_col),
+        "chunk_idx",
+        F.col("start").cast("long").alias("start"),
+        (F.col("end") - F.col("start") + 1).cast("long").alias("chunk_len"),
+        F.md5(F.substring(F.col("_t"), F.col("start"), F.col("end") - F.col("start") + 1)).alias(
+            "digest"
+        ),
+    )
+    own = Window.partitionBy("digest").orderBy(id_col, "start")
+    return chunks.withColumn("is_first", F.row_number().over(own) == 1)
+
+
+def cdc_chunks_oracle_sql(
+    docs_sql: str, window: int = 8, modulus: int = 16
+) -> str:
+    """DuckDB twin of :func:`cdc_chunks` over ``docs_sql`` → (id, text)."""
+    return f"""
+WITH base AS (SELECT id AS _id, text AS _t, length(text) AS _len FROM ({docs_sql}) WHERE length(text) > 0),
+pos AS (
+  SELECT _id, _t, _len, CAST(u.i AS INT) AS i
+  FROM base, UNNEST(generate_series({window}, _len)) AS u(i)
+),
+cuts AS (
+  SELECT _id, i FROM pos
+  WHERE CAST(('0x' || substr(md5(substr(_t, i - {window - 1}, {window})), 1, 8)) AS UBIGINT)
+          % {modulus} = 0
+     OR i = _len
+  UNION
+  SELECT _id, _len FROM base
+),
+spans AS (
+  SELECT _id,
+    CAST(row_number() OVER (PARTITION BY _id ORDER BY i) AS INT) AS chunk_idx,
+    COALESCE(lag(i) OVER (PARTITION BY _id ORDER BY i), 0) + 1 AS start,
+    i AS e
+  FROM cuts
+),
+chunks AS (
+  SELECT s._id AS id, s.chunk_idx, CAST(s.start AS BIGINT) AS start,
+    CAST(s.e - s.start + 1 AS BIGINT) AS chunk_len,
+    md5(substr(b._t, s.start, s.e - s.start + 1)) AS digest
+  FROM spans s JOIN base b ON b._id = s._id
+)
+SELECT id, chunk_idx, start, chunk_len, digest,
+  row_number() OVER (PARTITION BY digest ORDER BY id, start) = 1 AS is_first
+FROM chunks
+"""

@@ -1335,3 +1335,100 @@ class TestNdcgEval:
             ndcg_eval(self._ranked(spark, rows), k=0)
         with _pytest.raises(ValueError):
             ndcg_eval(self._ranked(spark, rows), k=99)
+
+
+class TestCdcChunks:
+    """operators/dedup.cdc_chunks — content-defined chunking. Properties
+    pinned: exact tiling (spans cover each doc with no gap/overlap), cut
+    locality (a prefix edit leaves the shared suffix's chunks byte-identical
+    once the window re-synchronizes), and single-owner digest election."""
+
+    W, M = 8, 16
+
+    @staticmethod
+    def _cuts_oracle(text, window, modulus):
+        import hashlib
+
+        n = len(text)
+        if n == 0:
+            return []
+        cuts = set()
+        for i in range(window, n + 1):
+            win = text[i - window : i]
+            h = int(hashlib.md5(win.encode()).hexdigest()[:8], 16)
+            if h % modulus == 0:
+                cuts.add(i)
+        cuts.add(n)
+        return sorted(cuts)
+
+    def _run(self, spark, rows):
+        from amazonwebcrawler_spark.operators.dedup import cdc_chunks
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return cdc_chunks(df, "text", "doc_id", window=self.W, modulus=self.M).collect()
+
+    def test_tiling_matches_python_oracle(self, spark):
+        import random
+
+        rng = random.Random(7)
+        alpha = "abcdef gh"
+        rows = [
+            (f"d{i}", "".join(rng.choice(alpha) for _ in range(rng.randint(0, 300))))
+            for i in range(25)
+        ]
+        texts = dict(rows)
+        out = self._run(spark, rows)
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, text in rows:
+            want = self._cuts_oracle(text, self.W, self.M)
+            got = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_idx"])
+            assert [r["start"] + r["chunk_len"] - 1 for r in got] == want
+            # exact tiling: starts are the previous ends + 1, from 1
+            prev_end = 0
+            for r in got:
+                assert r["start"] == prev_end + 1
+                prev_end = r["start"] + r["chunk_len"] - 1
+            if text:
+                assert prev_end == len(text)
+
+    def test_prefix_edit_preserves_suffix_chunks(self, spark):
+        # the CDC point: after the window re-synchronizes inside the shared
+        # suffix, chunk digests are identical regardless of prefix content.
+        import random
+
+        rng = random.Random(13)
+        shared = "".join(rng.choice("abcdefgh ") for _ in range(400))
+        rows = [("a", "XXX" + shared), ("b", "YYYYYYY" + shared)]
+        out = self._run(spark, rows)
+        digests = {"a": set(), "b": set()}
+        for r in out:
+            # compare only chunks fully inside the shared suffix region
+            start0 = r["start"] - (3 if r["doc_id"] == "a" else 7)
+            if start0 > self.W:  # past the first resync window
+                digests[r["doc_id"]].add((start0, r["digest"]))
+        common = digests["a"] & digests["b"]
+        assert len(common) >= 3, "shared-suffix chunks must realign"
+        # and every aligned chunk is digest-equal (set intersection == each
+        # side restricted to starts present in both)
+        starts_a = {s for s, _ in digests["a"]}
+        starts_b = {s for s, _ in digests["b"]}
+        both = starts_a & starts_b
+        assert {d for d in digests["a"] if d[0] in both} == {
+            d for d in digests["b"] if d[0] in both
+        }
+
+    def test_is_first_single_owner_and_short_docs(self, spark):
+        rows = [("a", "same same same!"), ("b", "same same same!"), ("c", "x")]
+        out = self._run(spark, rows)
+        owners = {}
+        for r in out:
+            owners.setdefault(r["digest"], []).append(r)
+        for digest, rs in owners.items():
+            firsts = [r for r in rs if r["is_first"]]
+            assert len(firsts) == 1
+            assert min(rs, key=lambda r: (r["doc_id"], r["start"])) == firsts[0]
+        # doc "c" (< window chars) is one whole chunk
+        c = [r for r in out if r["doc_id"] == "c"]
+        assert len(c) == 1 and c[0]["chunk_len"] == 1 and c[0]["chunk_idx"] == 1
