@@ -3394,6 +3394,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return cdc_chunks(d, "text", "doc_id", window=8, modulus=16)
 
+    def q_frontier_size(spark, sf):
+        """Capture-recapture frontier sizing (operators/politeness.
+        frontier_size_chao1): per-host Chao1 unseen-URL estimate +
+        Good–Turing coverage from a discovery log — the data-driven
+        "is this host exhausted?" signal the reference's fixed page budget
+        (getRank.py:44) cannot express. Captures derive from events
+        (user_id = URL key, host = user_id mod 8) identically on both
+        engine sides; every output column is exact integer arithmetic
+        (floor-div DIV), so the row is driver-hash-stable."""
+        from amazonwebcrawler_spark.operators.politeness import frontier_size_chao1
+
+        e = _t(spark, sf, "events")
+        caps = e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 8).cast("string")).alias("host"),
+            F.col("user_id").alias("url"),
+        )
+        return frontier_size_chao1(caps)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3577,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hyperball": q_hyperball,
         "cdc_chunks": q_cdc_chunks,
+        "frontier_size": q_frontier_size,
         }.items()
     }
 
@@ -6478,6 +6497,27 @@ FROM s
         "hll_distinct": _hll_distinct_sql(),
         "hyperball": _hyperball_sql(),
         "cdc_chunks": _cdc_chunks_sql(),
+        "frontier_size": """
+WITH caps AS (
+  SELECT 'h' || CAST(user_id % 8 AS VARCHAR) AS host, user_id AS url FROM events
+),
+per_url AS (SELECT host, url, count(*) AS k FROM caps GROUP BY host, url),
+agg AS (
+  SELECT host, SUM(k) AS n_captures, COUNT(*) AS s_obs,
+    SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS f1,
+    SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS f2
+  FROM per_url GROUP BY host
+)
+SELECT host,
+  CAST(n_captures AS BIGINT) AS n_captures,
+  CAST(s_obs AS BIGINT) AS s_obs,
+  CAST(f1 AS BIGINT) AS f1,
+  CAST(f2 AS BIGINT) AS f2,
+  CAST(s_obs + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS chao1_est,
+  CAST((f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS unseen_est,
+  CAST(((n_captures - f1) * 1000000) // n_captures AS BIGINT) AS coverage_micro
+FROM agg
+""",
         **_golden_sql(),
     }
 

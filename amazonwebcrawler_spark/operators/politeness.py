@@ -364,3 +364,65 @@ def aimd_rate(
             ).otherwise(F.least(F.lit(max_rate).cast("long"), acc + 1)),
         ).alias("rate"),
     )
+
+
+def frontier_size_chao1(
+    captures: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+) -> DataFrame:
+    """Capture-recapture estimate of each host's UNSEEN URL space.
+
+    A crawl never knows how big a host really is — it only sees the URLs
+    its link extraction keeps (re)discovering. Treating every discovery of
+    a URL as a "capture" turns frontier sizing into the classic species-
+    richness problem: hosts whose discoveries are mostly singletons (f1
+    high) are far from exhausted; hosts where every URL has been re-seen
+    many times are saturated. The bias-corrected Chao1 estimator
+    (Chao 1984) lower-bounds total richness from just the singleton and
+    doubleton counts::
+
+        chao1 = s_obs + f1·(f1−1) / (2·(f2+1))
+
+    and Good–Turing sample coverage ``1 − f1/n`` says what fraction of the
+    host's discovery mass the crawl has already absorbed. Both feed the
+    budget allocator: spending politeness tokens on a saturated host wastes
+    the wave (the reference crawls a fixed page budget per keyword,
+    getRank.py:44 — it cannot know when a keyword is exhausted; this is the
+    data-driven replacement).
+
+    Scale shape: TWO hash aggregations, both map-side combinable —
+    ``groupBy(host, url).count()`` collapses the capture log (the only
+    shuffle proportional to data; at 10^10 URLs this is the same key the
+    seen-set already shards on), then ``groupBy(host)`` over the collapsed
+    per-URL rows (vocabulary-sized). Pure integer arithmetic end to end —
+    ``chao1_est`` uses floor division and ``coverage_micro`` is
+    ``(n−f1)·10^6 DIV n`` — so the contract is driver-hash-stable.
+
+    Returns (host, n_captures, s_obs, f1, f2, chao1_est, unseen_est,
+    coverage_micro); hosts with zero captures never appear (no rows → no
+    estimate, by construction).
+    """
+    per_url = captures.groupBy(
+        F.col(host_col).alias("host"), F.col(url_col).alias("_url")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    one = F.lit(1).cast("long")
+    agg = per_url.groupBy("host").agg(
+        F.sum("k").alias("n_captures"),
+        F.count(F.lit(1)).alias("s_obs"),
+        F.sum(F.when(F.col("k") == 1, one).otherwise(F.lit(0).cast("long"))).alias("f1"),
+        F.sum(F.when(F.col("k") == 2, one).otherwise(F.lit(0).cast("long"))).alias("f2"),
+    )
+    unseen = F.expr("(f1 * (f1 - 1L)) DIV (2L * (f2 + 1L))")
+    return agg.select(
+        "host",
+        "n_captures",
+        "s_obs",
+        "f1",
+        "f2",
+        (F.col("s_obs") + unseen).cast("long").alias("chao1_est"),
+        unseen.cast("long").alias("unseen_est"),
+        F.expr("((n_captures - f1) * 1000000L) DIV n_captures")
+        .cast("long")
+        .alias("coverage_micro"),
+    )

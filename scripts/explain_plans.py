@@ -277,6 +277,14 @@ CHECKS = {
     # per-round estimates + one grouped harmonic sum; registers upstream are
     # localCheckpointed, no Python anywhere (NEG_CHECKS)
     "hyperball": ["Window", "HashAggregate"],
+    # CDC chunking: cut detection is a codegen'd explode+filter projection;
+    # the only exchanges are the two key-partitioned windows — no Python
+    # eval node anywhere (NEG_CHECKS)
+    "cdc_chunks": ["[codegen id :", "Window"],
+    # Chao1 frontier sizing: TWO hash aggregations, both with map-side
+    # partial combine (partial_count / partial_sum), pure integer column
+    # math — no Python, no window, no join (NEG_CHECKS)
+    "frontier_size": ["HashAggregate", "partial_count", "partial_sum", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -294,7 +302,7 @@ NO_AQE = {
     "bm25_rank", "heavy_hitters", "pmi_pairs", "postings_build", "ann_pq",
     "compaction_plan", "phrase_match",
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
-    "novelty_budget", "hll_distinct",
+    "novelty_budget", "hll_distinct", "cdc_chunks", "frontier_size",
 }
 
 NEG_CHECKS = {
@@ -302,6 +310,8 @@ NEG_CHECKS = {
     "trap_detect": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hll_distinct": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hyperball": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "cdc_chunks": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "frontier_size": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window", "Join"],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],

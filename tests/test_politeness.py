@@ -255,3 +255,56 @@ class TestAimdRate:
         ).collect()
         assert rl["rate"] == 3  # 4→5→6→3
         assert rf["rate"] == 4  # 4→2→3→4
+
+
+class TestFrontierSizeChao1:
+    """operators/politeness.frontier_size_chao1 — capture-recapture
+    frontier sizing. Hand-computed Chao1 + Good-Turing values, saturation
+    monotonicity, and the f2=0 bias-corrected branch."""
+
+    def _caps(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, url string")
+
+    def test_hand_computed_example(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import frontier_size_chao1
+
+        # host A: urls u1..u4 captured 1,1,2,3 times → n=7, s_obs=4, f1=2, f2=1
+        # chao1 = 4 + 2*1 // (2*2) = 4 + 0 = 4 ... use bigger f1 to exercise
+        # the formula: add u5,u6 singletons → f1=4, f2=1:
+        # chao1 = 6 + 4*3 // 4 = 9; coverage = (9-4)*1e6 // 9 = 555555
+        rows = (
+            [("A", "u1"), ("A", "u2"), ("A", "u5"), ("A", "u6")]
+            + [("A", "u3")] * 2
+            + [("A", "u4")] * 3
+        )
+        (r,) = frontier_size_chao1(self._caps(spark, rows)).collect()
+        assert (r["n_captures"], r["s_obs"], r["f1"], r["f2"]) == (9, 6, 4, 1)
+        assert r["chao1_est"] == 9 and r["unseen_est"] == 3
+        assert r["coverage_micro"] == (9 - 4) * 1_000_000 // 9
+
+    def test_f2_zero_bias_corrected(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import frontier_size_chao1
+
+        # all singletons, no doubletons: chao1 = s + f1(f1-1)/2, coverage 0
+        rows = [("B", f"u{i}") for i in range(5)]
+        (r,) = frontier_size_chao1(self._caps(spark, rows)).collect()
+        assert r["f2"] == 0
+        assert r["chao1_est"] == 5 + (5 * 4) // 2
+        assert r["coverage_micro"] == 0
+
+    def test_saturated_host_estimates_zero_unseen(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import frontier_size_chao1
+
+        # every URL re-captured 3+: f1=0 → unseen 0, coverage 1.0
+        rows = [("C", f"u{i}") for i in range(4)] * 3
+        (r,) = frontier_size_chao1(self._caps(spark, rows)).collect()
+        assert r["f1"] == 0 and r["unseen_est"] == 0
+        assert r["coverage_micro"] == 1_000_000
+
+    def test_per_host_isolation(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import frontier_size_chao1
+
+        rows = [("A", "u1"), ("B", "u1"), ("B", "u1")]
+        out = {r["host"]: r for r in frontier_size_chao1(self._caps(spark, rows)).collect()}
+        assert out["A"]["f1"] == 1 and out["B"]["f1"] == 0
+        assert out["A"]["coverage_micro"] == 0 and out["B"]["coverage_micro"] == 1_000_000
