@@ -3412,6 +3412,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return frontier_size_chao1(caps)
 
+    def q_kn_bigram(spark, sf):
+        """Interpolated Kneser–Ney bigram LM scoring (functions/text.
+        kn_bigram_nll): the word-ORDER-aware perplexity filter — common
+        words in implausible order now score badly. Self-trained (no
+        model artifact); d = 0.75 exact in binary on both engines; output
+        is the micro-unit BIGINT ln-mean (same contract as the r4-green
+        lm_score)."""
+        from amazonwebcrawler_spark.functions.text import kn_bigram_nll
+
+        d = _t(spark, sf, "documents")
+        return kn_bigram_nll(d, "text", "doc_id")
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3596,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "cdc_chunks": q_cdc_chunks,
         "frontier_size": q_frontier_size,
+        "kn_bigram": q_kn_bigram,
         }.items()
     }
 
@@ -6517,6 +6530,31 @@ SELECT host,
   CAST((f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT) AS unseen_est,
   CAST(((n_captures - f1) * 1000000) // n_captures AS BIGINT) AS coverage_micro
 FROM agg
+""",
+        "kn_bigram": rf"""
+-- interpolated Kneser-Ney bigram LM, self-trained, d = 750/1000
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+bg AS (
+  SELECT doc_id, list_extract(toks, i) AS w1, list_extract(toks, i + 1) AS w2
+  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1plus_fw FROM c12 GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS cont FROM c12 GROUP BY w2),
+types AS (SELECT COUNT(*) AS t_types FROM c12),
+lm AS (
+  SELECT c.w1, c.w2,
+    (c.c12 - 750::DOUBLE / 1000.0) / l.c1
+      + (750::DOUBLE / 1000.0) * l.n1plus_fw / l.c1 * (r.cont::DOUBLE / t.t_types)
+      AS p
+  FROM c12 c JOIN lft l USING (w1) JOIN cont r USING (w2) CROSS JOIN types t
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+  CAST(round(-AVG(ln(m.p)) * 1000000) AS BIGINT) AS nll_micro
+FROM bg b JOIN lm m ON b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY b.doc_id
 """,
         **_golden_sql(),
     }

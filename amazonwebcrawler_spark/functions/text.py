@@ -1629,3 +1629,78 @@ def caption_quality(
         .withColumn("keep", F.col("drop_reason").isNull())
         .drop("_cq_chars", "_cq_words", "_cq_digits", "_cq_alpha")
     )
+
+
+def kn_bigram_nll(df, text_col: str, id_col: str, discount_milli: int = 750):
+    """Interpolated Kneser–Ney bigram LM quality signal (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.24) — the step up from :func:`unigram_nll`
+    that actual perplexity filters (CCNet's KenLM stage) take: a document
+    full of common words in IMPLAUSIBLE order now scores badly, which the
+    unigram model cannot see. Self-trained on the corpus itself, so there
+    is no model artifact::
+
+        p(w2|w1) = (c(w1,w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · p_cont(w2)
+        p_cont(w2) = N1+(·w2) / |bigram types|
+
+    with absolute discount ``d = discount_milli/1000`` (the canonical 0.75;
+    750/1000 is exact in binary, so both engines use the identical double).
+    Every scored bigram was seen in training (same corpus), so ``c ≥ 1 > d``
+    and p > 0 without a max() guard — the continuation term is what the
+    discount mass pays for, exactly the KN insight ("Francisco" is frequent
+    but follows only "San": its continuation weight is tiny).
+
+    Scale shape: bigram extraction is a shuffle-free array transform
+    (``transform(sequence(...))`` over the token array — one codegen
+    projection, no self-join); training is ONE map-side-combinable hash
+    aggregate on (w1,w2) — the only data-proportional shuffle — and the
+    three smoothing statistics (left sum + fan-out, continuation count,
+    type total) are aggregations OVER the bigram-TYPE table (vocabulary-
+    sized, not corpus-sized). Scoring re-joins the doc bigram stream with
+    the type table on the SAME (w1,w2) key; the type total broadcasts as a
+    one-row aggregate. Mirrors the decontamination pattern: in production
+    the "train" side runs on a held-out slice and the type table persists
+    bucketed on (w1,w2).
+
+    Returns (doc_id, n_bigrams, nll_micro) — micro-unit BIGINT via the
+    repo's ln-mean discipline (summation drift ~1e-13 relative, far inside
+    a micro cell; same contract as unigram_nll, driver-green since r4).
+    Documents with fewer than 2 tokens have no bigram and are absent by
+    construction (score them with unigram_nll).
+    """
+    d = F.lit(discount_milli).cast("double") / F.lit(1000.0)
+    docs = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("tk")
+    ).filter(F.size("tk") >= 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(tk)-1), i -> struct(tk[i-1] AS w1, tk[i] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1plus_fw")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    types = c12.select(F.count(F.lit(1)).alias("t_types"))
+    lm = (
+        c12.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c12") - d) / F.col("c1")
+                + d * F.col("n1plus_fw") / F.col("c1") * (F.col("cont") / F.col("t_types"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.avg(F.log(F.col("p"))) * 1_000_000).cast("long").alias("nll_micro"),
+        )
+    )

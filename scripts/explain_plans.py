@@ -285,6 +285,10 @@ CHECKS = {
     # partial combine (partial_count / partial_sum), pure integer column
     # math — no Python, no window, no join (NEG_CHECKS)
     "frontier_size": ["HashAggregate", "partial_count", "partial_sum", "[codegen id :"],
+    # KN bigram LM: bigram extraction is a codegen'd array transform (no
+    # self-join); the type total arrives as a broadcast one-row aggregate;
+    # training + scoring are hash aggregates — no Python (NEG_CHECKS)
+    "kn_bigram": ["BroadcastNestedLoopJoin", "HashAggregate", "[codegen id :"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -303,6 +307,7 @@ NO_AQE = {
     "compaction_plan", "phrase_match",
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
     "novelty_budget", "hll_distinct", "cdc_chunks", "frontier_size",
+    "kn_bigram",
 }
 
 NEG_CHECKS = {
@@ -312,6 +317,7 @@ NEG_CHECKS = {
     "hyperball": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "cdc_chunks": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "frontier_size": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window", "Join"],
+    "kn_bigram": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window"],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],

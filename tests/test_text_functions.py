@@ -1099,3 +1099,95 @@ class TestCaptionQuality:
         assert r["digit_milli"] == 2 * 1000 // 10
         assert r["alpha_milli"] == 6 * 1000 // 10
         assert r["caption_words"] == 3 and r["caption_chars"] == 10
+
+
+class TestKnBigramNll:
+    """functions/text.kn_bigram_nll vs a pure-Python interpolated
+    Kneser-Ney replay, plus the word-ORDER sensitivity the unigram model
+    cannot express."""
+
+    D = 0.75
+
+    @staticmethod
+    def _py_kn(texts, d):
+        import math
+        import re
+        from collections import Counter, defaultdict
+
+        def toks(t):
+            t = re.sub(r"\s+", " ", t.lower()).strip()
+            return t.split(" ") if t else []
+
+        bgs = {i: list(zip(tk, tk[1:])) for i, (t,) in enumerate(texts) for tk in [toks(t)]}
+        c12 = Counter(b for bl in bgs.values() for b in bl)
+        c1, n1plus, cont = Counter(), defaultdict(set), defaultdict(set)
+        for (w1, w2), c in c12.items():
+            c1[w1] += c
+            n1plus[w1].add(w2)
+            cont[w2].add(w1)
+        T = len(c12)
+
+        def p(w1, w2):
+            return (c12[(w1, w2)] - d) / c1[w1] + d * len(n1plus[w1]) / c1[w1] * (
+                len(cont[w2]) / T
+            )
+
+        out = {}
+        for i, bl in bgs.items():
+            if bl:
+                out[i] = (len(bl), round(-sum(math.log(p(*b)) for b in bl) / len(bl) * 1e6))
+        return out
+
+    def _run(self, spark, texts):
+        from amazonwebcrawler_spark.functions.text import kn_bigram_nll
+
+        df = spark.createDataFrame(
+            [(i, t) for i, (t,) in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: (r["n_bigrams"], r["nll_micro"])
+            for r in kn_bigram_nll(df, "text", "doc_id").collect()
+        }
+
+    def test_matches_python_oracle(self, spark):
+        texts = [
+            ("the cat sat on the mat",),
+            ("the dog sat on the cat",),
+            ("a cat and a dog and a mat",),
+            ("the the the the",),
+            ("solo",),  # < 2 tokens: absent from output
+            ("",),
+        ]
+        got = self._run(spark, texts)
+        want = self._py_kn(texts, self.D)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert abs(got[i][1] - want[i][1]) <= 1  # ln summation-order ulp
+
+    def test_word_order_sensitivity(self, spark):
+        # corpus dominated by "x y" transitions; one doc uses the SAME
+        # unigram bag in reversed (rare) order -> strictly higher nll
+        base = "alpha beta gamma delta " * 10
+        rev = "delta gamma beta alpha " * 10
+        texts = [(base,)] * 5 + [(rev,)]
+        got = self._run(spark, texts)
+        natural = got[0][1]
+        reversed_ = got[5][1]
+        assert reversed_ > natural
+
+    def test_randomized_vs_oracle(self, spark):
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [
+            (" ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))),)
+            for _ in range(30)
+        ]
+        got = self._run(spark, texts)
+        want = self._py_kn(texts, self.D)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0]
+            assert abs(got[i][1] - want[i][1]) <= 1
