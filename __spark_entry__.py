@@ -3424,6 +3424,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return kn_bigram_nll(d, "text", "doc_id")
 
+    def q_resolve_refs(spark, sf):
+        """Full RFC 3986 reference resolution (functions/urls.
+        resolve_reference): ../-relative, ./-relative, query-only,
+        network-path (//host), empty, absolute (scheme lowercased +
+        dot-normalized) and non-web-scheme (→ NULL) hrefs against an
+        absolute base — the resolver extract_links' root-relative fast
+        path skips (reference getStockNumber.py:67 concatenates the host
+        onto root-relative hrefs only). (base, href) pairs derive from
+        orders identically on both engine sides; the twin replays the
+        §5.2.4 segment stack as a recursive CTE, so the entire case tree
+        AND the dot-removal fold are value-checked. All-string output —
+        driver-hash-stable."""
+        from amazonwebcrawler_spark.functions.urls import resolve_reference
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        base = F.concat(
+            F.lit("https://www.amazon.com/cat"), (k % 3).cast("string"),
+            F.lit("/sub"), (k % 5).cast("string"), F.lit("/item.html"),
+            F.when(k % 2 == 0, F.lit("?page=2")).otherwise(F.lit("")),
+        )
+        href = (
+            F.when(k % 8 == 0, F.lit("../parent/list.html"))
+            .when(k % 8 == 1, F.lit("./self.html?q=1"))
+            .when(k % 8 == 2, F.lit("/rooted/path/../x.html"))
+            .when(k % 8 == 3, F.lit("//media.amazon.com/img/./a.png"))
+            .when(k % 8 == 4, F.lit("rel/sub/../../leaf.html"))
+            .when(k % 8 == 5, F.lit("HTTPS://Other.Amazon.com/Abs/Top.html#frag"))
+            .when(k % 8 == 6, F.lit("?only=query"))
+            .otherwise(F.lit("mailto:deals@amazon.com"))
+        )
+        return o.select(
+            "o_orderkey", resolve_reference(href, base).alias("resolved_url")
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3609,6 +3644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "frontier_size": q_frontier_size,
         "kn_bigram": q_kn_bigram,
+        "resolve_refs": q_resolve_refs,
         }.items()
     }
 
@@ -6555,6 +6591,95 @@ SELECT b.doc_id, COUNT(*) AS n_bigrams,
   CAST(round(-AVG(ln(m.p)) * 1000000) AS BIGINT) AS nll_micro
 FROM bg b JOIN lm m ON b.w1 = m.w1 AND b.w2 = m.w2
 GROUP BY b.doc_id
+""",
+        "resolve_refs": r"""
+-- RFC 3986 §5.2.2 reference resolution; §5.2.4 as a recursive segment stack
+WITH RECURSIVE pairs AS (
+  SELECT o_orderkey AS id,
+    'https://www.amazon.com/cat' || CAST(o_orderkey % 3 AS VARCHAR)
+      || '/sub' || CAST(o_orderkey % 5 AS VARCHAR) || '/item.html'
+      || CASE WHEN o_orderkey % 2 = 0 THEN '?page=2' ELSE '' END AS base,
+    CASE o_orderkey % 8
+      WHEN 0 THEN '../parent/list.html'
+      WHEN 1 THEN './self.html?q=1'
+      WHEN 2 THEN '/rooted/path/../x.html'
+      WHEN 3 THEN '//media.amazon.com/img/./a.png'
+      WHEN 4 THEN 'rel/sub/../../leaf.html'
+      WHEN 5 THEN 'HTTPS://Other.Amazon.com/Abs/Top.html#frag'
+      WHEN 6 THEN '?only=query'
+      ELSE 'mailto:deals@amazon.com' END AS href
+  FROM orders
+),
+hb AS (
+  SELECT id, regexp_replace(href, '#.*$', '') AS h,
+         regexp_replace(base, '#.*$', '') AS b
+  FROM pairs
+),
+parts AS (
+  SELECT id, h,
+    lower(regexp_extract(b, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS bs,
+    regexp_extract(b, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS bauth,
+    regexp_extract(b, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS bpath,
+    CASE WHEN strpos(b, '?') > 0 THEN substr(b, strpos(b, '?') + 1) ELSE '' END AS bq,
+    CASE WHEN strpos(h, '?') > 0 THEN split_part(h, '?', 1) ELSE h END AS hpath,
+    CASE WHEN strpos(h, '?') > 0 THEN substr(h, strpos(h, '?') + 1) ELSE '' END AS hq
+  FROM hb
+),
+tgt AS (
+  SELECT id,
+    CASE
+      WHEN h = '' THEN bs
+      WHEN regexp_matches(h, '(?i)^https?://')
+        THEN lower(regexp_extract(h, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.\-]*:') THEN NULL
+      ELSE bs END AS s,
+    CASE
+      WHEN h = '' THEN bauth
+      WHEN regexp_matches(h, '(?i)^https?://')
+        THEN regexp_extract(h, '(?i)^https?://([^/?#]*)', 1)
+      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.\-]*:') THEN NULL
+      WHEN h LIKE '//%' THEN regexp_extract(h, '^//([^/?#]*)', 1)
+      ELSE bauth END AS auth,
+    CASE
+      WHEN h = '' THEN bpath
+      WHEN regexp_matches(h, '(?i)^https?://')
+        THEN regexp_extract(h, '(?i)^https?://[^/?#]*([^?#]*)', 1)
+      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.\-]*:') THEN NULL
+      WHEN h LIKE '//%' THEN regexp_extract(h, '^//[^/?#]*([^?#]*)', 1)
+      WHEN h LIKE '/%' THEN hpath
+      WHEN h LIKE '?%' THEN bpath
+      ELSE (CASE WHEN bpath = '' THEN '/'
+            ELSE regexp_replace(bpath, '[^/]*$', '') END) || hpath END AS p0,
+    CASE WHEN h = '' THEN bq ELSE hq END AS q
+  FROM parts
+),
+segs AS (
+  SELECT id, s, auth, p0, q,
+    string_split(
+      CASE WHEN regexp_matches(p0, '(^|/)\.\.?$') THEN p0 || '/' ELSE p0 END, '/'
+    ) AS sg
+  FROM tgt WHERE s IS NOT NULL
+),
+walk AS (
+  SELECT id, 1 AS i, CAST([] AS VARCHAR[]) AS stk FROM segs
+  UNION ALL
+  SELECT w.id, w.i + 1,
+    CASE list_extract(s2.sg, w.i + 1)
+      WHEN '.' THEN w.stk
+      WHEN '..' THEN CASE WHEN len(w.stk) = 0 THEN w.stk
+                     ELSE list_slice(w.stk, 1, len(w.stk) - 1) END
+      ELSE list_append(w.stk, list_extract(s2.sg, w.i + 1)) END
+  FROM walk w JOIN segs s2 ON s2.id = w.id
+  WHERE w.i < len(s2.sg)
+)
+SELECT s2.id AS o_orderkey,
+  s2.s || '://' || s2.auth
+    || (CASE WHEN s2.p0 = '' THEN ''
+        ELSE '/' || array_to_string(w.stk, '/') END)
+    || (CASE WHEN s2.q <> '' THEN '?' || s2.q ELSE '' END) AS resolved_url
+FROM walk w JOIN segs s2 ON s2.id = w.id AND w.i = len(s2.sg)
+UNION ALL
+SELECT id AS o_orderkey, NULL AS resolved_url FROM tgt WHERE s IS NULL
 """,
         **_golden_sql(),
     }

@@ -489,3 +489,103 @@ def parse_sitemap_entries(xml: Column) -> Column:
             F.regexp_extract(b, r"<lastmod>([^<]+)</lastmod>", 1).alias("lastmod"),
         ),
     )
+
+
+def remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 ``remove_dot_segments`` as ONE codegen fold.
+
+    The stack algorithm runs as ``F.aggregate`` over the split segment
+    array — ``.`` drops, ``..`` pops, anything else (including the empty
+    segments of ``//`` runs) pushes; a trailing ``.``/``..`` first gains a
+    ``/`` so the RFC's "re-append the slash" branch becomes a plain final
+    empty segment. ``..`` above root is ignored (RFC: pop of an empty
+    output buffer). Empty input stays empty (authority-only URLs); any
+    other input is treated as an absolute path (the resolver only feeds
+    merged absolute paths here). Pure column math, no UDF.
+    """
+    p = F.when(path.rlike(r"(^|/)\.\.?$"), F.concat(path, F.lit("/"))).otherwise(path)
+    segs = F.split(p, "/")
+    body = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+    stack = F.aggregate(
+        body,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(
+            s == "..",
+            F.when(F.size(acc) == 0, acc).otherwise(
+                F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0)))
+            ),
+        )
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.when(path == "", F.lit("")).otherwise(
+        F.concat(F.lit("/"), F.array_join(stack, "/"))
+    )
+
+
+def resolve_reference(href: Column, base: Column) -> Column:
+    """Full RFC 3986 §5.2.2 reference resolution against an absolute
+    http(s) base — the piece :func:`extract_links`' fast path skips:
+    ``../``-relative hrefs, ``./`` same-directory links, query-only
+    references, network-path ``//host`` references, and empty hrefs (=
+    the page itself) are everywhere in real markup, and resolving them
+    wrong either loses frontier URLs or mints phantom ones that poison
+    the URL-seen set. (Reference getStockNumber.py:67 string-concats the
+    host onto root-relative hrefs only.)
+
+    Semantics: fragments strip on both sides; hrefs with a non-web scheme
+    (mailto:, javascript:, data:, …) resolve to NULL for the caller to
+    filter; absolute http(s) hrefs pass through with scheme lowercased
+    and their path dot-normalized (RFC strict mode); everything else
+    takes the base's scheme/authority and the §5.3 merge +
+    remove_dot_segments path. Pure column math end to end — the entire
+    case tree is one codegen projection; the only array op is the
+    bounded per-URL segment fold. Returns the resolved absolute URL
+    WITHOUT canonicalization (compose with canonicalize_url for the
+    frontier key).
+    """
+    h = _strip_fragment(href)
+    b = _strip_fragment(base)
+    b_scheme = F.lower(F.regexp_extract(b, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    b_auth = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    b_path = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
+    b_query = F.when(
+        F.instr(b, "?") > 0, F.substring(b, F.instr(b, "?") + F.lit(1), F.length(b))
+    ).otherwise(F.lit(""))
+
+    h_path = F.substring_index(h, "?", 1)
+    h_query = F.when(
+        F.instr(h, "?") > 0, F.substring(h, F.instr(h, "?") + F.lit(1), F.length(h))
+    ).otherwise(F.lit(""))
+
+    # §5.3 merge: empty base path ⇒ '/' + R.path, else replace the last
+    # base segment
+    b_dir = F.regexp_replace(b_path, "[^/]*$", "")
+    merged = F.concat(
+        F.when(b_path == "", F.lit("/")).otherwise(b_dir), h_path
+    )
+
+    def _assemble(scheme, auth, path, query):
+        return F.concat(
+            scheme,
+            F.lit("://"),
+            auth,
+            remove_dot_segments(path),
+            F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+        )
+
+    abs_h = _lower_scheme(h)
+    a_auth = F.regexp_extract(abs_h, r"^https?://([^/?#]*)", 1)
+    a_path = F.regexp_extract(abs_h, r"^https?://[^/?#]*([^?#]*)", 1)
+    n_auth = F.regexp_extract(h, r"^//([^/?#]*)", 1)
+    n_path = F.regexp_extract(h, r"^//[^/?#]*([^?#]*)", 1)
+
+    return (
+        F.when(h == "", _assemble(b_scheme, b_auth, b_path, b_query))
+        .when(h.rlike("^(?i)https?://"), _assemble(b_scheme, a_auth, a_path, h_query))
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), F.lit(None).cast("string"))
+        .when(h.startswith("//"), _assemble(b_scheme, n_auth, n_path, h_query))
+        .when(h.startswith("/"), _assemble(b_scheme, b_auth, h_path, h_query))
+        .when(h.startswith("?"), _assemble(b_scheme, b_auth, b_path, h_query))
+        .otherwise(_assemble(b_scheme, b_auth, merged, h_query))
+    )

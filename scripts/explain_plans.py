@@ -289,6 +289,9 @@ CHECKS = {
     # self-join); the type total arrives as a broadcast one-row aggregate;
     # training + scoring are hash aggregates — no Python (NEG_CHECKS)
     "kn_bigram": ["BroadcastNestedLoopJoin", "HashAggregate", "[codegen id :"],
+    # RFC 3986 resolution: the whole case tree + §5.2.4 segment fold is ONE
+    # codegen projection over the scan — no shuffle, no join, no Python
+    "resolve_refs": ["[codegen id :", "ReadSchema: struct<o_orderkey:bigint>"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -318,6 +321,9 @@ NEG_CHECKS = {
     "cdc_chunks": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "frontier_size": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window", "Join"],
     "kn_bigram": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window"],
+    "resolve_refs": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join",
+    ],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],

@@ -285,3 +285,89 @@ class TestPlanCompaction:
 
         with _pytest.raises(ValueError):
             plan_compaction(df, "part", "file_id", "n_bytes", 0)
+
+
+class TestResolveReference:
+    """functions/urls.resolve_reference — RFC 3986 §5.2 resolution vs
+    urllib.parse.urljoin (the stdlib RFC implementation), plus the
+    RFC-strict corners where urljoin is lax."""
+
+    def _run(self, spark, cases):
+        from amazonwebcrawler_spark.functions.urls import resolve_reference
+
+        df = spark.createDataFrame(cases, "base string, href string")
+        return [
+            r["r"]
+            for r in df.select(
+                resolve_reference(F.col("href"), F.col("base")).alias("r")
+            ).collect()
+        ]
+
+    def test_matches_urljoin_on_relative_forms(self, spark):
+        from urllib.parse import urldefrag, urljoin
+
+        cases = [
+            ("https://www.amazon.com/a/b/item.html?page=2", "../parent/list.html"),
+            ("https://www.amazon.com/a/b/item.html", "./self.html?q=1"),
+            ("https://www.amazon.com/a/b/item.html", "/rooted/path/../x.html"),
+            ("https://www.amazon.com/a/b/item.html", "rel/sub/../../leaf.html"),
+            ("https://www.amazon.com/a/b/item.html", "?only=query"),
+            ("https://www.amazon.com/a/b/item.html?x=1#sec", ""),
+            ("https://www.amazon.com/a/b/item.html", "../../../../up.html"),
+            ("https://www.amazon.com/", "sub/dir/"),
+            ("https://www.amazon.com/a/b/", "c#frag"),
+            ("https://www.amazon.com", "x.html"),
+            ("https://www.amazon.com/a/b/", "."),
+            ("https://www.amazon.com/a/b/c", ".."),
+        ]
+        got = self._run(spark, cases)
+        for (base, href), g in zip(cases, got):
+            assert g == urldefrag(urljoin(base, href))[0], (base, href, g)
+
+    def test_randomized_vs_urljoin(self, spark):
+        import random
+        from urllib.parse import urldefrag, urljoin
+
+        rng = random.Random(99)
+        seg = lambda: rng.choice(["a", "bb", "c1", "dot.d", "x-y"])
+        cases = []
+        for _ in range(80):
+            depth = rng.randint(0, 4)
+            base = "https://host.example/" + "/".join(seg() for _ in range(depth))
+            if depth and rng.random() < 0.5:
+                base += "/"
+            if rng.random() < 0.3:
+                base += "?k=v"
+            parts = [rng.choice([seg(), ".", ".."]) for _ in range(rng.randint(1, 5))]
+            href = "/".join(parts)
+            if rng.random() < 0.3:
+                href += "?q=" + seg()
+            if rng.random() < 0.2:
+                href += "#frag"
+            cases.append((base, href))
+        got = self._run(spark, cases)
+        for (base, href), g in zip(cases, got):
+            assert g == urldefrag(urljoin(base, href))[0], (base, href, g)
+
+    def test_rfc_strict_corners(self, spark):
+        # network-path refs and absolute hrefs get remove_dot_segments per
+        # RFC 5.2.2 strict mode (urljoin skips it there) + scheme lowering;
+        # non-web schemes -> NULL
+        cases = [
+            ("https://www.amazon.com/a/b", "//cdn.amazon.com/img/./x.png"),
+            ("https://www.amazon.com/a/b", "HTTPS://Other.Amazon.com/p/../q.html"),
+            ("https://www.amazon.com/a/b", "mailto:deals@amazon.com"),
+            ("https://www.amazon.com/a/b", "javascript:void(0)"),
+        ]
+        got = self._run(spark, cases)
+        assert got[0] == "https://cdn.amazon.com/img/x.png"
+        assert got[1] == "https://Other.Amazon.com/q.html"
+        assert got[2] is None and got[3] is None
+
+    def test_empty_segments_kept_per_rfc(self, spark):
+        # RFC 3986 never collapses '//' runs inside a path: '..' pops the
+        # EMPTY segment (urljoin is lax here and collapses)
+        (g,) = self._run(
+            spark, [("https://www.amazon.com/a//b//c.html", "../d.html")]
+        )
+        assert g == "https://www.amazon.com/a//b/d.html"
