@@ -3459,6 +3459,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", resolve_reference(href, base).alias("resolved_url")
         )
 
+    def q_isotonic_calib(spark, sf):
+        """Isotonic (PAV) score calibration (operators/corpus.
+        isotonic_calibrate): the minimax form fitted(i) = max_{j<=i}
+        min_{k>=i} mean(label | [j,k]) over a 16-cell bucket table —
+        classifier scores become monotone keep-PROBABILITIES. Scores and
+        labels derive from documents (md5 score, doc_id-mod label with
+        P(label|s) ~ s/100) identically on both engines; interval means
+        are integer micro DIV, so the whole fit is exact integer
+        arithmetic — driver-hash-stable and monotone by theorem."""
+        from amazonwebcrawler_spark.operators.corpus import isotonic_calibrate
+
+        d = _t(spark, sf, "documents")
+        h = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 100
+        )
+        scored = d.select(
+            h.alias("score"), (F.col("doc_id") % 100 < h).cast("int").alias("label")
+        )
+        return isotonic_calibrate(scored, "score", "label", n_buckets=16)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3645,6 +3667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_size": q_frontier_size,
         "kn_bigram": q_kn_bigram,
         "resolve_refs": q_resolve_refs,
+        "isotonic_calib": q_isotonic_calib,
         }.items()
     }
 
@@ -6680,6 +6703,40 @@ SELECT s2.id AS o_orderkey,
 FROM walk w JOIN segs s2 ON s2.id = w.id AND w.i = len(s2.sg)
 UNION ALL
 SELECT id AS o_orderkey, NULL AS resolved_url FROM tgt WHERE s IS NULL
+""",
+        "isotonic_calib": """
+-- PAV via the minimax characterization, exact integer micro means
+WITH scored AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS BIGINT) AS s,
+    CASE WHEN doc_id % 100 <
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+    THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+b AS (SELECT CAST(((s - lo) * 16) // (hi - lo + 1) AS INT) AS bucket, y FROM scored, rng),
+bkt AS (SELECT bucket, COUNT(*) AS n, SUM(y) AS pos FROM b GROUP BY bucket),
+pre AS (
+  SELECT bucket, n, pos,
+    SUM(n) OVER (ORDER BY bucket) AS cw,
+    SUM(pos) OVER (ORDER BY bucket) AS cy
+  FROM bkt
+),
+pairs AS (
+  SELECT l.bucket AS j, h.bucket AS k,
+    ((h.cy - (l.cy - l.pos)) * 1000000) // (h.cw - (l.cw - l.n)) AS a_micro
+  FROM pre l JOIN pre h ON l.bucket <= h.bucket
+),
+mins AS (
+  SELECT p.j, t.bucket AS i, MIN(p.a_micro) AS m
+  FROM pairs p JOIN bkt t ON p.j <= t.bucket AND p.k >= t.bucket
+  GROUP BY p.j, t.bucket
+),
+fitted AS (SELECT i, MAX(m) AS fitted_micro FROM mins GROUP BY i)
+SELECT b2.bucket, CAST(b2.n AS BIGINT) AS n, CAST(b2.pos AS BIGINT) AS pos,
+  CAST((b2.pos * 1000000) // b2.n AS BIGINT) AS rate_micro,
+  CAST(f.fitted_micro AS BIGINT) AS fitted_micro
+FROM bkt b2 JOIN fitted f ON f.i = b2.bucket
 """,
         **_golden_sql(),
     }

@@ -16,7 +16,7 @@ shuffle of the big side at all. hash_sample is a pure projection+filter
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from amazonwebcrawler_spark.functions.text import normalize_text
@@ -765,5 +765,86 @@ def hist_quantiles(
             F.col("p_milli").cast("int").alias("p_milli"),
             "q_value",
             F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    )
+
+
+def isotonic_calibrate(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Isotonic (PAV) calibration of classifier scores — exact integer form.
+
+    A quality classifier's raw score (functions/text.classifier_score) is
+    only a RANKING; using it as a keep-probability or a mixture weight
+    needs calibration. Pool-Adjacent-Violators is the standard monotone
+    fit, but its sequential pooling looks driver-shaped — this uses the
+    minimax characterization instead (Robertson, Wright & Dykstra 1988,
+    thm 1.4.4)::
+
+        fitted(i) = max_{j ≤ i} min_{k ≥ i} mean(label | bucket ∈ [j, k])
+
+    which is pure relational algebra over the BUCKET table: scores
+    fixed-width-bucket into ``n_buckets`` cells (one 1-row min/max
+    aggregate broadcasts the range), per-bucket (weight, positives) is one
+    map-side-combinable hash aggregate — the only data-proportional
+    shuffle — and the minimax runs entirely on the B-row bucket table:
+    prefix sums + a B×B pair expansion (≤ n_buckets² ≈ 1024 rows) + two
+    windows. Interval means are integer micro units (``sy·10⁶ DIV w``),
+    so min/max compositions are EXACT — no float anywhere, the output is
+    bit-stable on any engine, and monotonicity is a theorem, not a test
+    tolerance.
+
+    Returns (bucket, n, pos, rate_micro, fitted_micro) ordered-safe for
+    the driver hash; ``fitted_micro`` is non-decreasing in ``bucket``.
+    Empty buckets simply don't appear (the minimax over PRESENT buckets
+    equals PAV on the weighted sequence). 100 TB shape: the scored corpus
+    reduces to ≤ n_buckets rows before anything quadratic happens;
+    calibrated keep-probabilities broadcast back as a B-row dim join.
+    """
+    rng = scored.select(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    )
+    b = scored.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST((({score_col} - _lo) * {n_buckets}L) DIV (_hi - _lo + 1L) AS INT)"
+        ).alias("bucket"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    buckets = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    w_ord = Window.orderBy("bucket")
+    pre = buckets.select(
+        "bucket",
+        "n",
+        "pos",
+        F.sum("n").over(w_ord).alias("cw"),
+        F.sum("pos").over(w_ord).alias("cy"),
+    )
+    lo = pre.select(
+        F.col("bucket").alias("j"),
+        (F.col("cw") - F.col("n")).alias("w0"),
+        (F.col("cy") - F.col("pos")).alias("y0"),
+    )
+    hi = pre.select(F.col("bucket").alias("k"), F.col("cw").alias("w1"), F.col("cy").alias("y1"))
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j", "k", F.expr("((y1 - y0) * 1000000L) DIV (w1 - w0)").alias("a_micro")
+    )
+    # min over k ≥ i for each (j, i): reverse running min per j; then
+    # fitted(i) = max over the j ≤ i rows (pairs only holds j ≤ k = i)
+    w_rev = Window.partitionBy("j").orderBy(F.col("k").desc())
+    mins = pairs.select("j", F.col("k").alias("i"), F.min("a_micro").over(w_rev).alias("m"))
+    fitted = mins.groupBy("i").agg(F.max("m").alias("fitted_micro"))
+    return (
+        buckets.join(fitted, buckets["bucket"] == fitted["i"])
+        .select(
+            "bucket",
+            "n",
+            "pos",
+            F.expr("(pos * 1000000L) DIV n").alias("rate_micro"),
+            F.col("fitted_micro").cast("long").alias("fitted_micro"),
         )
     )

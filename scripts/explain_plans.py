@@ -292,6 +292,10 @@ CHECKS = {
     # RFC 3986 resolution: the whole case tree + §5.2.4 segment fold is ONE
     # codegen projection over the scan — no shuffle, no join, no Python
     "resolve_refs": ["[codegen id :", "ReadSchema: struct<o_orderkey:bigint>"],
+    # isotonic calibration: the corpus reduces through ONE map-side-
+    # combinable bucket aggregate before anything quadratic; the score
+    # range broadcasts; no Python (NEG_CHECKS)
+    "isotonic_calib": ["HashAggregate", "partial_count", "BroadcastNestedLoopJoin"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -324,6 +328,7 @@ NEG_CHECKS = {
     "resolve_refs": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join",
     ],
+    "isotonic_calib": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],

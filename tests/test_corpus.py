@@ -553,3 +553,70 @@ class TestHistQuantiles:
             hist_quantiles(df, "grp", "v", ())
         with _pytest.raises(ValueError):
             hist_quantiles(df, "grp", "v", (0,))
+
+
+class TestIsotonicCalibrate:
+    """operators/corpus.isotonic_calibrate — the minimax form must equal
+    classic sequential PAV pooling exactly (integer micro means)."""
+
+    @staticmethod
+    def _pav_blocks(ws, ys):
+        blocks = []
+        for w, y in zip(ws, ys):
+            blocks.append([w, y])
+            while len(blocks) > 1 and blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]:
+                w2, y2 = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += y2
+        fit = []
+        i = 0
+        for w, y in blocks:
+            cw = 0
+            while cw < w:
+                cw += ws[i]
+                fit.append(y * 1_000_000 // w)
+                i += 1
+        return fit
+
+    def _run(self, spark, rows, n_buckets):
+        from amazonwebcrawler_spark.operators.corpus import isotonic_calibrate
+
+        df = spark.createDataFrame(rows, "score long, label int")
+        out = isotonic_calibrate(df, "score", "label", n_buckets=n_buckets).collect()
+        return sorted(out, key=lambda r: r["bucket"])
+
+    def test_matches_sequential_pav(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = []
+        for _ in range(1500):
+            s = rng.randint(0, 99)
+            rows.append((s, 1 if rng.random() < s / 100 else 0))
+        out = self._run(spark, rows, 12)
+        fit = [r["fitted_micro"] for r in out]
+        assert fit == self._pav_blocks([r["n"] for r in out], [r["pos"] for r in out])
+        assert all(a <= b for a, b in zip(fit, fit[1:]))
+
+    def test_monotone_input_is_fixed_point(self, spark):
+        # perfectly increasing rates: fitted == raw rate per bucket
+        rows = []
+        for s in range(10):
+            for i in range(20):
+                rows.append((s, 1 if i < 2 * s else 0))
+        out = self._run(spark, rows, 10)
+        for r in out:
+            assert r["fitted_micro"] == r["rate_micro"]
+
+    def test_antitone_input_pools_to_global_mean(self, spark):
+        # perfectly DECREASING rates: PAV pools everything to one block
+        rows = []
+        for s in range(10):
+            for i in range(20):
+                rows.append((s, 1 if i < 2 * (9 - s) else 0))
+        out = self._run(spark, rows, 10)
+        total_n = sum(r["n"] for r in out)
+        total_pos = sum(r["pos"] for r in out)
+        want = total_pos * 1_000_000 // total_n
+        for r in out:
+            assert r["fitted_micro"] == want
