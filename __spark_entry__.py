@@ -3481,6 +3481,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return isotonic_calibrate(scored, "score", "label", n_buckets=16)
 
+    def q_leakage_split(spark, sf):
+        """Leakage-safe train/val/test split (operators/corpus.
+        leakage_safe_split): the split UNIT is the near-dup COMPONENT
+        (min-label CC over the same MinHash pairs as dedup_groups;
+        unpaired docs are singleton groups), so no near-dup pair can
+        cross a split boundary — by construction, not by audit. Group →
+        split is md5 mod 100 (98/1/1), exact integers + strings only;
+        the twin recomputes the closure as a recursive CTE and the same
+        md5 cut."""
+        from amazonwebcrawler_spark.operators.corpus import leakage_safe_split
+
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
+        )
+        return leakage_safe_split(d, pairs)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3668,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigram": q_kn_bigram,
         "resolve_refs": q_resolve_refs,
         "isotonic_calib": q_isotonic_calib,
+        "leakage_split": q_leakage_split,
         }.items()
     }
 
@@ -6737,6 +6755,33 @@ SELECT b2.bucket, CAST(b2.n AS BIGINT) AS n, CAST(b2.pos AS BIGINT) AS pos,
   CAST((b2.pos * 1000000) // b2.n AS BIGINT) AS rate_micro,
   CAST(f.fitted_micro AS BIGINT) AS fitted_micro
 FROM bkt b2 JOIN fitted f ON f.i = b2.bucket
+""",
+        "leakage_split": rf"""
+-- near-dup components -> md5 split units (98/1/1); closure is exact
+WITH RECURSIVE {minhash_pairs_ctes},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+grp AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+base AS (
+  SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN grp g USING (doc_id)
+)
+SELECT doc_id, group_id,
+  CASE
+    WHEN CAST(('0x' || substr(md5('split' || CAST(group_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 98
+      THEN 'train'
+    WHEN CAST(('0x' || substr(md5('split' || CAST(group_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 < 99
+      THEN 'val'
+    ELSE 'test' END AS split
+FROM base
 """,
         **_golden_sql(),
     }

@@ -848,3 +848,56 @@ def isotonic_calibrate(
             F.col("fitted_micro").cast("long").alias("fitted_micro"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    cuts: tuple = (("train", 98), ("val", 1), ("test", 1)),
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across splits.
+
+    A plain per-document hash split puts one member of a near-dup pair in
+    train and its twin in test — the eval then "measures" memorization
+    (the failure decontamination guards against, except self-inflicted).
+    The split UNIT here is the near-dup COMPONENT: pairs collapse to
+    groups (min-label :func:`~amazonwebcrawler_spark.operators.dedup.
+    connected_components`), unpaired documents are their own singleton
+    group, and every group lands in exactly one split by a deterministic
+    md5 of its group id — so "no dup pair crosses a split boundary" holds
+    by CONSTRUCTION, for any future re-run, on any partitioning.
+
+    ``cuts`` are integer percents summing to 100 (md5 mod 100 buckets) —
+    exact, engine-independent arithmetic; repartition-invariant because
+    nothing depends on row order. Scale shape: the CC loop runs only over
+    PAIRED docs (the tiny sliver); the corpus itself sees one left join
+    against the group sliver + pure column math. Returns
+    (doc_id, group_id, split).
+    """
+    total = sum(p for _, p in cuts)
+    if total != 100:
+        raise ValueError(f"cuts must sum to 100, got {total}")
+    from amazonwebcrawler_spark.operators.dedup import connected_components
+
+    groups = connected_components(pairs).withColumnRenamed("doc_id", "_gid_doc")
+    base = docs.select(F.col(id_col).alias("doc_id")).join(
+        groups, F.col("doc_id") == F.col("_gid_doc"), "left"
+    )
+    unit = F.coalesce(F.col("group_id"), F.col("doc_id"))
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), unit.cast("string"))), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    expr = None
+    acc = 0
+    for name, pct in cuts:
+        acc += pct
+        cond = h < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return base.select(
+        "doc_id", unit.alias("group_id"), expr.alias("split")
+    )

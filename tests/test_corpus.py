@@ -620,3 +620,54 @@ class TestIsotonicCalibrate:
         want = total_pos * 1_000_000 // total_n
         for r in out:
             assert r["fitted_micro"] == want
+
+
+class TestLeakageSafeSplit:
+    """operators/corpus.leakage_safe_split — the no-pair-crosses-splits
+    guarantee, singleton handling, cut fractions, and determinism."""
+
+    def _run(self, spark, n_docs, pair_list, cuts=(("train", 98), ("val", 1), ("test", 1))):
+        from amazonwebcrawler_spark.operators.corpus import leakage_safe_split
+
+        docs = spark.createDataFrame([(i,) for i in range(n_docs)], "doc_id long")
+        pairs = spark.createDataFrame(pair_list, "id_a long, id_b long")
+        return {
+            r["doc_id"]: (r["group_id"], r["split"])
+            for r in leakage_safe_split(docs, pairs).collect()
+        }
+
+    def test_no_pair_crosses_split(self, spark):
+        import random
+
+        rng = random.Random(3)
+        pair_list = [(a, a + rng.randint(1, 5)) for a in rng.sample(range(195), 60)]
+        out = self._run(spark, 200, pair_list)
+        assert len(out) == 200
+        for a, b in pair_list:
+            assert out[a][1] == out[b][1], (a, b)
+            assert out[a][0] == out[b][0]
+
+    def test_transitive_chain_shares_split(self, spark):
+        # a~b, b~c, c~d: the whole chain is ONE unit even though a,d never pair
+        out = self._run(spark, 10, [(1, 2), (2, 3), (3, 4)])
+        assert len({out[i] for i in (1, 2, 3, 4)}) == 1
+        assert out[1][0] == 1
+
+    def test_singletons_split_independently(self, spark):
+        out = self._run(spark, 400, [])
+        assert all(g == d for d, (g, _) in out.items())
+        from collections import Counter
+
+        c = Counter(s for _, s in out.values())
+        assert set(c) <= {"train", "val", "test"}
+        assert c["train"] > 300  # ~98%
+
+    def test_cuts_must_sum_to_100(self, spark):
+        import pytest as _pytest
+
+        from amazonwebcrawler_spark.operators.corpus import leakage_safe_split
+
+        docs = spark.createDataFrame([(1,)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        with _pytest.raises(ValueError):
+            leakage_safe_split(docs, pairs, cuts=(("train", 90), ("val", 5)))
