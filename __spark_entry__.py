@@ -3498,6 +3498,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return leakage_safe_split(d, pairs)
 
+    def q_ucb_schedule(spark, sf):
+        """UCB1 explore/exploit host scheduling (operators/politeness.
+        ucb_host_schedule): mean new-URL yield + sqrt(2 ln N / n)
+        confidence radius per host — under-probed hosts win budget until
+        their estimate tightens; the principled form of hand-tuned
+        minimum-probe heuristics, beside frontier_size's exhaustion
+        estimate. Wave log derives from events identically on both
+        engines; mean is exact integer DIV, the radius micro-rounds the
+        one irrational term under the repo's ln discipline."""
+        from amazonwebcrawler_spark.operators.politeness import ucb_host_schedule
+
+        e = _t(spark, sf, "events")
+        log = e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string")).alias("host"),
+            F.when(F.col("event_type") == "purchase", F.lit(3))
+            .when(F.col("event_type") == "signup", F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("reward"),
+        )
+        return ucb_host_schedule(log)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3686,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_refs": q_resolve_refs,
         "isotonic_calib": q_isotonic_calib,
         "leakage_split": q_leakage_split,
+        "ucb_schedule": q_ucb_schedule,
         }.items()
     }
 
@@ -6782,6 +6804,24 @@ SELECT doc_id, group_id,
       THEN 'val'
     ELSE 'test' END AS split
 FROM base
+""",
+        "ucb_schedule": """
+-- UCB1 per host: exact integer mean + micro-rounded confidence radius
+WITH log AS (
+  SELECT 'h' || CAST(user_id % 12 AS VARCHAR) AS host,
+    CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2 ELSE 1 END AS reward
+  FROM events
+),
+ph AS (SELECT host, COUNT(*) AS n_waves, SUM(reward) AS sum_reward FROM log GROUP BY host),
+tot AS (SELECT COUNT(*) AS n_total FROM log)
+SELECT host,
+  CAST(n_waves AS BIGINT) AS n_waves,
+  CAST(sum_reward AS BIGINT) AS sum_reward,
+  CAST((sum_reward * 1000000) // n_waves AS BIGINT) AS mean_micro,
+  CAST(round(sqrt(2.0 * ln(n_total) / n_waves) * 1000000) AS BIGINT) AS explore_micro,
+  CAST((sum_reward * 1000000) // n_waves AS BIGINT)
+    + CAST(round(sqrt(2.0 * ln(n_total) / n_waves) * 1000000) AS BIGINT) AS ucb_micro
+FROM ph CROSS JOIN tot
 """,
         **_golden_sql(),
     }

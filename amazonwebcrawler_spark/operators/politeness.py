@@ -426,3 +426,55 @@ def frontier_size_chao1(
         .cast("long")
         .alias("coverage_micro"),
     )
+
+
+def ucb_host_schedule(
+    wave_log: DataFrame,
+    host_col: str = "host",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """UCB1 explore/exploit scheduling across hosts (Auer, Cesa-Bianchi &
+    Fischer 2002): each (host, wave) observation carries a reward (new
+    URLs yielded per fetch batch); the next wave's budget should favor
+    hosts with high mean yield — but a host probed once is not KNOWN to
+    be bad, so the score adds the confidence radius::
+
+        ucb = mean(reward) + sqrt(2·ln(N) / n_host)
+
+    Under-sampled hosts carry a wide radius and win budget until the
+    estimate tightens — the principled version of the "every host gets a
+    minimum probe" heuristics crawl schedulers hand-tune, and the
+    exploration counterpart to :func:`frontier_size_chao1`'s exhaustion
+    estimate (Chao1 says "how much is left", UCB1 says "who to probe
+    next given uncertainty").
+
+    Exactness: the mean is integer micro DIV; the radius is the one
+    honestly-irrational term (``sqrt``/``ln``) — emitted micro-rounded
+    under the repo's ln-mean discipline (IEEE sqrt is correctly rounded;
+    the double ``ln`` of the same integer agrees across engines to 1 ulp,
+    orders of magnitude inside a micro cell). Scale shape: ONE map-side-
+    combinable host aggregate + a broadcast 1-row total — the identical
+    plan as every politeness aggregate; no window, no data-side join.
+
+    Returns (host, n_waves, sum_reward, mean_micro, explore_micro,
+    ucb_micro), all BIGINT.
+    """
+    per_host = wave_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_waves"),
+        F.sum(F.col(reward_col).cast("long")).alias("sum_reward"),
+    )
+    total = wave_log.select(F.count(F.lit(1)).alias("_n_total"))
+    explore = F.round(
+        F.sqrt(F.lit(2.0) * F.log(F.col("_n_total")) / F.col("n_waves")) * 1_000_000
+    ).cast("long")
+    return (
+        per_host.crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            "n_waves",
+            "sum_reward",
+            F.expr("(sum_reward * 1000000L) DIV n_waves").alias("mean_micro"),
+            explore.alias("explore_micro"),
+            (F.expr("(sum_reward * 1000000L) DIV n_waves") + explore).alias("ucb_micro"),
+        )
+    )

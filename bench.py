@@ -194,6 +194,14 @@ BENCH_QUERIES = (
     "color_stats",
     # discovery-completeness audit — robots→sitemap→seen set arithmetic
     "sitemap_coverage",
+    # r5 session 16: KN bigram LM — the (w1,w2) train aggregate + re-join
+    # scoring pass; timed so the order-aware perplexity stage has a number
+    "kn_bigram",
+    # RFC 3986 resolution — one codegen projection (case tree + segment
+    # fold); timed as the frontier-expansion unit cost
+    "resolve_refs",
+    # storage-level CDC chunking — the explode-heavy rolling-cut pass
+    "cdc_chunks",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -296,6 +296,9 @@ CHECKS = {
     # combinable bucket aggregate before anything quadratic; the score
     # range broadcasts; no Python (NEG_CHECKS)
     "isotonic_calib": ["HashAggregate", "partial_count", "BroadcastNestedLoopJoin"],
+    # UCB1: one map-side host aggregate + the broadcast 1-row total —
+    # no window, no data-side join, no Python (NEG_CHECKS)
+    "ucb_schedule": ["HashAggregate", "partial_count", "BroadcastNestedLoopJoin"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -329,6 +332,7 @@ NEG_CHECKS = {
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join",
     ],
     "isotonic_calib": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "ucb_schedule": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window"],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],

@@ -308,3 +308,36 @@ class TestFrontierSizeChao1:
         out = {r["host"]: r for r in frontier_size_chao1(self._caps(spark, rows)).collect()}
         assert out["A"]["f1"] == 1 and out["B"]["f1"] == 0
         assert out["A"]["coverage_micro"] == 0 and out["B"]["coverage_micro"] == 1_000_000
+
+
+class TestUcbHostSchedule:
+    """operators/politeness.ucb_host_schedule — UCB1 arithmetic vs a
+    Python replay; the exploration ordering property."""
+
+    def _run(self, spark, rows):
+        from amazonwebcrawler_spark.operators.politeness import ucb_host_schedule
+
+        df = spark.createDataFrame(rows, "host string, reward long")
+        return {r["host"]: r for r in ucb_host_schedule(df).collect()}
+
+    def test_matches_python_replay(self, spark):
+        import math
+
+        rows = [("a", 5)] * 8 + [("b", 1)] * 3 + [("c", 9)]
+        out = self._run(spark, rows)
+        N = len(rows)
+        for host, rewards in (("a", [5] * 8), ("b", [1] * 3), ("c", [9])):
+            n = len(rewards)
+            r = out[host]
+            assert r["n_waves"] == n and r["sum_reward"] == sum(rewards)
+            assert r["mean_micro"] == sum(rewards) * 1_000_000 // n
+            want_explore = round(math.sqrt(2 * math.log(N) / n) * 1_000_000)
+            assert abs(r["explore_micro"] - want_explore) <= 1
+            assert r["ucb_micro"] == r["mean_micro"] + r["explore_micro"]
+
+    def test_underprobed_host_outranks_equal_mean(self, spark):
+        # same mean reward, fewer probes -> wider radius -> higher ucb
+        rows = [("often", 2)] * 20 + [("rare", 2)] * 2
+        out = self._run(spark, rows)
+        assert out["rare"]["mean_micro"] == out["often"]["mean_micro"]
+        assert out["rare"]["ucb_micro"] > out["often"]["ucb_micro"]

@@ -33,7 +33,7 @@ POST_FREEZE = (
     "shard_rebalance", "caption_filter", "aimd_rate", "contam_spans",
     "hist_quantiles", "ndcg_eval", "color_stats", "sitemap_coverage",
     "hll_distinct", "hyperball", "cdc_chunks", "frontier_size", "kn_bigram",
-    "resolve_refs", "isotonic_calib", "leakage_split",
+    "resolve_refs", "isotonic_calib", "leakage_split", "ucb_schedule",
 )
 
 
