@@ -3519,6 +3519,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return ucb_host_schedule(log)
 
+    def q_vocab_growth(spark, sf):
+        """Heaps-law vocabulary growth (functions/text.vocab_growth):
+        V(N) ≈ k·N^β over discovery order, 10 id-range checkpoints —
+        the corpus-saturation / tokenizer-sizing diagnostic (β→0 means
+        new docs stop contributing vocabulary). Cumulative counts are
+        exact BIGINTs; the two OLS constants micro-round ln terms under
+        the repo's ln discipline; nothing data-scale is ever ordered."""
+        from amazonwebcrawler_spark.functions.text import vocab_growth
+
+        d = _t(spark, sf, "documents")
+        return vocab_growth(d, "text", "doc_id", n_points=10)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3708,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calib": q_isotonic_calib,
         "leakage_split": q_leakage_split,
         "ucb_schedule": q_ucb_schedule,
+        "vocab_growth": q_vocab_growth,
         }.items()
     }
 
@@ -6822,6 +6835,52 @@ SELECT host,
   CAST((sum_reward * 1000000) // n_waves AS BIGINT)
     + CAST(round(sqrt(2.0 * ln(n_total) / n_waves) * 1000000) AS BIGINT) AS ucb_micro
 FROM ph CROSS JOIN tot
+""",
+        "vocab_growth": rf"""
+-- Heaps-law fit over 10 discovery-order checkpoints
+WITH base AS (
+  SELECT doc_id AS _id,
+    CASE WHEN t = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS tk
+  FROM (SELECT doc_id, {norm} AS t FROM documents)
+),
+rng AS (SELECT MIN(_id) AS lo, MAX(_id) AS hi FROM base),
+docs AS (
+  SELECT CAST(((_id - lo) * 10) // (hi - lo + 1) AS INT) AS b, len(tk) AS n, tk
+  FROM base, rng
+),
+tpb AS (SELECT b, SUM(n) AS toks FROM docs GROUP BY b),
+firstb AS (
+  SELECT fb AS b, COUNT(*) AS vocab FROM (
+    SELECT u.term, MIN(b) AS fb FROM docs, UNNEST(tk) AS u(term) GROUP BY u.term
+  ) GROUP BY fb
+),
+cells AS (
+  SELECT COALESCE(t.b, f.b) AS b, COALESCE(t.toks, 0) AS toks,
+         COALESCE(f.vocab, 0) AS vocab
+  FROM tpb t FULL JOIN firstb f ON t.b = f.b
+),
+cum AS (
+  SELECT b, SUM(toks) OVER (ORDER BY b) AS tokens_cum,
+         SUM(vocab) OVER (ORDER BY b) AS vocab_cum
+  FROM cells QUALIFY tokens_cum > 0
+),
+fit AS (
+  SELECT
+    CAST(round((sxy - sx * sy / m) / (sxx - sx * sx / m) * 1000000) AS BIGINT)
+      AS slope_micro,
+    CAST(round((sy / m - (sxy - sx * sy / m) / (sxx - sx * sx / m) * sx / m)
+      * 1000000) AS BIGINT) AS lnk_micro
+  FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+      SUM(ln(tokens_cum)) AS sx, SUM(ln(vocab_cum)) AS sy,
+      SUM(ln(tokens_cum) * ln(vocab_cum)) AS sxy,
+      SUM(ln(tokens_cum) * ln(tokens_cum)) AS sxx
+    FROM cum
+  )
+)
+SELECT b, CAST(tokens_cum AS BIGINT) AS tokens_cum,
+  CAST(vocab_cum AS BIGINT) AS vocab_cum, slope_micro, lnk_micro
+FROM cum CROSS JOIN fit
 """,
         **_golden_sql(),
     }

@@ -1704,3 +1704,94 @@ def kn_bigram_nll(df, text_col: str, id_col: str, discount_milli: int = 750):
             F.round(-F.avg(F.log(F.col("p"))) * 1_000_000).cast("long").alias("nll_micro"),
         )
     )
+
+
+def vocab_growth(df, text_col: str, id_col: str, n_points: int = 10):
+    """Heaps-law vocabulary growth fit — V(N) ≈ k·N^β over discovery order.
+
+    As a crawl ingests documents, distinct-vocabulary growth against total
+    tokens follows Heaps' law; the exponent β (typically 0.4–0.6) is the
+    tokenizer-planning and is-the-corpus-saturating diagnostic: β falling
+    toward 0 means new documents stop contributing vocabulary (mirror/
+    template mass), β near 1 means vocabulary chaos (OCR noise, ID soup).
+
+    Relational shape — NOTHING data-scale is ordered: documents bucket
+    into ``n_points`` id-range cells from a broadcast min/max (discovery
+    order = doc id, the corpus discipline gram_novelty already uses);
+    per-bucket token sums and per-bucket first-seen-term counts (terms
+    keyed by their ``min(doc)`` — one map-side-combinable aggregate each)
+    accumulate over the ``n_points``-row table only. The OLS fit of
+    ``ln V`` on ``ln N`` is closed-form over those ≤n_points rows — the
+    bounded-table contract of isotonic_calibrate again.
+
+    Returns ``n_points`` rows (bucket, tokens_cum, vocab_cum,
+    slope_micro, lnk_micro) — cumulative counts are exact BIGINTs; the
+    two fit constants (repeated per row) micro-round the ln terms under
+    the repo's ln discipline. Buckets with zero cumulative tokens (empty
+    leading ranges) are excluded from the fit on both engines.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    rng = base.select(F.min("_id").alias("_lo"), F.max("_id").alias("_hi"))
+    bucket = F.expr(f"CAST(((_id - _lo) * {n_points}L) DIV (_hi - _lo + 1L) AS INT)")
+
+    docs = base.crossJoin(F.broadcast(rng)).select(
+        bucket.alias("b"), F.size("_tk").alias("_n"), "_id", "_tk"
+    )
+    tok_per_bucket = docs.groupBy("b").agg(F.sum("_n").alias("toks"))
+
+    first = (
+        docs.select("b", F.explode("_tk").alias("term"))
+        .groupBy("term")
+        .agg(F.min("b").alias("fb"))
+        .groupBy(F.col("fb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    cells = (
+        tok_per_bucket.join(first, "b", "full")
+        .select(
+            "b",
+            F.coalesce("toks", F.lit(0)).alias("toks"),
+            F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        )
+    )
+    w = Window.orderBy("b")  # bounded: ≤ n_points rows by construction
+    cum = cells.select(
+        "b",
+        F.sum("toks").over(w).alias("tokens_cum"),
+        F.sum("vocab").over(w).alias("vocab_cum"),
+    ).filter(F.col("tokens_cum") > 0)
+
+    x = F.log(F.col("tokens_cum").cast("double"))
+    y = F.log(F.col("vocab_cum").cast("double"))
+    fit = cum.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    ).select(
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("slope_micro"),
+        F.round(
+            (
+                F.col("sy") / F.col("m")
+                - (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("m"))
+                / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("m"))
+                * F.col("sx")
+                / F.col("m")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lnk_micro"),
+    )
+    return cum.crossJoin(F.broadcast(fit)).select(
+        "b", "tokens_cum", "vocab_cum", "slope_micro", "lnk_micro"
+    )

@@ -1191,3 +1191,62 @@ class TestKnBigramNll:
         for i in want:
             assert got[i][0] == want[i][0]
             assert abs(got[i][1] - want[i][1]) <= 1
+
+
+class TestVocabGrowth:
+    """functions/text.vocab_growth — cumulative checkpoint exactness vs a
+    Python replay, and the Heaps-exponent regime signal."""
+
+    def _run(self, spark, rows, n_points=5):
+        from amazonwebcrawler_spark.functions.text import vocab_growth
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = vocab_growth(df, "text", "doc_id", n_points=n_points).collect()
+        return sorted(out, key=lambda r: r["b"])
+
+    def test_checkpoints_match_python_replay(self, spark):
+        import random
+        import re
+
+        rng = random.Random(21)
+        vocab = [f"t{i}" for i in range(200)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(60)
+        ]
+        n_points = 5
+        out = self._run(spark, rows, n_points)
+
+        lo, hi = 0, 59
+        cells_t = [0] * n_points
+        first = {}
+        for i, t in rows:
+            b = (i - lo) * n_points // (hi - lo + 1)
+            toks = re.sub(r"\s+", " ", t.lower()).strip().split(" ") if t.strip() else []
+            cells_t[b] += len(toks)
+            for w in toks:
+                first.setdefault(w, b)
+        cells_v = [0] * n_points
+        for b in first.values():
+            cells_v[b] += 1
+        ct = cv = 0
+        want = []
+        for b in range(n_points):
+            ct += cells_t[b]
+            cv += cells_v[b]
+            if ct > 0:
+                want.append((b, ct, cv))
+        assert [(r["b"], r["tokens_cum"], r["vocab_cum"]) for r in out] == want
+        # slope constant across rows, and sane for a zipfy-random corpus
+        slopes = {r["slope_micro"] for r in out}
+        assert len(slopes) == 1
+
+    def test_saturated_corpus_has_low_slope(self, spark):
+        # identical docs after the first: vocabulary stops growing -> beta ~ 0;
+        # growing vocabulary per doc -> beta near 1
+        flat = [(i, "alpha beta gamma delta epsilon") for i in range(40)]
+        grow = [(i, " ".join(f"w{i}_{j}" for j in range(5))) for i in range(40)]
+        s_flat = self._run(spark, flat)[0]["slope_micro"]
+        s_grow = self._run(spark, grow)[0]["slope_micro"]
+        assert s_flat < 100_000  # ~0
+        assert s_grow > 900_000  # ~1
