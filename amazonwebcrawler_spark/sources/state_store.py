@@ -415,3 +415,79 @@ class StateStore:
             "bytes_reclaimed": reclaimed,
             "skipped_young": skipped,
         }
+
+
+def file_column_ranges(path: str, column: str) -> list[tuple[str, object, object, int]]:
+    """Per-parquet-file (path, min, max, num_rows) for ``column`` from the
+    footers only — no Spark job. Row-group statistics fold to file level
+    (min of mins, max of maxes); a file whose footer carries NO statistics
+    for the column reports ``(None, None)`` and the planner must read it
+    (conservative). The Iceberg-manifest analogue of per-data-file column
+    bounds — what turns a predicate into a file-skip plan before any
+    executor spins up."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out: list[tuple[str, object, object, int]] = []
+    for f in sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            out.append((f, None, None, md.num_rows))
+            continue
+        mins, maxs = [], []
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if ok and mins:
+            out.append((f, min(mins), max(maxs), md.num_rows))
+        else:
+            out.append((f, None, None, md.num_rows))
+    return out
+
+
+def plan_file_skips(path: str, column: str, lo=None, hi=None) -> dict:
+    """Scan plan for the predicate ``lo <= column <= hi`` over a parquet
+    directory: which files the footer bounds PROVE irrelevant (their
+    [min, max] range cannot intersect [lo, hi]) and which must be read.
+    ``lo``/``hi`` of None are open ends. Files without statistics for the
+    column are always read — skipping is only ever proof-backed.
+
+    This is the planning half of the layout work ``zorder_layout`` does at
+    write time: clustering writes by key makes per-file ranges disjoint,
+    and THIS function is where that pays off — a point lookup over a
+    range-clustered 10^10-row seen table opens one file's worth of pages
+    instead of all of them. (Spark's own reader applies the same pruning
+    from PushedFilters; exposing the plan makes the saving observable and
+    testable, the way Iceberg's scan planning reports it.)
+
+    Returns {"files": n, "read": [paths], "skipped": [paths],
+    "rows_read": n, "rows_skipped": n}.
+    """
+    read: list[str] = []
+    skipped: list[str] = []
+    rows_read = rows_skipped = 0
+    for f, mn, mx, n in file_column_ranges(path, column):
+        prunable = mn is not None and (
+            (hi is not None and mn > hi) or (lo is not None and mx < lo)
+        )
+        if prunable:
+            skipped.append(f)
+            rows_skipped += n
+        else:
+            read.append(f)
+            rows_read += n
+    return {
+        "files": len(read) + len(skipped),
+        "read": read,
+        "skipped": skipped,
+        "rows_read": rows_read,
+        "rows_skipped": rows_skipped,
+    }

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -761,3 +762,77 @@ class TestOrphans:
         store.expire_snapshots(keep_last=1)
         # expire tombstones paths and deletes them; nothing left to scan
         assert store.orphan_scan()["orphans"] == []
+
+
+class TestFileSkipPlanning:
+    """state_store.file_column_ranges / plan_file_skips — footer-stats
+    scan planning (the Iceberg data-file-bounds analogue): range-clustered
+    writes prove files irrelevant; statless columns are read
+    conservatively."""
+
+    def _clustered(self, spark, tmp_path):
+        p = str(tmp_path / "clustered")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("url_hash"), (F.col("id") % 7).alias("depth")
+        )
+        df.repartitionByRange(4, "url_hash").sortWithinPartitions("url_hash").write.mode(
+            "overwrite"
+        ).parquet(p)
+        return p
+
+    def test_point_lookup_reads_one_file(self, spark, tmp_path):
+        from amazonwebcrawler_spark.sources.state_store import plan_file_skips
+
+        p = self._clustered(spark, tmp_path)
+        plan = plan_file_skips(p, "url_hash", lo=500, hi=500)
+        assert plan["files"] >= 4
+        assert len(plan["read"]) == 1
+        assert plan["rows_read"] + plan["rows_skipped"] == 1000
+        # and the plan is CORRECT: the kept file really contains the row
+        got = spark.read.parquet(*plan["read"]).filter("url_hash = 500").count()
+        assert got == 1
+
+    def test_range_predicate_and_open_ends(self, spark, tmp_path):
+        from amazonwebcrawler_spark.sources.state_store import (
+            file_column_ranges,
+            plan_file_skips,
+        )
+
+        p = self._clustered(spark, tmp_path)
+        ranges = file_column_ranges(p, "url_hash")
+        assert all(mn is not None for _, mn, _mx, _n in ranges)
+        # every row below 250: only files whose min <= 249 survive
+        plan = plan_file_skips(p, "url_hash", hi=249)
+        kept_rows = spark.read.parquet(*plan["read"]).filter("url_hash <= 249").count()
+        assert kept_rows == 250
+        for f in plan["skipped"]:
+            assert not [r for r in ranges if r[0] == f and r[1] <= 249]
+        # no predicate -> nothing skipped
+        assert plan_file_skips(p, "url_hash")["skipped"] == []
+
+    def test_unclustered_column_skips_nothing_wrong(self, spark, tmp_path):
+        from amazonwebcrawler_spark.sources.state_store import plan_file_skips
+
+        p = self._clustered(spark, tmp_path)
+        # depth cycles 0..6 in every file: no file is prunable for depth=3
+        plan = plan_file_skips(p, "depth", lo=3, hi=3)
+        assert plan["skipped"] == []
+
+    def test_missing_column_and_missing_stats_are_read(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from amazonwebcrawler_spark.sources.state_store import plan_file_skips
+
+        p = str(tmp_path / "nostats")
+        os.makedirs(p)
+        t = pa.table({"k": [1, 2, 3]})
+        pq.write_table(t, os.path.join(p, "a.parquet"), write_statistics=False)
+        pq.write_table(t, os.path.join(p, "b.parquet"))
+        # no stats in a.parquet -> conservative read; b.parquet prunable
+        plan = plan_file_skips(p, "k", lo=10, hi=20)
+        assert [os.path.basename(f) for f in plan["read"]] == ["a.parquet"]
+        assert [os.path.basename(f) for f in plan["skipped"]] == ["b.parquet"]
+        # column absent entirely -> everything read
+        plan2 = plan_file_skips(p, "nope", lo=0, hi=1)
+        assert plan2["skipped"] == []
