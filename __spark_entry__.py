@@ -3531,6 +3531,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return vocab_growth(d, "text", "doc_id", n_points=10)
 
+    def q_percent_norm(spark, sf):
+        """RFC 3986 §6.2.2 percent-encoding normalization (functions/
+        urls.percent_normalize): unreserved escapes decode (%7E → ~),
+        every other escape uppercases its hex (%2f → %2F), reserved
+        escapes are NEVER decoded, malformed escapes pass through —
+        closing the URI-equivalence gap canonicalize_url's syntax rules
+        leave open. URLs with mixed-case/decodable/reserved/malformed
+        escapes derive from orders identically on both engines;
+        all-string output, driver-hash-stable."""
+        from amazonwebcrawler_spark.functions.urls import percent_normalize
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        u = F.concat(
+            F.lit("https://www.amazon.com/%7eshop"), (k % 5).cast("string"),
+            F.lit("/item%2"),
+            F.when(k % 3 == 0, F.lit("f")).when(k % 3 == 1, F.lit("F")).otherwise(F.lit("d")),
+            F.lit("x?tag=%4"), (k % 10).cast("string"), F.lit("%"),
+        )
+        return o.select("o_orderkey", percent_normalize(u).alias("normalized_url"))
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3721,6 +3742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": q_leakage_split,
         "ucb_schedule": q_ucb_schedule,
         "vocab_growth": q_vocab_growth,
+        "percent_norm": q_percent_norm,
         }.items()
     }
 
@@ -6881,6 +6903,30 @@ fit AS (
 SELECT b, CAST(tokens_cum AS BIGINT) AS tokens_cum,
   CAST(vocab_cum AS BIGINT) AS vocab_cum, slope_micro, lnk_micro
 FROM cum CROSS JOIN fit
+""",
+        "percent_norm": r"""
+-- RFC 3986 6.2.2: decode unreserved escapes, uppercase the rest
+WITH pairs AS (
+  SELECT o_orderkey,
+    'https://www.amazon.com/%7eshop' || CAST(o_orderkey % 5 AS VARCHAR)
+      || '/item%2'
+      || CASE o_orderkey % 3 WHEN 0 THEN 'f' WHEN 1 THEN 'F' ELSE 'd' END
+      || 'x?tag=%4' || CAST(o_orderkey % 10 AS VARCHAR) || '%' AS u
+  FROM orders
+)
+SELECT o_orderkey,
+  array_to_string(list_transform(
+    regexp_extract_all(u, '(%[0-9A-Fa-f]{2}|%|[^%]+)', 1),
+    t -> CASE
+      WHEN NOT regexp_matches(t, '^%[0-9A-Fa-f]{2}$') THEN t
+      WHEN (CAST(('0x' || substr(t, 2, 2)) AS INTEGER) BETWEEN 65 AND 90)
+        OR (CAST(('0x' || substr(t, 2, 2)) AS INTEGER) BETWEEN 97 AND 122)
+        OR (CAST(('0x' || substr(t, 2, 2)) AS INTEGER) BETWEEN 48 AND 57)
+        OR CAST(('0x' || substr(t, 2, 2)) AS INTEGER) IN (45, 46, 95, 126)
+        THEN chr(CAST(('0x' || substr(t, 2, 2)) AS INTEGER))
+      ELSE upper(t) END
+  ), '') AS normalized_url
+FROM pairs
 """,
         **_golden_sql(),
     }

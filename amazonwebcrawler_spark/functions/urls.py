@@ -589,3 +589,42 @@ def resolve_reference(href: Column, base: Column) -> Column:
         .when(h.startswith("?"), _assemble(b_scheme, b_auth, b_path, h_query))
         .otherwise(_assemble(b_scheme, b_auth, merged, h_query))
     )
+
+
+def percent_normalize(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization — the equivalence
+    class :func:`canonicalize_url` (syntax-based) and
+    :func:`resolve_reference` (reference resolution) don't cover:
+    ``%7Euser`` and ``~user`` are the SAME URI, and ``%2f`` / ``%2F``
+    differ only in hex case. Without this, one logical URL multiplies
+    into several frontier keys (wasted politeness tokens) or — worse —
+    the seen-filter misses a revisit.
+
+    Two rules, both from the RFC: percent-escapes of UNRESERVED
+    characters (ALPHA / DIGIT / ``-._~``) decode to the character;
+    every other escape keeps its bytes but uppercases the hex digits
+    (``%2f`` → ``%2F``). Reserved escapes are NEVER decoded — ``%2F`` in
+    a path segment is data, not a slash.
+
+    Pure column math: the URL splits into ``%XX`` / literal-run tokens
+    with one vectorized ``regexp_extract_all``, each token maps through
+    a codegen ``transform`` (hex → code point via ``conv`` + ``char``),
+    and ``array_join`` reassembles — no UDF, mirrored 1:1 by the DuckDB
+    twin. Malformed escapes (``%`` not followed by two hex digits) pass
+    through untouched (they're literal-run tokens).
+    """
+    toks = F.regexp_extract_all(url, F.lit(r"(%[0-9A-Fa-f]{2}|%|[^%]+)"), 1)
+
+    def norm_tok(t):
+        is_esc = t.rlike("^%[0-9A-Fa-f]{2}$")
+        c = F.conv(F.substring(t, 2, 2), 16, 10).cast("int")
+        decoded = F.char(c)
+        unreserved = (
+            ((c >= 0x41) & (c <= 0x5A))
+            | ((c >= 0x61) & (c <= 0x7A))
+            | ((c >= 0x30) & (c <= 0x39))
+            | c.isin(0x2D, 0x2E, 0x5F, 0x7E)
+        )
+        return F.when(~is_esc, t).when(unreserved, decoded).otherwise(F.upper(t))
+
+    return F.array_join(F.transform(toks, norm_tok), "")

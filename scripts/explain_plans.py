@@ -299,6 +299,9 @@ CHECKS = {
     # UCB1: one map-side host aggregate + the broadcast 1-row total —
     # no window, no data-side join, no Python (NEG_CHECKS)
     "ucb_schedule": ["HashAggregate", "partial_count", "BroadcastNestedLoopJoin"],
+    # percent normalization: tokenize + transform + join is one codegen
+    # projection — no shuffle, no Python
+    "percent_norm": ["[codegen id :", "ReadSchema: struct<o_orderkey:bigint>"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -333,6 +336,9 @@ NEG_CHECKS = {
     ],
     "isotonic_calib": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "ucb_schedule": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window"],
+    "percent_norm": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Exchange", "Join",
+    ],
     "dedup_simhash": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hamming_neardup": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "dedup_incremental": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],

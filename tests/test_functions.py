@@ -371,3 +371,77 @@ class TestResolveReference:
             spark, [("https://www.amazon.com/a//b//c.html", "../d.html")]
         )
         assert g == "https://www.amazon.com/a//b/d.html"
+
+
+class TestPercentNormalize:
+    """functions/urls.percent_normalize — RFC 3986 §6.2.2 vs Python's
+    urllib quoting semantics on unreserved characters."""
+
+    def _run(self, spark, urls):
+        from amazonwebcrawler_spark.functions.urls import percent_normalize
+
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        return [
+            r["n"] for r in df.select(percent_normalize(F.col("u")).alias("n")).collect()
+        ]
+
+    def test_unreserved_decode_and_hex_upper(self, spark):
+        got = self._run(
+            spark,
+            [
+                "https://a/%7Euser/%7euser",  # ~ decodes, any hex case
+                "https://a/%2fpath%2F",      # reserved '/': never decoded, hex uppers
+                "%41%5a%61%7a%30%39%2d%2e%5f%7e",  # all unreserved -> literal
+                "%40%3a%3f%23%5b%5d",        # reserved set -> uppercase hex only
+                "plain-no-escapes",
+                "%e4%b8%ad%ZZ%",             # multibyte utf8 escapes + malformed tail
+                "",
+            ],
+        )
+        assert got[0] == "https://a/~user/~user"
+        assert got[1] == "https://a/%2Fpath%2F"
+        assert got[2] == "AZaz09-._~"
+        assert got[3] == "%40%3A%3F%23%5B%5D"
+        assert got[4] == "plain-no-escapes"
+        assert got[5] == "%E4%B8%AD%ZZ%"
+        assert got[6] == ""
+
+    def test_idempotent_and_randomized(self, spark):
+        import random
+        import string
+
+        rng = random.Random(7)
+        urls = []
+        for _ in range(60):
+            parts = []
+            for _ in range(rng.randint(1, 12)):
+                r = rng.random()
+                if r < 0.4:
+                    parts.append("%%%02x" % rng.randint(0x20, 0x7E))
+                elif r < 0.5:
+                    parts.append("%%%02X" % rng.randint(0x20, 0x7E))
+                elif r < 0.6:
+                    parts.append("%")
+                else:
+                    parts.append("".join(rng.choice(string.ascii_letters + "/?.=&") for _ in range(4)))
+            urls.append("".join(parts))
+        once = self._run(spark, urls)
+        twice = self._run(spark, once)
+        assert once == twice  # §6.2.2 normalization is idempotent
+        # python reference: decode unreserved only, upper the rest
+        import re
+
+        def ref(u):
+            def tok(m):
+                t = m.group(0)
+                if re.fullmatch(r"%[0-9A-Fa-f]{2}", t):
+                    c = int(t[1:], 16)
+                    ch = chr(c)
+                    if ch.isalnum() and ch.isascii() or ch in "-._~":
+                        return ch
+                    return t.upper()
+                return t
+
+            return re.sub(r"%[0-9A-Fa-f]{2}|%|[^%]+", tok, u)
+
+        assert once == [ref(u) for u in urls]
