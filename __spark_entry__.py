@@ -3552,6 +3552,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return o.select("o_orderkey", percent_normalize(u).alias("normalized_url"))
 
+    def q_link_audit(spark, sf):
+        """rel-aware anchor extraction (functions/urls.extract_links_rel):
+        per-anchor (url, nofollow) in document order, hrefs resolved
+        through the FULL RFC 3986 resolver — the frontier must exclude
+        rel="nofollow" links from expansion and link-graph signals
+        (comment-spam immunity for host_rank/opic). Synthetic page HTML
+        derives from orders on both engine sides: a sometimes-nofollow
+        root-relative link, a rel="sponsored" link, a scheme-cased
+        absolute link, and an href-less anchor (NULL url)."""
+        from amazonwebcrawler_spark.functions.urls import extract_links_rel
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        html = F.concat(
+            F.lit('<p><a href="/dp/B'), k.cast("string"),
+            F.lit("/ref=x?p="), (k % 7).cast("string"),
+            F.when(k % 2 == 0, F.lit('" rel="nofollow noopener">x</a>')).otherwise(
+                F.lit('">x</a>')
+            ),
+            F.lit('<a rel="sponsored" href="/gp/offer'), (k % 5).cast("string"),
+            F.lit('">y</a><a href="HTTPS://WWW.AMAZON.COM/b'), (k % 3).cast("string"),
+            F.lit('?x=1">z</a><a id="nohref">n</a>'),
+        )
+        links = extract_links_rel(html, F.lit("https://www.amazon.com/s/page.html"))
+        return o.select(
+            "o_orderkey", F.posexplode(links).alias("link_pos", "l")
+        ).select(
+            "o_orderkey",
+            "link_pos",
+            F.col("l.url").alias("url"),
+            F.col("l.nofollow").alias("nofollow"),
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3743,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ucb_schedule": q_ucb_schedule,
         "vocab_growth": q_vocab_growth,
         "percent_norm": q_percent_norm,
+        "link_audit": q_link_audit,
         }.items()
     }
 
@@ -6927,6 +6961,37 @@ SELECT o_orderkey,
       ELSE upper(t) END
   ), '') AS normalized_url
 FROM pairs
+""",
+        "link_audit": r"""
+-- rel-aware anchors; synthetic hrefs are root-relative/absolute so the
+-- twin's resolution is plain concat/scheme-lower (full resolution is
+-- value-checked separately by resolve_refs)
+WITH pages AS (
+  SELECT o_orderkey,
+    '<p><a href="/dp/B' || CAST(o_orderkey AS VARCHAR)
+      || '/ref=x?p=' || CAST(o_orderkey % 7 AS VARCHAR)
+      || CASE WHEN o_orderkey % 2 = 0
+         THEN '" rel="nofollow noopener">x</a>' ELSE '">x</a>' END
+      || '<a rel="sponsored" href="/gp/offer' || CAST(o_orderkey % 5 AS VARCHAR)
+      || '">y</a><a href="HTTPS://WWW.AMAZON.COM/b' || CAST(o_orderkey % 3 AS VARCHAR)
+      || '?x=1">z</a><a id="nohref">n</a>' AS html
+  FROM orders
+),
+tags AS (
+  SELECT o_orderkey, CAST(u.i AS INT) - 1 AS link_pos, list_extract(tg, u.i) AS t
+  FROM (SELECT o_orderkey, regexp_extract_all(html, '<a\s+([^>]*)>', 1) AS tg FROM pages),
+       UNNEST(generate_series(1, len(tg))) AS u(i)
+),
+hrefs AS (
+  SELECT o_orderkey, link_pos, t, regexp_extract(t, 'href="([^"]*)"', 1) AS href FROM tags
+)
+SELECT o_orderkey, link_pos,
+  CASE WHEN href = '' THEN NULL
+       WHEN regexp_matches(href, '(?i)^https?://')
+         THEN lower(split_part(href, '://', 1)) || '://' || substr(href, strpos(href, '://') + 3)
+       ELSE 'https://www.amazon.com' || href END AS url,
+  regexp_matches(t, 'rel="[^"]*\bnofollow\b[^"]*"') AS nofollow
+FROM hrefs
 """,
         **_golden_sql(),
     }

@@ -628,3 +628,36 @@ def percent_normalize(url: Column) -> Column:
         return F.when(~is_esc, t).when(unreserved, decoded).otherwise(F.upper(t))
 
     return F.array_join(F.transform(toks, norm_tok), "")
+
+
+def extract_links_rel(html: Column, base_url: Column) -> Column:
+    """Anchor extraction that keeps the ``rel`` semantics the frontier
+    must respect: ``array<struct<url, nofollow>>`` in document order.
+
+    ``rel="nofollow"`` (and microformats like ``rel="nofollow noopener"``)
+    is the publisher telling crawlers NOT to treat a link as an
+    endorsement — a polite crawler excludes such links from frontier
+    expansion and link-graph signals (PageRank/OPIC would otherwise be
+    spammable through comment sections; that is WHY the attribute
+    exists). :func:`extract_links` ignores ``rel`` entirely; this variant
+    parses the full ``<a ...>`` attribute string per anchor and resolves
+    each href through :func:`resolve_reference` (the complete RFC 3986
+    path), so callers split the result into frontier candidates
+    (``NOT nofollow``) and seen-only URLs.
+
+    Anchors without an href (or with a non-web scheme) yield a NULL url —
+    filter after exploding. Pure column math: one vectorized
+    ``regexp_extract_all`` over the page, per-anchor regex + the resolver
+    expression inside a codegen ``transform``; anchors per page are
+    bounded, so the per-element regex is a constant factor, the same
+    budget :func:`extract_anchor_pairs` already spends.
+    """
+    tags = F.regexp_extract_all(html, F.lit(r"<a\s+([^>]*)>"), 1)
+
+    def parse(t):
+        href = F.regexp_extract(t, r'href="([^"]*)"', 1)
+        url = F.when(href != "", resolve_reference(href, base_url))
+        nofollow = t.rlike(r'rel="[^"]*\bnofollow\b[^"]*"')
+        return F.struct(url.alias("url"), nofollow.alias("nofollow"))
+
+    return F.transform(tags, parse)

@@ -445,3 +445,44 @@ class TestPercentNormalize:
             return re.sub(r"%[0-9A-Fa-f]{2}|%|[^%]+", tok, u)
 
         assert once == [ref(u) for u in urls]
+
+
+class TestExtractLinksRel:
+    """functions/urls.extract_links_rel — nofollow parsing + full-resolver
+    composition + href-less anchors."""
+
+    def test_rel_variants_and_resolution(self, spark):
+        from amazonwebcrawler_spark.functions.urls import extract_links_rel
+
+        html = (
+            '<a href="../up/x.html" rel="nofollow">a</a>'
+            '<a rel="noopener nofollow ugc" href="/b?q=1">b</a>'
+            '<a href="c.html" rel="sponsored">c</a>'
+            '<a href="mailto:x@y">m</a>'
+            '<a id="plain">p</a>'
+            '<a href="//cdn.example/z.png">z</a>'
+        )
+        d = spark.createDataFrame([(html,)], "html string")
+        got = d.select(
+            extract_links_rel(
+                F.col("html"), F.lit("https://host.example/dir/page.html")
+            ).alias("l")
+        ).collect()[0]["l"]
+        assert [(r["url"], r["nofollow"]) for r in got] == [
+            ("https://host.example/up/x.html", True),
+            ("https://host.example/b?q=1", True),   # nofollow anywhere in rel
+            ("https://host.example/dir/c.html", False),
+            (None, False),                           # non-web scheme
+            (None, False),                           # no href
+            ("https://cdn.example/z.png", False),    # network-path ref
+        ]
+
+    def test_nofollow_is_word_bounded(self, spark):
+        from amazonwebcrawler_spark.functions.urls import extract_links_rel
+
+        html = '<a href="/a" rel="nofollowish">a</a><a href="/b" rel="me nofollow">b</a>'
+        d = spark.createDataFrame([(html,)], "html string")
+        got = d.select(
+            extract_links_rel(F.col("html"), F.lit("https://h.example")).alias("l")
+        ).collect()[0]["l"]
+        assert [r["nofollow"] for r in got] == [False, True]
