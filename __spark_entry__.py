@@ -3585,6 +3585,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("l.nofollow").alias("nofollow"),
         )
 
+    def q_politeness_audit(spark, sf):
+        """Wall-clock politeness compliance audit (operators/politeness.
+        politeness_audit): per-host fetch gaps from the emitted log —
+        the evidence a crawl operator checks before raising rates; the
+        token bucket enforces per-wave budgets, this verifies the
+        contract the crawled site actually experiences. (ts, id)-ordered
+        window (deterministic under equal timestamps), all-integer ms
+        output."""
+        from amazonwebcrawler_spark.operators.politeness import politeness_audit
+
+        e = _t(spark, sf, "events")
+        log = e.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 6).cast("string")).alias("host"),
+            # ts is TIMESTAMP_NTZ; the session tz is pinned UTC, so the
+            # cast makes unix_millis == DuckDB's epoch_ms exactly
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            F.col("event_id").alias("fetch_id"),
+        )
+        return politeness_audit(log, min_gap_ms=1000)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3777,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "percent_norm": q_percent_norm,
         "link_audit": q_link_audit,
+        "politeness_audit": q_politeness_audit,
         }.items()
     }
 
@@ -6992,6 +7013,27 @@ SELECT o_orderkey, link_pos,
        ELSE 'https://www.amazon.com' || href END AS url,
   regexp_matches(t, 'rel="[^"]*\bnofollow\b[^"]*"') AS nofollow
 FROM hrefs
+""",
+        "politeness_audit": """
+-- per-host wall-clock gap audit, (ts, id)-ordered lag window
+WITH log AS (
+  SELECT 'h' || CAST(user_id % 6 AS VARCHAR) AS host,
+         epoch_ms(ts) AS ts_ms, event_id
+  FROM events
+),
+g AS (
+  SELECT host,
+    ts_ms - lag(ts_ms) OVER (PARTITION BY host ORDER BY ts_ms, event_id) AS gap
+  FROM log
+)
+SELECT host,
+  COUNT(*) AS n_fetches,
+  COUNT(gap) AS n_gaps,
+  CAST(COALESCE(SUM(CASE WHEN gap < 1000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_violations,
+  CAST(MIN(gap) AS BIGINT) AS min_gap_obs_ms,
+  CAST(MAX(gap) AS BIGINT) AS max_gap_obs_ms
+FROM g GROUP BY host
 """,
         **_golden_sql(),
     }

@@ -478,3 +478,45 @@ def ucb_host_schedule(
             (F.expr("(sum_reward * 1000000L) DIV n_waves") + explore).alias("ucb_micro"),
         )
     )
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+    id_col: str = "fetch_id",
+    min_gap_ms: int = 1000,
+) -> DataFrame:
+    """Compliance audit of the politeness contract over the actual fetch
+    log: did any host ever see two fetches closer than ``min_gap_ms``?
+
+    The scheduler's token bucket ENFORCES the budget per wave, but the
+    contract that matters to the crawled site is wall-clock spacing — and
+    the only trustworthy evidence is the emitted fetch log (the metrics
+    table every wave already commits). This is the audit a crawl operator
+    runs before raising rates (and after every scheduler change): gaps
+    are ``ts − lag(ts)`` per host over the ``(ts, id)``-ordered log
+    (the id tiebreak keeps the window deterministic under equal
+    timestamps — the r4 temporal-join lesson), violations count gaps
+    strictly below the contract.
+
+    Scale shape: ONE host-partitioned window + one host aggregate —
+    key-partitioned end to end, the politeness-family plan. All-integer
+    output: (host, n_fetches, n_gaps, n_violations, min_gap_obs_ms,
+    max_gap_obs_ms); single-fetch hosts report zero gaps and NULL
+    min/max.
+    """
+    w = Window.partitionBy(host_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    gaps = fetch_log.select(
+        F.col(host_col).alias("host"),
+        (F.col(ts_col) - F.lag(ts_col).over(w)).alias("_gap"),
+    )
+    return gaps.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.count("_gap").alias("n_gaps"),
+        F.sum(
+            F.when(F.col("_gap") < min_gap_ms, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ).alias("n_violations"),
+        F.min("_gap").cast("long").alias("min_gap_obs_ms"),
+        F.max("_gap").cast("long").alias("max_gap_obs_ms"),
+    )

@@ -341,3 +341,37 @@ class TestUcbHostSchedule:
         out = self._run(spark, rows)
         assert out["rare"]["mean_micro"] == out["often"]["mean_micro"]
         assert out["rare"]["ucb_micro"] > out["often"]["ucb_micro"]
+
+
+class TestPolitenessAudit:
+    """operators/politeness.politeness_audit — gap math, violations,
+    single-fetch hosts, and the deterministic equal-ts tiebreak."""
+
+    def _run(self, spark, rows, min_gap_ms=1000):
+        from amazonwebcrawler_spark.operators.politeness import politeness_audit
+
+        df = spark.createDataFrame(rows, "host string, ts_ms long, fetch_id long")
+        return {
+            r["host"]: r
+            for r in politeness_audit(df, min_gap_ms=min_gap_ms).collect()
+        }
+
+    def test_gaps_and_violations(self, spark):
+        rows = [
+            ("a", 0, 1), ("a", 1500, 2), ("a", 1900, 3), ("a", 5000, 4),
+            ("b", 10, 5),
+        ]
+        out = self._run(spark, rows)
+        a = out["a"]
+        assert (a["n_fetches"], a["n_gaps"], a["n_violations"]) == (4, 3, 1)
+        assert a["min_gap_obs_ms"] == 400 and a["max_gap_obs_ms"] == 3100
+        b = out["b"]
+        assert (b["n_fetches"], b["n_gaps"], b["n_violations"]) == (1, 0, 0)
+        assert b["min_gap_obs_ms"] is None and b["max_gap_obs_ms"] is None
+
+    def test_equal_timestamps_gap_zero_and_order_invariant(self, spark):
+        rows = [("a", 100, 2), ("a", 100, 1), ("a", 100, 3)]
+        out = self._run(spark, rows)["a"]
+        assert out["n_violations"] == 2 and out["min_gap_obs_ms"] == 0
+        out2 = self._run(spark, list(reversed(rows)))["a"]
+        assert out == out2

@@ -34,7 +34,7 @@ POST_FREEZE = (
     "hist_quantiles", "ndcg_eval", "color_stats", "sitemap_coverage",
     "hll_distinct", "hyperball", "cdc_chunks", "frontier_size", "kn_bigram",
     "resolve_refs", "isotonic_calib", "leakage_split", "ucb_schedule",
-    "vocab_growth", "percent_norm", "link_audit",
+    "vocab_growth", "percent_norm", "link_audit", "politeness_audit",
 )
 
 
