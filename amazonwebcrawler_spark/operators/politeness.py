@@ -520,3 +520,78 @@ def politeness_audit(
         F.min("_gap").cast("long").alias("min_gap_obs_ms"),
         F.max("_gap").cast("long").alias("max_gap_obs_ms"),
     )
+
+
+def aimd_rate_resume(
+    wave_log: DataFrame,
+    state: DataFrame | None = None,
+    host_col: str = "host",
+    wave_col: str = "wave",
+    error_col: str = "had_error",
+    initial_rate: int = 4,
+    max_rate: int = 64,
+) -> DataFrame:
+    """Incremental :func:`aimd_rate`: fold ONLY the new waves on top of a
+    persisted per-host state — the streaming/crawl-time form.
+
+    AIMD is a left fold, so ``fold(fold(seed, old), new) == fold(seed,
+    old ++ new)`` EXACTLY when the new waves sort after the old ones:
+    the state row ``(host, n_waves, n_error_waves, rate, last_wave)``
+    replaces re-reading the whole history. Waves at or before a host's
+    ``last_wave`` would silently corrupt the fold — the caller contract
+    is append-ordered ingestion (wave logs are generated sequentially),
+    and :func:`~amazonwebcrawler_spark.streaming.facade.
+    rate_control_stream` enforces it per batch.
+
+    Scale shape: one host aggregate over the BATCH (small), one left
+    join against host-cardinality state, the fold itself a codegen
+    ``F.aggregate``. Hosts present only in the state pass through the
+    caller's union untouched. Output schema == input state schema.
+    """
+    errs_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(wave_col).alias("w"), F.col(error_col).alias("e")))
+        ),
+        lambda s: s["e"].cast("long"),
+    )
+    collected = wave_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("_n_new"),
+        F.sum(F.col(error_col).cast("long")).alias("_e_new"),
+        F.max(F.col(wave_col)).cast("long").alias("_w_new"),
+        errs_sorted.alias("_errs"),
+    )
+    if state is None:
+        seed = F.lit(initial_rate).cast("long")
+        prior_n = prior_e = F.lit(0).cast("long")
+        prior_w = F.lit(None).cast("long")
+        j = collected
+    else:
+        j = collected.join(
+            state.select(
+                "host",
+                F.col("n_waves").alias("_pn"),
+                F.col("n_error_waves").alias("_pe"),
+                F.col("rate").alias("_pr"),
+                F.col("last_wave").alias("_pw"),
+            ),
+            "host",
+            "left",
+        )
+        seed = F.coalesce(F.col("_pr"), F.lit(initial_rate)).cast("long")
+        prior_n = F.coalesce(F.col("_pn"), F.lit(0)).cast("long")
+        prior_e = F.coalesce(F.col("_pe"), F.lit(0)).cast("long")
+        prior_w = F.col("_pw").cast("long")
+    folded = F.aggregate(
+        F.col("_errs"),
+        seed,
+        lambda acc, e: F.when(
+            e == 1, F.greatest(F.lit(1).cast("long"), F.shiftright(acc, 1))
+        ).otherwise(F.least(F.lit(max_rate).cast("long"), acc + 1)),
+    )
+    return j.select(
+        "host",
+        (prior_n + F.col("_n_new")).alias("n_waves"),
+        (prior_e + F.col("_e_new")).alias("n_error_waves"),
+        folded.alias("rate"),
+        F.greatest(F.coalesce(prior_w, F.col("_w_new")), F.col("_w_new")).alias("last_wave"),
+    )

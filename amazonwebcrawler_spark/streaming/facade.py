@@ -18,6 +18,8 @@ late-data semantics (C8) the batch engine does not otherwise need.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -253,6 +255,81 @@ def neardup_ingest_stream(
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rate_control_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    initial_rate: int = 4,
+    max_rate: int = 64,
+    schema=None,
+):
+    """Streaming AIMD politeness control: wave-log rows ``(host, wave,
+    had_error)`` arriving as files fold incrementally into the per-host
+    rate state (``politeness.aimd_rate_resume`` inside ``foreachBatch``)
+    — the crawl-time form of the batch ``aimd_rate``: each micro-batch
+    touches only its own hosts' rows plus a host-cardinality state join,
+    never the full history.
+
+    State versions write to ``{out_dir}/state_v{batch_id}`` with a
+    ``_latest`` pointer updated LAST (the state store's manifest-last
+    commit discipline, so a crashed batch leaves the previous state
+    intact and Structured Streaming's checkpoint replays the batch).
+    Append-order contract: a batch containing a wave ≤ a host's stored
+    ``last_wave`` raises — AIMD is a left fold and out-of-order ingestion
+    would silently corrupt it.
+    """
+    import json
+
+    from amazonwebcrawler_spark.operators.politeness import aimd_rate_resume
+
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    ptr = os.path.join(out_dir, "_latest")
+
+    def process_batch(batch_df, batch_id):
+        state = None
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                state = spark.read.parquet(json.load(f)["path"])
+        if state is not None:
+            bad = (
+                batch_df.join(state.select("host", "last_wave"), "host")
+                .filter(F.col("wave") <= F.col("last_wave"))
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    "rate_control_stream: batch contains waves at or before "
+                    "a host's folded last_wave — ingestion must be append-ordered"
+                )
+        resumed = aimd_rate_resume(
+            batch_df, state, initial_rate=initial_rate, max_rate=max_rate
+        )
+        if state is not None:
+            untouched = state.join(
+                batch_df.select("host").distinct(), "host", "left_anti"
+            )
+            resumed = resumed.unionByName(untouched)
+        path = os.path.join(out_dir, f"state_v{batch_id}")
+        resumed.write.mode("overwrite").parquet(path)
+        with open(ptr + ".tmp", "w") as f:
+            json.dump({"path": path, "batch_id": batch_id}, f)
+        os.replace(ptr + ".tmp", ptr)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
         .trigger(availableNow=True)
         .start()
     )

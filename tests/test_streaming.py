@@ -272,3 +272,76 @@ def test_clean_ingest_stream_matches_batch(spark, tmp_path):
     # column order: doc_id, n_lines, n_kept, kept_chars, clean_md5, keep
     assert by_id[0][2] == 2 and by_id[0][5] is True
     assert by_id[1][2] == 0 and by_id[1][5] is False
+
+
+def test_rate_control_stream_matches_batch(spark, tmp_path):
+    """Streaming AIMD (rate_control_stream) must equal the batch fold
+    (aimd_rate) over the same wave log — counts AND rates — and the
+    resumable fold must equal the one-shot fold per construction."""
+    import random
+
+    from amazonwebcrawler_spark.operators.politeness import aimd_rate
+    from amazonwebcrawler_spark.streaming.facade import rate_control_stream
+
+    rng = random.Random(17)
+    hosts = [f"h{i}" for i in range(12)]
+    src = str(tmp_path / "waves_src")
+    out = str(tmp_path / "rate_out")
+    all_rows = []
+    wave = 0
+    for part in range(3):  # three files -> three ordered micro-batches
+        rows = []
+        for _ in range(5):
+            for h in hosts:
+                if rng.random() < 0.8:
+                    rows.append((h, wave, rng.random() < 0.3))
+            wave += 1
+        all_rows += rows
+        spark.createDataFrame(
+            rows, "host string, wave long, had_error boolean"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = rate_control_stream(spark, src, out, initial_rate=4, max_rate=32)
+    q.awaitTermination(120)
+
+    import json
+
+    with open(f"{out}/_latest") as f:
+        final = spark.read.parquet(json.load(f)["path"])
+    got = {
+        r["host"]: (r["n_waves"], r["n_error_waves"], r["rate"])
+        for r in final.collect()
+    }
+    batch = aimd_rate(
+        spark.createDataFrame(all_rows, "host string, wave long, had_error boolean"),
+        initial_rate=4,
+        max_rate=32,
+    )
+    want = {
+        r["host"]: (r["n_waves"], r["n_error_waves"], r["rate"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == len(hosts)
+
+
+def test_rate_control_stream_rejects_out_of_order(spark, tmp_path):
+    from amazonwebcrawler_spark.streaming.facade import rate_control_stream
+
+    src = str(tmp_path / "ooo_src")
+    out = str(tmp_path / "ooo_out")
+    spark.createDataFrame(
+        [("h", 5, False)], "host string, wave long, had_error boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = rate_control_stream(spark, src, out)
+    q.awaitTermination(120)
+    # second run: a wave at/below last_wave must raise through the stream
+    spark.createDataFrame(
+        [("h", 5, True)], "host string, wave long, had_error boolean"
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = rate_control_stream(spark, src, out)
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="append-ordered"):
+        q2.awaitTermination(120)
