@@ -3605,6 +3605,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return politeness_audit(log, min_gap_ms=1000)
 
+    def q_shot_detect(spark, sf):
+        """Shot-boundary detection (functions/media.shot_boundaries):
+        per-video lag-window Hamming over frame pHashes — keyframe
+        selection wants one frame per SHOT, not per k frames. 16
+        deterministic multi-scene videos (hard cuts at known frames:
+        {5,9} for even ids, {6} for odd); one Arrow decode pass
+        (frame_sample_kernel every_k=1), then pure-JVM bit_count(xor).
+        Committed-golden twin; the capture checker replays pHash diffs
+        in Python and pins every planted cut."""
+        from amazonwebcrawler_spark.functions import media
+
+        rows = []
+        for i in range(16):
+            lens = (5, 4, 3) if i % 2 == 0 else (6, 6)
+            rows.append((f"vid-{i}", bytearray(media.synth_video_scenes(i, lens))))
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        frames = df.repartition(8).mapInPandas(
+            media.frame_sample_kernel(1), media.FRAMES_SCHEMA
+        )
+        return media.shot_boundaries(frames, threshold=12)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3798,6 +3819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_norm": q_percent_norm,
         "link_audit": q_link_audit,
         "politeness_audit": q_politeness_audit,
+        "shot_detect": q_shot_detect,
         }.items()
     }
 

@@ -186,3 +186,51 @@ def synth_audio(seed: int, n: int = 16000) -> bytes:
     freq = 100 + (seed % 20) * 50
     wave = 0.5 * np.sin(2 * np.pi * freq * t / 16000) + 0.1 * rng.standard_normal(n)
     return encode_audio((np.clip(wave, -1, 1) * 32767).astype(np.int16))
+
+
+def synth_video_scenes(seed: int, scene_lens: tuple[int, ...] = (5, 4, 3), w: int = 32, h: int = 24) -> bytes:
+    """Deterministic multi-scene video: each scene is a fresh random base
+    frame with the same +5/frame brightness drift as :func:`synth_video`
+    — consecutive frames inside a scene are near-identical, the first
+    frame of each new scene is statistically independent (a hard cut)."""
+    frames: list[np.ndarray] = []
+    for s, n in enumerate(scene_lens):
+        rng = np.random.default_rng(seed * 1000 + s)
+        base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.int32)
+        frames += [np.clip(base + i * 5, 0, 255).astype(np.uint8) for i in range(n)]
+    return encode_video(frames)
+
+
+def shot_boundaries(frames_df, threshold: int = 12):
+    """Shot-boundary (scene-cut) detection over a sampled-frame table:
+    ``hamming(phash[i], phash[i-1]) > threshold`` flags frame ``i`` as
+    the first frame of a new shot.
+
+    This is the video-curation primitive between frame sampling and
+    near-dup/selection: keyframe selection wants one frame per SHOT (not
+    per k frames), and shot counts expose slideshows vs continuous
+    footage. Consecutive same-shot frames share almost all pHash bits
+    (the DCT signs track the scene's coarse structure), so the per-frame
+    Hamming series is near-zero inside a shot and jumps at a cut —
+    threshold sits between the two regimes.
+
+    Pure JVM after the one Arrow decode pass that produced the phashes:
+    a video-partitioned lag window + ``bit_count(xor)``. First frames
+    report ``hamming_prev = -1`` (no predecessor) and are never
+    boundaries — shot_count = boundaries + 1. Returns (video_id,
+    frame_idx, hamming_prev, is_boundary).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    dist = F.when(
+        prev.isNull(), F.lit(-1)
+    ).otherwise(F.bit_count(F.col("phash").bitwiseXOR(prev))).cast("int")
+    return frames_df.select(
+        "video_id",
+        "frame_idx",
+        dist.alias("hamming_prev"),
+        (dist > threshold).alias("is_boundary"),
+    )

@@ -53,6 +53,10 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "video_id": "VARCHAR", "frame_idx": "INTEGER", "phash": "BIGINT",
         "frame_md5": "VARCHAR", "frame_len": "INTEGER",
     },
+    "shot_detect": {
+        "video_id": "VARCHAR", "frame_idx": "INTEGER",
+        "hamming_prev": "INTEGER", "is_boundary": "BOOLEAN",
+    },
     "images_resize": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
         "bytes_md5": "VARCHAR", "n_bytes": "INTEGER",
@@ -234,6 +238,36 @@ def _check_video_frame_sample(rows, ctx):
     assert len(per_vid) == 16, len(per_vid)
     for vid, idxs in per_vid.items():
         assert sorted(idxs) == [0, 4, 8], (vid, sorted(idxs))
+
+
+def _check_shot_detect(rows, ctx):
+    """Independent Python replay: decode every synthetic multi-scene
+    video, recompute pHash diffs, and pin that boundaries fire at EXACTLY
+    the planted cut frames ({5,9} even ids / {6} odd) — measured regimes
+    are intra-scene ≤ 4 vs cut ≥ 25 against threshold 12, so both sides
+    of the threshold are exercised with margin."""
+    from amazonwebcrawler_spark.functions.images import hamming64, phash64
+    from amazonwebcrawler_spark.functions.media import iter_frames, synth_video_scenes
+
+    by_vid: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], {})[r["frame_idx"]] = (
+            r["hamming_prev"], r["is_boundary"]
+        )
+    assert len(by_vid) == 16
+    for i in range(16):
+        lens = (5, 4, 3) if i % 2 == 0 else (6, 6)
+        cuts = {5, 9} if i % 2 == 0 else {6}
+        ph = [phash64(f) for f in iter_frames(synth_video_scenes(i, lens))]
+        got = by_vid[f"vid-{i}"]
+        assert sorted(got) == list(range(len(ph)))
+        for j in range(len(ph)):
+            d = -1 if j == 0 else hamming64(ph[j - 1], ph[j])
+            assert got[j] == (d, j in cuts), (i, j, got[j], d)
+            if j in cuts:
+                assert d >= 25
+            elif j > 0:
+                assert d <= 4
 
 
 def _check_dedup_phash(rows, ctx):
@@ -1343,6 +1377,7 @@ CHECKERS = {
     "images_decode": _check_images_decode,
     "images_validate": _check_images_validate,
     "video_frame_sample": _check_video_frame_sample,
+    "shot_detect": _check_shot_detect,
     "images_resize": _check_images_resize,
     "dedup_phash": _check_dedup_phash,
     "crop_dedup": _check_crop_dedup,

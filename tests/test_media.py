@@ -76,3 +76,27 @@ class TestSparkPlumbing:
             assert r.duration_us == 1_000_000
             assert 200_000 < r.rms_micro < 600_000  # sine at 0.5 amplitude + noise
             assert 0 < r.zcr_micro < 500_000
+
+
+class TestShotBoundaries:
+    """functions/media.shot_boundaries — cuts at planted scene changes,
+    nothing inside scenes, shot_count arithmetic."""
+
+    def test_planted_cuts_detected_exactly(self, spark):
+        from amazonwebcrawler_spark.functions import media
+
+        rows = [
+            ("two-scene", bytearray(media.synth_video_scenes(7, (6, 6)))),
+            ("three-scene", bytearray(media.synth_video_scenes(8, (5, 4, 3)))),
+            ("one-scene", bytearray(media.synth_video_scenes(9, (8,)))),
+        ]
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        frames = df.mapInPandas(media.frame_sample_kernel(1), media.FRAMES_SCHEMA)
+        out = media.shot_boundaries(frames, threshold=12).collect()
+        cuts = {
+            vid: sorted(r["frame_idx"] for r in out if r["video_id"] == vid and r["is_boundary"])
+            for vid in ("two-scene", "three-scene", "one-scene")
+        }
+        assert cuts == {"two-scene": [6], "three-scene": [5, 9], "one-scene": []}
+        firsts = [r for r in out if r["frame_idx"] == 0]
+        assert all(r["hamming_prev"] == -1 and not r["is_boundary"] for r in firsts)
