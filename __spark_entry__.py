@@ -3626,6 +3626,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return media.shot_boundaries(frames, threshold=12)
 
+    def q_mmr_topk(spark, sf):
+        """MMR diversified retrieval (operators/similarity.mmr_topk,
+        Carbonell & Goldstein 1998): each pick maximizes λ·rel −
+        (1−λ)·max-sim-to-picked, so near-duplicate neighbors can't fill
+        the top-k — the retrieval-augmentation guard the plain ann_topk
+        lacks. Relevance/sims are micro ints and λ milli, so the whole
+        selection is EXACT BIGINT argmax; the twin unrolls the k-step
+        loop into explicit CTEs and replays it identically."""
+        from amazonwebcrawler_spark.operators.similarity import mmr_topk
+
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 4)
+        return mmr_topk(e, qs, "vec_id", "embedding", k=4, shortlist=8)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3820,6 +3834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_audit": q_link_audit,
         "politeness_audit": q_politeness_audit,
         "shot_detect": q_shot_detect,
+        "mmr_topk": q_mmr_topk,
         }.items()
     }
 
@@ -7057,6 +7072,7 @@ SELECT host,
   CAST(MAX(gap) AS BIGINT) AS max_gap_obs_ms
 FROM g GROUP BY host
 """,
+        "mmr_topk": _mmr_topk_sql(),
         **_golden_sql(),
     }
 
@@ -7080,6 +7096,15 @@ def _host_rank_sql() -> str:
         "SELECT (o_orderkey * 3 + 1) % 29 AS src, (o_orderkey * 5 + 2) % 43 AS dst FROM orders"
     )
     return pagerank_oracle_sql(edges, iters=5)
+
+
+def _mmr_topk_sql() -> str:
+    """Twin of q_mmr_topk: the k-step MMR selection unrolled into explicit
+    CTEs (operators/similarity.mmr_oracle_sql) — same shortlist, same
+    integer λ-milli argmax, same (score desc, id) tiebreak."""
+    from amazonwebcrawler_spark.operators.similarity import mmr_oracle_sql
+
+    return mmr_oracle_sql(queries_pred="vec_id < 4", k=4, shortlist=8, lambda_milli=700)
 
 
 def _cdc_chunks_sql() -> str:

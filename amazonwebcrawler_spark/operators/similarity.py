@@ -785,3 +785,183 @@ def ndcg_eval(
             F.expr("(dcg_micro * 1000000L) DIV idcg_micro").alias("ndcg_micro"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    shortlist: int = 8,
+    lambda_milli: int = 700,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98):
+    diversified top-k — each pick maximizes ``λ·rel − (1−λ)·max-sim-to-
+    already-picked``, so a query whose nearest neighbors are n near-
+    duplicates returns k DISTINCT results instead of the same document k
+    times. For a retrieval-augmented training pipeline this is the
+    difference between k context documents and one document repeated.
+
+    Exactness: relevance and pairwise sims are micro-unit integers
+    (``cosine_micro``), λ is milli-unit — the selection score
+    ``λ·rel − (1000−λ)·maxsim`` is EXACT BIGINT arithmetic (≤ 1e9), so
+    every argmax (ties → smaller id) is bit-deterministic on any engine;
+    the unrolled-CTE DuckDB twin replays the identical selection.
+
+    Scale shape: stage 1 is :func:`brute_force_topk` (swap in
+    ``lsh_topk``/``ivf_topk`` at scale — the MMR stage is agnostic);
+    stage 2 computes pairwise sims only WITHIN each query's shortlist
+    (``shortlist²`` rows per query, a constant); stage 3 is a bounded
+    ``k−1``-step loop of anti-join + max-aggregate + window-argmax —
+    all key-partitioned on query_id, no Python, no collect. First pick
+    is pure relevance (``maxsim_micro = 0`` by convention — the
+    selected set is empty).
+
+    Returns (query_id, rank, neighbor_id, rel_micro, maxsim_micro,
+    mmr_score) with rank = pick order 1..k.
+    """
+    short = brute_force_topk(corpus, queries, id_col, vec_col, k=shortlist)
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    cand = (
+        short.join(vecs, "neighbor_id")
+        .select("query_id", "neighbor_id", F.col("cos_sim_micro").alias("rel"), "_v")
+        .localCheckpoint()
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("_a"), F.col("_v").alias("_va"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("_b"), F.col("_v").alias("_vb"))
+    pair = (
+        a.join(b, "query_id")
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            "query_id", "_a", "_b",
+            cosine_micro(F.col("_va"), F.col("_vb")).alias("_sim"),
+        )
+        .localCheckpoint()
+    )
+    lam = int(lambda_milli)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    first = (
+        cand.withColumn("_score", F.col("rel") * lam)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("rank"),
+            "neighbor_id",
+            F.col("rel").alias("rel_micro"),
+            F.lit(0).cast("long").alias("maxsim_micro"),
+            F.col("_score").cast("long").alias("mmr_score"),
+        )
+    )
+    picks = first
+    for step in range(2, k + 1):
+        sel = picks.select("query_id", F.col("neighbor_id").alias("_sel"))
+        maxsim = (
+            pair.join(sel, (pair["query_id"] == sel["query_id"]) & (pair["_b"] == sel["_sel"]))
+            .select(pair["query_id"], "_a", "_sim")
+            .groupBy("query_id", "_a")
+            .agg(F.max("_sim").alias("_ms"))
+        )
+        remaining = cand.join(
+            sel, (cand["query_id"] == sel["query_id"]) & (cand["neighbor_id"] == sel["_sel"]),
+            "left_anti",
+        )
+        scored = remaining.join(
+            maxsim,
+            (remaining["query_id"] == maxsim["query_id"]) & (remaining["neighbor_id"] == maxsim["_a"]),
+        ).select(
+            remaining["query_id"], "neighbor_id", "rel", "_ms",
+            (F.col("rel") * lam - F.col("_ms") * (1000 - lam)).alias("_score"),
+        )
+        nxt = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).alias("rank"),
+                "neighbor_id",
+                F.col("rel").alias("rel_micro"),
+                F.col("_ms").cast("long").alias("maxsim_micro"),
+                F.col("_score").cast("long").alias("mmr_score"),
+            )
+        )
+        picks = picks.unionByName(nxt).localCheckpoint()
+    return picks
+
+
+def mmr_oracle_sql(
+    queries_pred: str = "vec_id < 4",
+    k: int = 4,
+    shortlist: int = 8,
+    lambda_milli: int = 700,
+) -> str:
+    """DuckDB twin of :func:`mmr_topk` over the ``embeddings`` view: the
+    bounded selection loop unrolls into ``k`` explicit CTE steps (no
+    recursion, no lateral — every engine feature is vanilla), replaying
+    the identical integer argmax."""
+    lam, mu = int(lambda_milli), 1000 - int(lambda_milli)
+    cos = (
+        "CAST(round("
+        "list_sum(list_transform(list_zip({A}.embedding, {B}.embedding),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({A}.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({B}.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))"
+        " * 1000000) AS BIGINT)"
+    )
+    parts = [
+        f"""cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      {cos.format(A='q', B='c')} AS rel,
+      row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos.format(A='q', B='c')} DESC, c.vec_id) AS rn
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.{queries_pred}
+  ) WHERE rn <= {shortlist}
+),
+pv AS (
+  SELECT c.query_id, c.neighbor_id AS id, e.embedding
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+),
+pairsim AS (
+  SELECT x.query_id, x.id AS a, y.id AS b, {cos.format(A='x', B='y')} AS sim
+  FROM pv x JOIN pv y ON x.query_id = y.query_id AND x.id <> y.id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, rel, CAST(0 AS BIGINT) AS ms
+  FROM (SELECT query_id, neighbor_id, rel,
+          row_number() OVER (PARTITION BY query_id ORDER BY rel * {lam} DESC, neighbor_id) AS rn
+        FROM cand) WHERE rn = 1
+)"""
+    ]
+    for i in range(2, k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM s{j}" for j in range(1, i)
+        )
+        parts.append(
+            f"""sel{i} AS ({sel_union}),
+m{i} AS (
+  SELECT c.query_id, c.neighbor_id, c.rel, MAX(p.sim) AS ms
+  FROM cand c
+  JOIN pairsim p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+  JOIN sel{i} s ON s.query_id = p.query_id AND s.neighbor_id = p.b
+  LEFT JOIN sel{i} d ON d.query_id = c.query_id AND d.neighbor_id = c.neighbor_id
+  WHERE d.neighbor_id IS NULL
+  GROUP BY 1, 2, 3
+),
+s{i} AS (
+  SELECT query_id, neighbor_id, rel, ms
+  FROM (SELECT query_id, neighbor_id, rel, ms,
+          row_number() OVER (PARTITION BY query_id ORDER BY rel * {lam} - ms * {mu} DESC, neighbor_id) AS rn
+        FROM m{i}) WHERE rn = 1
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, {i} AS rank, neighbor_id, rel AS rel_micro, "
+        f"CAST(ms AS BIGINT) AS maxsim_micro, "
+        f"CAST(rel * {lam} - ms * {mu} AS BIGINT) AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + finals

@@ -1432,3 +1432,95 @@ class TestCdcChunks:
         # doc "c" (< window chars) is one whole chunk
         c = [r for r in out if r["doc_id"] == "c"]
         assert len(c) == 1 and c[0]["chunk_len"] == 1 and c[0]["chunk_idx"] == 1
+
+
+class TestMmrTopk:
+    """operators/similarity.mmr_topk vs a pure-Python greedy MMR replay,
+    plus the diversity property that motivates the operator."""
+
+    @staticmethod
+    def _py_mmr(vecs, qids, k, m, lam):
+        import math
+
+        def cos_micro(a, b):
+            d = sum(float(x) * float(y) for x, y in zip(a, b))
+            na = math.sqrt(sum(float(x) * float(x) for x in a))
+            nb = math.sqrt(sum(float(x) * float(x) for x in b))
+            return round(d / (na * nb) * 1e6) if na * nb > 0 else 0
+
+        out = {}
+        for q in qids:
+            rel = sorted(
+                ((cos_micro(vecs[q], vecs[i]), i) for i in vecs if i != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:m]
+            cand = {i: r for r, i in rel}
+            sel = []
+            for step in range(1, k + 1):
+                best = None
+                for i, r in cand.items():
+                    if i in sel:
+                        continue
+                    ms = max((cos_micro(vecs[i], vecs[s]) for s in sel), default=0)
+                    score = r * lam - ms * (1000 - lam)
+                    key = (-score, i)
+                    if best is None or key < best[0]:
+                        best = (key, i, r, ms, score)
+                sel.append(best[1])
+                out[(q, step)] = (best[1], best[2], best[3], best[4])
+        return out
+
+    def test_matches_python_mmr(self, spark):
+        import random
+
+        from amazonwebcrawler_spark.operators.similarity import mmr_topk
+
+        rng = random.Random(5)
+        # three tight clusters + noise: near-dups exist by construction
+        vecs = {}
+        for i in range(30):
+            c = i % 3
+            base = [1.0 if j == c else 0.0 for j in range(8)]
+            vecs[i] = [round(b + rng.gauss(0, 0.15), 4) for b in base]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+        )
+        qs = df.filter(F.col("vec_id") < 3)
+        got = {
+            (r["query_id"], r["rank"]): (
+                r["neighbor_id"], r["rel_micro"], r["maxsim_micro"], r["mmr_score"]
+            )
+            for r in mmr_topk(df, qs, "vec_id", "embedding", k=4, shortlist=8).collect()
+        }
+        # float32 storage: replay with the same float32-rounded vectors
+        import numpy as np
+
+        vecs32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+        want = self._py_mmr(vecs32, [0, 1, 2], 4, 8, 700)
+        assert got == want
+
+    def test_diversifies_vs_plain_topk(self, spark):
+        from amazonwebcrawler_spark.operators.similarity import brute_force_topk, mmr_topk
+
+        # query 0's 4 nearest are 4 copies of one doc; diverse docs further
+        dup = [1.0, 0.0, 0.0, 0.0]
+        other = [0.8, 0.6, 0.0, 0.0]
+        third = [0.7, 0.0, 0.71, 0.0]
+        rows = [(0, [1.0, 0.01, 0.01, 0.0])] + [
+            (i, [x + 0.001 * i for x in dup]) for i in (1, 2, 3, 4)
+        ] + [(5, other), (6, third)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qs = df.filter(F.col("vec_id") == 0)
+        plain = [
+            r["neighbor_id"]
+            for r in brute_force_topk(df, qs, "vec_id", "embedding", k=3)
+            .orderBy("rank").collect()
+        ]
+        mmr = [
+            r["neighbor_id"]
+            for r in mmr_topk(
+                df, qs, "vec_id", "embedding", k=3, shortlist=6, lambda_milli=500
+            ).orderBy("rank").collect()
+        ]
+        assert all(n in (1, 2, 3, 4) for n in plain)  # top-k saturated by dups
+        assert len(set(mmr) & {5, 6}) >= 1            # MMR breaks out of the cluster
