@@ -3640,6 +3640,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = e.filter(F.col("vec_id") < 4)
         return mmr_topk(e, qs, "vec_id", "embedding", k=4, shortlist=8)
 
+    def q_temperature_mix(spark, sf):
+        """Temperature rebalancing (operators/corpus.temperature_weights):
+        q_l ∝ p_l^0.7 over document languages — the multilingual
+        head-vs-tail sampling rule; boost_milli feeds weighted_sample /
+        the epoch mixture. p is exact integer DIV; q/boost micro-round
+        the one pow term."""
+        from amazonwebcrawler_spark.operators.corpus import temperature_weights
+
+        d = _t(spark, sf, "documents")
+        return temperature_weights(d, "lang", alpha_milli=700)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3835,6 +3846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": q_politeness_audit,
         "shot_detect": q_shot_detect,
         "mmr_topk": q_mmr_topk,
+        "temperature_mix": q_temperature_mix,
         }.items()
     }
 
@@ -7073,6 +7085,23 @@ SELECT host,
 FROM g GROUP BY host
 """,
         "mmr_topk": _mmr_topk_sql(),
+        "temperature_mix": """
+-- q_l ∝ p_l^0.7 with exact-integer p and micro-rounded pow terms
+WITH counts AS (SELECT lang AS stratum, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS n_total FROM counts),
+withp AS (
+  SELECT stratum, n_docs, n_total,
+    pow(n_docs / CAST(n_total AS DOUBLE), 700::DOUBLE / 1000.0) AS qraw
+  FROM counts, tot
+),
+z AS (SELECT SUM(qraw) AS z FROM withp)
+SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST((n_docs * 1000000) // n_total AS BIGINT) AS p_micro,
+  CAST(round(qraw / z.z * 1000000) AS BIGINT) AS q_micro,
+  CAST(round((qraw / z.z) / (n_docs / CAST(n_total AS DOUBLE)) * 1000) AS BIGINT)
+    AS boost_milli
+FROM withp, z
+""",
         **_golden_sql(),
     }
 

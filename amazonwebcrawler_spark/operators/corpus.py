@@ -901,3 +901,44 @@ def leakage_safe_split(
     return base.select(
         "doc_id", unit.alias("group_id"), expr.alias("split")
     )
+
+
+def temperature_weights(
+    df: DataFrame, strata_col: str, alpha_milli: int = 700
+) -> DataFrame:
+    """Temperature-based stratum rebalancing — the multilingual sampling
+    rule (q_l ∝ p_l^α, α < 1) that keeps head languages from drowning the
+    tail while still respecting corpus mass (α=1 is proportional, α=0 is
+    uniform; 0.7 is the published multilingual-pretraining default, e.g.
+    the mBERT/XLM exponent). ``boost_milli = q/p`` is the per-document
+    sampling weight a pipeline feeds into :func:`weighted_sample` or the
+    epoch mixture.
+
+    Shape: ONE map-side-combinable stratum count, then everything runs on
+    the strata table (languages/sources — dozens of rows) with two
+    broadcast 1-row totals. ``p_micro`` is exact integer DIV; ``q_micro``
+    and ``boost_milli`` round the one irrational term (``pow``) under the
+    repo's micro discipline. Returns (stratum, n_docs, p_micro, q_micro,
+    boost_milli).
+    """
+    alpha = F.lit(alpha_milli).cast("double") / F.lit(1000.0)
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("_n_total"))
+    with_p = counts.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_docs",
+        "_n_total",
+        F.pow(F.col("n_docs") / F.col("_n_total"), alpha).alias("_qraw"),
+    )
+    z = with_p.agg(F.sum("_qraw").alias("_z"))
+    return with_p.crossJoin(F.broadcast(z)).select(
+        "stratum",
+        "n_docs",
+        F.expr("(n_docs * 1000000L) DIV _n_total").alias("p_micro"),
+        F.round(F.col("_qraw") / F.col("_z") * 1_000_000).cast("long").alias("q_micro"),
+        F.round(
+            (F.col("_qraw") / F.col("_z")) / (F.col("n_docs") / F.col("_n_total")) * 1000
+        ).cast("long").alias("boost_milli"),
+    )

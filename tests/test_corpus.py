@@ -671,3 +671,42 @@ class TestLeakageSafeSplit:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         with _pytest.raises(ValueError):
             leakage_safe_split(docs, pairs, cuts=(("train", 90), ("val", 5)))
+
+
+class TestTemperatureWeights:
+    """operators/corpus.temperature_weights — α-regime behavior and a
+    Python replay."""
+
+    def _run(self, spark, counts, alpha_milli):
+        from amazonwebcrawler_spark.operators.corpus import temperature_weights
+
+        rows = [(lang, i) for lang, n in counts.items() for i in range(n)]
+        df = spark.createDataFrame(rows, "lang string, x long")
+        return {
+            r["stratum"]: r
+            for r in temperature_weights(df, "lang", alpha_milli=alpha_milli).collect()
+        }
+
+    def test_matches_python_replay(self, spark):
+        counts = {"en": 700, "de": 200, "fr": 80, "sw": 20}
+        out = self._run(spark, counts, 700)
+        N = sum(counts.values())
+        qraw = {l: (n / N) ** 0.7 for l, n in counts.items()}
+        z = sum(qraw[l] for l in out)  # engine sums in its own order; tol ±1
+        for l, n in counts.items():
+            r = out[l]
+            assert r["p_micro"] == n * 1_000_000 // N
+            assert abs(r["q_micro"] - round(qraw[l] / z * 1e6)) <= 1
+            assert abs(r["boost_milli"] - round((qraw[l] / z) / (n / N) * 1000)) <= 1
+
+    def test_alpha_one_is_proportional_alpha_zero_uniform(self, spark):
+        counts = {"a": 600, "b": 300, "c": 100}
+        prop = self._run(spark, counts, 1000)
+        for l in counts:
+            assert abs(prop[l]["boost_milli"] - 1000) <= 1  # q == p
+        uni = self._run(spark, counts, 0)
+        qs = {l: uni[l]["q_micro"] for l in counts}
+        assert max(qs.values()) - min(qs.values()) <= 2  # uniform q
+        # tail boosted, head suppressed at alpha<1
+        mid = self._run(spark, counts, 500)
+        assert mid["c"]["boost_milli"] > 1000 > mid["a"]["boost_milli"]
