@@ -3651,6 +3651,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         return temperature_weights(d, "lang", alpha_milli=700)
 
+    def q_video_dedup(spark, sf):
+        """Video-level near-dup detection (functions/media.
+        video_neardup_pairs): shot keyframes → pigeonhole hamming join →
+        per-pair keyframe CONTAINMENT (trims caught from the trim's
+        side). World: 10 originals, 5 trimmed copies (last scene
+        dropped), 3 brightness-shifted re-encodes — every planted
+        relation must surface, directionally correct, and no unrelated
+        pair may collide (64-bit pHash). Committed-golden twin; the
+        capture checker replays the whole pipeline in Python."""
+        from amazonwebcrawler_spark.functions import media
+
+        rows = []
+        for i in range(10):
+            rows.append((f"vid-{i}", bytearray(media.synth_video_scenes(i, (5, 4, 3)))))
+        for i in range(5):
+            rows.append(
+                (f"vid-{i}-trim", bytearray(media.synth_video_scenes(i, (5, 4))))
+            )
+        for i in range(5, 8):
+            rows.append(
+                (f"vid-{i}-re",
+                 bytearray(media.synth_video_scenes(i, (5, 4, 3), shift=8)))
+            )
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        frames = df.repartition(8).mapInPandas(
+            media.frame_sample_kernel(1), media.FRAMES_SCHEMA
+        )
+        return media.video_neardup_pairs(frames, threshold=12, max_hamming=2)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3847,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shot_detect": q_shot_detect,
         "mmr_topk": q_mmr_topk,
         "temperature_mix": q_temperature_mix,
+        "video_dedup": q_video_dedup,
         }.items()
     }
 

@@ -188,16 +188,27 @@ def synth_audio(seed: int, n: int = 16000) -> bytes:
     return encode_audio((np.clip(wave, -1, 1) * 32767).astype(np.int16))
 
 
-def synth_video_scenes(seed: int, scene_lens: tuple[int, ...] = (5, 4, 3), w: int = 32, h: int = 24) -> bytes:
+def synth_video_scenes(
+    seed: int,
+    scene_lens: tuple[int, ...] = (5, 4, 3),
+    w: int = 32,
+    h: int = 24,
+    shift: int = 0,
+) -> bytes:
     """Deterministic multi-scene video: each scene is a fresh random base
     frame with the same +5/frame brightness drift as :func:`synth_video`
     — consecutive frames inside a scene are near-identical, the first
-    frame of each new scene is statistically independent (a hard cut)."""
+    frame of each new scene is statistically independent (a hard cut).
+    ``shift`` adds a global brightness offset to every frame — the
+    deterministic stand-in for a RE-ENCODE of the same footage (pHash
+    moves a few bits, scene structure identical)."""
     frames: list[np.ndarray] = []
     for s, n in enumerate(scene_lens):
         rng = np.random.default_rng(seed * 1000 + s)
         base = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8).astype(np.int32)
-        frames += [np.clip(base + i * 5, 0, 255).astype(np.uint8) for i in range(n)]
+        frames += [
+            np.clip(base + i * 5 + shift, 0, 255).astype(np.uint8) for i in range(n)
+        ]
     return encode_video(frames)
 
 
@@ -233,4 +244,92 @@ def shot_boundaries(frames_df, threshold: int = 12):
         "frame_idx",
         dist.alias("hamming_prev"),
         (dist > threshold).alias("is_boundary"),
+    )
+
+
+def video_keyframes(frames_df, threshold: int = 12):
+    """One keyframe per SHOT: the first frame of each shot (frame 0 plus
+    every boundary frame from :func:`shot_boundaries`). Returns
+    (video_id, frame_idx, phash) — the video's content signature at
+    shots-many rows instead of frames-many."""
+    from pyspark.sql import functions as F
+
+    sb = shot_boundaries(frames_df, threshold)
+    keep = sb.filter((F.col("frame_idx") == 0) | F.col("is_boundary")).select(
+        "video_id", "frame_idx"
+    )
+    return frames_df.join(keep, ["video_id", "frame_idx"]).select(
+        "video_id", "frame_idx", "phash"
+    )
+
+
+def video_neardup_pairs(
+    frames_df,
+    threshold: int = 12,
+    max_hamming: int = 2,
+    containment_milli: int = 600,
+    max_bucket: int | None = None,
+):
+    """Video-level near-dup detection: re-encodes, brightness-shifted
+    mirrors, and TRIMMED copies of a video share (most of) its shot
+    keyframes — so video identity reduces to keyframe-pHash containment,
+    the way image dedup reduces to pHash equality.
+
+    Pipeline (all existing kernels — nothing new crosses to Python):
+    keyframes per video (:func:`video_keyframes`, shots-many rows) →
+    generic pigeonhole hamming join on the 64-bit pHash
+    (``dedup.hamming_neardup_pairs`` — exact, (t+1)-chunk blocked) →
+    per ordered video pair, count DISTINCT matched keyframes of A;
+    ``containment_milli = matched·1000 DIV n_keyframes(A)``. Containment
+    (not Jaccard) so a TRIM of A is still caught from the trim's side.
+    Both directions are emitted (A⊂B and B⊂A score differently).
+
+    Scale: keyframes are a tiny multiple of videos; the hamming join is
+    the proven image-dedup shape; the pair rollup is one hash aggregate.
+    Exact integers end to end. Returns (video_a, video_b, n_keyframes_a,
+    n_matched, containment_milli, is_dup).
+    """
+    from pyspark.sql import functions as F
+
+    from amazonwebcrawler_spark.operators.dedup import hamming_neardup_pairs
+
+    kf = video_keyframes(frames_df, threshold)
+    keyed = kf.select(
+        F.concat_ws("#", "video_id", F.col("frame_idx").cast("string")).alias("_kid"),
+        "video_id",
+        "frame_idx",
+        "phash",
+    )
+    pairs = hamming_neardup_pairs(
+        keyed.select(F.col("_kid").alias("id"), F.col("phash").alias("fp")),
+        "id",
+        "fp",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+    # hamming_neardup_pairs emits unordered pairs once (id_a < id_b);
+    # symmetrize, then keep only cross-video matches
+    sym = pairs.select(F.col("id_a").alias("ka"), F.col("id_b").alias("kb")).unionByName(
+        pairs.select(F.col("id_b").alias("ka"), F.col("id_a").alias("kb"))
+    )
+    split_a = F.substring_index(F.col("ka"), "#", 1)
+    split_b = F.substring_index(F.col("kb"), "#", 1)
+    cross = sym.select(
+        split_a.alias("video_a"), F.col("ka").alias("key_a"), split_b.alias("video_b")
+    ).filter(F.col("video_a") != F.col("video_b"))
+    matched = cross.groupBy("video_a", "video_b").agg(
+        F.countDistinct("key_a").alias("n_matched")
+    )
+    nk = kf.groupBy(F.col("video_id").alias("video_a")).agg(
+        F.count(F.lit(1)).alias("n_keyframes_a")
+    )
+    return matched.join(nk, "video_a").select(
+        "video_a",
+        "video_b",
+        "n_keyframes_a",
+        "n_matched",
+        F.expr("(n_matched * 1000L) DIV n_keyframes_a").alias("containment_milli"),
+        (F.expr("(n_matched * 1000L) DIV n_keyframes_a") >= containment_milli).alias(
+            "is_dup"
+        ),
     )

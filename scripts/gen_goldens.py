@@ -57,6 +57,10 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "video_id": "VARCHAR", "frame_idx": "INTEGER",
         "hamming_prev": "INTEGER", "is_boundary": "BOOLEAN",
     },
+    "video_dedup": {
+        "video_a": "VARCHAR", "video_b": "VARCHAR", "n_keyframes_a": "BIGINT",
+        "n_matched": "BIGINT", "containment_milli": "BIGINT", "is_dup": "BOOLEAN",
+    },
     "images_resize": {
         "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
         "bytes_md5": "VARCHAR", "n_bytes": "INTEGER",
@@ -268,6 +272,59 @@ def _check_shot_detect(rows, ctx):
                 assert d >= 25
             elif j > 0:
                 assert d <= 4
+
+
+def _check_video_dedup(rows, ctx):
+    """Independent Python replay of the WHOLE keyframe-containment
+    pipeline (decode → cuts → keyframes → ≤2-bit match → containment),
+    plus the planted-relation audit: every trim/re-encode pair present
+    and directionally scored, zero unrelated collisions."""
+    from amazonwebcrawler_spark.functions.images import hamming64, phash64
+    from amazonwebcrawler_spark.functions.media import iter_frames, synth_video_scenes
+
+    worlds = {}
+    for i in range(10):
+        worlds[f"vid-{i}"] = (i, (5, 4, 3), 0)
+    for i in range(5):
+        worlds[f"vid-{i}-trim"] = (i, (5, 4), 0)
+    for i in range(5, 8):
+        worlds[f"vid-{i}-re"] = (i, (5, 4, 3), 8)
+    kfs = {}
+    for vid, (seed, lens, shift) in worlds.items():
+        ph = [phash64(f) for f in iter_frames(synth_video_scenes(seed, lens, shift=shift))]
+        cuts = [0]
+        for j in range(1, len(ph)):
+            if hamming64(ph[j - 1], ph[j]) > 12:
+                cuts.append(j)
+        kfs[vid] = [ph[j] for j in cuts]
+    want = set()
+    for a in worlds:
+        for b in worlds:
+            if a == b:
+                continue
+            matched = sum(
+                1 for x in kfs[a] if any(hamming64(x, y) <= 2 for y in kfs[b])
+            )
+            if matched:
+                cm = matched * 1000 // len(kfs[a])
+                want.add((a, b, len(kfs[a]), matched, cm, cm >= 600))
+    got = {
+        (r["video_a"], r["video_b"], r["n_keyframes_a"], r["n_matched"],
+         r["containment_milli"], r["is_dup"])
+        for r in rows
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))
+    by_pair = {(a, b): (m, cm, d) for a, b, _n, m, cm, d in got}
+    for i in range(5):  # trims: full containment from the trim side, 2/3 back
+        assert by_pair[(f"vid-{i}-trim", f"vid-{i}")] == (2, 1000, True)
+        assert by_pair[(f"vid-{i}", f"vid-{i}-trim")] == (2, 666, True)
+    for i in range(5, 8):  # re-encodes: full both ways
+        assert by_pair[(f"vid-{i}-re", f"vid-{i}")] == (3, 1000, True)
+        assert by_pair[(f"vid-{i}", f"vid-{i}-re")] == (3, 1000, True)
+    # no unrelated pair may appear at all
+    for a, b, *_ in got:
+        ra, rb = a.split("-")[1], b.split("-")[1]
+        assert ra == rb, (a, b)
 
 
 def _check_dedup_phash(rows, ctx):
@@ -1378,6 +1435,7 @@ CHECKERS = {
     "images_validate": _check_images_validate,
     "video_frame_sample": _check_video_frame_sample,
     "shot_detect": _check_shot_detect,
+    "video_dedup": _check_video_dedup,
     "images_resize": _check_images_resize,
     "dedup_phash": _check_dedup_phash,
     "crop_dedup": _check_crop_dedup,

@@ -100,3 +100,43 @@ class TestShotBoundaries:
         assert cuts == {"two-scene": [6], "three-scene": [5, 9], "one-scene": []}
         firsts = [r for r in out if r["frame_idx"] == 0]
         assert all(r["hamming_prev"] == -1 and not r["is_boundary"] for r in firsts)
+
+
+class TestVideoNeardup:
+    """functions/media.video_keyframes / video_neardup_pairs — the
+    hamming boundary and containment math on hand-built frame tables
+    (no decode: the pipeline takes the frames table directly)."""
+
+    def _frames(self, spark, rows):
+        return spark.createDataFrame(
+            [(v, i, bytearray(b""), p) for v, i, p in rows],
+            "video_id string, frame_idx int, frame_bytes binary, phash long",
+        )
+
+    def test_keyframes_are_shot_firsts(self, spark):
+        from amazonwebcrawler_spark.functions.media import video_keyframes
+
+        # one video: frames 0,1 same shot; frame 2 jumps 20 bits
+        rows = [("v", 0, 0), ("v", 1, 1), ("v", 2, (1 << 20) - 1)]
+        kf = sorted(
+            (r["frame_idx"], r["phash"])
+            for r in video_keyframes(self._frames(spark, rows), threshold=12).collect()
+        )
+        assert kf == [(0, 0), (2, (1 << 20) - 1)]
+
+    def test_hamming_boundary_and_containment(self, spark):
+        from amazonwebcrawler_spark.functions.media import video_neardup_pairs
+
+        # a: keyframes {0, X}; b: {2-bit-off 0, far}; c: {3-bit-off 0}
+        X = 0x7FFF000000000000
+        far = 0x0F0F0F0F0F0F0F0F
+        rows = [("a", 0, 0), ("a", 5, X), ("b", 0, 3), ("b", 5, far), ("c", 0, 7)]
+        out = {
+            (r["video_a"], r["video_b"]): (r["n_matched"], r["containment_milli"], r["is_dup"])
+            for r in video_neardup_pairs(
+                self._frames(spark, rows), threshold=12, max_hamming=2
+            ).collect()
+        }
+        assert out[("a", "b")] == (1, 500, False)  # 1 of 2 keyframes matched
+        assert out[("b", "a")] == (1, 500, False)
+        assert ("a", "c") not in out and ("c", "a") not in out  # 3 bits > t

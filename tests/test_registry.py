@@ -35,7 +35,7 @@ POST_FREEZE = (
     "hll_distinct", "hyperball", "cdc_chunks", "frontier_size", "kn_bigram",
     "resolve_refs", "isotonic_calib", "leakage_split", "ucb_schedule",
     "vocab_growth", "percent_norm", "link_audit", "politeness_audit",
-    "shot_detect", "mmr_topk", "temperature_mix",
+    "shot_detect", "mmr_topk", "temperature_mix", "video_dedup",
 )
 
 
