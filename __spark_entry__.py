@@ -3385,8 +3385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Content-defined chunking (operators/dedup.cdc_chunks): rolling-
         hash cut points that are a pure function of LOCAL content, so a
         one-byte edit re-chunks only its neighborhood — the storage-level
-        dedup below the document family (the reference stores every page
-        whole, savePageSource.py:18-31). Output spans tile each document
+        dedup below the document family (the reference re-captures every
+        page whole on revisit, getStockNumber.py:59). Output spans tile
+        each document
         exactly; ``is_first`` elects the canonical owner per digest. All
         columns integer/string/bool (md5 digests) — driver-hash-stable."""
         from amazonwebcrawler_spark.operators.dedup import cdc_chunks
@@ -3399,7 +3400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         frontier_size_chao1): per-host Chao1 unseen-URL estimate +
         Good–Turing coverage from a discovery log — the data-driven
         "is this host exhausted?" signal the reference's fixed page budget
-        (getRank.py:44) cannot express. Captures derive from events
+        (8 result pages, getRank.py:472) cannot express. Captures derive
+        from events
         (user_id = URL key, host = user_id mod 8) identically on both
         engine sides; every output column is exact integer arithmetic
         (floor-div DIV), so the row is driver-hash-stable."""

@@ -1382,7 +1382,9 @@ def cdc_chunks(
     shuffles (cut detection is per-row column math); the only exchanges
     are the per-doc cut window and the digest-ownership window, both
     key-partitioned. Reference scraper stores every page whole
-    (savePageSource.py:18-31); this is the delta-storage replacement.
+    (``html = browser.page_source``, getStockNumber.py:59 — every
+    revisit re-captures the full page); this is the delta-storage
+    replacement.
 
     Returns ``(id, chunk_idx, start, chunk_len, digest, is_first)``.
     """

@@ -388,7 +388,8 @@ def frontier_size_chao1(
     host's discovery mass the crawl has already absorbed. Both feed the
     budget allocator: spending politeness tokens on a saturated host wastes
     the wave (the reference crawls a fixed page budget per keyword,
-    getRank.py:44 — it cannot know when a keyword is exhausted; this is the
+    getRank.py:472, early-stop only when fewer than 8 result pages exist —
+    it cannot know when a keyword is exhausted; this is the
     data-driven replacement).
 
     Scale shape: TWO hash aggregations, both map-side combinable —
