@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 STOP_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+#: mojibake fixture tails, shared by q_mojibake_detect and its twin so the
+#: injected corruption can never drift between the two engines: HEAVY
+#: plants 5 artifact hits (flagged at min_hits=2), ONE plants exactly 1
+#: (boundary: stays unflagged)
+MOJI_TAIL_HEAVY = " cafÃ© â€™ naÃ¯ve Â° coÃ¶rd"
+MOJI_TAIL_ONE = " Ã©"
 STOP_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht")
 STOP_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour")
 
@@ -3682,6 +3689,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return media.video_neardup_pairs(frames, threshold=12, max_hamming=2)
 
+    def q_rrf_fusion(spark, sf):
+        """Hybrid-retrieval rank fusion (operators/similarity.rrf_fusion,
+        Cormack et al. SIGIR'09): RRF = Σ 1000000 DIV (60 + rank) over
+        two REAL rankers — BM25 relevance against two fixed term
+        queries (functions/text.bm25_scores) and corpus-LM fluency
+        (−nll from functions/text.unigram_nll, shared across queries) —
+        so keyword-stuffed gibberish can't win on BM25 alone. Ranks
+        derive from micro-int scores with doc-id tiebreak; every fused
+        value is exact positive integer division, so the contract is
+        all-BIGINT and driver-hash-proof. The twin recomputes both
+        rankers from the same CTE fragments and replays the fusion."""
+        from amazonwebcrawler_spark.functions.text import bm25_scores, unigram_nll
+        from amazonwebcrawler_spark.operators.similarity import rrf_fusion
+
+        d = _t(spark, sf, "documents")
+        bm_a = bm25_scores(d, "text", "doc_id", ("hash", "join", "stream", "vector"))
+        bm_b = bm25_scores(d, "text", "doc_id", ("data", "graph", "page", "index"))
+        flu = unigram_nll(d, "text", "doc_id").select(
+            "doc_id", (-F.col("nll_micro")).alias("score")
+        )
+        tall = None
+        for qid, ranker, src, score in (
+            ("q_hash", "bm25", bm_a, "bm25_micro"),
+            ("q_data", "bm25", bm_b, "bm25_micro"),
+            ("q_hash", "fluency", flu, "score"),
+            ("q_data", "fluency", flu, "score"),
+        ):
+            part = src.select(
+                F.lit(qid).alias("query_id"),
+                F.lit(ranker).alias("ranker"),
+                "doc_id",
+                F.col(score).alias("score"),
+            )
+            tall = part if tall is None else tall.unionByName(part)
+        return rrf_fusion(tall, k0=60, per_ranker=40, topk=10)
+
+    def q_ece_calib(spark, sf):
+        """Expected Calibration Error (operators/corpus.ece_calibration,
+        Naeini et al. AAAI'15): reliability diagram + scalar ECE for the
+        same md5-score / doc_id-mod-label world as isotonic_calib (bin
+        centers p_milli = 10·s + 5). Per-bin |acc−conf| numerators are
+        exact BIGINTs and the N-weighted sum telescopes to ONE integer
+        division — isotonic FIXES miscalibration, this MEASURES it, and
+        the pair shares one fixture so the two stay comparable."""
+        from amazonwebcrawler_spark.operators.corpus import ece_calibration
+
+        d = _t(spark, sf, "documents")
+        h = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 100
+        )
+        scored = d.select(
+            (h * 10 + 5).alias("p_milli"),
+            (F.col("doc_id") % 100 < h).cast("int").alias("label"),
+        )
+        return ece_calibration(scored, "p_milli", "label", n_bins=10)
+
+    def q_mojibake_detect(spark, sf):
+        """Encoding-corruption detection (functions/text.mojibake_stats):
+        cp1252-mojibake artifact density per document — deterministic
+        corruption planted on doc_id % 7 (HEAVY tail = 5 hits → flagged;
+        ONE tail = exactly 1 hit → boundary, unflagged at min_hits=2).
+        One literal-alternation regexp_count, exact integer density,
+        map-only plan; tails are module constants shared with the twin."""
+        from amazonwebcrawler_spark.functions.text import mojibake_stats
+
+        d = _t(spark, sf, "documents")
+        tail = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit(MOJI_TAIL_HEAVY))
+            .when(F.col("doc_id") % 7 == 3, F.lit(MOJI_TAIL_ONE))
+            .otherwise(F.lit(""))
+        )
+        corr = d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+        return mojibake_stats(corr, "text", "doc_id", min_hits=2)
+
+    def q_tile_detect(spark, sf):
+        """Collage / tiled-placeholder detection (operators/images_io.
+        tiled_image_stats): patch-signature repetition over the 4×4 ViT
+        patch grid — sprite sheets, product-grid collages and repeated
+        placeholders collide at milli/micro stat precision while organic
+        photographs don't. Planted diagnostics: a 16×-repeated tile
+        (n_sigs=1), a two-tile checkerboard (2×8), a linear gradient
+        (max_repeat=1, untiled), a corrupt row (zero rows). Committed
+        golden; the capture checker re-derives every signature in numpy
+        and pins all four diagnostics."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as fi
+        from amazonwebcrawler_spark.operators.images_io import tiled_image_stats
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(1, 25):
+            rec = world.image_record(world.asin_for("tile probe", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        tile_a = ((np.arange(8 * 8 * 3) * 37 + 11) % 251).reshape(8, 8, 3).astype(np.uint8)
+        tile_b = ((np.arange(8 * 8 * 3) * 53 + 7) % 241).reshape(8, 8, 3).astype(np.uint8)
+        rows.append(("diag-tile16", bytearray(fi.encode_png(np.tile(tile_a, (4, 4, 1))))))
+        board = np.concatenate(
+            [
+                np.concatenate(
+                    [tile_a if (r + c) % 2 == 0 else tile_b for c in range(4)], axis=1
+                )
+                for r in range(4)
+            ],
+            axis=0,
+        )
+        rows.append(("diag-tile8", bytearray(fi.encode_png(board))))
+        yy, xx, cc = np.meshgrid(np.arange(32), np.arange(32), np.arange(3), indexing="ij")
+        grad = ((13 * yy + 7 * xx + 5 * cc) % 229).astype(np.uint8)
+        rows.append(("diag-organic", bytearray(fi.encode_png(grad))))
+        rows.append(("diag-corrupt", bytearray(b"NOTANIMAGE")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        patches = df.repartition(8).mapInPandas(fi.patch_stats_kernel(4), fi.PATCH_SCHEMA)
+        return tiled_image_stats(patches, min_repeat=4)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -3879,6 +4003,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "temperature_mix": q_temperature_mix,
         "video_dedup": q_video_dedup,
+        "rrf_fusion": q_rrf_fusion,
+        "ece_calib": q_ece_calib,
+        "mojibake_detect": q_mojibake_detect,
+        "tile_detect": q_tile_detect,
         }.items()
     }
 
@@ -4054,6 +4182,9 @@ def oracle_sql() -> dict[str, str]:
     stop_fr = ", ".join(f"'{w}'" for w in STOP_FR)
 
     norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    from amazonwebcrawler_spark.functions.text import MOJIBAKE_SEQS
+
+    moj_pat = "|".join(MOJIBAKE_SEQS)
 
     def _canon_sel(url_expr: str, out: str = "canonical_url") -> str:
         """P14 canonicalization of ``url_expr`` as a lateral-alias SELECT
@@ -7117,6 +7248,117 @@ SELECT host,
 FROM g GROUP BY host
 """,
         "mmr_topk": _mmr_topk_sql(),
+        "rrf_fusion": rf"""
+-- RRF = SUM(1000000 // (60 + rank)) over two real rankers: BM25 (two fixed
+-- term queries, bm25_rank's exact arithmetic) + corpus-LM fluency (-nll,
+-- lm_score's arithmetic, shared across queries); ranks by (score DESC, doc
+-- ASC), per-ranker lists capped at 40, fused top-10 per query — all-BIGINT
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE t <> ''),
+term_rows AS (SELECT doc_id, u.term FROM tk, UNNEST(toks) AS u(term)),
+dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS dl FROM term_rows GROUP BY 1),
+avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+tf1 AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM term_rows
+  WHERE term IN ('hash', 'join', 'stream', 'vector') GROUP BY 1, 2
+),
+dft1 AS (SELECT term, COUNT(*) AS df_t FROM tf1 GROUP BY 1),
+bm1 AS (
+  SELECT f.doc_id, CAST(round(SUM(
+    ln(1.0 + (n.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+    * f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl))
+  ) * 1000000) AS BIGINT) AS score
+  FROM tf1 f JOIN dft1 d USING (term) JOIN dl l USING (doc_id)
+  CROSS JOIN nd n CROSS JOIN avgdl a GROUP BY f.doc_id
+),
+tf2 AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM term_rows
+  WHERE term IN ('data', 'graph', 'page', 'index') GROUP BY 1, 2
+),
+dft2 AS (SELECT term, COUNT(*) AS df_t FROM tf2 GROUP BY 1),
+bm2 AS (
+  SELECT f.doc_id, CAST(round(SUM(
+    ln(1.0 + (n.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+    * f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / a.avgdl))
+  ) * 1000000) AS BIGINT) AS score
+  FROM tf2 f JOIN dft2 d USING (term) JOIN dl l USING (doc_id)
+  CROSS JOIN nd n CROSS JOIN avgdl a GROUP BY f.doc_id
+),
+counts AS (SELECT term, COUNT(*) AS cnt FROM term_rows GROUP BY term),
+total AS (SELECT COUNT(*) AS total FROM term_rows),
+flu AS (
+  SELECT r.doc_id,
+    -CAST(round(-AVG(ln(c.cnt::DOUBLE / t.total)) * 1000000) AS BIGINT) AS score
+  FROM term_rows r JOIN counts c USING (term) CROSS JOIN total t GROUP BY r.doc_id
+),
+rankings AS (
+  SELECT 'q_hash' AS query_id, 'bm25' AS ranker, doc_id, score FROM bm1
+  UNION ALL SELECT 'q_data', 'bm25', doc_id, score FROM bm2
+  UNION ALL SELECT 'q_hash', 'fluency', doc_id, score FROM flu
+  UNION ALL SELECT 'q_data', 'fluency', doc_id, score FROM flu
+),
+rk AS (
+  SELECT query_id, ranker, doc_id,
+    row_number() OVER (PARTITION BY query_id, ranker ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM rankings
+),
+fused AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_rankers,
+    CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+  FROM rk WHERE rnk <= 40 GROUP BY 1, 2
+)
+SELECT query_id, doc_id, n_rankers, rrf_micro, fused_rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= 10
+""",
+        "mojibake_detect": rf"""
+-- artifact density over the SAME planted tails (module constants) and the
+-- SAME literal alternation as functions/text.MOJIBAKE_SEQS; exact integers
+WITH corr AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 7 = 0 THEN '{MOJI_TAIL_HEAVY}'
+                 WHEN doc_id % 7 = 3 THEN '{MOJI_TAIL_ONE}'
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(length(t) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(t, '{moj_pat}')) AS BIGINT) AS n_hits,
+  CAST((n_hits * 1000000) // greatest(n_chars, 1) AS BIGINT) AS hit_ratio_micro,
+  n_hits >= 2 AS is_mojibake
+FROM corr
+""",
+        "ece_calib": """
+-- ECE = (SUM_b |1000*pos_b - SUM(p)_b| * 1000) // N, one final integer
+-- division (no per-bin rounding compounds); same md5/label world as
+-- isotonic_calib with bin-center probabilities p_milli = 10*s + 5
+WITH scored AS (
+  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS BIGINT) * 10 + 5 AS p,
+    CASE WHEN doc_id % 100 <
+      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100
+    THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+b AS (SELECT LEAST((p * 10) // 1001, 9) AS bin, p, y FROM scored),
+bins AS (
+  SELECT bin, COUNT(*) AS n, SUM(y) AS pos, SUM(p) AS sp FROM b GROUP BY bin
+),
+pre AS (
+  SELECT bin, n, pos,
+    sp // n AS conf_milli,
+    (pos * 1000) // n AS acc_milli,
+    abs(1000 * pos - sp) AS gap_num
+  FROM bins
+),
+tot AS (SELECT SUM(n) AS nt, SUM(gap_num) AS gt FROM pre)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+  CAST(conf_milli AS BIGINT) AS conf_milli, CAST(acc_milli AS BIGINT) AS acc_milli,
+  CAST(gap_num AS BIGINT) AS gap_num,
+  CAST((t.gt * 1000) // t.nt AS BIGINT) AS ece_micro
+FROM pre CROSS JOIN tot t
+""",
         "temperature_mix": """
 -- q_l ∝ p_l^0.7 with exact-integer p and micro-rounded pow terms
 WITH counts AS (SELECT lang AS stratum, COUNT(*) AS n_docs FROM documents GROUP BY lang),

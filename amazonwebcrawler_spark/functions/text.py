@@ -1795,3 +1795,48 @@ def vocab_growth(df, text_col: str, id_col: str, n_points: int = 10):
     return cum.crossJoin(F.broadcast(fit)).select(
         "b", "tokens_cum", "vocab_cum", "slope_micro", "lnk_micro"
     )
+
+
+#: cp1252-mojibake artifact sequences: UTF-8 bytes of common Latin-1
+#: accented chars / smart punctuation decoded as cp1252 produce exactly
+#: these 2-3 char sequences ("café" → "cafÃ©", U+2019 → "â€™"). Literal
+#: alternation (no classes, no metachars) so Java regex and RE2 count
+#: identically. The ftfy tool documents this corruption family; the list
+#: here is the high-frequency core, not an attempt at completeness.
+MOJIBAKE_SEQS = (
+    "Ã©", "Ã¨", "Ã¼", "Ã¶", "Ã¤", "Ã±", "Ã§", "Ã¯", "Ã³", "Ãº",
+    "â€™", "â€œ", "â€“", "â€”", "Â°", "Â·", "Â«", "Â»",
+)
+
+
+def mojibake_stats(df, text_col: str, id_col: str, min_hits: int = 2):
+    """Encoding-corruption (mojibake) detection — the crawl-side text
+    hazard the quality/lang-id stages upstream assume away: a page served
+    as UTF-8 but labeled (or sniffed) as Latin-1/cp1252 decodes into
+    characteristic artifact sequences. One such document poisons
+    tokenizer vocab training (phantom "Ã©" merges) and quality scoring,
+    so curation pipelines gate on artifact density before anything else
+    reads the text.
+
+    Pure JVM: one ``regexp_count`` over a literal alternation of
+    :data:`MOJIBAKE_SEQS` (identical Java-regex/RE2 semantics — no
+    classes, no quantifiers), exact integer density
+    ``hits·10⁶ DIV max(chars,1)`` and a ``min_hits`` verdict — single
+    hits stay unflagged (genuine French text quoting a corrupted word
+    shouldn't be dropped). Map-only: no shuffle, no Python, pipelines
+    behind the scan.
+
+    Returns (id, n_chars, n_hits, hit_ratio_micro, is_mojibake).
+    """
+    pat = "|".join(MOJIBAKE_SEQS)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias("n_hits"),
+    ).select(
+        id_col,
+        "n_chars",
+        "n_hits",
+        F.expr("(n_hits * 1000000L) DIV greatest(n_chars, 1L)").alias("hit_ratio_micro"),
+        (F.col("n_hits") >= min_hits).alias("is_mojibake"),
+    )

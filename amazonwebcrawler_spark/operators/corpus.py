@@ -942,3 +942,72 @@ def temperature_weights(
             (F.col("_qraw") / F.col("_z")) / (F.col("n_docs") / F.col("_n_total")) * 1000
         ).cast("long").alias("boost_milli"),
     )
+
+
+def ece_calibration(
+    scored: DataFrame,
+    prob_col: str = "p_milli",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error (Naeini et al. AAAI'15) — exact integer
+    form: the reliability diagram + its scalar summary for a keep/drop
+    classifier's claimed probabilities.
+
+    :func:`isotonic_calibrate` FIXES miscalibration; this MEASURES it —
+    the monitoring metric a curation pipeline tracks per model version to
+    decide when recalibration is due (a drifted quality model silently
+    re-weights the whole corpus mixture). Scores arrive as milli-unit
+    probabilities (0..1000); equal-width binning into ``n_bins`` cells::
+
+        ECE = Σ_b (n_b / N) · |acc_b − conf_b|
+
+    Exactness: |acc − conf| per bin = |1000·pos_b − Σp_b| / n_b, so the
+    N-weighted sum telescopes to ``Σ_b |1000·pos_b − Σp_b| · 1000 DIV N``
+    — ONE integer division at the end, no per-bin rounding error
+    compounds, everything BIGINT and bit-stable on any engine.
+
+    Scale shape: one map-side-combinable hash aggregate over the scored
+    corpus (the only data-proportional step), then all arithmetic on the
+    ≤ ``n_bins``-row bin table; the scalar joins back as a broadcast
+    1-row aggregate. No Python, no collect, no window over data.
+
+    Returns one row per non-empty bin: (bin, n, pos, conf_milli,
+    acc_milli, gap_num, ece_micro) — ``conf/acc`` floor-divided milli
+    units for the diagram, ``gap_num = |1000·pos − Σp|`` the exact
+    numerator, ``ece_micro`` the corpus-level scalar repeated per row.
+    """
+    binned = scored.select(
+        F.least(
+            F.expr(f"CAST(({prob_col} * {n_bins}L) DIV 1001 AS INT)"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.col(prob_col).cast("long").alias("_p"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("pos"),
+        F.sum("_p").alias("_sp"),
+    )
+    gap = F.abs(F.lit(1000) * F.col("pos") - F.col("_sp"))
+    pre = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.expr("_sp DIV n").alias("conf_milli"),
+        F.expr("(pos * 1000L) DIV n").alias("acc_milli"),
+        gap.cast("long").alias("gap_num"),
+    )
+    tot = pre.agg(
+        F.sum("n").alias("_nt"), F.sum("gap_num").alias("_gt")
+    )
+    return pre.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "pos",
+        "conf_milli",
+        "acc_milli",
+        "gap_num",
+        F.expr("(_gt * 1000L) DIV _nt").alias("ece_micro"),
+    )

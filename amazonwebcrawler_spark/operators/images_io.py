@@ -284,3 +284,52 @@ def channel_norm_stats(images: DataFrame) -> DataFrame:
             "CAST(((_n * _s2 - _s1 * _s1) * 1000000) DIV (_n * _n) AS BIGINT)"
         ).alias("var_micro"),
     )
+
+
+def tiled_image_stats(patches: DataFrame, min_repeat: int = 4) -> DataFrame:
+    """Collage / tiled-placeholder detection over the ViT patch table
+    (``functions/images.patch_stats_kernel`` output): an image whose
+    patch-level signatures repeat is a TILING — a placeholder pattern, a
+    sprite sheet, a product-grid collage, or a solid mock-up — not a
+    photograph, and a handful of them repeated at 10^9 scale skews every
+    pixel statistic the curation stack computes downstream.
+
+    The signature is the patch's full exact-integer stat tuple (channel
+    means, luma, contrast, flat flag) — two patches collide only when
+    they are statistically identical at milli/micro precision, which
+    organic photographs essentially never are across 4×4 cells while
+    tilings are BY CONSTRUCTION. Per image: distinct signature count,
+    the dominant signature's repeat count, and the verdict
+    ``max_repeat ≥ min_repeat``.
+
+    Pure JVM after the one Arrow patch pass (shared with image_patches /
+    the MAE masking stage — nothing re-decodes): one (image, sig) hash
+    aggregate + one per-image rollup, both map-side combinable; no
+    window, no Python, no collect. Returns (image_id, n_patches, n_sigs,
+    max_repeat, is_tiled).
+    """
+    from pyspark.sql import functions as F
+
+    sig = F.concat_ws(
+        "#",
+        F.col("mean_r_milli"),
+        F.col("mean_g_milli"),
+        F.col("mean_b_milli"),
+        F.col("luma_micro"),
+        F.col("contrast_micro"),
+        F.col("is_flat").cast("int"),
+    )
+    per_sig = patches.groupBy("image_id", sig.alias("_sig")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_sig.groupBy("image_id").agg(
+        F.sum("_n").cast("long").alias("n_patches"),
+        F.count(F.lit(1)).cast("long").alias("n_sigs"),
+        F.max("_n").cast("long").alias("max_repeat"),
+    ).select(
+        "image_id",
+        "n_patches",
+        "n_sigs",
+        "max_repeat",
+        (F.col("max_repeat") >= min_repeat).alias("is_tiled"),
+    )

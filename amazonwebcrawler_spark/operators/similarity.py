@@ -965,3 +965,65 @@ s{i} AS (
         for i in range(1, k + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + finals
+
+
+def rrf_fusion(
+    rankings: DataFrame,
+    query_col: str = "query_id",
+    ranker_col: str = "ranker",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    k0: int = 60,
+    per_ranker: int = 40,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    combine per-query result lists from heterogeneous rankers —
+    ``rrf(d) = Σ_r 1/(k0 + rank_r(d))`` — without ever comparing their
+    raw scores. BM25 micro-units, cosine micro-units and an LM
+    negative-log-likelihood live on incompatible scales; RRF uses only
+    each ranker's ORDERING, which is why it is the standard first fusion
+    baseline for hybrid (lexical + dense) retrieval — the seed-expansion
+    stage here fuses "relevant to the query" with "fluent under the
+    corpus LM" so gibberish keyword-stuffed pages can't win on BM25
+    alone.
+
+    Exactness: each contribution is ``1_000_000 DIV (k0 + rank)`` —
+    positive integer division, identical in Spark (`DIV`) and DuckDB
+    (`//`) — so ``rrf_micro`` is an EXACT BIGINT sum and the fused
+    ordering (ties → smaller doc id) is bit-deterministic. Ranks within
+    a ranker order by (score DESC, doc ASC); equal integer scores are
+    therefore also deterministic.
+
+    Scale shape: one window per (query, ranker) partition — bounded by
+    ``per_ranker`` rows after the QUALIFY-style filter, so the fusion
+    aggregate and the final per-query window never see more than
+    ``n_rankers × per_ranker`` rows per query. No Python, no collect,
+    no global sort; everything partitions on the query key.
+
+    Returns (query_id, doc_id, n_rankers, rrf_micro, fused_rank) for the
+    per-query top ``topk`` by fused score.
+    """
+    w_in = Window.partitionBy(query_col, ranker_col).orderBy(
+        F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+    ranked = (
+        rankings.select(
+            F.col(query_col).alias("query_id"),
+            F.col(ranker_col).alias("ranker"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(score_col).alias("score"),
+        )
+        .withColumn("_rnk", F.row_number().over(w_in))
+        .filter(F.col("_rnk") <= per_ranker)
+    )
+    fused = ranked.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_rankers"),
+        F.sum(F.expr(f"1000000 DIV ({k0} + _rnk)")).cast("long").alias("rrf_micro"),
+    )
+    w_out = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w_out)).filter(
+        F.col("fused_rank") <= topk
+    )

@@ -134,6 +134,10 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "n_bins_used": "INTEGER", "gray_milli": "BIGINT",
         "is_lowinfo": "BOOLEAN",
     },
+    "tile_detect": {
+        "image_id": "VARCHAR", "n_patches": "BIGINT", "n_sigs": "BIGINT",
+        "max_repeat": "BIGINT", "is_tiled": "BOOLEAN",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -926,6 +930,77 @@ def _check_image_patches(rows, ctx):
     assert not any(r["image_id"] == "diag-corrupt" for r in rows)
 
 
+def _check_tile_detect(rows, ctx):
+    """Independent re-derivation of every patch SIGNATURE (the same
+    integer patch stats as _check_image_patches, tupled) and the per-image
+    rollup, plus closed-form pins for the planted diagnostics: the
+    16×-repeated tile (one signature), the two-tile checkerboard (2×8),
+    the linear gradient (16 distinct signatures, untiled) and the corrupt
+    row (absent)."""
+    import math as _math
+    from collections import Counter
+
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions.images import decode_image, encode_png
+    from amazonwebcrawler_spark.sources.synthetic_world import asin_for, image_record
+
+    imgs = {}
+    for i in range(1, 25):
+        rec = image_record(asin_for("tile probe", 1, i))
+        imgs[rec["image_id"]] = rec["bytes"]
+    tile_a = ((np.arange(8 * 8 * 3) * 37 + 11) % 251).reshape(8, 8, 3).astype(np.uint8)
+    tile_b = ((np.arange(8 * 8 * 3) * 53 + 7) % 241).reshape(8, 8, 3).astype(np.uint8)
+    imgs["diag-tile16"] = encode_png(np.tile(tile_a, (4, 4, 1)))
+    board = np.concatenate(
+        [
+            np.concatenate(
+                [tile_a if (r + c) % 2 == 0 else tile_b for c in range(4)], axis=1
+            )
+            for r in range(4)
+        ],
+        axis=0,
+    )
+    imgs["diag-tile8"] = encode_png(board)
+    yy, xx, cc = np.meshgrid(np.arange(32), np.arange(32), np.arange(3), indexing="ij")
+    imgs["diag-organic"] = encode_png(((13 * yy + 7 * xx + 5 * cc) % 229).astype(np.uint8))
+
+    expected = {}
+    for iid, data in imgs.items():
+        px = decode_image(data).astype(np.int64)
+        h, w, _ = px.shape
+        sigs = Counter()
+        for r in range(4):
+            y0, y1 = (r * h) // 4, ((r + 1) * h) // 4
+            for c in range(4):
+                x0, x1 = (c * w) // 4, ((c + 1) * w) // 4
+                cell = px[y0:y1, x0:x1]
+                n = cell.shape[0] * cell.shape[1]
+                sr, sg, sb = (int(cell[..., k].sum()) for k in range(3))
+                y = 299 * cell[..., 0] + 587 * cell[..., 1] + 114 * cell[..., 2]
+                s1, s2 = int(y.sum()), int((y * y).sum())
+                vn = n * s2 - s1 * s1
+                sigs[(
+                    (sr * 1_000) // n, (sg * 1_000) // n, (sb * 1_000) // n,
+                    (s1 * 1_000_000) // (n * 255_000),
+                    int(round(_math.sqrt(float(vn)) / (n * 255_000) * 1e6)),
+                    vn == 0,
+                )] += 1
+        mx = max(sigs.values())
+        expected[iid] = (16, len(sigs), mx, mx >= 4)
+    got = {
+        r["image_id"]: (r["n_patches"], r["n_sigs"], r["max_repeat"], r["is_tiled"])
+        for r in rows
+    }
+    assert got == expected, (
+        {k: (got.get(k), expected.get(k)) for k in set(got) ^ set(expected)
+         or [k for k in got if got[k] != expected[k]][:3]})
+    assert got["diag-tile16"] == (16, 1, 16, True)
+    assert got["diag-tile8"] == (16, 2, 8, True)
+    assert got["diag-organic"] == (16, 16, 1, False)
+    assert "diag-corrupt" not in got
+
+
 def _check_blur_detect(rows, ctx):
     """Re-derive every Laplacian variance through an INDEPENDENT arithmetic
     path (Fraction mean-centred variance instead of the kernel's
@@ -1457,6 +1532,7 @@ CHECKERS = {
     "bpe_encode": _check_bpe_encode,
     "smart_crop": _check_smart_crop,
     "color_stats": _check_color_stats,
+    "tile_detect": _check_tile_detect,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

@@ -357,3 +357,168 @@ class TestCurationRandomizedMirrors:
             if cm >= 400_000:
                 want[(a, b)] = (shared, len(sa), len(sb), cm)
         assert got == want
+
+
+class TestRrfFusion:
+    """operators/similarity.rrf_fusion — exact-integer reciprocal rank
+    fusion over heterogeneous rankers."""
+
+    def _fuse(self, spark, rows, **kw):
+        from amazonwebcrawler_spark.operators.similarity import rrf_fusion
+
+        df = spark.createDataFrame(
+            rows, "query_id string, ranker string, doc_id long, score long"
+        )
+        return rrf_fusion(df, **kw)
+
+    def test_matches_python_mirror(self, spark):
+        rows = []
+        for q in ("qa", "qb"):
+            for r in ("r1", "r2", "r3"):
+                for d in range(12):
+                    # deterministic pseudo-scores; ties included (score DIV 3)
+                    rows.append((q, r, d, ((d * 37 + len(r) * 11 + ord(q[1])) % 17) // 3))
+        got = {
+            (x["query_id"], x["doc_id"]): (x["n_rankers"], x["rrf_micro"], x["fused_rank"])
+            for x in self._fuse(spark, rows, k0=60, per_ranker=5, topk=4).collect()
+        }
+        # python mirror
+        from collections import defaultdict
+
+        fused = defaultdict(lambda: [0, 0])
+        for q in ("qa", "qb"):
+            for r in ("r1", "r2", "r3"):
+                lst = sorted(
+                    [(s, d) for (qq, rr, d, s) in rows if qq == q and rr == r],
+                    key=lambda t: (-t[0], t[1]),
+                )[:5]
+                for i, (_, d) in enumerate(lst, start=1):
+                    fused[(q, d)][0] += 1
+                    fused[(q, d)][1] += 1_000_000 // (60 + i)
+        expect = {}
+        for q in ("qa", "qb"):
+            docs = sorted(
+                [(k[1], v) for k, v in fused.items() if k[0] == q],
+                key=lambda t: (-t[1][1], t[0]),
+            )[:4]
+            for rank, (d, (n, m)) in enumerate(docs, start=1):
+                expect[(q, d)] = (n, m, rank)
+        assert got == expect
+
+    def test_doc_in_one_ranker_only_still_fuses(self, spark):
+        rows = [("q", "a", 1, 100), ("q", "a", 2, 90), ("q", "b", 2, 50)]
+        got = {x["doc_id"]: (x["n_rankers"], x["rrf_micro"])
+               for x in self._fuse(spark, rows, k0=60, per_ranker=10, topk=10).collect()}
+        assert got[1] == (1, 1_000_000 // 61)
+        assert got[2] == (2, 1_000_000 // 62 + 1_000_000 // 61)
+
+    def test_repartition_invariant(self, spark):
+        rows = [("q", r, d, (d * 7 + i) % 13) for i, r in enumerate(("x", "y"))
+                for d in range(30)]
+        from amazonwebcrawler_spark.operators.similarity import rrf_fusion
+
+        df = spark.createDataFrame(
+            rows, "query_id string, ranker string, doc_id long, score long"
+        )
+        a = sorted(map(tuple, rrf_fusion(df).collect()))
+        b = sorted(map(tuple, rrf_fusion(df.repartition(7)).collect()))
+        assert a == b
+
+
+class TestEceCalibration:
+    def _ece(self, spark, rows, **kw):
+        from amazonwebcrawler_spark.operators.corpus import ece_calibration
+
+        df = spark.createDataFrame(rows, "p_milli long, label int")
+        return ece_calibration(df, "p_milli", "label", **kw)
+
+    def test_perfectly_calibrated_bins_zero_gap(self, spark):
+        # bin [100,200): 10 rows at p=150, exactly 1.5 positives impossible →
+        # use p=200*? choose p=500, 10 rows, 5 positive → gap 0
+        rows = [(500, 1 if i < 5 else 0) for i in range(10)]
+        out = self._ece(spark, rows).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["gap_num"] == 0 and r["ece_micro"] == 0
+        assert r["conf_milli"] == 500 and r["acc_milli"] == 500
+
+    def test_ece_telescopes_exactly(self, spark):
+        # two bins: bin0 (p=100,n=4,pos=0 → gap |0-400|=400),
+        # bin9 (p=950,n=4,pos=2 → gap |2000-3800|=1800)
+        rows = [(100, 0)] * 4 + [(950, 1), (950, 1), (950, 0), (950, 0)]
+        out = {r["bin"]: r for r in self._ece(spark, rows).collect()}
+        assert out[0]["gap_num"] == 400 and out[9]["gap_num"] == 1800
+        assert out[0]["ece_micro"] == (400 + 1800) * 1000 // 8
+        assert out[9]["conf_milli"] == 950 and out[9]["acc_milli"] == 500
+
+    def test_matches_float_formula(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = [(rnd.randrange(0, 1001), rnd.randrange(0, 2)) for _ in range(500)]
+        out = self._ece(spark, rows, n_bins=10).collect()
+        ece = out[0]["ece_micro"]
+        # float reference (tolerate the single floor at the end)
+        from collections import defaultdict
+
+        bins = defaultdict(list)
+        for p, y in rows:
+            bins[min(p * 10 // 1001, 9)].append((p, y))
+        ref = sum(
+            abs(sum(y for _, y in v) / len(v) - sum(p for p, _ in v) / len(v) / 1000)
+            * len(v) / 500
+            for v in bins.values()
+        )
+        assert abs(ece - ref * 1_000_000) <= 1.0
+
+
+class TestMojibakeStats:
+    def test_planted_artifacts_flagged(self, spark):
+        from amazonwebcrawler_spark.functions.text import mojibake_stats
+
+        rows = [
+            (1, "clean plain ascii text"),
+            (2, "broken cafÃ© and â€™quotesâ€œ here"),
+            (3, "single Ã© only"),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               mojibake_stats(df, "text", "doc_id", min_hits=2).collect()}
+        assert got[1]["n_hits"] == 0 and not got[1]["is_mojibake"]
+        assert got[2]["n_hits"] == 3 and got[2]["is_mojibake"]
+        assert got[3]["n_hits"] == 1 and not got[3]["is_mojibake"]
+        assert got[4]["n_hits"] == 0 and got[4]["hit_ratio_micro"] == 0
+
+    def test_ratio_exact(self, spark):
+        from amazonwebcrawler_spark.functions.text import mojibake_stats
+
+        df = spark.createDataFrame([(1, "Ã©Ã©Ã©Ã©")], "doc_id long, text string")
+        r = mojibake_stats(df, "text", "doc_id").collect()[0]
+        assert r["n_chars"] == 8 and r["n_hits"] == 4
+        assert r["hit_ratio_micro"] == 4 * 1_000_000 // 8
+
+
+class TestTiledImageStats:
+    def test_planted_tilings(self, spark):
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as fi
+        from amazonwebcrawler_spark.operators.images_io import tiled_image_stats
+
+        tile = ((np.arange(8 * 8 * 3) * 29 + 3) % 247).reshape(8, 8, 3).astype(np.uint8)
+        tiled = np.tile(tile, (4, 4, 1))
+        yy, xx, cc = np.meshgrid(
+            np.arange(32), np.arange(32), np.arange(3), indexing="ij"
+        )
+        grad = ((11 * yy + 5 * xx + 3 * cc) % 227).astype(np.uint8)
+        rows = [
+            ("tiled", bytearray(fi.encode_png(tiled))),
+            ("organic", bytearray(fi.encode_png(grad))),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        patches = df.mapInPandas(fi.patch_stats_kernel(4), fi.PATCH_SCHEMA)
+        got = {r["image_id"]: r for r in tiled_image_stats(patches).collect()}
+        assert got["tiled"]["n_sigs"] == 1 and got["tiled"]["max_repeat"] == 16
+        assert got["tiled"]["is_tiled"]
+        assert got["organic"]["max_repeat"] == 1 and not got["organic"]["is_tiled"]
