@@ -3806,6 +3806,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         patches = df.repartition(8).mapInPandas(fi.patch_stats_kernel(4), fi.PATCH_SCHEMA)
         return tiled_image_stats(patches, min_repeat=4)
 
+    def q_keyframe_select(spark, sf):
+        """Sharpest-frame-per-shot keyframe selection (functions/media.
+        keyframe_select over frame_quality_kernel): ONE fused Arrow pass
+        decodes each frame once for BOTH pHash (shot structure) and
+        variance-of-Laplacian focus (exact integer), then pure-JVM
+        windows pick the sharpest frame per shot — the frame a VLM
+        captioning/embedding stage should see, not the shot's first.
+        World: 12 videos × 2-3 shots × 4 frames; each shot is a
+        zero-Laplacian linear ramp (direction changes at every cut, so
+        pHash jumps) + a checkerboard texture with a KNOWN per-frame
+        amplitude that is zero at the pHash sample grid (pHash constant
+        within a shot) — lap_var scales with amp², so the planted
+        max-amp frame must win every shot. Every pixel is ≡4 (mod 8),
+        i.e. an FJPG bin center, so the lossy frame codec round-trips
+        EXACTLY and the closed-form pins survive encode. Committed
+        golden; the capture checker replays decode→phash→blur→cuts→
+        argmax in Python and pins boundaries and winners closed-form."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import media
+
+        yy, xx = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+        ramps = (
+            28 + 8 * xx,
+            28 + 8 * (23 - xx),
+            28 + 8 * yy,
+            28 + 8 * (23 - yy),
+        )
+        checker = ((yy + xx) % 2 * 2 - 1) * (~((yy % 3 == 0) & (xx % 3 == 0)))
+        rows = []
+        for v in range(12):
+            frames = []
+            for s in range(2 + v % 2):
+                base = ramps[(v * 3 + s * 7) % 4]
+                for f in range(4):
+                    amp = ((f * 3 + s + v) % 4) * 8
+                    px = (base + amp * checker).astype(np.uint8)
+                    frames.append(np.stack([px, px, px], axis=-1))
+            rows.append((f"kv-{v}", bytearray(media.encode_video(frames))))
+        rows.append(("kv-corrupt", bytearray(b"NOTAVIDEO")))
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        fq = df.repartition(8).mapInPandas(
+            media.frame_quality_kernel(1), media.FRAME_QUALITY_SCHEMA
+        )
+        return media.keyframe_select(fq, threshold=12)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4007,6 +4053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece_calib": q_ece_calib,
         "mojibake_detect": q_mojibake_detect,
         "tile_detect": q_tile_detect,
+        "keyframe_select": q_keyframe_select,
         }.items()
     }
 

@@ -333,3 +333,98 @@ def video_neardup_pairs(
             "is_dup"
         ),
     )
+
+
+FRAME_QUALITY_SCHEMA = "video_id string, frame_idx int, phash long, lap_var long"
+
+
+def frame_quality_kernel(every_k: int = 1):
+    """ONE fused Arrow pass ``(video_id, bytes) → (video_id, frame_idx,
+    phash, lap_var)``: the pHash (shot structure) and the variance-of-
+    Laplacian focus measure (``images.blur_stats``, exact milli-luma²
+    integer) of every sampled frame, decoded once — keyframe SELECTION
+    needs both, and a second decode pass over 10^9 frames is the cost
+    this kernel exists to avoid (the curate_stats_kernel discipline).
+    Frames below 3×3 report ``lap_var`` NULL (quarantine semantics);
+    undecodable containers yield zero rows."""
+
+    def kernel(batches):
+        from amazonwebcrawler_spark.functions.images import blur_stats, phash64
+
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                try:
+                    frames = list(iter_frames(bytes(data)))
+                except Exception:
+                    continue
+                for i, px in enumerate(frames):
+                    if i % every_k:
+                        continue
+                    rows.append(
+                        {
+                            "video_id": vid,
+                            "frame_idx": i,
+                            "phash": phash64(px),
+                            "lap_var": blur_stats(px)["lap_var"],
+                        }
+                    )
+            out = pd.DataFrame(rows, columns=["video_id", "frame_idx", "phash", "lap_var"])
+            out["lap_var"] = pd.array(
+                [r["lap_var"] for r in rows], dtype="Int64"
+            )
+            yield out
+
+    return kernel
+
+
+def keyframe_select(frames_q, threshold: int = 12):
+    """Sharpest-frame-per-shot keyframe selection: assign every frame to
+    its shot (running count of :func:`shot_boundaries`-style cuts), then
+    pick the frame with the highest focus measure in each shot — the
+    frame a vision-language curation pipeline should caption/embed,
+    rather than the shot's FIRST frame (``video_keyframes``), which on
+    real footage is often mid-transition or motion-blurred.
+
+    Input is :func:`frame_quality_kernel` output (phash + lap_var per
+    frame, one decode pass). Pure JVM from there: one video-partitioned
+    lag window (cut detection + running shot id), one (video, shot)
+    max-aggregate on the ``(lap_var, -frame_idx)`` struct — EXACT
+    integer ordering, ties → earlier frame — no Python, no collect,
+    nothing global. NULL ``lap_var`` frames (sub-3×3) rank below any
+    real measure via coalesce(-1).
+
+    Returns (video_id, shot_id, n_frames, frame_idx, lap_var) — one row
+    per shot; ``shot_id`` is 0-based in frame order.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    cut = F.when(prev.isNull(), F.lit(0)).otherwise(
+        (F.bit_count(F.col("phash").bitwiseXOR(prev)) > threshold).cast("int")
+    )
+    shots = frames_q.select(
+        "video_id",
+        "frame_idx",
+        "lap_var",
+        F.sum(cut).over(w).cast("int").alias("shot_id"),
+    )
+    best = F.max(
+        F.struct(
+            F.coalesce(F.col("lap_var"), F.lit(-1)).alias("lv"),
+            (-F.col("frame_idx")).cast("long").alias("negidx"),
+        )
+    )
+    return (
+        shots.groupBy("video_id", "shot_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"), best.alias("_b"))
+        .select(
+            "video_id",
+            "shot_id",
+            "n_frames",
+            (-F.col("_b.negidx")).cast("int").alias("frame_idx"),
+            F.when(F.col("_b.lv") >= 0, F.col("_b.lv")).alias("lap_var"),
+        )
+    )

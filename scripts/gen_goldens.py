@@ -138,6 +138,10 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "image_id": "VARCHAR", "n_patches": "BIGINT", "n_sigs": "BIGINT",
         "max_repeat": "BIGINT", "is_tiled": "BOOLEAN",
     },
+    "keyframe_select": {
+        "video_id": "VARCHAR", "shot_id": "INTEGER", "n_frames": "BIGINT",
+        "frame_idx": "INTEGER", "lap_var": "BIGINT",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -1001,6 +1005,66 @@ def _check_tile_detect(rows, ctx):
     assert "diag-corrupt" not in got
 
 
+def _check_keyframe_select(rows, ctx):
+    """Full Python replay (rebuild videos → decode → phash/blur → cut
+    detection → per-shot argmax) plus closed-form pins: every shot
+    boundary sits exactly at a planted scene start (frames 4, 8), pHash
+    is CONSTANT within each shot (texture zeroed on the sample grid),
+    and each shot's winner is its max-amplitude frame (lap_var ∝ amp²
+    over a zero-Laplacian ramp; ties impossible — amps are a
+    permutation of {0,8,16,24}). All pixels are FJPG bin centers
+    (≡4 mod 8), so the lossy codec round-trips exactly — asserted."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions import media
+    from amazonwebcrawler_spark.functions.images import blur_stats, phash64
+
+    yy, xx = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    ramps = (28 + 8 * xx, 28 + 8 * (23 - xx), 28 + 8 * yy, 28 + 8 * (23 - yy))
+    checker = ((yy + xx) % 2 * 2 - 1) * (~((yy % 3 == 0) & (xx % 3 == 0)))
+
+    expected = set()
+    for v in range(12):
+        n_shots = 2 + v % 2
+        frames = []
+        amps = []
+        for s in range(n_shots):
+            base = ramps[(v * 3 + s * 7) % 4]
+            for f in range(4):
+                amp = ((f * 3 + s + v) % 4) * 8
+                amps.append(amp)
+                px = (base + amp * checker).astype(np.uint8)
+                frames.append(np.stack([px, px, px], axis=-1))
+        decoded = list(media.iter_frames(media.encode_video(frames)))
+        assert all(np.array_equal(a, b) for a, b in zip(decoded, frames))
+        ph = [phash64(p) for p in decoded]
+        lv = [blur_stats(p)["lap_var"] for p in decoded]
+        # cut replay + pins
+        shot = 0
+        per_shot: dict[int, list[tuple[int, int, int]]] = {0: []}
+        for i in range(len(frames)):
+            if i > 0:
+                ham = bin((ph[i] ^ ph[i - 1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                planted_cut = i % 4 == 0
+                assert (ham > 12) == planted_cut, (v, i, ham)
+                if not planted_cut:
+                    assert ham == 0, (v, i, ham)  # texture zero on sample grid
+                if planted_cut:
+                    shot += 1
+                    per_shot[shot] = []
+            per_shot[shot].append((lv[i], i, amps[i]))
+        for s, fr in per_shot.items():
+            best = max(fr, key=lambda t: (t[0], -t[1]))
+            assert best[2] == max(a for _, _, a in fr), (v, s, fr)  # max-amp wins
+            expected.add((f"kv-{v}", s, 4, best[1], best[0]))
+    got = {
+        (r["video_id"], r["shot_id"], r["n_frames"], r["frame_idx"], r["lap_var"])
+        for r in rows
+    }
+    assert got == expected, (sorted(got - expected)[:3], sorted(expected - got)[:3])
+    assert not any(r["video_id"] == "kv-corrupt" for r in rows)
+
+
 def _check_blur_detect(rows, ctx):
     """Re-derive every Laplacian variance through an INDEPENDENT arithmetic
     path (Fraction mean-centred variance instead of the kernel's
@@ -1533,6 +1597,7 @@ CHECKERS = {
     "smart_crop": _check_smart_crop,
     "color_stats": _check_color_stats,
     "tile_detect": _check_tile_detect,
+    "keyframe_select": _check_keyframe_select,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 
