@@ -140,3 +140,64 @@ class TestVideoNeardup:
         assert out[("a", "b")] == (1, 500, False)  # 1 of 2 keyframes matched
         assert out[("b", "a")] == (1, 500, False)
         assert ("a", "c") not in out and ("c", "a") not in out  # 3 bits > t
+
+
+class TestKeyframeSelect:
+    """functions/media.keyframe_select + frame_quality_kernel — sharpest-
+    frame-per-shot argmax on hand-built quality tables (shot math, ties,
+    NULL quarantine) and the fused kernel's corrupt/tiny-frame paths."""
+
+    def _fq(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "video_id string, frame_idx int, phash long, lap_var long"
+        )
+
+    def test_sharpest_per_shot_with_ties_and_nulls(self, spark):
+        from amazonwebcrawler_spark.functions.media import keyframe_select
+
+        far = (1 << 20) - 1  # 20 bits from 0 → cut at threshold 12
+        rows = [
+            # shot 0: max lap_var at frame 1; tie (7) broken to earlier idx
+            ("v", 0, 0, 7), ("v", 1, 1, 9), ("v", 2, 0, 7),
+            # shot 1: NULL ranks below 0; winner is the lap_var=0 frame
+            ("v", 3, far, None), ("v", 4, far ^ 1, 0),
+            # all-NULL video: earliest frame wins, lap_var stays NULL
+            ("w", 0, 0, None), ("w", 1, 1, None),
+        ]
+        out = {
+            (r["video_id"], r["shot_id"]): (r["n_frames"], r["frame_idx"], r["lap_var"])
+            for r in keyframe_select(self._fq(spark, rows), threshold=12).collect()
+        }
+        assert out == {
+            ("v", 0): (3, 1, 9),
+            ("v", 1): (2, 4, 0),
+            ("w", 0): (2, 0, None),
+        }
+
+    def test_tie_breaks_to_earlier_frame(self, spark):
+        from amazonwebcrawler_spark.functions.media import keyframe_select
+
+        rows = [("v", 0, 0, 5), ("v", 1, 0, 5), ("v", 2, 0, 5)]
+        [r] = keyframe_select(self._fq(spark, rows), threshold=12).collect()
+        assert (r["shot_id"], r["frame_idx"], r["n_frames"]) == (0, 0, 3)
+
+    def test_kernel_corrupt_and_tiny_frames(self, spark):
+        from amazonwebcrawler_spark.functions import media
+
+        tiny = np.full((2, 2, 3), 100, np.uint8)  # no 3×3 interior → NULL
+        rows = [
+            ("ok", bytearray(media.synth_video(3, n_frames=4))),
+            ("tiny", bytearray(media.encode_video([tiny, tiny]))),
+            ("corrupt", bytearray(b"NOTAVIDEO")),
+        ]
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        out = df.repartition(2).mapInPandas(
+            media.frame_quality_kernel(1), media.FRAME_QUALITY_SCHEMA
+        ).collect()
+        by_vid = {}
+        for r in out:
+            by_vid.setdefault(r["video_id"], []).append(r)
+        assert "corrupt" not in by_vid  # undecodable → zero rows
+        assert len(by_vid["ok"]) == 4
+        assert all(r["lap_var"] is not None for r in by_vid["ok"])
+        assert [r["lap_var"] for r in by_vid["tiny"]] == [None, None]
