@@ -3852,6 +3852,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return media.keyframe_select(fq, threshold=12)
 
+    def q_upscale_detect(spark, sf):
+        """Re-inflated-thumbnail detection (operators/images_io.
+        upscale_detect over functions/images.upscale_stats_kernel): a k×
+        NN-upsampled image is a grid of k×k constant blocks by
+        construction, so exact constant-block fractions at k∈{2,3,4}
+        separate inflated thumbnails from true hi-res captures —
+        largest verified factor wins, flat placeholders excluded.
+        World: 24 organic synthetic-world shots (noise ⇒ unflagged) +
+        planted ×2/×3/×4/×6 NN upscales of adjacent-distinct textures
+        (every misaligned block straddles a boundary ⇒ closed-form
+        const fractions), a flat card, a 3×2 sliver (NULL const3/4), a
+        corrupt row (zero rows). Committed golden; the capture checker
+        re-derives every block fraction via an independent np.unique
+        path and pins the planted fractions combinatorially."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as fi
+        from amazonwebcrawler_spark.functions.media import resize_pixels
+        from amazonwebcrawler_spark.operators.images_io import upscale_detect
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(1, 25):
+            rec = world.image_record(world.asin_for("upscale probe", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+
+        def tex(h, w):
+            yy, xx, cc = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            return ((37 * yy + 17 * xx + 29 * cc) % 239).astype(np.uint8)
+
+        rows.append(("diag-up2", bytearray(fi.encode_png(resize_pixels(tex(12, 16), 32, 24)))))
+        rows.append(("diag-up3", bytearray(fi.encode_png(resize_pixels(tex(8, 8), 24, 24)))))
+        rows.append(("diag-up4", bytearray(fi.encode_png(resize_pixels(tex(8, 8), 32, 32)))))
+        rows.append(("diag-up6", bytearray(fi.encode_png(resize_pixels(tex(6, 8), 48, 36)))))
+        rows.append(("diag-organic", bytearray(fi.encode_png(tex(32, 32)))))
+        rows.append(("diag-flat", bytearray(fi.encode_png(np.full((16, 16, 3), 150, np.uint8)))))
+        rows.append(("diag-sliver", bytearray(fi.encode_png(tex(2, 3)))))
+        rows.append(("diag-corrupt", bytearray(b"NOTANIMAGE")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        stats = df.repartition(8).mapInPandas(fi.upscale_stats_kernel(), fi.UPSCALE_SCHEMA)
+        return upscale_detect(stats)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4054,6 +4098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_detect": q_mojibake_detect,
         "tile_detect": q_tile_detect,
         "keyframe_select": q_keyframe_select,
+        "upscale_detect": q_upscale_detect,
         }.items()
     }
 

@@ -848,3 +848,76 @@ def color_stats_kernel():
             yield out
 
     return gen
+
+
+# ------------------------------------------------------- upscale detection
+#: Spark schema of upscale_stats_kernel's output. const{k}_milli is the
+#: fraction (‰, exact floor DIV) of the image's k×k blocks whose pixels are
+#: all identical; NULL when the image is narrower/shorter than k.
+UPSCALE_SCHEMA = (
+    "image_id string, w int, h int, is_flat boolean, "
+    "const2_milli long, const3_milli long, const4_milli long"
+)
+
+UPSCALE_FACTORS = (2, 3, 4)
+
+
+def upscale_stats(pixels: np.ndarray) -> dict:
+    """Nearest-neighbour-upscale evidence, in EXACT integer arithmetic: a
+    k× NN-upsampled image is a grid of k×k constant blocks BY
+    CONSTRUCTION, while an organic photograph's sensor noise makes even
+    one fully-constant 2×2 block rare — so the constant-block fraction at
+    k ∈ {2,3,4} separates re-inflated thumbnails (a classic scraped-image
+    pollution class: they carry no detail beyond their source resolution
+    and skew every sharpness/frequency statistic downstream) from true
+    hi-res captures. AmazonWebCrawler saves whatever bytes the site
+    serves (reference: crawler/crawler.py:64-76 saveHTML/screenshot — no
+    resolution audit); a 100 TB curation pass needs the audit.
+
+    Per factor k: crop to (h−h%k, w−w%k), one reshape to
+    (bh, k, bw, k, 3), block max == block min in all channels → constant;
+    ``const{k}_milli = 1000·n_const // n_blocks``. Images smaller than k
+    in either dim report NULL for that factor (no blocks to judge).
+    ``is_flat`` (every pixel equal) is reported so the verdict can
+    exclude solid placeholders, which are trivially block-constant at
+    every k."""
+    h, w, _ = pixels.shape
+    out = {
+        "w": int(w),
+        "h": int(h),
+        "is_flat": bool((pixels == pixels[0, 0]).all()),
+    }
+    for k in UPSCALE_FACTORS:
+        bh, bw = h // k, w // k
+        if bh == 0 or bw == 0:
+            out[f"const{k}_milli"] = None
+            continue
+        crop = pixels[: bh * k, : bw * k].reshape(bh, k, bw, k, 3)
+        const = (crop.max(axis=(1, 3)) == crop.min(axis=(1, 3))).all(axis=-1)
+        out[f"const{k}_milli"] = 1000 * int(const.sum()) // (bh * bw)
+    return out
+
+
+def upscale_stats_kernel():
+    """mapInPandas kernel ``(image_id, bytes) → UPSCALE_SCHEMA``.
+    Undecodable bytes yield ZERO rows (the patch-kernel quarantine
+    policy — images_validate owns the corrupt-bytes signal)."""
+    import pandas as pd
+
+    cols = ["w", "h", "is_flat", "const2_milli", "const3_milli", "const4_milli"]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(bytes(data))
+                except Exception:
+                    continue
+                rows.append({"image_id": iid, **upscale_stats(px)})
+            out = pd.DataFrame(rows, columns=["image_id", *cols])
+            for c in ("const2_milli", "const3_milli", "const4_milli"):
+                out[c] = pd.array([r[c] for r in rows], dtype="Int64")
+            yield out
+
+    return gen

@@ -333,3 +333,40 @@ def tiled_image_stats(patches: DataFrame, min_repeat: int = 4) -> DataFrame:
         "max_repeat",
         (F.col("max_repeat") >= min_repeat).alias("is_tiled"),
     )
+
+
+def upscale_detect(stats: DataFrame, min_const_milli: int = 950) -> DataFrame:
+    """Re-inflated-thumbnail verdict over ``functions/images.
+    upscale_stats_kernel`` output: ``upscale_k`` is the LARGEST factor
+    k ∈ {4,3,2} whose constant-block fraction clears ``min_const_milli``
+    (a true k× NN upscale also clears every divisor of k, so the largest
+    verified factor is the informative one; a 6× upscale reports k=3 —
+    the largest verified block factor ≤ 4, the true factor being a
+    multiple). Solid placeholders (``is_flat``) are trivially
+    block-constant at every k and are excluded from the verdict — they
+    are a different pollution class with their own gates (quality/tile).
+
+    Map-only pure column math behind the one Arrow stats pass: no
+    shuffle, no Python, no collect — pipelines into the curation cascade
+    like the other per-image verdicts. NULL const columns (image smaller
+    than k) never qualify. Returns (image_id, w, h, is_flat,
+    const2_milli, const3_milli, const4_milli, upscale_k, is_upscaled).
+    """
+    from pyspark.sql import functions as F
+
+    def ok(k: int):
+        c = F.col(f"const{k}_milli")
+        return c.isNotNull() & (c >= min_const_milli)
+
+    upk = F.when(ok(4), F.lit(4)).when(ok(3), F.lit(3)).when(ok(2), F.lit(2))
+    return stats.select(
+        "image_id",
+        "w",
+        "h",
+        "is_flat",
+        "const2_milli",
+        "const3_milli",
+        "const4_milli",
+        upk.cast("int").alias("upscale_k"),
+        (upk.isNotNull() & ~F.col("is_flat")).alias("is_upscaled"),
+    )

@@ -142,6 +142,12 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "video_id": "VARCHAR", "shot_id": "INTEGER", "n_frames": "BIGINT",
         "frame_idx": "INTEGER", "lap_var": "BIGINT",
     },
+    "upscale_detect": {
+        "image_id": "VARCHAR", "w": "INTEGER", "h": "INTEGER",
+        "is_flat": "BOOLEAN", "const2_milli": "BIGINT",
+        "const3_milli": "BIGINT", "const4_milli": "BIGINT",
+        "upscale_k": "INTEGER", "is_upscaled": "BOOLEAN",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -1065,6 +1071,97 @@ def _check_keyframe_select(rows, ctx):
     assert not any(r["video_id"] == "kv-corrupt" for r in rows)
 
 
+def _check_upscale_detect(rows, ctx):
+    """Independent replay: decode every image the query built and
+    re-derive each constant-block fraction via np.unique over block
+    pixels (the kernel uses block max==min — a different arithmetic
+    path), then pin the planted diagnostics COMBINATORIALLY: for a k×
+    NN upscale, a j-block is constant iff its span stays inside one
+    source pixel in both dims, so const_j = cnt(j,k,H)·cnt(j,k,W)
+    /blocks with cnt counted from first principles."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions import images as fi
+    from amazonwebcrawler_spark.functions.media import resize_pixels
+    from amazonwebcrawler_spark.sources import synthetic_world as world
+
+    def tex(h, w):
+        yy, xx, cc = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        return ((37 * yy + 17 * xx + 29 * cc) % 239).astype(np.uint8)
+
+    imgs = {}
+    for i in range(1, 25):
+        rec = world.image_record(world.asin_for("upscale probe", 1, i))
+        imgs[rec["image_id"]] = fi.decode_image(rec["bytes"])
+    imgs["diag-up2"] = resize_pixels(tex(12, 16), 32, 24)
+    imgs["diag-up3"] = resize_pixels(tex(8, 8), 24, 24)
+    imgs["diag-up4"] = resize_pixels(tex(8, 8), 32, 32)
+    imgs["diag-up6"] = resize_pixels(tex(6, 8), 48, 36)
+    imgs["diag-organic"] = tex(32, 32)
+    imgs["diag-flat"] = np.full((16, 16, 3), 150, np.uint8)
+    imgs["diag-sliver"] = tex(2, 3)
+
+    expected = {}
+    for iid, px in imgs.items():
+        h, w, _ = px.shape
+        consts = {}
+        for k in (2, 3, 4):
+            bh, bw = h // k, w // k
+            if bh == 0 or bw == 0:
+                consts[k] = None
+                continue
+            n_const = 0
+            for r in range(bh):
+                for c in range(bw):
+                    block = px[r * k : (r + 1) * k, c * k : (c + 1) * k]
+                    n_const += len(np.unique(block.reshape(-1, 3), axis=0)) == 1
+            consts[k] = 1000 * n_const // (bh * bw)
+        upk = next(
+            (k for k in (4, 3, 2) if consts[k] is not None and consts[k] >= 950), None
+        )
+        flat = bool((px == px[0, 0]).all())
+        expected[iid] = (
+            w, h, flat, consts[2], consts[3], consts[4],
+            upk, upk is not None and not flat,
+        )
+
+    def cnt(j, k, n):
+        return sum(1 for s in range(0, n - j + 1, j) if s // k == (s + j - 1) // k)
+
+    for iid, k, (h, w) in (
+        ("diag-up2", 2, (24, 32)), ("diag-up3", 3, (24, 24)),
+        ("diag-up4", 4, (32, 32)), ("diag-up6", 6, (36, 48)),
+    ):
+        got = expected[iid]
+        for ji, j in enumerate((2, 3, 4)):
+            pin = 1000 * cnt(j, k, h) * cnt(j, k, w) // ((h // j) * (w // j))
+            assert got[3 + ji] == pin, (iid, j, got[3 + ji], pin)
+    assert expected["diag-up2"][6:] == (2, True)
+    assert expected["diag-up3"][6:] == (3, True)
+    assert expected["diag-up4"][6:] == (4, True)
+    assert expected["diag-up6"][6:] == (3, True)  # largest verified ≤4
+    assert expected["diag-flat"][2] and expected["diag-flat"][6:] == (4, False)
+    assert expected["diag-organic"][3:7] == (0, 0, 0, None)
+    assert expected["diag-sliver"][4:7] == (None, None, None)
+    # organic world shots: noise ⇒ none flagged (the false-positive guard)
+    assert not any(
+        v[7] for k, v in expected.items() if not k.startswith("diag-")
+    )
+
+    got_rows = {
+        r["image_id"]: (
+            r["w"], r["h"], r["is_flat"], r["const2_milli"], r["const3_milli"],
+            r["const4_milli"], r["upscale_k"], r["is_upscaled"],
+        )
+        for r in rows
+    }
+    assert got_rows == expected, (
+        sorted(set(got_rows) ^ set(expected))[:3],
+        [k for k in got_rows if k in expected and got_rows[k] != expected[k]][:3],
+    )
+    assert "diag-corrupt" not in got_rows
+
+
 def _check_blur_detect(rows, ctx):
     """Re-derive every Laplacian variance through an INDEPENDENT arithmetic
     path (Fraction mean-centred variance instead of the kernel's
@@ -1598,6 +1695,7 @@ CHECKERS = {
     "color_stats": _check_color_stats,
     "tile_detect": _check_tile_detect,
     "keyframe_select": _check_keyframe_select,
+    "upscale_detect": _check_upscale_detect,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

@@ -522,3 +522,72 @@ class TestTiledImageStats:
         assert got["tiled"]["n_sigs"] == 1 and got["tiled"]["max_repeat"] == 16
         assert got["tiled"]["is_tiled"]
         assert got["organic"]["max_repeat"] == 1 and not got["organic"]["is_tiled"]
+
+
+class TestUpscaleDetect:
+    """functions/images.upscale_stats + operators/images_io.upscale_detect
+    — the constant-block math and the largest-verified-factor verdict."""
+
+    def test_pure_stats_math(self):
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions.images import upscale_stats
+        from amazonwebcrawler_spark.functions.media import resize_pixels
+
+        yy, xx, cc = np.meshgrid(np.arange(8), np.arange(8), np.arange(3), indexing="ij")
+        base = ((37 * yy + 17 * xx + 29 * cc) % 239).astype(np.uint8)
+        s = upscale_stats(resize_pixels(base, 24, 24))  # ×3
+        # 2-blocks over a 3-grid: 8 of 12 starts stay inside one source
+        # pixel per dim → (8·8)·1000 // 144 = 444
+        assert (s["const2_milli"], s["const3_milli"], s["const4_milli"]) == (444, 1000, 0)
+        s = upscale_stats(base)  # organic adjacent-distinct
+        assert (s["const2_milli"], s["const3_milli"], s["const4_milli"]) == (0, 0, 0)
+        assert not s["is_flat"]
+        s = upscale_stats(np.full((4, 5, 3), 9, np.uint8))
+        assert s["is_flat"] and s["const2_milli"] == 1000
+        s = upscale_stats(base[:2, :3])
+        assert (s["const3_milli"], s["const4_milli"]) == (None, None)
+
+    def test_verdict_largest_factor_and_flat_exclusion(self, spark):
+        from amazonwebcrawler_spark.operators.images_io import upscale_detect
+
+        rows = [
+            # ×4 upscale: divisors 2 and 4 both clear → report 4
+            ("up4", 32, 32, False, 1000, 250, 1000),
+            # ×6: 2 and 3 clear, 4 doesn't → report 3
+            ("up6", 48, 36, False, 1000, 1000, 111),
+            ("flat", 16, 16, True, 1000, 1000, 1000),
+            ("organic", 32, 32, False, 3, 0, 0),
+            ("sliver", 3, 2, False, 0, None, None),
+            # boundary: exactly at min_const_milli qualifies
+            ("edge", 20, 20, False, 950, 0, 0),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "image_id string, w int, h int, is_flat boolean, "
+            "const2_milli long, const3_milli long, const4_milli long",
+        )
+        out = {
+            r["image_id"]: (r["upscale_k"], r["is_upscaled"])
+            for r in upscale_detect(df).collect()
+        }
+        assert out == {
+            "up4": (4, True), "up6": (3, True), "flat": (4, False),
+            "organic": (None, False), "sliver": (None, False), "edge": (2, True),
+        }
+
+    def test_kernel_quarantine_and_plumbing(self, spark):
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as fi
+
+        px = ((np.arange(16 * 16 * 3) * 7 + 3) % 251).reshape(16, 16, 3).astype(np.uint8)
+        df = spark.createDataFrame(
+            [("ok", bytearray(fi.encode_png(px))), ("bad", bytearray(b"JUNK"))],
+            "image_id string, bytes binary",
+        )
+        rows = df.repartition(2).mapInPandas(
+            fi.upscale_stats_kernel(), fi.UPSCALE_SCHEMA
+        ).collect()
+        assert [r["image_id"] for r in rows] == ["ok"]
+        assert rows[0]["w"] == 16 and rows[0]["const2_milli"] is not None
