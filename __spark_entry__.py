@@ -3896,6 +3896,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stats = df.repartition(8).mapInPandas(fi.upscale_stats_kernel(), fi.UPSCALE_SCHEMA)
         return upscale_detect(stats)
 
+    def q_audio_gate(spark, sf):
+        """Audio keep/drop gate (functions/media.audio_gate over
+        audio_gate_kernel): clipping (rail-sample ppm), silence ppm, the
+        longest silent RUN (mid-stream dropout vs uniformly quiet — the
+        distinction ppm alone conflates), and DC offset — every figure
+        an exact integer over the int16 PCM. World: 10 clean voiced
+        tones (keep), a hard-clipped take (~2/3 rail time), an all-quiet
+        take, a 500 ms mid-stream dropout exactly at the threshold, a
+        300 ms gap below it, a DC-biased take (reported, not gated), an
+        empty stream (vacuously silent), a corrupt container (zero
+        rows). Committed golden; the capture checker replays the DSP
+        with loop-based run counting (independent of the kernel's
+        vectorized path) and pins every verdict."""
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import media
+
+        t = np.arange(16000)
+        sine = np.sin(2 * np.pi * 220 * t / 16000)
+
+        def pcm(x):
+            return bytearray(media.encode_audio(
+                (np.clip(x, -1, 1) * 32767).astype(np.int16)
+            ))
+
+        rows = [
+            (f"aud-{i}", bytearray(media.synth_audio(i))) for i in range(10)
+        ]
+        rows.append(("diag-clipped", pcm(2.0 * sine)))
+        rng = np.random.default_rng(7)
+        rows.append(("diag-quiet", bytearray(media.encode_audio(
+            rng.integers(-50, 51, size=16000).astype(np.int16)
+        ))))
+        dropout = 0.5 * sine.copy()
+        dropout[6000:14000] = 0.0
+        rows.append(("diag-dropout", pcm(dropout)))
+        gap = 0.5 * sine.copy()
+        gap[6000:10800] = 0.0
+        rows.append(("diag-gap300", pcm(gap)))
+        rows.append(("diag-dc", pcm(0.3 * sine + 0.2)))
+        rows.append(("diag-empty", bytearray(media.encode_audio(
+            np.array([], dtype=np.int16)
+        ))))
+        rows.append(("diag-corrupt", bytearray(b"MP3\x00junk")))
+        df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+        stats = df.repartition(8).mapInPandas(
+            media.audio_gate_kernel(), media.AUDIO_GATE_SCHEMA
+        )
+        return media.audio_gate(stats)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4099,6 +4149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_detect": q_tile_detect,
         "keyframe_select": q_keyframe_select,
         "upscale_detect": q_upscale_detect,
+        "audio_gate": q_audio_gate,
         }.items()
     }
 

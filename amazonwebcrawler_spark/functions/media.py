@@ -428,3 +428,121 @@ def keyframe_select(frames_q, threshold: int = 12):
             F.when(F.col("_b.lv") >= 0, F.col("_b.lv")).alias("lap_var"),
         )
     )
+
+
+# -------------------------------------------------------------- audio gate
+AUDIO_GATE_SCHEMA = (
+    "audio_id string, n_samples long, duration_us long, clipped_ppm long, "
+    "silence_ppm long, longest_silence_ms long, dc_micro long"
+)
+
+
+def _longest_run(mask: np.ndarray) -> int:
+    """Length of the longest True run — exact, vectorized."""
+    if not mask.any():
+        return 0
+    m = np.concatenate(([0], mask.astype(np.int8), [0]))
+    d = np.diff(m)
+    return int((np.flatnonzero(d == -1) - np.flatnonzero(d == 1)).max())
+
+
+def audio_gate_kernel(clip_abs: int = 32767, silence_abs: int = 327):
+    """ONE Arrow pass ``(audio_id, bytes) → AUDIO_GATE_SCHEMA`` — the
+    defect evidence an audio curation gate needs, all EXACT integers
+    over the int16 PCM (the committed golden must hash identically on
+    any box):
+
+    - ``clipped_ppm`` — samples at the rail (|s| ≥ ``clip_abs``) per
+      million: clipping distortion survives any downstream resample, so
+      it gates BEFORE feature extraction.
+    - ``silence_ppm`` — samples under ``silence_abs`` (~1% FS) per
+      million; an empty stream is vacuously 100% silent.
+    - ``longest_silence_ms`` — longest sub-threshold RUN in exact ms
+      (floor): separates a mid-stream DROPOUT (encoder glitch, dead
+      mic segment) from uniformly low level, which the ppm alone
+      conflates.
+    - ``dc_micro`` — mean offset in micro full-scale (exact floor DIV,
+      sign included): a DC-biased capture distorts every downstream
+      spectral feature.
+
+    Undecodable containers yield ZERO rows (the patch-kernel quarantine
+    policy — a validate stage owns the corrupt-bytes signal). Reference
+    scraper stores media bytes with no audit (crawler/crawler.py:64-76);
+    this is the 100 TB-side audit."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for aid, data in zip(pdf["audio_id"], pdf["bytes"]):
+                try:
+                    samples, rate = decode_audio(bytes(data))
+                except Exception:
+                    continue
+                n = len(samples)
+                s = samples.astype(np.int64)
+                a = np.abs(s)
+                quiet = a <= silence_abs
+                rows.append(
+                    {
+                        "audio_id": aid,
+                        "n_samples": n,
+                        "duration_us": (n * 1_000_000) // rate,
+                        "clipped_ppm": (int((a >= clip_abs).sum()) * 1_000_000) // n
+                        if n else 0,
+                        "silence_ppm": (int(quiet.sum()) * 1_000_000) // n
+                        if n else 1_000_000,
+                        "longest_silence_ms": (_longest_run(quiet) * 1000) // rate,
+                        "dc_micro": (int(s.sum()) * 1_000_000) // (n * 32768)
+                        if n else 0,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "duration_us", "clipped_ppm",
+                    "silence_ppm", "longest_silence_ms", "dc_micro",
+                ],
+            )
+
+    return kernel
+
+
+def audio_gate(
+    stats,
+    max_clipped_ppm: int = 1000,
+    max_silence_ppm: int = 900_000,
+    max_dropout_ms: int = 500,
+):
+    """Keep/drop verdict over :func:`audio_gate_kernel` output — pure
+    column math behind the one Arrow pass (no shuffle, no Python, no
+    collect; pipelines into the curation cascade like the per-image
+    verdicts):
+
+    - ``is_clipped``  — rail fraction over ``max_clipped_ppm`` (0.1%
+      default: audible distortion, not a stray intersample peak).
+    - ``is_silent``   — sub-threshold fraction over ``max_silence_ppm``
+      or an empty stream: nothing to learn from.
+    - ``has_dropout`` — a single silent run over ``max_dropout_ms``
+      in OTHERWISE non-silent audio (a silent file is not "a dropout").
+    - ``keep``        — none of the above.
+
+    Returns (audio_id, duration_us, clipped_ppm, silence_ppm,
+    longest_silence_ms, dc_micro, is_clipped, is_silent, has_dropout,
+    keep)."""
+    from pyspark.sql import functions as F
+
+    is_clipped = F.col("clipped_ppm") >= max_clipped_ppm
+    is_silent = (F.col("silence_ppm") >= max_silence_ppm) | (F.col("n_samples") == 0)
+    has_dropout = (F.col("longest_silence_ms") >= max_dropout_ms) & ~is_silent
+    return stats.select(
+        "audio_id",
+        "duration_us",
+        "clipped_ppm",
+        "silence_ppm",
+        "longest_silence_ms",
+        "dc_micro",
+        is_clipped.alias("is_clipped"),
+        is_silent.alias("is_silent"),
+        has_dropout.alias("has_dropout"),
+        (~(is_clipped | is_silent | has_dropout)).alias("keep"),
+    )

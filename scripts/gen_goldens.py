@@ -148,6 +148,13 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "const3_milli": "BIGINT", "const4_milli": "BIGINT",
         "upscale_k": "INTEGER", "is_upscaled": "BOOLEAN",
     },
+    "audio_gate": {
+        "audio_id": "VARCHAR", "duration_us": "BIGINT",
+        "clipped_ppm": "BIGINT", "silence_ppm": "BIGINT",
+        "longest_silence_ms": "BIGINT", "dc_micro": "BIGINT",
+        "is_clipped": "BOOLEAN", "is_silent": "BOOLEAN",
+        "has_dropout": "BOOLEAN", "keep": "BOOLEAN",
+    },
     "bloom_stats": {
         "bucket": "INTEGER", "n_probed": "BIGINT", "false_negatives": "BIGINT",
         "n_items": "BIGINT",
@@ -1162,6 +1169,92 @@ def _check_upscale_detect(rows, ctx):
     assert "diag-corrupt" not in got_rows
 
 
+def _check_audio_gate(rows, ctx):
+    """Independent DSP replay: rebuild every PCM stream the query built,
+    recount clipped/quiet samples and the longest quiet run with a
+    PYTHON LOOP (the kernel uses vectorized diff-of-flatnonzero), apply
+    the verdict thresholds by hand, and pin every planted regime:
+    clipped ≈ 2/3 rail time, quiet → vacuous silence, the 500 ms
+    dropout exactly AT the threshold, the 300 ms gap below it, the DC
+    bias reported but not gated, the empty stream vacuously silent, the
+    corrupt row absent, and all 10 clean tones kept."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions import media
+
+    t = np.arange(16000)
+    sine = np.sin(2 * np.pi * 220 * t / 16000)
+
+    def ints(x):
+        return (np.clip(x, -1, 1) * 32767).astype(np.int16)
+
+    worlds = {f"aud-{i}": media.decode_audio(media.synth_audio(i))[0] for i in range(10)}
+    worlds["diag-clipped"] = ints(2.0 * sine)
+    rng = np.random.default_rng(7)
+    worlds["diag-quiet"] = rng.integers(-50, 51, size=16000).astype(np.int16)
+    dropout = 0.5 * sine.copy()
+    dropout[6000:14000] = 0.0
+    worlds["diag-dropout"] = ints(dropout)
+    gap = 0.5 * sine.copy()
+    gap[6000:10800] = 0.0
+    worlds["diag-gap300"] = ints(gap)
+    worlds["diag-dc"] = ints(0.3 * sine + 0.2)
+    worlds["diag-empty"] = np.array([], dtype=np.int16)
+
+    expected = {}
+    for aid, s16 in worlds.items():
+        # round-trip through the container: what the kernel actually sees
+        dec, rate = media.decode_audio(media.encode_audio(s16))
+        assert np.array_equal(dec, s16) and rate == 16000
+        n = len(s16)
+        clipped = quiet = run = longest = 0
+        total = 0
+        for v in s16.tolist():
+            total += v
+            if abs(v) >= 32767:
+                clipped += 1
+            if abs(v) <= 327:
+                quiet += 1
+                run += 1
+                longest = max(longest, run)
+            else:
+                run = 0
+        c_ppm = clipped * 1_000_000 // n if n else 0
+        s_ppm = quiet * 1_000_000 // n if n else 1_000_000
+        l_ms = longest * 1000 // 16000
+        dc = total * 1_000_000 // (n * 32768) if n else 0
+        is_c = c_ppm >= 1000
+        is_s = s_ppm >= 900_000 or n == 0
+        drop = l_ms >= 500 and not is_s
+        expected[aid] = (
+            n * 1_000_000 // 16000 if n else 0, c_ppm, s_ppm, l_ms, dc,
+            is_c, is_s, drop, not (is_c or is_s or drop),
+        )
+
+    e = expected
+    assert e["diag-clipped"][1] > 600_000 and e["diag-clipped"][5]
+    assert e["diag-quiet"][2] == 1_000_000 and e["diag-quiet"][6]
+    assert e["diag-dropout"][3] == 500 and e["diag-dropout"][7] and not e["diag-dropout"][8]
+    assert 300 <= e["diag-gap300"][3] < 500 and e["diag-gap300"][8]
+    assert e["diag-dc"][4] >= 190_000 and e["diag-dc"][8]  # reported, not gated
+    assert e["diag-empty"][0] == 0 and e["diag-empty"][6]
+    assert all(e[f"aud-{i}"][8] for i in range(10))  # clean tones all keep
+
+    got = {
+        r["audio_id"]: (
+            r["duration_us"], r["clipped_ppm"], r["silence_ppm"],
+            r["longest_silence_ms"], r["dc_micro"], r["is_clipped"],
+            r["is_silent"], r["has_dropout"], r["keep"],
+        )
+        for r in rows
+    }
+    assert got == expected, (
+        sorted(set(got) ^ set(expected))[:3],
+        [k for k in got if k in expected and got[k] != expected[k]][:3],
+    )
+    assert "diag-corrupt" not in got
+
+
 def _check_blur_detect(rows, ctx):
     """Re-derive every Laplacian variance through an INDEPENDENT arithmetic
     path (Fraction mean-centred variance instead of the kernel's
@@ -1696,6 +1789,7 @@ CHECKERS = {
     "tile_detect": _check_tile_detect,
     "keyframe_select": _check_keyframe_select,
     "upscale_detect": _check_upscale_detect,
+    "audio_gate": _check_audio_gate,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

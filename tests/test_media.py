@@ -201,3 +201,47 @@ class TestKeyframeSelect:
         assert len(by_vid["ok"]) == 4
         assert all(r["lap_var"] is not None for r in by_vid["ok"])
         assert [r["lap_var"] for r in by_vid["tiny"]] == [None, None]
+
+
+class TestAudioGate:
+    """functions/media.audio_gate_kernel + audio_gate — run arithmetic,
+    threshold boundaries, empty/corrupt paths."""
+
+    def test_longest_run(self):
+        from amazonwebcrawler_spark.functions.media import _longest_run
+
+        assert _longest_run(np.array([], dtype=bool)) == 0
+        assert _longest_run(np.array([False, False])) == 0
+        assert _longest_run(np.array([True, True, False, True])) == 2
+        assert _longest_run(np.array([True] * 5)) == 5
+
+    def test_verdicts_and_quarantine(self, spark):
+        from amazonwebcrawler_spark.functions import media
+
+        t = np.arange(16000)
+        sine = np.sin(2 * np.pi * 220 * t / 16000)
+
+        def pcm(x):
+            return bytearray(
+                media.encode_audio((np.clip(x, -1, 1) * 32767).astype(np.int16))
+            )
+
+        dropout = 0.5 * sine.copy()
+        dropout[0:8000] = 0.0  # run at the START — boundary handling
+        rows = [
+            ("clean", pcm(0.5 * sine)),
+            ("clipped", pcm(3.0 * sine)),
+            ("dropout", pcm(dropout)),
+            ("empty", bytearray(media.encode_audio(np.array([], np.int16)))),
+            ("corrupt", bytearray(b"OGGjunk")),
+        ]
+        df = spark.createDataFrame(rows, "audio_id string, bytes binary")
+        stats = df.repartition(2).mapInPandas(
+            media.audio_gate_kernel(), media.AUDIO_GATE_SCHEMA
+        )
+        out = {r["audio_id"]: r for r in media.audio_gate(stats).collect()}
+        assert "corrupt" not in out and len(out) == 4
+        assert out["clean"]["keep"] and not out["clean"]["is_clipped"]
+        assert out["clipped"]["is_clipped"] and not out["clipped"]["keep"]
+        assert out["dropout"]["has_dropout"] and out["dropout"]["longest_silence_ms"] >= 500
+        assert out["empty"]["is_silent"] and out["empty"]["duration_us"] == 0
