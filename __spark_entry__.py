@@ -85,6 +85,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # =====================================================================
 # queries — one entry per implemented operator
 # =====================================================================
+def _caption_conflict_rows() -> list[tuple[str, int, str]]:
+    """Deterministic (image_id, phash, caption) world shared by the
+    caption_conflicts query and its DuckDB twin (single source of truth
+    — the twin inlines these rows as a VALUES table). 60 organic pairs
+    with md5-derived DISTINCT pHashes (the synthetic-world product
+    shots share a dominant gradient, so their real 8×8 average hashes
+    collide across unrelated items — exactly the near-dup noise this
+    audit's exact-pHash contract leaves to hamming_neardup), then
+    planted conflicts: one stock caption over 6 visually distinct
+    images, one pHash relabeled under 3 captions, and one EXACT
+    duplicate pair (same caption + same pHash) that must trigger
+    neither audit."""
+    import hashlib
+
+    def ph64(tag: str) -> int:
+        v = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for i in range(1, 61):
+        iid = f"img-cc{i:03d}"
+        ph = ph64(f"caption-probe-pixels-{i}")
+        cap = f"studio photo of curated item {i} on a walnut table"
+        if i % 10 == 5:
+            cap = "Official product image — see listing for details"  # stock
+        if i in (20, 32):
+            ph = rows[7][1]  # item 8's pixels relabeled under this caption
+        if i == 40:
+            iid, ph, cap = "img-dup-of-30", rows[29][1], rows[29][2]  # exact dup
+        rows.append((iid, ph, cap))
+    return rows
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from amazonwebcrawler_spark.functions.rank import (
         best_seller_rank_extract,
@@ -3946,6 +3979,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return media.audio_gate(stats)
 
+    def q_caption_conflicts(spark, sf):
+        """Cross-modal label-noise audit (operators/images_io.
+        caption_conflicts): stock captions (one caption over ≥3 visually
+        distinct pHashes) and relabeled images (one pHash under ≥2
+        captions) — the conflict classes contrastive image-text training
+        must drop and pair-level DEDUP deliberately ignores. World
+        (_caption_conflict_rows, shared verbatim with the DuckDB twin's
+        VALUES table): 60 organic pairs + a 6-image stock caption + a
+        3-caption relabeled pHash + one exact duplicate pair that must
+        trigger NEITHER audit. Twin is full SQL (md5 fingerprints,
+        count-distincts, joins replayed relationally — not a golden)."""
+        from amazonwebcrawler_spark.operators.images_io import caption_conflicts
+
+        df = spark.createDataFrame(
+            _caption_conflict_rows(), "image_id string, phash long, caption string"
+        )
+        return caption_conflicts(df.repartition(8))
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4150,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyframe_select": q_keyframe_select,
         "upscale_detect": q_upscale_detect,
         "audio_gate": q_audio_gate,
+        "caption_conflicts": q_caption_conflicts,
         }.items()
     }
 
@@ -7519,8 +7571,46 @@ SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
     AS boost_milli
 FROM withp, z
 """,
+        "caption_conflicts": _caption_conflicts_sql(),
         **_golden_sql(),
     }
+
+
+def _caption_conflicts_sql() -> str:
+    """Twin of q_caption_conflicts: the SAME _caption_conflict_rows world
+    inlined as a VALUES table, then the audit replayed relationally —
+    md5 caption fingerprints, per-caption and per-pHash count-distincts,
+    joins back. DuckDB md5(VARCHAR) hashes the UTF-8 bytes, matching
+    Spark's md5(cast(caption as binary))."""
+    values = ",\n".join(
+        "('" + i.replace("'", "''") + "', " + str(p) + ", '" + c.replace("'", "''") + "')"
+        for i, p, c in _caption_conflict_rows()
+    )
+    return f"""
+WITH pairs(image_id, phash, caption) AS (VALUES
+{values}
+),
+fp AS (
+  SELECT image_id, CAST(phash AS BIGINT) AS phash, md5(caption) AS caption_fp
+  FROM pairs
+),
+bycap AS (
+  SELECT caption_fp, CAST(COUNT(*) AS BIGINT) AS n_caption_images,
+    CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_caption_phashes
+  FROM fp GROUP BY caption_fp
+),
+byph AS (
+  SELECT phash, CAST(COUNT(DISTINCT caption_fp) AS BIGINT) AS n_phash_captions
+  FROM fp GROUP BY phash
+)
+SELECT f.image_id, f.phash, f.caption_fp,
+  b.n_caption_images, b.n_caption_phashes, p.n_phash_captions,
+  b.n_caption_phashes >= 3 AS stock_caption,
+  p.n_phash_captions >= 2 AS conflicting_caption
+FROM fp f
+JOIN bycap b USING (caption_fp)
+JOIN byph p USING (phash)
+"""
 
 
 def _zorder_sql_expr() -> str:

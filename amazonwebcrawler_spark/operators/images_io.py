@@ -370,3 +370,65 @@ def upscale_detect(stats: DataFrame, min_const_milli: int = 950) -> DataFrame:
         upk.cast("int").alias("upscale_k"),
         (upk.isNotNull() & ~F.col("is_flat")).alias("is_upscaled"),
     )
+
+
+def caption_conflicts(pairs: DataFrame, min_stock_images: int = 3) -> DataFrame:
+    """Cross-modal label-noise audit over an (image_id, phash, caption)
+    pair table — the two conflict classes that poison contrastive
+    image-text training and that DEDUP deliberately ignores (pair-level
+    dedup collapses duplicates; this flags rows that are NOT duplicates
+    but disagree):
+
+    - ``stock_caption``  — one caption attached to ≥ ``min_stock_images``
+      VISUALLY DISTINCT images (distinct pHash): template/boilerplate
+      captions ("official product image") that teach a text encoder
+      nothing and act as false positives for every image they label.
+    - ``conflicting_caption`` — one pHash carrying ≥ 2 distinct
+      captions: the same pixels relabeled across listings — direct
+      label noise for (image, text) alignment objectives.
+
+    A true exact duplicate pair (same caption AND same pHash) triggers
+    neither: the caption's distinct-pHash count and the image's
+    distinct-caption count both stay 1 — dedup's job, not this audit's.
+
+    Scale shape: caption identity is md5 over the UTF-8 bytes (never a
+    raw string shuffle key; the reference scraper's caption column is
+    free text — reference: crawler/crawler.py:100-118 getTitle), then
+    two hash aggregates (count-distinct per caption_fp, per phash) and
+    two equi joins back on the SAME keys the aggregates shuffled on —
+    AQE coalesces; no window over an unpartitioned frame, no Python.
+    Exact-pHash grouping is the contract; the hamming near-dup blocker
+    (dedup.hamming_neardup_pairs) generalizes the image side when
+    near-identical re-encodes should conflate.
+
+    Returns one row per input pair: (image_id, phash, caption_fp,
+    n_caption_images, n_caption_phashes, n_phash_captions,
+    stock_caption, conflicting_caption)."""
+    from pyspark.sql import functions as F
+
+    fp = pairs.select(
+        "image_id",
+        "phash",
+        F.md5(F.col("caption").cast("binary")).alias("caption_fp"),
+    )
+    bycap = fp.groupBy("caption_fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_caption_images"),
+        F.countDistinct("phash").cast("long").alias("n_caption_phashes"),
+    )
+    byph = fp.groupBy("phash").agg(
+        F.countDistinct("caption_fp").cast("long").alias("n_phash_captions")
+    )
+    return (
+        fp.join(bycap, "caption_fp")
+        .join(byph, "phash")
+        .select(
+            "image_id",
+            "phash",
+            "caption_fp",
+            "n_caption_images",
+            "n_caption_phashes",
+            "n_phash_captions",
+            (F.col("n_caption_phashes") >= min_stock_images).alias("stock_caption"),
+            (F.col("n_phash_captions") >= 2).alias("conflicting_caption"),
+        )
+    )

@@ -591,3 +591,48 @@ class TestUpscaleDetect:
         ).collect()
         assert [r["image_id"] for r in rows] == ["ok"]
         assert rows[0]["w"] == 16 and rows[0]["const2_milli"] is not None
+
+
+class TestCaptionConflicts:
+    """operators/images_io.caption_conflicts — both audit classes, the
+    exact-duplicate exemption, and the planted world's outcomes."""
+
+    def test_audit_classes_on_hand_table(self, spark):
+        from amazonwebcrawler_spark.operators.images_io import caption_conflicts
+
+        rows = [
+            # stock: one caption over 3 distinct phashes
+            ("a1", 101, "stock cap"), ("a2", 102, "stock cap"), ("a3", 103, "stock cap"),
+            # two distinct phashes only → below min_stock_images
+            ("b1", 201, "pair cap"), ("b2", 202, "pair cap"),
+            # conflicting: one phash under two captions
+            ("c1", 301, "first words"), ("c2", 301, "second words"),
+            # exact duplicate pair: same caption AND same phash → neither
+            ("d1", 401, "dup cap"), ("d2", 401, "dup cap"),
+            ("e1", 501, "lonely"),
+        ]
+        df = spark.createDataFrame(rows, "image_id string, phash long, caption string")
+        out = {r["image_id"]: r for r in caption_conflicts(df).collect()}
+        assert len(out) == 10
+        assert all(out[f"a{i}"]["stock_caption"] for i in (1, 2, 3))
+        assert not any(out[f"b{i}"]["stock_caption"] for i in (1, 2))
+        assert all(out[f"c{i}"]["conflicting_caption"] for i in (1, 2))
+        assert not out["d1"]["stock_caption"] and not out["d1"]["conflicting_caption"]
+        assert out["d1"]["n_caption_images"] == 2 and out["d1"]["n_caption_phashes"] == 1
+        assert not out["e1"]["stock_caption"] and not out["e1"]["conflicting_caption"]
+
+    def test_planted_world_outcomes(self, spark):
+        import __spark_entry__ as entrymod
+        from amazonwebcrawler_spark.operators.images_io import caption_conflicts
+
+        world = entrymod._caption_conflict_rows()
+        df = spark.createDataFrame(world, "image_id string, phash long, caption string")
+        out = caption_conflicts(df).collect()
+        stock = {r["image_id"] for r in out if r["stock_caption"]}
+        confl = {r["image_id"] for r in out if r["conflicting_caption"]}
+        planted_stock = {world[i - 1][0] for i in (5, 15, 25, 35, 45, 55)}
+        assert stock == planted_stock
+        # relabeled phash: rows 8, 20, 32 share pixels under 3 captions
+        assert confl == {world[7][0], world[19][0], world[31][0]}
+        dup = [r for r in out if r["image_id"] == "img-dup-of-30"]
+        assert len(dup) == 1 and not dup[0]["stock_caption"] and not dup[0]["conflicting_caption"]

@@ -37,7 +37,7 @@ POST_FREEZE = (
     "vocab_growth", "percent_norm", "link_audit", "politeness_audit",
     "shot_detect", "mmr_topk", "temperature_mix", "video_dedup",
     "rrf_fusion", "ece_calib", "mojibake_detect", "tile_detect",
-    "keyframe_select", "upscale_detect", "audio_gate",
+    "keyframe_select", "upscale_detect", "audio_gate", "caption_conflicts",
 )
 
 
