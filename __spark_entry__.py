@@ -118,6 +118,33 @@ def _caption_conflict_rows() -> list[tuple[str, int, str]]:
     return rows
 
 
+def _freeze_world_rows() -> list[tuple[str, int, int]]:
+    """Deterministic (video_id, frame_idx, phash) world shared by the
+    freeze_detect query and its DuckDB twin: 8 healthy videos (every
+    frame's hash distinct), a stutter (every frame duplicated once —
+    50% frozen but no long run), a mid-stream 16-frame freeze, an
+    all-frozen slate, and a single-frame clip."""
+    import hashlib
+
+    def ph(tag: str) -> int:
+        v = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for v in range(8):
+        for i in range(24):
+            rows.append((f"fv-{v}", i, ph(f"fv-{v}-frame-{i}")))
+    for i in range(24):
+        rows.append(("fv-stutter", i, ph(f"stutter-{i // 2}")))
+    for i in range(30):
+        tag = "held" if 10 <= i < 26 else f"live-{i}"
+        rows.append(("fv-frozen-mid", i, ph(tag)))
+    for i in range(12):
+        rows.append(("fv-slate", i, ph("slate")))
+    rows.append(("fv-single", 0, ph("single")))
+    return rows
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from amazonwebcrawler_spark.functions.rank import (
         best_seller_rank_extract,
@@ -3997,6 +4024,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return caption_conflicts(df.repartition(8))
 
+    def q_freeze_detect(spark, sf):
+        """Frame-freeze gate (functions/media.freeze_detect): runs of
+        identical frame pHashes — a stuck encoder, static slate or
+        looping placeholder starves a temporal model like silence
+        starves audio; the visual twin of audio_gate's dropout leg.
+        Gaps-and-islands pure JVM over the decode pass's frame table.
+        World (_freeze_world_rows, shared with the twin's VALUES): 8
+        healthy clips, a 50%-frozen stutter with no long run (ppm alone
+        would misflag it), a mid-stream 16-frame freeze, an all-frozen
+        slate, a single-frame clip. Twin replays the islands with
+        DuckDB window functions — real SQL, not a golden."""
+        from amazonwebcrawler_spark.functions.media import freeze_detect
+
+        df = spark.createDataFrame(
+            _freeze_world_rows(), "video_id string, frame_idx int, phash long"
+        )
+        return freeze_detect(df.repartition(8), min_run=8)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4202,6 +4247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upscale_detect": q_upscale_detect,
         "audio_gate": q_audio_gate,
         "caption_conflicts": q_caption_conflicts,
+        "freeze_detect": q_freeze_detect,
         }.items()
     }
 
@@ -7572,6 +7618,7 @@ SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
 FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
+        "freeze_detect": _freeze_detect_sql(),
         **_golden_sql(),
     }
 
@@ -7610,6 +7657,40 @@ SELECT f.image_id, f.phash, f.caption_fp,
 FROM fp f
 JOIN bycap b USING (caption_fp)
 JOIN byph p USING (phash)
+"""
+
+
+def _freeze_detect_sql(min_run: int = 8) -> str:
+    """Twin of q_freeze_detect: the SAME _freeze_world_rows world as a
+    VALUES table, islands numbered with DuckDB window functions."""
+    values = ",\n".join(f"('{v}', {i}, {p})" for v, i, p in _freeze_world_rows())
+    return f"""
+WITH frames(video_id, frame_idx, phash) AS (VALUES
+{values}
+),
+lagd AS (
+  SELECT video_id, frame_idx,
+    CASE WHEN lag(phash) OVER w IS NULL OR lag(phash) OVER w <> phash
+         THEN 1 ELSE 0 END AS new_run,
+    CASE WHEN lag(phash) OVER w = phash THEN 1 ELSE 0 END AS frozen
+  FROM frames WINDOW w AS (PARTITION BY video_id ORDER BY frame_idx)
+),
+runs AS (
+  SELECT video_id, frozen,
+    SUM(new_run) OVER (PARTITION BY video_id ORDER BY frame_idx) AS run_id
+  FROM lagd
+),
+runlen AS (
+  SELECT video_id, run_id, COUNT(*) AS rl, SUM(frozen) AS fr
+  FROM runs GROUP BY video_id, run_id
+)
+SELECT video_id,
+  CAST(SUM(rl) AS BIGINT) AS n_frames,
+  CAST(SUM(fr) AS BIGINT) AS n_frozen,
+  CAST((SUM(fr) * 1000000) // SUM(rl) AS BIGINT) AS frozen_ppm,
+  CAST(MAX(rl) AS BIGINT) AS longest_run,
+  MAX(rl) >= {min_run} AS is_frozen
+FROM runlen GROUP BY video_id
 """
 
 

@@ -546,3 +546,56 @@ def audio_gate(
         has_dropout.alias("has_dropout"),
         (~(is_clipped | is_silent | has_dropout)).alias("keep"),
     )
+
+
+def freeze_detect(frames_q, min_run: int = 8):
+    """Frame-freeze detection over a (video_id, frame_idx, phash) table
+    (:func:`frame_quality_kernel` / :func:`frame_sample_kernel` output —
+    rides the one decode pass, nothing re-decodes): a stuck encoder, a
+    static slate, or a looping placeholder produces RUNS of identical
+    frames, and a corpus of "video" that is mostly still images starves
+    a temporal model the same way silence starves an audio one — this is
+    the visual twin of the audio gate's dropout leg.
+
+    Gaps-and-islands, pure JVM: one video-partitioned lag window marks
+    run starts (prev NULL or pHash changed), a running sum over the SAME
+    window numbers the runs (one shuffle, both passes), then a
+    (video, run) count and a per-video rollup. Exact-pHash equality is
+    the contract — a re-encode of the SAME frame hashes identically
+    under the stand-in codec chain; near-identical wobble is the
+    hamming blocker's business, not this gate's.
+
+    Returns (video_id, n_frames, n_frozen, frozen_ppm, longest_run,
+    is_frozen): ``n_frozen`` counts frames equal to their predecessor,
+    ``longest_run`` the longest constant stretch (a single frame is a
+    run of 1), ``is_frozen = longest_run ≥ min_run``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("video_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    marked = frames_q.select(
+        "video_id",
+        "frame_idx",
+        F.when(prev.isNull() | (prev != F.col("phash")), 1).otherwise(0).alias("new_run"),
+        F.when(prev == F.col("phash"), 1).otherwise(0).alias("frozen"),
+    ).select(
+        "video_id",
+        "frozen",
+        F.sum("new_run").over(w).alias("run_id"),
+    )
+    runlen = marked.groupBy("video_id", "run_id").agg(
+        F.count(F.lit(1)).alias("rl"), F.sum("frozen").alias("fr")
+    )
+    return runlen.groupBy("video_id").agg(
+        F.sum("rl").cast("long").alias("n_frames"),
+        F.sum("fr").cast("long").alias("n_frozen"),
+        F.max("rl").cast("long").alias("longest_run"),
+    ).select(
+        "video_id",
+        "n_frames",
+        "n_frozen",
+        F.expr("(n_frozen * 1000000) DIV n_frames").alias("frozen_ppm"),
+        "longest_run",
+        (F.col("longest_run") >= min_run).alias("is_frozen"),
+    )

@@ -245,3 +245,45 @@ class TestAudioGate:
         assert out["clipped"]["is_clipped"] and not out["clipped"]["keep"]
         assert out["dropout"]["has_dropout"] and out["dropout"]["longest_silence_ms"] >= 500
         assert out["empty"]["is_silent"] and out["empty"]["duration_us"] == 0
+
+
+class TestFreezeDetect:
+    """functions/media.freeze_detect — island arithmetic on hand-built
+    frame tables and the planted world's verdicts."""
+
+    def test_island_math(self, spark):
+        from amazonwebcrawler_spark.functions.media import freeze_detect
+
+        rows = [
+            # healthy: 1,2,3 distinct
+            ("ok", 0, 1), ("ok", 1, 2), ("ok", 2, 3),
+            # freeze at start, run of 3 at min_run=3
+            ("start", 0, 9), ("start", 1, 9), ("start", 2, 9), ("start", 3, 1),
+            # two separate runs of 2 — longest is 2, not 4
+            ("split", 0, 5), ("split", 1, 5), ("split", 2, 6), ("split", 3, 7),
+            ("split", 4, 7),
+            ("single", 0, 42),
+        ]
+        df = spark.createDataFrame(rows, "video_id string, frame_idx int, phash long")
+        out = {r["video_id"]: r for r in freeze_detect(df, min_run=3).collect()}
+        assert (out["ok"]["n_frozen"], out["ok"]["longest_run"], out["ok"]["is_frozen"]) == (0, 1, False)
+        assert (out["start"]["n_frozen"], out["start"]["longest_run"], out["start"]["is_frozen"]) == (2, 3, True)
+        assert (out["split"]["n_frozen"], out["split"]["longest_run"], out["split"]["is_frozen"]) == (2, 2, False)
+        assert out["split"]["frozen_ppm"] == 400000
+        assert (out["single"]["n_frames"], out["single"]["longest_run"]) == (1, 1)
+
+    def test_planted_world(self, spark):
+        import __spark_entry__ as entrymod
+        from amazonwebcrawler_spark.functions.media import freeze_detect
+
+        df = spark.createDataFrame(
+            entrymod._freeze_world_rows(), "video_id string, frame_idx int, phash long"
+        )
+        out = {r["video_id"]: r for r in freeze_detect(df, min_run=8).collect()}
+        assert all(not out[f"fv-{v}"]["is_frozen"] for v in range(8))
+        st = out["fv-stutter"]
+        assert (st["frozen_ppm"], st["longest_run"], st["is_frozen"]) == (500000, 2, False)
+        fm = out["fv-frozen-mid"]
+        assert (fm["longest_run"], fm["n_frozen"], fm["is_frozen"]) == (16, 15, True)
+        assert out["fv-slate"]["frozen_ppm"] == 916666 and out["fv-slate"]["is_frozen"]
+        assert not out["fv-single"]["is_frozen"]
