@@ -4042,6 +4042,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return freeze_detect(df.repartition(8), min_run=8)
 
+    def q_oov_rate(spark, sf):
+        """Per-document OOV rate vs the corpus's own top-50 vocabulary
+        head (functions/text.oov_rate): the tokenizer-health audit — a
+        doc mostly outside the head fragments into rare-piece soup, and
+        corpus-level OOV drift between crawls triggers retraining. The
+        vocab is a TakeOrderedAndProject k-row head BROADCAST to the
+        exploded token stream; one doc-keyed agg; exact-integer ppm.
+        Twin replays the same (tf desc, token asc) head and left join
+        in DuckDB over the documents view — sf-dependent real SQL."""
+        from amazonwebcrawler_spark.functions.text import oov_rate
+
+        return oov_rate(_t(spark, sf, "documents"), "text", "doc_id", k=50, max_oov_ppm=400_000)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4248,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_gate": q_audio_gate,
         "caption_conflicts": q_caption_conflicts,
         "freeze_detect": q_freeze_detect,
+        "oov_rate": q_oov_rate,
         }.items()
     }
 
@@ -7619,6 +7633,27 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "oov_rate": rf"""
+WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS token FROM norm WHERE t <> ''
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+    ORDER BY tf DESC, token ASC LIMIT 50
+  )
+)
+SELECT t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+       AS BIGINT) AS oov_ppm,
+  (SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+    >= 400000 AS high_oov
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+""",
         **_golden_sql(),
     }
 

@@ -1840,3 +1840,41 @@ def mojibake_stats(df, text_col: str, id_col: str, min_hits: int = 2):
         F.expr("(n_hits * 1000000L) DIV greatest(n_chars, 1L)").alias("hit_ratio_micro"),
         (F.col("n_hits") >= min_hits).alias("is_mojibake"),
     )
+
+
+def oov_rate(df, text_col: str, id_col: str, k: int = 100, max_oov_ppm: int = 500_000):
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``k`` vocabulary head — the tokenizer-health audit run before
+    committing a vocab size: a document whose tokens mostly fall outside
+    the head fragments into rare-piece soup (inflated sequence lengths,
+    starved embeddings), and a rising corpus-level OOV ppm between
+    crawls is the drift alarm that triggers tokenizer retraining.
+
+    Vocabulary = :func:`vocab_topk`'s (tf desc, token asc) head — the
+    cut boundary is totally ordered, so the flag is cross-engine
+    deterministic. Scale shape: the vocab is k rows → BROADCAST to the
+    exploded token stream (no shuffle on the corpus side beyond the one
+    doc-keyed count agg); ``oov_ppm`` exact integer DIV. Documents that
+    normalize to zero tokens yield no row (nothing to measure — the
+    quality gate owns empty docs).
+
+    Returns (doc_id, n_tokens, n_oov, oov_ppm, high_oov)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    vocab = vocab_topk(df, text_col, id_col, k=k).select("token", F.lit(1).alias("_in"))
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) DIV n_tokens").alias("oov_ppm"),
+            (F.expr("(n_oov * 1000000) DIV n_tokens") >= max_oov_ppm).alias("high_oov"),
+        )
+    )
