@@ -4055,6 +4055,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return oov_rate(_t(spark, sf, "documents"), "text", "doc_id", k=50, max_oov_ppm=400_000)
 
+    def q_url_spam(spark, sf):
+        """Per-URL spam/trap gate (functions/urls.url_spam_signals): the
+        row-level admission filter a frontier runs BEFORE spending a
+        fetch token — oversized URLs, faceted param explosions, deep
+        recursion, digit-dense session ids, /a/b/a/b loop segments,
+        %-encoding spam; host_trap_stats is the host aggregate, this is
+        its per-row complement. Pure codegen column math (the segment
+        repeat is a nested higher-order count over a ≤dozens array).
+        World: six planted spam classes + healthy catalog URLs derived
+        from orders; the twin re-derives every signal 1:1 in DuckDB
+        (split_part/list lambdas/regexp counts) — sf-dependent SQL."""
+        from amazonwebcrawler_spark.functions.urls import url_spam_signals
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        url = (
+            F.when(k % 11 == 0, F.concat(F.lit("https://long.example/p?x="),
+                                         F.repeat(F.lit("a"), (k % 200 + 420).cast("int"))))
+            .when(k % 11 == 1, F.concat(F.lit("https://facet.example/s?a=1"),
+                                        F.repeat(F.lit("&p=2"), (k % 12 + 3).cast("int"))))
+            .when(k % 11 == 2, F.concat(F.lit("https://deep.example"),
+                                        F.repeat(F.lit("/d"), (k % 16 + 5).cast("int"))))
+            .when(k % 11 == 3, F.concat(F.lit("https://id.ex/"), (k * k).cast("string"),
+                                        (k * k).cast("string")))
+            .when(k % 11 == 4, F.concat(F.lit("https://loop.example"),
+                                        F.repeat(F.lit("/a/b"), (k % 4 + 1).cast("int"))))
+            .when(k % 11 == 5, F.concat(F.lit("https://enc.example/q?v="),
+                                        F.repeat(F.lit("%2Fx"), (k % 6 + 1).cast("int"))))
+            .otherwise(F.concat(F.lit("https://shop.example/dp/B"), (k % 200).cast("string"),
+                                F.lit("?page="), (k % 3).cast("string")))
+        )
+        return url_spam_signals(o.select(url.alias("url")).distinct())
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4262,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_conflicts": q_caption_conflicts,
         "freeze_detect": q_freeze_detect,
         "oov_rate": q_oov_rate,
+        "url_spam": q_url_spam,
         }.items()
     }
 
@@ -7633,6 +7667,47 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "url_spam": r"""
+-- per-URL spam signals re-derived 1:1: same planted world from orders,
+-- same parse fragments as the trap_detect twin, same thresholds
+WITH u AS (
+  SELECT DISTINCT CASE
+    WHEN o_orderkey % 11 = 0 THEN 'https://long.example/p?x=' || repeat('a', CAST(o_orderkey % 200 + 420 AS INT))
+    WHEN o_orderkey % 11 = 1 THEN 'https://facet.example/s?a=1' || repeat('&p=2', CAST(o_orderkey % 12 + 3 AS INT))
+    WHEN o_orderkey % 11 = 2 THEN 'https://deep.example' || repeat('/d', CAST(o_orderkey % 16 + 5 AS INT))
+    WHEN o_orderkey % 11 = 3 THEN 'https://id.ex/' || (o_orderkey * o_orderkey)::VARCHAR
+      || (o_orderkey * o_orderkey)::VARCHAR
+    WHEN o_orderkey % 11 = 4 THEN 'https://loop.example' || repeat('/a/b', CAST(o_orderkey % 4 + 1 AS INT))
+    WHEN o_orderkey % 11 = 5 THEN 'https://enc.example/q?v=' || repeat('%2Fx', CAST(o_orderkey % 6 + 1 AS INT))
+    ELSE 'https://shop.example/dp/B' || (o_orderkey % 200)::VARCHAR || '?page=' || (o_orderkey % 3)::VARCHAR
+  END AS url
+  FROM orders
+), parsed AS (
+  SELECT url,
+    list_filter(string_split(
+      regexp_replace(split_part(url, '?', 1), '^https?://[^/]*', ''), '/'), s -> s <> '') AS segs,
+    list_filter(string_split(
+      CASE WHEN instr(url, '?') > 0 THEN substr(url, instr(url, '?') + 1) ELSE '' END, '&'),
+      p -> p <> '') AS params
+  FROM u
+), sig AS (
+  SELECT url,
+    CAST(length(url) AS INT) AS url_len,
+    CAST(len(segs) AS INT) AS path_depth,
+    CAST(len(params) AS INT) AS n_params,
+    CAST(((length(url) - length(regexp_replace(url, '[0-9]', '', 'g'))) * 1000)
+         // length(url) AS BIGINT) AS digit_milli,
+    CAST(CASE WHEN len(segs) = 0 THEN 0 ELSE
+      list_max(list_transform(segs, s -> len(list_filter(segs, x -> x = s))))
+    END AS INT) AS max_seg_repeat,
+    CAST(len(regexp_extract_all(url, '%[0-9A-Fa-f]{2}')) AS INT) AS n_pct_encoded
+  FROM parsed
+)
+SELECT *,
+  (url_len > 512 OR n_params > 8 OR path_depth > 12
+   OR digit_milli >= 400 OR max_seg_repeat >= 3) AS is_spam
+FROM sig
+""",
         "oov_rate": rf"""
 WITH norm AS (SELECT doc_id, {norm} AS t FROM documents),
 tok AS (

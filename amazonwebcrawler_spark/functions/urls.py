@@ -661,3 +661,68 @@ def extract_links_rel(html: Column, base_url: Column) -> Column:
         return F.struct(url.alias("url"), nofollow.alias("nofollow"))
 
     return F.transform(tags, parse)
+
+
+def url_spam_signals(
+    df,
+    url_col: str = "url",
+    max_len: int = 512,
+    max_params: int = 8,
+    max_depth: int = 12,
+    digit_milli_t: int = 400,
+    seg_repeat_t: int = 3,
+):
+    """Per-URL spam/trap heuristics — the URL-level filter a frontier
+    applies BEFORE spending a fetch token (host_trap_stats is the
+    host-level aggregate view; this is its row-level complement, the
+    gopher_signals of URLs). Classic signals, every one pure codegen
+    column math over the string — no parse UDF, no shuffle, pipelines
+    into frontier admission like robots filtering:
+
+    - ``url_len``         — oversized URLs (tracking blobs, serialized
+      state) blow past ``max_len``.
+    - ``path_depth``      — unbounded directory recursion.
+    - ``n_params``        — faceted-search explosions mint params.
+    - ``digit_milli``     — digit fraction ‰ (exact DIV): session ids
+      and hashes are digit-dense where human paths are not.
+    - ``max_seg_repeat``  — the most-repeated path segment (``/a/b/a/
+      b/a`` loop traps), via a nested higher-order count — O(d²) on a
+      ≤dozens-segment array, still JVM codegen.
+    - ``n_pct_encoded``   — %XX density (double-encoding spam).
+
+    ``is_spam`` ORs the thresholds. Returns (url, url_len, path_depth,
+    n_params, digit_milli, max_seg_repeat, n_pct_encoded, is_spam)."""
+    u = F.col(url_col)
+    path = F.regexp_replace(F.split(u, r"\?").getItem(0), r"^https?://[^/]*", "")
+    query = F.when(
+        F.instr(u, "?") > 0, F.expr(f"substring({url_col}, instr({url_col}, '?') + 1)")
+    ).otherwise(F.lit(""))
+    n_params = F.size(F.filter(F.split(query, "&"), lambda p: p != ""))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    url_len = F.length(u)
+    digit_milli = F.expr(
+        f"((length({url_col}) - length(regexp_replace({url_col}, '[0-9]', ''))) * 1000) "
+        f"DIV length({url_col})"
+    )
+    max_rep = F.when(F.size(segs) == 0, F.lit(0)).otherwise(
+        F.array_max(F.transform(segs, lambda s: F.size(F.filter(segs, lambda x: x == s))))
+    )
+    out = df.select(
+        u.alias("url"),
+        url_len.cast("int").alias("url_len"),
+        F.size(segs).alias("path_depth"),
+        n_params.alias("n_params"),
+        digit_milli.alias("digit_milli"),
+        max_rep.alias("max_seg_repeat"),
+        F.regexp_count(u, F.lit(r"%[0-9A-Fa-f]{2}")).alias("n_pct_encoded"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("url_len") > max_len)
+            | (F.col("n_params") > max_params)
+            | (F.col("path_depth") > max_depth)
+            | (F.col("digit_milli") >= digit_milli_t)
+            | (F.col("max_seg_repeat") >= seg_repeat_t)
+        ).alias("is_spam"),
+    )

@@ -202,6 +202,19 @@ BENCH_QUERIES = (
     "resolve_refs",
     # storage-level CDC chunking — the explode-heavy rolling-cut pass
     "cdc_chunks",
+    # r5 session 17: fused frame-quality decode (pHash + Laplacian in ONE
+    # Arrow pass) + pure-JVM sharpest-per-shot windows; the no-second-
+    # decode claim carries a number beside the other media kernels
+    "keyframe_select",
+    # block-constancy upscale audit — one decode pass, three reshapes
+    "upscale_detect",
+    # PCM clipping/silence/dropout gate — one Arrow DSP pass
+    "audio_gate",
+    # pHash run-length islands — one window shuffle, two rollup aggs
+    "freeze_detect",
+    # per-doc OOV vs broadcast vocab head — sf-dependent corpus leg: the
+    # explode + broadcast join + doc-keyed agg cost scales with documents
+    "oov_rate",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

@@ -217,3 +217,38 @@ class TestSitemapCoverage:
         assert (h2["n_declared"], h2["n_crawled_declared"], h2["coverage_milli"]) == (1, 0, 0)
         # hosts with zero declared URLs have no coverage denominator — out
         assert "h3" not in rows
+
+
+class TestUrlSpamSignals:
+    """functions/urls.url_spam_signals — each heuristic pinned on a
+    hand-built URL per class, plus healthy pass-through."""
+
+    def test_signals_and_thresholds(self, spark):
+        from amazonwebcrawler_spark.functions.urls import url_spam_signals
+
+        rows = [
+            ("https://ok.example/dp/B17?page=2",),
+            ("https://long.example/p?x=" + "a" * 600,),
+            ("https://facet.example/s?a=1" + "&p=2" * 9,),  # 10 params
+            ("https://deep.example" + "/d" * 13,),
+            ("https://sess.ex/1234567890123456789",),  # digit-dense
+            ("https://loop.example/a/b/a/b/a",),  # 'a' ×3
+            ("https://enc.example/q?v=%2F%2Fx%2f",),  # 3 pct (case-insensitive class)
+            ("https://bare.example",),  # no path, no query
+        ]
+        df = spark.createDataFrame(rows, "url string")
+        out = {r["url"].split("//")[1].split("/")[0].split(".")[0]: r
+               for r in url_spam_signals(df).collect()}
+        ok = out["ok"]
+        assert not ok["is_spam"] and ok["path_depth"] == 2 and ok["n_params"] == 1
+        assert out["long"]["url_len"] > 512 and out["long"]["is_spam"]
+        assert out["facet"]["n_params"] == 10 and out["facet"]["is_spam"]
+        assert out["deep"]["path_depth"] == 13 and out["deep"]["is_spam"]
+        d = out["sess"]
+        assert d["digit_milli"] >= 400 and d["is_spam"]
+        lp = out["loop"]
+        assert lp["max_seg_repeat"] == 3 and lp["is_spam"]
+        assert out["enc"]["n_pct_encoded"] == 3 and not out["enc"]["is_spam"]
+        b = out["bare"]
+        assert (b["path_depth"], b["n_params"], b["max_seg_repeat"]) == (0, 0, 0)
+        assert not b["is_spam"]
