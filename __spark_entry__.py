@@ -4088,6 +4088,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return url_spam_signals(o.select(url.alias("url")).distinct())
 
+    def q_dedup_cluster_stats(spark, sf):
+        """Duplicate-cluster size histogram (operators/dedup.
+        cluster_size_stats) over the SAME MinHash pairs + CC labels as
+        dedup_groups, with every unpaired doc a singleton — the corpus-
+        health report published before trusting keep decisions (the
+        head calibrates blocking aggressiveness, the tail is the
+        boilerplate alarm). One join + two map-side aggs + a 1-row
+        broadcast total; exact ppm. Twin recomposes the closure CTE,
+        singleton coalesce, histogram and total relationally."""
+        d = _t(spark, sf, "documents")
+        pairs = dedup.minhash_lsh_pairs(
+            d, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
+        )
+        labels = dedup.connected_components(pairs)
+        return dedup.cluster_size_stats(d, labels)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4296,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freeze_detect": q_freeze_detect,
         "oov_rate": q_oov_rate,
         "url_spam": q_url_spam,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         }.items()
     }
 
@@ -5970,6 +5987,36 @@ reach(id, lbl) AS (
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
 )
 SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id
+""",
+        "dedup_cluster_stats": rf"""
+-- CC labels (exact transitive closure) + singleton coalesce over the full
+-- corpus → per-cluster size → size histogram → exact ppm of a 1-row total
+WITH RECURSIVE {minhash_pairs_ctes},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+groups AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id),
+allg AS (
+  SELECT COALESCE(g.group_id, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN groups g ON g.doc_id = d.doc_id
+),
+csize AS (SELECT group_id, COUNT(*) AS cluster_size FROM allg GROUP BY group_id),
+chist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters FROM csize GROUP BY cluster_size
+),
+ctot AS (SELECT COUNT(*) AS t FROM documents)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+  CAST(n_clusters AS BIGINT) AS n_clusters,
+  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+  CAST((cluster_size * n_clusters * 1000000) // ctot.t AS BIGINT) AS docs_ppm
+FROM chist CROSS JOIN ctot
 """,
         "dedup_keep": rf"""
 -- pairs → groups → keep decision over the FULL corpus: component id from

@@ -1463,3 +1463,48 @@ SELECT id, chunk_idx, start, chunk_len, digest,
   row_number() OVER (PARTITION BY digest ORDER BY id, start) = 1 AS is_first
 FROM chunks
 """
+
+
+def cluster_size_stats(
+    docs: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health report a
+    dedup pass publishes before anyone trusts its keep decisions: the
+    histogram's head ("94% of docs are singletons") calibrates how
+    aggressive the blocking was, and its tail ("one cluster holds 40 000
+    docs") is the boilerplate/mirror alarm that routinely means a
+    template page, not 40 000 real duplicates. (The reference workbook
+    reports per-keyword row counts as its sanity signal,
+    getRank.py:358-377; this is the dedup-side analogue.)
+
+    ``labels`` is any (id, group_id) output of the CC family; docs
+    outside every pair are their own singleton cluster (the dedup_keep
+    contract). Scale shape: one left join docs→labels on the id key,
+    one (group_id) count agg, one (size) histogram agg — each map-side
+    combinable — and the grand total rides a 1-row broadcast cross
+    join, so nothing global ever sorts or collects. ``docs_ppm`` is an
+    exact integer DIV share of the corpus.
+
+    Returns (cluster_size, n_clusters, n_docs, docs_ppm) — one row per
+    observed size."""
+    allg = (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(labels.withColumnRenamed(labels.columns[0], "_id"), "_id", "left")
+        .select(F.coalesce(F.col("group_id"), F.col("_id")).alias("group_id"))
+    )
+    sizes = allg.groupBy("group_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    hist = hist.select(
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+    )
+    total = docs.select(F.count(F.lit(1)).alias("_total"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        F.expr("(n_docs * 1000000) DIV _total").alias("docs_ppm"),
+    )

@@ -1524,3 +1524,25 @@ class TestMmrTopk:
         ]
         assert all(n in (1, 2, 3, 4) for n in plain)  # top-k saturated by dups
         assert len(set(mmr) & {5, 6}) >= 1            # MMR breaks out of the cluster
+
+
+class TestClusterSizeStats:
+    """operators/dedup.cluster_size_stats — histogram arithmetic with
+    singleton coalesce on a hand-built label table."""
+
+    def test_histogram_with_singletons(self, spark):
+        from amazonwebcrawler_spark.operators import dedup
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+        # components: {1,2,3}, {4,5}; 6..10 unpaired → singletons
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], "doc_id long, group_id long"
+        )
+        out = {
+            r["cluster_size"]: r
+            for r in dedup.cluster_size_stats(docs, labels).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert (out[1]["n_clusters"], out[1]["n_docs"], out[1]["docs_ppm"]) == (5, 5, 500000)
+        assert (out[2]["n_clusters"], out[2]["n_docs"], out[2]["docs_ppm"]) == (1, 2, 200000)
+        assert (out[3]["n_clusters"], out[3]["n_docs"], out[3]["docs_ppm"]) == (1, 3, 300000)

@@ -38,7 +38,7 @@ POST_FREEZE = (
     "shot_detect", "mmr_topk", "temperature_mix", "video_dedup",
     "rrf_fusion", "ece_calib", "mojibake_detect", "tile_detect",
     "keyframe_select", "upscale_detect", "audio_gate", "caption_conflicts",
-    "freeze_detect", "oov_rate", "url_spam",
+    "freeze_detect", "oov_rate", "url_spam", "dedup_cluster_stats",
 )
 
 
