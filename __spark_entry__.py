@@ -4104,6 +4104,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         labels = dedup.connected_components(pairs)
         return dedup.cluster_size_stats(d, labels)
 
+    def q_host_fairness(spark, sf):
+        """Crawl-fairness concentration row (operators/politeness.
+        host_fairness): exact-integer Gini + top-1%/10% fetch shares
+        over per-host counts — the scheduler-health alarm beside
+        politeness_audit. The global ascending rank is a
+        repartitionByRange distributed sort + per-partition row_number
+        + bounded ≤n_parts cumulative offsets (NO unpartitioned
+        window). World: a three-tier skewed fetch log from orders (20
+        heavy hosts, a 400-host middle, a 4000-host tail); the twin
+        replays rank, Gini sum and deterministic top cuts in DuckDB."""
+        from amazonwebcrawler_spark.operators.politeness import host_fairness
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        host = (
+            F.when(k % 5 < 3, F.concat(F.lit("h"), (k % 20).cast("string")))
+            .when(k % 5 == 3, F.concat(F.lit("h"), (k % 400 + 100).cast("string")))
+            .otherwise(F.concat(F.lit("h"), (k % 4000 + 1000).cast("string")))
+        )
+        return host_fairness(o.select(host.alias("host")))
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4313,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "url_spam": q_url_spam,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "host_fairness": q_host_fairness,
         }.items()
     }
 
@@ -7714,6 +7736,34 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "host_fairness": r"""
+-- exact-integer Gini + deterministic top-share cuts over the same skewed
+-- three-tier fetch log; rank = row_number over (count asc, host asc)
+WITH logf AS (
+  SELECT CASE
+    WHEN o_orderkey % 5 < 3 THEN 'h' || (o_orderkey % 20)::VARCHAR
+    WHEN o_orderkey % 5 = 3 THEN 'h' || (o_orderkey % 400 + 100)::VARCHAR
+    ELSE 'h' || (o_orderkey % 4000 + 1000)::VARCHAR
+  END AS host
+  FROM orders
+),
+counts AS (SELECT host AS h, COUNT(*) AS c FROM logf GROUP BY host),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, h ASC) AS i,
+    COUNT(*) OVER () AS n
+  FROM counts
+)
+SELECT
+  CAST(MAX(n) AS BIGINT) AS n_hosts,
+  CAST(SUM(c) AS BIGINT) AS n_fetches,
+  CAST((SUM((2 * i - n - 1) * c) * 1000000) // (MAX(n) * SUM(c)) AS BIGINT)
+    AS gini_micro,
+  CAST((SUM(CASE WHEN i > n - (n + 99) // 100 THEN c ELSE 0 END) * 1000000)
+       // SUM(c) AS BIGINT) AS top1pct_share_ppm,
+  CAST((SUM(CASE WHEN i > n - (n + 9) // 10 THEN c ELSE 0 END) * 1000000)
+       // SUM(c) AS BIGINT) AS top10pct_share_ppm
+FROM ranked
+""",
         "url_spam": r"""
 -- per-URL spam signals re-derived 1:1: same planted world from orders,
 -- same parse fragments as the trap_detect twin, same thresholds

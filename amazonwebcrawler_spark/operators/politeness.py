@@ -596,3 +596,73 @@ def aimd_rate_resume(
         folded.alias("rate"),
         F.greatest(F.coalesce(prior_w, F.col("_w_new")), F.col("_w_new")).alias("last_wave"),
     )
+
+
+def host_fairness(
+    fetch_log: DataFrame, host_col: str = "host", n_parts: int = 32
+) -> DataFrame:
+    """Crawl-fairness concentration report over a fetch log — the
+    scheduler-health row beside politeness_audit's per-host gaps: a
+    frontier whose fetches concentrate on a handful of hosts is either
+    trapped (host_trap_stats) or starving the tail its budget was meant
+    to cover (allocate_budget), and this row's drift between waves is
+    the cheapest early alarm.
+
+    - ``gini_micro`` — exact-integer Gini over per-host fetch counts:
+      with counts ``x_(1..n)`` ascending, ``G = Σ(2i−n−1)·x_i /
+      (n·Σx)``; emitted as a micro DIV (0 = perfectly even, →1 = one
+      host takes everything).
+    - ``top1pct_share_ppm`` / ``top10pct_share_ppm`` — fetch share of
+      the top ``⌈n/100⌉`` / ``⌈n/10⌉`` hosts by count (ties broken
+      host-ascending, so the cut is cross-engine deterministic).
+
+    Scale shape: ONE host-keyed count agg collapses the log to host
+    cardinality (10^6-10^7 at 10^10 URLs). The global ascending rank
+    the Gini needs is NOT an unpartitioned window: the host table is
+    ``repartitionByRange(c, host)`` (a distributed sort), ranked within
+    each range partition, and offset by cumulative per-partition counts
+    — a ≤``n_parts``-row collect, the same bounded-totals discipline as
+    text.pack_sequences / politeness.assign_discovery_seq. One final
+    map-side aggregate. Returns ONE row: (n_hosts, n_fetches,
+    gini_micro, top1pct_share_ppm, top10pct_share_ppm)."""
+    counts = fetch_log.groupBy(F.col(host_col).alias("_h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rp = (
+        counts.repartitionByRange(n_parts, F.col("c").asc(), F.col("_h").asc())
+        .withColumn("_p", F.spark_partition_id())
+        .persist()
+    )
+    part_rows = sorted(
+        (r["_p"], r["cnt"]) for r in rp.groupBy("_p").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )  # bounded: ≤ n_parts rows
+    n = sum(c for _, c in part_rows)
+    offs, acc = {}, 0
+    for p, c in part_rows:
+        offs[p] = acc
+        acc += c
+    off_expr = F.lit(0)
+    for p, o in offs.items():
+        off_expr = F.when(F.col("_p") == p, F.lit(o)).otherwise(off_expr)
+    w = Window.partitionBy("_p").orderBy(F.col("c").asc(), F.col("_h").asc())
+    ranked = rp.select(
+        "c", (F.row_number().over(w) + off_expr).alias("i"), F.lit(n).alias("n")
+    )
+    agg = ranked.agg(
+        F.max("n").cast("long").alias("n_hosts"),
+        F.sum("c").cast("long").alias("n_fetches"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("c")).alias("_gnum"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - F.expr("(n + 99) DIV 100"), F.col("c")).otherwise(0)
+        ).alias("_t1"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - F.expr("(n + 9) DIV 10"), F.col("c")).otherwise(0)
+        ).alias("_t10"),
+    )
+    return agg.select(
+        "n_hosts",
+        "n_fetches",
+        F.expr("(_gnum * 1000000) DIV (n_hosts * n_fetches)").alias("gini_micro"),
+        F.expr("(_t1 * 1000000) DIV n_fetches").alias("top1pct_share_ppm"),
+        F.expr("(_t10 * 1000000) DIV n_fetches").alias("top10pct_share_ppm"),
+    )

@@ -375,3 +375,39 @@ class TestPolitenessAudit:
         assert out["n_violations"] == 2 and out["min_gap_obs_ms"] == 0
         out2 = self._run(spark, list(reversed(rows)))["a"]
         assert out == out2
+
+
+class TestHostFairness:
+    """operators/politeness.host_fairness — exact Gini and top-share
+    arithmetic replayed in Python on hand-built logs."""
+
+    def _run(self, spark, hosts):
+        from amazonwebcrawler_spark.operators.politeness import host_fairness
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        [r] = host_fairness(df, n_parts=4).collect()
+        return r
+
+    def test_uniform_is_zero_gini(self, spark):
+        r = self._run(spark, [f"h{i}" for i in range(10)] * 3)
+        assert (r["n_hosts"], r["n_fetches"], r["gini_micro"]) == (10, 30, 0)
+        # top 1% of 10 hosts = ceil(0.1)=1 host = 3 of 30 fetches
+        assert r["top1pct_share_ppm"] == 100000
+        assert r["top10pct_share_ppm"] == 100000
+
+    def test_skewed_matches_python_replay(self, spark):
+        from collections import Counter
+
+        hosts = (["big"] * 70) + (["mid"] * 20) + [f"t{i}" for i in range(10)]
+        r = self._run(spark, hosts)
+        counts = sorted(Counter(hosts).items(), key=lambda kv: (kv[1], kv[0]))
+        xs = [c for _, c in counts]
+        n, tot = len(xs), sum(xs)
+        gini = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        assert r["n_hosts"] == n and r["n_fetches"] == tot
+        assert r["gini_micro"] == gini * 1_000_000 // (n * tot)
+        top1 = sum(xs[n - -(-n // 100):])
+        top10 = sum(xs[n - -(-n // 10):])
+        assert r["top1pct_share_ppm"] == top1 * 1_000_000 // tot
+        assert r["top10pct_share_ppm"] == top10 * 1_000_000 // tot
+        assert r["top1pct_share_ppm"] == 700000  # 'big' alone
