@@ -302,6 +302,24 @@ CHECKS = {
     # percent normalization: tokenize + transform + join is one codegen
     # projection — no shuffle, no Python
     "percent_norm": ["[codegen id :", "ReadSchema: struct<o_orderkey:bigint>"],
+    # frame-freeze islands: ONE video-keyed window (lag + running sum share
+    # the spec) + two hash rollups — no Python, no single-partition
+    # exchange (NEG_CHECKS)
+    "freeze_detect": ["Window", "HashAggregate", "[codegen id :"],
+    # OOV audit: the vocab head must arrive as a BROADCAST to the token
+    # stream — the corpus shuffles only for the doc-keyed agg; no Python
+    "oov_rate": ["BroadcastHashJoin", "HashAggregate", "[codegen id :"],
+    # cross-modal conflict audit: md5 fingerprints + two count-distinct
+    # hash aggregates, pure JVM (NEG_CHECKS)
+    "caption_conflicts": ["HashAggregate", "[codegen id :"],
+    # per-URL spam gate: every heuristic (incl. the nested higher-order
+    # segment count) is codegen column math — no Python, no Window
+    "url_spam": ["[codegen id :"],
+    # keyframe selection: exactly ONE Python crossing (the fused Arrow
+    # frame-quality decode); shot assignment + argmax are JVM windows
+    # (struct-max compiles to ObjectHashAggregate/SortAggregate — assert
+    # the generic Aggregate suffix)
+    "keyframe_select": ["MapInPandas", "Window", "Aggregate"],
 }
 
 #: queries whose plan must be rendered with AQE disabled (see dedup_simhash)
@@ -321,10 +339,19 @@ NO_AQE = {
     "c4_clean", "gram_novelty", "ppl_buckets", "mirror_detect",
     "novelty_budget", "hll_distinct", "cdc_chunks", "frontier_size",
     "kn_bigram",
+    "freeze_detect", "oov_rate", "caption_conflicts", "url_spam",
+    "keyframe_select",
 }
 
 NEG_CHECKS = {
     # query -> substrings that must NOT appear in the plan
+    "freeze_detect": [
+        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "Exchange SinglePartition",
+    ],
+    "oov_rate": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "caption_conflicts": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
+    "url_spam": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Window"],
     "trap_detect": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hll_distinct": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
     "hyperball": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas"],
