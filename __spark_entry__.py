@@ -4125,6 +4125,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return host_fairness(o.select(host.alias("host")))
 
+    def q_phash_bit_stats(spark, sf):
+        """Per-bit pHash balance audit (operators/dedup.phash_bit_stats):
+        a corpus whose hash bits collapse to constants silently shrinks
+        the effective hamming width every near-dup consumer relies on.
+        World: md5-derived 60-bit hashes over documents with the low
+        nibble FORCED to 0101 — bits 0/2 all-ones, 1/3 all-zeros, 60-63
+        structurally zero (15 hex chars), so exactly 8 planted
+        degenerate bits; bits 4-59 are md5-uniform and must clear the
+        100‰ floor. One 64× literal explode + one map-side (bit) agg.
+        Twin replays hash synthesis and bit counts in DuckDB —
+        sf-dependent SQL."""
+        d = _t(spark, sf, "documents")
+        ph = F.expr(
+            "(CAST(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15), 16, 10) AS BIGINT)"
+            " DIV 16) * 16 + 5"
+        )
+        return dedup.phash_bit_stats(d.select(ph.alias("phash")))
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4335,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_spam": q_url_spam,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "host_fairness": q_host_fairness,
+        "phash_bit_stats": q_phash_bit_stats,
         }.items()
     }
 
@@ -7736,6 +7755,26 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "phash_bit_stats": r"""
+-- same md5-derived 60-bit hashes with the low nibble forced to 0101;
+-- 64 bit positions unnested, one (bit) count aggregate, exact milli DIV
+WITH ph AS (
+  SELECT ((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) // 16) * 16 + 5)
+    AS phash
+  FROM documents
+),
+b AS (
+  SELECT unnest(generate_series(0, 63)) AS bit, phash FROM ph
+),
+cnt AS (
+  SELECT bit, SUM((phash >> bit) & 1) AS n_ones, COUNT(*) AS n
+  FROM b GROUP BY bit
+)
+SELECT CAST(bit AS INT) AS bit, CAST(n_ones AS BIGINT) AS n_ones,
+  CAST((LEAST(n_ones, n - n_ones) * 1000) // n AS BIGINT) AS balance_milli,
+  (LEAST(n_ones, n - n_ones) * 1000) // n < 100 AS is_degenerate
+FROM cnt
+""",
         "host_fairness": r"""
 -- exact-integer Gini + deterministic top-share cuts over the same skewed
 -- three-tier fetch log; rank = row_number over (count asc, host asc)

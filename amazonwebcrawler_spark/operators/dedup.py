@@ -1508,3 +1508,45 @@ def cluster_size_stats(
         "n_docs",
         F.expr("(n_docs * 1000000) DIV _total").alias("docs_ppm"),
     )
+
+
+def phash_bit_stats(
+    df: DataFrame, hash_col: str = "phash", min_balance_milli: int = 100
+) -> DataFrame:
+    """Per-bit population balance of a 64-bit perceptual-hash column —
+    the health audit for every hamming-distance consumer downstream
+    (hamming_neardup_pairs, the pigeonhole blocker, flip-canonical
+    dedup): a bit that is ~always 0 or ~always 1 across the corpus
+    carries no discriminating information, so effective hash width
+    shrinks and near-dup recall quietly degrades — the classic failure
+    when a corpus is dominated by one template image whose downsample
+    fixes half the grid. (pHash is the average-hash over the 8×8 grid,
+    functions/images.phash64; a uniform corpus should balance each bit
+    near 500‰.)
+
+    One pass: explode the 64 bit positions from a literal array (64×
+    row fan-out, constant factor), one map-side-combinable (bit) count
+    — never a per-bit job, never a collect. ``balance_milli =
+    1000·min(ones, n−ones) DIV n`` (0 = degenerate, 500 = perfectly
+    balanced); ``is_degenerate`` flags bits under ``min_balance_milli``.
+    Returns 64 rows: (bit, n_ones, balance_milli, is_degenerate)."""
+    bits = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col(hash_col).alias("_h"),
+    ).select("bit", F.expr("shiftrightunsigned(_h, bit) & 1").alias("_b"))
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.sum("_b").cast("long").alias("n_ones"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "bit",
+            "n_ones",
+            F.expr("(least(n_ones, _n - n_ones) * 1000) DIV _n").alias("balance_milli"),
+            (
+                F.expr("(least(n_ones, _n - n_ones) * 1000) DIV _n")
+                < min_balance_milli
+            ).alias("is_degenerate"),
+        )
+    )

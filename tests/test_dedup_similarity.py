@@ -1546,3 +1546,36 @@ class TestClusterSizeStats:
         assert (out[1]["n_clusters"], out[1]["n_docs"], out[1]["docs_ppm"]) == (5, 5, 500000)
         assert (out[2]["n_clusters"], out[2]["n_docs"], out[2]["docs_ppm"]) == (1, 2, 200000)
         assert (out[3]["n_clusters"], out[3]["n_docs"], out[3]["docs_ppm"]) == (1, 3, 300000)
+
+
+class TestPhashBitStats:
+    """operators/dedup.phash_bit_stats — bit counting, balance floor,
+    degenerate detection on hand-built hashes."""
+
+    def test_planted_bits(self, spark):
+        from amazonwebcrawler_spark.operators import dedup
+
+        # 8 hashes: bit 0 always 1, bit 1 always 0, bit 2 alternates,
+        # bit 63 set on half (sign bit — exercises unsigned shift)
+        rows = []
+        for i in range(8):
+            h = 1 | ((i % 2) << 2) | ((1 << 63) if i < 4 else 0)
+            rows.append((h - (1 << 64) if h >= (1 << 63) else h,))
+        df = spark.createDataFrame(rows, "phash long")
+        out = {r["bit"]: r for r in dedup.phash_bit_stats(df).collect()}
+        assert len(out) == 64
+        assert (out[0]["n_ones"], out[0]["balance_milli"], out[0]["is_degenerate"]) == (8, 0, True)
+        assert (out[1]["n_ones"], out[1]["is_degenerate"]) == (0, True)
+        assert (out[2]["n_ones"], out[2]["balance_milli"], out[2]["is_degenerate"]) == (4, 500, False)
+        assert (out[63]["n_ones"], out[63]["balance_milli"]) == (4, 500)
+
+    def test_balance_floor_boundary(self, spark):
+        from amazonwebcrawler_spark.operators import dedup
+
+        # 100 hashes, bit 0 set on exactly 10 → balance 100 = floor → NOT
+        # degenerate (strict <); bit 1 set on 9 → 90 → degenerate
+        rows = [((1 if i < 10 else 0) | ((2 if i < 9 else 0)),) for i in range(100)]
+        df = spark.createDataFrame(rows, "phash long")
+        out = {r["bit"]: r for r in dedup.phash_bit_stats(df).collect()}
+        assert (out[0]["balance_milli"], out[0]["is_degenerate"]) == (100, False)
+        assert (out[1]["balance_milli"], out[1]["is_degenerate"]) == (90, True)
