@@ -4143,6 +4143,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return dedup.phash_bit_stats(d.select(ph.alias("phash")))
 
+    def q_wds_shards(spark, sf):
+        """WebDataset-style byte-budget shard manifest (operators/
+        images_io.byte_shard_manifest): records → one virtual byte
+        stream in (md5-bucket, id) corpus order → nominal-position
+        shard/offset assignment (records never split; actual shard size
+        deviates by ≤ one record). The image-corpus layout plan a
+        training loader streams — pack_sequences' sibling, same
+        shard-window + bounded-totals prefix-sum discipline, no global
+        sort. World: sized records from orders (fixed-width ids so
+        lexicographic order is engine-portable); the twin replays the
+        stream arithmetic with ONE DuckDB window over (bucket, id)."""
+        from amazonwebcrawler_spark.operators.images_io import byte_shard_manifest
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        recs = o.select(
+            F.concat(F.lit("im"), F.lpad(k.cast("string"), 7, "0")).alias("image_id"),
+            ((k % 191 + 1) * 337).cast("long").alias("n_bytes"),
+        )
+        return byte_shard_manifest(recs, shard_bytes=1_000_000)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4354,6 +4375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "host_fairness": q_host_fairness,
         "phash_bit_stats": q_phash_bit_stats,
+        "wds_shards": q_wds_shards,
         }.items()
     }
 
@@ -7755,6 +7777,31 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "wds_shards": r"""
+-- same sized records; the bucketed prefix sum + offsets collapses to ONE
+-- window over global (bucket, id) order — the equivalence the Spark shape
+-- is engineered to preserve without a global sort
+WITH recs AS (
+  SELECT 'im' || lpad(o_orderkey::VARCHAR, 7, '0') AS image_id,
+    CAST((o_orderkey % 191 + 1) * 337 AS BIGINT) AS n_bytes
+  FROM orders
+),
+bk AS (
+  SELECT image_id, n_bytes,
+    CAST(('0x' || substr(md5('wds' || image_id), 1, 8)) AS BIGINT) % 32 AS b
+  FROM recs WHERE n_bytes > 0
+),
+cum AS (
+  SELECT image_id, n_bytes,
+    SUM(n_bytes) OVER (ORDER BY b ASC, image_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes AS so
+  FROM bk
+)
+SELECT image_id, n_bytes, CAST(so AS BIGINT) AS stream_offset,
+  CAST(so // 1000000 AS BIGINT) AS shard_id,
+  CAST(so % 1000000 AS BIGINT) AS offset_in_shard
+FROM cum
+""",
         "phash_bit_stats": r"""
 -- same md5-derived 60-bit hashes with the low nibble forced to 0101;
 -- 64 bit positions unnested, one (bit) count aggregate, exact milli DIV

@@ -432,3 +432,69 @@ def caption_conflicts(pairs: DataFrame, min_stock_images: int = 3) -> DataFrame:
             (F.col("n_phash_captions") >= 2).alias("conflicting_caption"),
         )
     )
+
+
+def byte_shard_manifest(
+    records: DataFrame,
+    shard_bytes: int,
+    id_col: str = "image_id",
+    bytes_col: str = "n_bytes",
+    n_parts: int = 32,
+) -> DataFrame:
+    """WebDataset-style shard manifest over sized records — the image
+    corpus's analogue of text.pack_sequences: training loaders stream
+    tar-like shards of ~``shard_bytes``, so the curation pipeline must
+    emit a DETERMINISTIC (record → shard, offset) assignment the writer
+    and every re-run reproduce bit-for-bit (the reference saves one file
+    per product with no layout plan, crawler/crawler.py:64-76; at 10^10
+    images the layout IS the product).
+
+    Semantics: records form one virtual byte stream in corpus order
+    (md5-bucket, id — engine-portable, same as pack_sequences);
+    ``shard_id = stream_offset DIV shard_bytes`` — nominal-position
+    sharding, so records never split, every shard's nominal span is
+    exactly ``shard_bytes``, and actual shard size deviates by at most
+    one record (next-fit semantics, documented bound — the WebDataset
+    "write until target then cut" discipline).
+
+    Scale shape: the stream offset is a prefix sum over a WINDOW
+    PARTITIONED BY md5 BUCKET plus cumulative bucket totals from a
+    ≤``n_parts``-row collect broadcast back — no global sort, no
+    single-task window (the pack_sequences discipline verbatim).
+    Zero-byte records are dropped (nothing to store). Returns the input
+    id + (n_bytes, stream_offset, shard_id, offset_in_shard)."""
+    if shard_bytes <= 0:
+        raise ValueError(f"shard_bytes must be positive, got {shard_bytes}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from amazonwebcrawler_spark.operators.corpus import hash_bucket
+
+    sh = records.filter(F.col(bytes_col) > 0).withColumn(
+        "_b", hash_bucket(F.col(id_col), n_parts, salt="wds")
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sh.withColumn("_end", F.sum(F.col(bytes_col)).over(w).cast("long"))
+    totals = {
+        r["_b"]: r["t"]
+        for r in sh.groupBy("_b").agg(F.sum(bytes_col).alias("t")).collect()
+    }
+    acc = 0
+    offs = []
+    for b in sorted(totals):
+        offs.append((int(b), acc))
+        acc += int(totals[b])
+    off_df = records.sparkSession.createDataFrame(offs or [(0, 0)], "_b int, _off long")
+    out = (
+        cum.join(F.broadcast(off_df), "_b")
+        .withColumn("stream_offset", (F.col("_off") + F.col("_end") - F.col(bytes_col)).cast("long"))
+        .withColumn("shard_id", F.expr(f"stream_offset DIV {int(shard_bytes)}").cast("long"))
+        .withColumn("offset_in_shard", (F.col("stream_offset") - F.col("shard_id") * shard_bytes).cast("long"))
+        .drop("_b", "_end", "_off")
+    )
+    return out.select(id_col, F.col(bytes_col).cast("long").alias(bytes_col),
+                      "stream_offset", "shard_id", "offset_in_shard")

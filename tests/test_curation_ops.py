@@ -636,3 +636,48 @@ class TestCaptionConflicts:
         assert confl == {world[7][0], world[19][0], world[31][0]}
         dup = [r for r in out if r["image_id"] == "img-dup-of-30"]
         assert len(dup) == 1 and not dup[0]["stock_caption"] and not dup[0]["conflicting_caption"]
+
+
+class TestByteShardManifest:
+    """operators/images_io.byte_shard_manifest — stream arithmetic,
+    no-split invariant, shard-size bound, zero-byte drop."""
+
+    def test_stream_invariants(self, spark):
+        from collections import defaultdict
+
+        from amazonwebcrawler_spark.operators.images_io import byte_shard_manifest
+
+        rows = [(f"im{i:04d}", (i % 13 + 1) * 700) for i in range(200)]
+        rows.append(("im-empty", 0))
+        df = spark.createDataFrame(rows, "image_id string, n_bytes long")
+        S = 10_000
+        out = byte_shard_manifest(df, shard_bytes=S, n_parts=8).collect()
+        assert len(out) == 200  # zero-byte record dropped
+        by_off = sorted(out, key=lambda r: r["stream_offset"])
+        # stream is gapless and ordered: each record starts where the
+        # previous ended
+        pos = 0
+        for r in by_off:
+            assert r["stream_offset"] == pos
+            assert r["shard_id"] == pos // S
+            assert r["offset_in_shard"] == pos % S
+            pos += r["n_bytes"]
+        assert pos == sum(b for _, b in rows)
+        # shard sizes: nominal span S, deviation bounded by one record
+        max_item = max(b for _, b in rows)
+        sizes = defaultdict(int)
+        for r in by_off:
+            sizes[r["shard_id"]] += r["n_bytes"]
+        for sid, sz in sizes.items():
+            if sid != max(sizes):  # last shard may be short
+                assert S - max_item < sz < S + max_item, (sid, sz)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from amazonwebcrawler_spark.operators.images_io import byte_shard_manifest
+
+        rows = [(f"r{i:03d}", (i * 37) % 900 + 100) for i in range(60)]
+        df1 = spark.createDataFrame(rows, "image_id string, n_bytes long")
+        a = sorted(map(tuple, byte_shard_manifest(df1, 5000, n_parts=4).collect()))
+        b = sorted(map(tuple, byte_shard_manifest(
+            df1.repartition(13), 5000, n_parts=4).collect()))
+        assert a == b
