@@ -4164,6 +4164,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return byte_shard_manifest(recs, shard_bytes=1_000_000)
 
+    def q_boilerplate_strip(spark, sf):
+        """Boilerplate removal by block link density (functions/text.
+        extract_main_text — the Boilerpipe/jusText signal, Kohlschütter
+        WSDM'10): nav bars, related-product rails and footers are short
+        and anchor-dominated, main prose is long and link-sparse. Pure
+        codegen: one regex block split + higher-order transforms/filter
+        — no shuffle, no Python, scan-rate. World: synthetic product
+        pages from orders (nav + long review paragraph with one inline
+        link + related rail + optional second paragraph + footer); the
+        twin rebuilds the SAME pages and replays split/strip/density
+        with RE2-identical regexes in DuckDB — sf-dependent SQL."""
+        from amazonwebcrawler_spark.functions.text import extract_main_text
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        html = F.concat(
+            F.lit('<div id="nav"><a href="/">Home</a> <a href="/deals">Deals</a> '
+                  '<a href="/cart">Cart</a></div>'),
+            F.lit("<p>Product review number "), k.cast("string"),
+            F.lit(' covers build quality, battery life and packaging in detail, with a '
+                  'single <a href="/dp/B'), (k % 97).cast("string"),
+            F.lit('">reference link</a> inside a long paragraph of prose.</p>'),
+            F.lit('<div class="rail"><a href="/r1">Rel '), (k % 7).cast("string"),
+            F.lit('</a><a href="/r2">More</a><a href="/r3">Also</a></div>'),
+            F.when(k % 3 == 0, F.concat(
+                F.lit("<p>A second paragraph of unlinked commentary follows with "
+                      "enough prose to stand alone, item "), (k % 11).cast("string"),
+                F.lit(".</p>"))).otherwise(F.lit("")),
+            F.lit('<div><a href="/about">About</a><a href="/tos">Terms</a></div>'),
+        )
+        return extract_main_text(
+            o.select(F.col("o_orderkey").alias("doc_id"), html.alias("html")),
+            "html", "doc_id",
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4376,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_fairness": q_host_fairness,
         "phash_bit_stats": q_phash_bit_stats,
         "wds_shards": q_wds_shards,
+        "boilerplate_strip": q_boilerplate_strip,
         }.items()
     }
 
@@ -7777,6 +7813,55 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "boilerplate_strip": r"""
+-- same synthetic pages; block split / tag strip / anchor-length density
+-- replayed with RE2-identical regexes and list lambdas
+WITH pages AS (
+  SELECT o_orderkey AS doc_id,
+    '<div id="nav"><a href="/">Home</a> <a href="/deals">Deals</a> <a href="/cart">Cart</a></div>'
+    || '<p>Product review number ' || o_orderkey::VARCHAR
+    || ' covers build quality, battery life and packaging in detail, with a single <a href="/dp/B'
+    || (o_orderkey % 97)::VARCHAR
+    || '">reference link</a> inside a long paragraph of prose.</p>'
+    || '<div class="rail"><a href="/r1">Rel ' || (o_orderkey % 7)::VARCHAR
+    || '</a><a href="/r2">More</a><a href="/r3">Also</a></div>'
+    || CASE WHEN o_orderkey % 3 = 0 THEN
+         '<p>A second paragraph of unlinked commentary follows with enough prose to stand alone, item '
+         || (o_orderkey % 11)::VARCHAR || '.</p>'
+       ELSE '' END
+    || '<div><a href="/about">About</a><a href="/tos">Terms</a></div>' AS html
+  FROM orders
+),
+blk AS (
+  SELECT doc_id,
+    regexp_split_to_array(html, '(?i)</(?:p|div|li|h[1-6]|td|article|section)>') AS blocks
+  FROM pages
+),
+st AS (
+  SELECT doc_id, blocks,
+    list_transform(blocks, x -> struct_pack(
+      t := trim(regexp_replace(regexp_replace(x, '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')),
+      lc := COALESCE(list_sum(list_transform(
+        regexp_extract_all(x, '(?is)<a\b[^>]*>(.*?)</a>', 1),
+        y -> length(trim(regexp_replace(regexp_replace(y, '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))
+      )), 0)
+    )) AS s
+  FROM blk
+),
+kp AS (
+  SELECT doc_id, blocks, s,
+    list_filter(s, x -> length(x.t) >= 30
+      AND x.lc * 1000 <= 333 * greatest(length(x.t), 1)) AS kept
+  FROM st
+)
+SELECT doc_id,
+  CAST(len(blocks) AS INT) AS n_blocks,
+  CAST(len(kept) AS INT) AS n_kept,
+  CAST(COALESCE(list_sum(list_transform(s, x -> length(x.t))), 0) AS INT) AS total_chars,
+  CAST(COALESCE(list_sum(list_transform(kept, x -> length(x.t))), 0) AS INT) AS main_chars,
+  array_to_string(list_transform(kept, x -> x.t), ' ') AS main_text
+FROM kp
+""",
         "wds_shards": r"""
 -- same sized records; the bucketed prefix sum + offsets collapses to ONE
 -- window over global (bucket, id) order — the equivalence the Spark shape

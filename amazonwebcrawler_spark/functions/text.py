@@ -1878,3 +1878,72 @@ def oov_rate(df, text_col: str, id_col: str, k: int = 100, max_oov_ppm: int = 50
             (F.expr("(n_oov * 1000000) DIV n_tokens") >= max_oov_ppm).alias("high_oov"),
         )
     )
+
+
+#: block-level HTML closers that delimit content blocks for boilerplate
+#: analysis (case-insensitive; the split keeps trailing empties on both
+#: engines, so block counts are engine-portable)
+BLOCK_SPLIT_RE = r"(?i)</(?:p|div|li|h[1-6]|td|article|section)>"
+ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+TAG_RE = r"(?s)<[^>]*>"
+
+
+def extract_main_text(
+    df,
+    html_col: str,
+    id_col: str,
+    min_chars: int = 30,
+    max_link_milli: int = 333,
+):
+    """Boilerplate removal by block link density (the Boilerpipe /
+    jusText family's core signal, Kohlschütter et al. WSDM'10): split
+    the page at block-level tag closers, strip tags per block, and keep
+    blocks that are long enough AND not link-dominated — navigation
+    bars, footers, related-product rails and tag clouds are short and
+    almost-all-anchor-text, while main content is long and link-sparse.
+    The single highest-leverage text transform a web corpus applies:
+    C4-style line rules (c4_clean) assume boilerplate is already gone.
+
+    Everything is codegen column math — one regex split, two
+    higher-order transforms over the block array (tag strip + anchor-
+    text length sum via regexp_extract_all inside the lambda), a
+    filter, and one concat: no shuffle, no Python, pipelines at scan
+    rate. Regexes are RE2-compatible (no backrefs; (?is) flags) so the
+    DuckDB twin replays them with identical semantics.
+
+    Returns (id, n_blocks, n_kept, total_chars, main_chars, main_text)
+    — ``main_text`` is the kept blocks joined with single spaces in
+    page order."""
+    blocks = F.split(F.col(html_col), BLOCK_SPLIT_RE)
+
+    def clean(b: Column) -> Column:
+        return F.trim(F.regexp_replace(F.regexp_replace(b, TAG_RE, " "), r"\s+", " "))
+
+    def link_chars(b: Column) -> Column:
+        return F.aggregate(
+            F.regexp_extract_all(b, F.lit(ANCHOR_TEXT_RE), 1),
+            F.lit(0),
+            lambda acc, x: acc + F.length(clean(x)),
+        )
+
+    stats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            clean(b).alias("t"),
+            F.length(clean(b)).alias("n"),
+            link_chars(b).alias("lc"),
+        ),
+    )
+    kept = F.filter(
+        stats,
+        lambda s: (s["n"] >= min_chars)
+        & ((s["lc"] * 1000) <= F.lit(max_link_milli) * F.greatest(s["n"], F.lit(1))),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(blocks).alias("n_blocks"),
+        F.size(kept).alias("n_kept"),
+        F.aggregate(stats, F.lit(0), lambda a, s: a + s["n"]).alias("total_chars"),
+        F.aggregate(kept, F.lit(0), lambda a, s: a + s["n"]).alias("main_chars"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("main_text"),
+    )

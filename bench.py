@@ -215,6 +215,9 @@ BENCH_QUERIES = (
     # per-doc OOV vs broadcast vocab head — sf-dependent corpus leg: the
     # explode + broadcast join + doc-keyed agg cost scales with documents
     "oov_rate",
+    # boilerplate removal — block split + higher-order density filter, all
+    # codegen over synthetic pages from orders; the scan-rate claim's number
+    "boilerplate_strip",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))

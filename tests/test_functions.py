@@ -515,3 +515,52 @@ class TestOovRate:
         )
         out = oov_rate(df, "text", "doc_id", k=10).collect()
         assert sorted(r["doc_id"] for r in out) == [1]
+
+
+class TestExtractMainText:
+    """functions/text.extract_main_text — block classification on
+    hand-built HTML: link-density boundary, nested anchor tags,
+    min-chars floor, degenerate pages."""
+
+    def _run(self, spark, html):
+        from amazonwebcrawler_spark.functions.text import extract_main_text
+
+        df = spark.createDataFrame([(1, html)], "doc_id int, html string")
+        return extract_main_text(df, "html", "doc_id").collect()[0]
+
+    def test_nav_dropped_main_kept(self, spark):
+        html = (
+            '<div><a href="/">Home</a> <a href="/s">Shop</a></div>'
+            "<p>This paragraph is long enough to clear the floor and has "
+            'no links in it whatsoever, just plain prose.</p>'
+        )
+        r = self._run(spark, html)
+        assert r["n_blocks"] == 3  # nav, p, trailing empty
+        assert r["n_kept"] == 1
+        assert r["main_text"].startswith("This paragraph is long")
+        assert "Home" not in r["main_text"]
+
+    def test_link_density_boundary(self, spark):
+        # 30 plain chars + anchor text scaled around the 333‰ cut
+        plain = "x" * 60
+        # link 30 chars over total 90 → 333‰ exactly → kept (<=)
+        html = f'<p>{plain}<a href="/l">{"y" * 30}</a></p>'
+        assert self._run(spark, html)["n_kept"] == 1
+        # link 31 chars over total 91 → 340‰ → dropped
+        html = f'<p>{plain}<a href="/l">{"y" * 31}</a></p>'
+        assert self._run(spark, html)["n_kept"] == 0
+
+    def test_nested_tags_inside_anchor(self, spark):
+        html = (
+            '<p>A sufficiently long sentence of framing prose around '
+            '<a href="/x"><b>bold link</b></a> content that stays sparse.</p>'
+        )
+        r = self._run(spark, html)
+        # inner <b> stripped before counting: 'bold link' = 9 chars
+        assert r["n_kept"] == 1 and "bold link" in r["main_text"]
+
+    def test_degenerate_pages(self, spark):
+        r = self._run(spark, "")
+        assert (r["n_blocks"], r["n_kept"], r["main_text"]) == (1, 0, "")
+        r = self._run(spark, "short<br>")
+        assert r["n_kept"] == 0 and r["total_chars"] > 0
