@@ -4199,6 +4199,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html", "doc_id",
         )
 
+    def q_psi_drift(spark, sf):
+        """Population Stability Index between two score snapshots
+        (operators/corpus.psi_drift): the label-free drift alarm that
+        runs every wave — ece_calib needs labels, PSI only needs the
+        scored population twice. World: md5-derived milli scores over
+        documents; the "new" crawl shifts half the corpus up 200 milli
+        (a planted drift PSI must detect). One map-side bin count per
+        snapshot; all math on the ≤n_bins histogram join; per-bin terms
+        and the Σ total micro-rounded once (the lm_score log
+        discipline). Twin replays binning, Laplace smoothing and the
+        log terms in DuckDB — sf-dependent SQL."""
+        from amazonwebcrawler_spark.operators.corpus import psi_drift
+
+        d = _t(spark, sf, "documents")
+
+        def h(salt):
+            return F.expr(
+                "CAST(conv(substring(md5(cast(concat("
+                f"'{salt}', cast(doc_id AS string)) AS binary)), 1, 4), 16, 10) AS BIGINT)"
+            )
+
+        old = d.select((h("a") % 1001).cast("long").alias("score_milli"))
+        new = d.select(
+            F.least(
+                F.lit(1000),
+                (h("b") % 1001) + (F.col("doc_id") % 2) * 200,
+            ).cast("long").alias("score_milli")
+        )
+        return psi_drift(old, new)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4412,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_bit_stats": q_phash_bit_stats,
         "wds_shards": q_wds_shards,
         "boilerplate_strip": q_boilerplate_strip,
+        "psi_drift": q_psi_drift,
         }.items()
     }
 
@@ -7813,6 +7844,44 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "psi_drift": r"""
+-- same md5 worlds (old = h('a'||id)%1001; new = least(1000, h('b'||id)%1001
+-- + 200·(id%2))), same ece-style binning, Laplace 1/n_bins smoothing,
+-- one micro-round per log term
+WITH olds AS (
+  SELECT CAST(('0x' || substr(md5('a' || doc_id::VARCHAR), 1, 4)) AS INTEGER) % 1001 AS s
+  FROM documents
+),
+news AS (
+  SELECT LEAST(1000,
+    CAST(('0x' || substr(md5('b' || doc_id::VARCHAR), 1, 4)) AS INTEGER) % 1001
+    + 200 * (doc_id % 2)) AS s
+  FROM documents
+),
+ho AS (SELECT LEAST((s * 10) // 1001, 9) AS bin, COUNT(*) AS n_old FROM olds GROUP BY 1),
+hn AS (SELECT LEAST((s * 10) // 1001, 9) AS bin, COUNT(*) AS n_new FROM news GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 9)) AS bin),
+h AS (
+  SELECT g.bin, COALESCE(ho.n_old, 0) AS n_old, COALESCE(hn.n_new, 0) AS n_new
+  FROM grid g LEFT JOIN ho ON ho.bin = g.bin LEFT JOIN hn ON hn.bin = g.bin
+),
+tot AS (SELECT SUM(n_old) AS t_o, SUM(n_new) AS t_n FROM h),
+sm AS (
+  SELECT bin, n_old, n_new,
+    (n_old + 1.0 / 10) / (t_o + 1) AS p,
+    (n_new + 1.0 / 10) / (t_n + 1) AS q
+  FROM h CROSS JOIN tot
+),
+terms AS (
+  SELECT bin, n_old, n_new,
+    CAST(round((p - q) * ln(p / q) * 1000000) AS BIGINT) AS psi_term_micro
+  FROM sm
+)
+SELECT CAST(bin AS INT) AS bin, CAST(n_old AS BIGINT) AS n_old,
+  CAST(n_new AS BIGINT) AS n_new, psi_term_micro,
+  CAST(SUM(psi_term_micro) OVER () AS BIGINT) AS psi_total_micro
+FROM terms
+""",
         "boilerplate_strip": r"""
 -- same synthetic pages; block split / tag strip / anchor-length density
 -- replayed with RE2-identical regexes and list lambdas

@@ -1011,3 +1011,65 @@ def ece_calibration(
         "gap_num",
         F.expr("(_gt * 1000L) DIV _nt").alias("ece_micro"),
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    score_col: str = "score_milli",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two score snapshots — the
+    standard distribution-drift alarm for a deployed quality/keep model
+    (PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 retrain — the credit-
+    scoring rule of thumb the LLM-curation stacks inherited). ece_calib
+    measures miscalibration against LABELS on one snapshot;
+    isotonic_calibrate FIXES it; PSI needs no labels at all — it
+    compares the scored population between crawls, which is why it's
+    the metric that runs every wave.
+
+    Scores arrive as milli units (0..1000, the house classifier
+    contract); equal-width binning into ``n_bins`` cells (p = 1000
+    lands in the last bin, the ece_calibration rule). Per bin with
+    +1/+n_bins Laplace smoothing on BOTH sides (a bin empty in one
+    snapshot must not blow up the log):
+    ``psi_b = (p_b − q_b) · ln(p_b / q_b)``, p/q smoothed shares.
+    Each bin's term and the Σ total are micro-rounded BIGINTs (the
+    lm_score/bm25 discipline — one IEEE log per bin, round once).
+
+    Scale shape: each snapshot collapses through ONE map-side-
+    combinable bin count; everything after runs on the ≤n_bins-row
+    join of the two histograms with 1-row broadcast totals. Returns
+    n_bins rows: (bin, n_old, n_new, psi_term_micro, psi_total_micro
+    — the total repeated per row, corpus_stats-style)."""
+    def hist(df, alias):
+        b = F.least(F.expr(f"({score_col} * {n_bins}) DIV 1001"), F.lit(n_bins - 1)).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+    bins = old.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    h = (
+        bins.join(hist(old, "n_old"), "bin", "left")
+        .join(hist(new, "n_new"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = h.agg(
+        F.sum("n_old").alias("_to"), F.sum("n_new").alias("_tn")
+    )
+    smoothed = h.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + F.lit(1.0) / n_bins) / (F.col("_to") + 1)).alias("_p"),
+        ((F.col("n_new") + F.lit(1.0) / n_bins) / (F.col("_tn") + 1)).alias("_q"),
+    )
+    term = F.round((F.col("_p") - F.col("_q")) * F.log(F.col("_p") / F.col("_q")) * 1_000_000).cast("long")
+    out = smoothed.select("bin", "n_old", "n_new", term.alias("psi_term_micro"))
+    total = out.agg(F.sum("psi_term_micro").cast("long").alias("psi_total_micro"))
+    return out.crossJoin(F.broadcast(total)).select(
+        "bin", "n_old", "n_new", "psi_term_micro", "psi_total_micro"
+    )

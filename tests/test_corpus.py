@@ -710,3 +710,51 @@ class TestTemperatureWeights:
         # tail boosted, head suppressed at alpha<1
         mid = self._run(spark, counts, 500)
         assert mid["c"]["boost_milli"] > 1000 > mid["a"]["boost_milli"]
+
+
+class TestPsiDrift:
+    """operators/corpus.psi_drift — identical snapshots ≈ 0, planted
+    shift detected, empty-bin smoothing, Python replay."""
+
+    def _scores(self, spark, vals):
+        return spark.createDataFrame([(v,) for v in vals], "score_milli long")
+
+    def test_identical_snapshots_zero(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import psi_drift
+
+        vals = [(i * 97) % 1001 for i in range(300)]
+        out = psi_drift(self._scores(spark, vals), self._scores(spark, vals)).collect()
+        assert len(out) == 10
+        assert all(r["psi_term_micro"] == 0 for r in out)
+        assert out[0]["psi_total_micro"] == 0
+
+    def test_planted_shift_and_replay(self, spark):
+        import math
+
+        from amazonwebcrawler_spark.operators.corpus import psi_drift
+
+        old = [(i * 97) % 1001 for i in range(400)]
+        new = [min(1000, v + 300) for v in old]  # hard upward shift
+        out = {r["bin"]: r for r in psi_drift(
+            self._scores(spark, old), self._scores(spark, new)).collect()}
+        # Python replay
+        def histo(vals):
+            h = [0] * 10
+            for v in vals:
+                h[min(v * 10 // 1001, 9)] += 1
+            return h
+        ho, hn = histo(old), histo(new)
+        to, tn = sum(ho), sum(hn)
+        total = 0
+        for b in range(10):
+            p = (ho[b] + 0.1) / (to + 1)
+            q = (hn[b] + 0.1) / (tn + 1)
+            t = round((p - q) * math.log(p / q) * 1_000_000)
+            assert out[b]["psi_term_micro"] == t, (b, out[b]["psi_term_micro"], t)
+            assert (out[b]["n_old"], out[b]["n_new"]) == (ho[b], hn[b])
+            total += t
+        assert out[0]["psi_total_micro"] == total
+        assert total > 250_000  # the rule-of-thumb "retrain" line
+        # low bins emptied in new (min new score 300 → bin 2) → smoothing
+        # kept every term finite
+        assert all(out[b]["n_new"] == 0 for b in range(2))
