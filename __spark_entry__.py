@@ -4229,6 +4229,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return psi_drift(old, new)
 
+    def q_robots_delta(spark, sf):
+        """Robots-policy change impact (functions/robots.robots_delta):
+        per-URL allow/deny under the cached AND the refetched rule set
+        in ONE frontier pass (two broadcast rule joins, no URL shuffle
+        until the host rollup) — newly-blocked URLs purge before they
+        burn politeness tokens, newly-allowed ones feed the recrawl
+        planner. World: the robots_rfc URL mix; the new snapshot
+        TIGHTENS amazon.com (blocks /dp/) and LOOSENS it (unblocks
+        /gp/cart) while the other hosts' policies stand. Twin replays
+        both rule sets' longest-match precedence and the host
+        aggregate in SQL."""
+        from amazonwebcrawler_spark.functions.robots import robots_delta
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        host = (
+            F.when(k % 3 == 0, "www.amazon.com")
+            .when(k % 3 == 1, "smile.amazon.co.uk")
+            .otherwise("img.example.org")
+        )
+        path = (
+            F.when(k % 7 == 0, F.concat(F.lit("/dp/B"), (k % 997).cast("string"),
+                                        F.lit("/ref=sr_1_"), (k % 3).cast("string")))
+            .when(k % 7 == 1, F.concat(F.lit("/s?k=yoga+mat&page="), (k % 5).cast("string")))
+            .when(k % 7 == 2, F.concat(F.lit("/s?k=item"), (k % 50).cast("string")))
+            .when(k % 7 == 3, F.concat(F.lit("/gp/cart/view?id="), (k % 10).cast("string")))
+            .when(k % 7 == 4, F.lit("/promo"))
+            .when(k % 7 == 5, F.lit("/promotion/deals"))
+            .otherwise(F.concat(F.lit("/media/img"), (k % 20).cast("string"), F.lit(".jpg")))
+        )
+        urls = o.select(
+            F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+            host.alias("host"),
+        )
+        old_rules = spark.createDataFrame(
+            [
+                ("www.amazon.com", 0, "/s?"),
+                ("www.amazon.com", 1, "/s?k=yoga*"),
+                ("www.amazon.com", 0, "/gp/cart"),
+                ("smile.amazon.co.uk", 0, "/media/*.jpg$"),
+            ],
+            "host string, allow int, pattern string",
+        )
+        new_rules = spark.createDataFrame(
+            [
+                ("www.amazon.com", 0, "/s?"),
+                ("www.amazon.com", 1, "/s?k=yoga*"),
+                ("www.amazon.com", 0, "/dp/"),
+                ("smile.amazon.co.uk", 0, "/media/*.jpg$"),
+            ],
+            "host string, allow int, pattern string",
+        )
+        return robots_delta(urls, old_rules, new_rules)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4443,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_shards": q_wds_shards,
         "boilerplate_strip": q_boilerplate_strip,
         "psi_drift": q_psi_drift,
+        "robots_delta": q_robots_delta,
         }.items()
     }
 
@@ -7844,6 +7899,78 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "robots_delta": r"""
+-- both rule snapshots evaluated with the robots_rfc precedence (longest
+-- pattern, ties → Allow), then the per-host transition rollup
+WITH urls AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'www.amazon.com'
+         WHEN o_orderkey % 3 = 1 THEN 'smile.amazon.co.uk'
+         ELSE 'img.example.org' END AS host,
+    CASE WHEN o_orderkey % 7 = 0
+           THEN '/dp/B' || (o_orderkey % 997)::VARCHAR || '/ref=sr_1_' || (o_orderkey % 3)::VARCHAR
+         WHEN o_orderkey % 7 = 1 THEN '/s?k=yoga+mat&page=' || (o_orderkey % 5)::VARCHAR
+         WHEN o_orderkey % 7 = 2 THEN '/s?k=item' || (o_orderkey % 50)::VARCHAR
+         WHEN o_orderkey % 7 = 3 THEN '/gp/cart/view?id=' || (o_orderkey % 10)::VARCHAR
+         WHEN o_orderkey % 7 = 4 THEN '/promo'
+         WHEN o_orderkey % 7 = 5 THEN '/promotion/deals'
+         ELSE '/media/img' || (o_orderkey % 20)::VARCHAR || '.jpg' END AS path
+  FROM orders
+),
+r_old(host, allow, pattern) AS (VALUES
+  ('www.amazon.com', 0, '/s?'), ('www.amazon.com', 1, '/s?k=yoga*'),
+  ('www.amazon.com', 0, '/gp/cart'), ('smile.amazon.co.uk', 0, '/media/*.jpg$')
+),
+r_new(host, allow, pattern) AS (VALUES
+  ('www.amazon.com', 0, '/s?'), ('www.amazon.com', 1, '/s?k=yoga*'),
+  ('www.amazon.com', 0, '/dp/'), ('smile.amazon.co.uk', 0, '/media/*.jpg$')
+),
+rx_old AS (
+  SELECT host, allow, pattern, length(pattern) AS plen,
+    '^' || regexp_replace(regexp_replace(
+             CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern) - 1)
+                  ELSE pattern END,
+             '([\\.\[\]{}()+?^$|])', '\\\1', 'g'), '\*', '.*', 'g')
+        || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM r_old WHERE pattern <> ''
+),
+rx_new AS (
+  SELECT host, allow, pattern, length(pattern) AS plen,
+    '^' || regexp_replace(regexp_replace(
+             CASE WHEN pattern LIKE '%$' THEN substr(pattern, 1, length(pattern) - 1)
+                  ELSE pattern END,
+             '([\\.\[\]{}()+?^$|])', '\\\1', 'g'), '\*', '.*', 'g')
+        || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM r_new WHERE pattern <> ''
+),
+m_old AS (
+  SELECT u.o_orderkey, r.allow,
+    row_number() OVER (PARTITION BY u.o_orderkey
+                       ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC) AS rn
+  FROM urls u JOIN rx_old r ON u.host = r.host AND regexp_matches(u.path, r.rx)
+),
+m_new AS (
+  SELECT u.o_orderkey, r.allow,
+    row_number() OVER (PARTITION BY u.o_orderkey
+                       ORDER BY r.plen DESC, r.allow DESC, r.pattern DESC) AS rn
+  FROM urls u JOIN rx_new r ON u.host = r.host AND regexp_matches(u.path, r.rx)
+),
+dec AS (
+  SELECT u.host,
+    COALESCE(mo.allow, 1) AS ao, COALESCE(mn.allow, 1) AS an
+  FROM urls u
+  LEFT JOIN (SELECT * FROM m_old WHERE rn = 1) mo USING (o_orderkey)
+  LEFT JOIN (SELECT * FROM m_new WHERE rn = 1) mn USING (o_orderkey)
+)
+SELECT host,
+  CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(1 - ao) AS BIGINT) AS n_blocked_old,
+  CAST(SUM(1 - an) AS BIGINT) AS n_blocked_new,
+  CAST(SUM(ao * (1 - an)) AS BIGINT) AS n_newly_blocked,
+  CAST(SUM((1 - ao) * an) AS BIGINT) AS n_newly_allowed,
+  SUM(ao * (1 - an) + (1 - ao) * an) > 0 AS policy_changed
+FROM dec GROUP BY host
+""",
         "psi_drift": r"""
 -- same md5 worlds (old = h('a'||id)%1001; new = least(1000, h('b'||id)%1001
 -- + 200·(id%2))), same ece-style binning, Laplace 1/n_bins smoothing,

@@ -150,3 +150,62 @@ def sitemap_refs(robots_text: Column) -> Column:
     return F.regexp_extract_all(
         robots_text, F.lit(r"(?i)sitemap:[ \t]*([^\s#]+)"), 1
     )
+
+
+def robots_delta(
+    urls: DataFrame,
+    rules_old: DataFrame,
+    rules_new: DataFrame,
+    url_col: str = "canonical_url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Robots-policy CHANGE impact over the frontier — the audit a
+    scheduler runs when a refetched robots.txt differs from the cached
+    one: how many queued URLs just became unfetchable (purge them
+    before they burn politeness tokens) and how many opened up (the
+    recrawl planner's new inventory). Per-URL allow/deny under BOTH
+    rule snapshots in ONE pass: two host-keyed broadcast rule joins +
+    one higher-order projection — the frontier never shuffles until
+    the final host-keyed rollup (host cardinality, not URL cardinality).
+
+    Same RFC 9309 longest-match precedence as :func:`robots_match`
+    (longest pattern wins, ties → Allow), rule-less host → crawl by
+    default on that side of the diff.
+
+    Returns per host: (host, n_urls, n_blocked_old, n_blocked_new,
+    n_newly_blocked, n_newly_allowed, policy_changed)."""
+    def decision(rules_col):
+        matches = F.filter(rules_col, lambda r: F.regexp_like(F.col("_path"), r["rx"]))
+        winner = F.array_max(
+            F.transform(
+                matches,
+                lambda r: F.struct(
+                    r["plen"].alias("plen"),
+                    r["allow"].alias("allow"),
+                    r["pattern"].alias("pattern"),
+                ),
+            )
+        )
+        return F.coalesce(winner["allow"], F.lit(1)).cast("int")
+
+    go = group_rules_by_host(rules_old).withColumnRenamed("rules", "_ro")
+    gn = group_rules_by_host(rules_new).withColumnRenamed("rules", "_rn")
+    u = (
+        urls.withColumn("_path", url_path_query(F.col(url_col)))
+        .join(F.broadcast(go), host_col, "left")
+        .join(F.broadcast(gn), host_col, "left")
+        .select(
+            host_col,
+            decision(F.col("_ro")).alias("_ao"),
+            decision(F.col("_rn")).alias("_an"),
+        )
+    )
+    return u.groupBy(host_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum(1 - F.col("_ao")).cast("long").alias("n_blocked_old"),
+        F.sum(1 - F.col("_an")).cast("long").alias("n_blocked_new"),
+        F.sum(F.col("_ao") * (1 - F.col("_an"))).cast("long").alias("n_newly_blocked"),
+        F.sum((1 - F.col("_ao")) * F.col("_an")).cast("long").alias("n_newly_allowed"),
+        (F.sum(F.col("_ao") * (1 - F.col("_an")) + (1 - F.col("_ao")) * F.col("_an")) > 0
+         ).alias("policy_changed"),
+    )

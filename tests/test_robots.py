@@ -252,3 +252,55 @@ class TestUrlSpamSignals:
         b = out["bare"]
         assert (b["path_depth"], b["n_params"], b["max_seg_repeat"]) == (0, 0, 0)
         assert not b["is_spam"]
+
+
+class TestRobotsDelta:
+    """functions/robots.robots_delta — transition classes on a
+    hand-built frontier and rule snapshots."""
+
+    def test_transitions(self, spark):
+        from amazonwebcrawler_spark.functions.robots import robots_delta
+
+        urls = spark.createDataFrame(
+            [
+                ("https://a.ex/keep/1", "a.ex"),
+                ("https://a.ex/old/2", "a.ex"),     # blocked old → allowed new
+                ("https://a.ex/new/3", "a.ex"),     # allowed old → blocked new
+                ("https://a.ex/both/4", "a.ex"),    # blocked both
+                ("https://b.ex/x", "b.ex"),          # no rules either side
+            ],
+            "canonical_url string, host string",
+        )
+        old = spark.createDataFrame(
+            [("a.ex", 0, "/old/"), ("a.ex", 0, "/both/")],
+            "host string, allow int, pattern string",
+        )
+        new = spark.createDataFrame(
+            [("a.ex", 0, "/new/"), ("a.ex", 0, "/both/")],
+            "host string, allow int, pattern string",
+        )
+        out = {r["host"]: r for r in robots_delta(urls, old, new).collect()}
+        a = out["a.ex"]
+        assert (a["n_urls"], a["n_blocked_old"], a["n_blocked_new"]) == (4, 2, 2)
+        assert (a["n_newly_blocked"], a["n_newly_allowed"]) == (1, 1)
+        assert a["policy_changed"]
+        b = out["b.ex"]
+        assert (b["n_blocked_old"], b["n_blocked_new"], b["policy_changed"]) == (0, 0, False)
+
+    def test_precedence_preserved_on_both_sides(self, spark):
+        from amazonwebcrawler_spark.functions.robots import robots_delta
+
+        urls = spark.createDataFrame(
+            [("https://a.ex/promo", "a.ex")], "canonical_url string, host string"
+        )
+        # old: anchored Disallow beats shorter Allow on /promo exactly;
+        # new: drops the anchor rule → allowed
+        old = spark.createDataFrame(
+            [("a.ex", 0, "/promo$"), ("a.ex", 1, "/promo")],
+            "host string, allow int, pattern string",
+        )
+        new = spark.createDataFrame(
+            [("a.ex", 1, "/promo")], "host string, allow int, pattern string"
+        )
+        [r] = robots_delta(urls, old, new).collect()
+        assert (r["n_blocked_old"], r["n_blocked_new"], r["n_newly_allowed"]) == (1, 0, 1)
