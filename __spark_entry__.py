@@ -4283,6 +4283,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_delta(urls, old_rules, new_rules)
 
+    def q_mix_plan(spark, sf):
+        """Token-budget mixture plan (operators/corpus.mixture_plan):
+        published mixture weights + per-source inventories → per-source
+        target tokens, sampling rate and EPOCH count — the numbers a
+        training run is configured with, and the oversampling flag a
+        data card must disclose (small high-weight sources repeating
+        many epochs amplify memorization). Weights renormalize against
+        their own sum (the spec here sums to 997 milli on purpose);
+        all exact integer DIV. Inventories = per-language char counts
+        over documents (one map-side agg); the plan itself runs on the
+        dozens-row strata table with a 1-row broadcast weight sum.
+        Twin replays the arithmetic in SQL — sf-dependent."""
+        from amazonwebcrawler_spark.operators.corpus import mixture_plan
+
+        d = _t(spark, sf, "documents")
+        strata = d.groupBy(F.col("lang").alias("source")).agg(
+            F.sum("n_chars").alias("n_tokens")
+        ).withColumn(
+            "weight_milli",
+            F.when(F.col("source") == "en", 600)
+            .when(F.col("source") == "zh", 120)
+            .when(F.col("source") == "es", 100)
+            .when(F.col("source") == "de", 90)
+            .otherwise(87),
+        )
+        return mixture_plan(strata, total_tokens=150_000)
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4498,6 +4525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "psi_drift": q_psi_drift,
         "robots_delta": q_robots_delta,
+        "mix_plan": q_mix_plan,
         }.items()
     }
 
@@ -7899,6 +7927,28 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "mix_plan": r"""
+-- same weight spec (sums to 997 — renormalization exercised), same
+-- char-count inventories, exact integer plan arithmetic
+WITH strata AS (
+  SELECT lang AS source, SUM(n_chars) AS n_tokens,
+    CASE lang WHEN 'en' THEN 600 WHEN 'zh' THEN 120 WHEN 'es' THEN 100
+              WHEN 'de' THEN 90 ELSE 87 END AS weight_milli
+  FROM documents GROUP BY lang
+),
+ws AS (SELECT SUM(weight_milli) AS wsum FROM strata),
+plan AS (
+  SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+    CAST(weight_milli AS BIGINT) AS weight_milli,
+    CAST((150000 * weight_milli) // ws.wsum AS BIGINT) AS target_tokens
+  FROM strata CROSS JOIN ws
+)
+SELECT *,
+  CAST((target_tokens * 1000000) // greatest(n_tokens, 1) AS BIGINT) AS sample_rate_ppm,
+  CAST((target_tokens * 1000) // greatest(n_tokens, 1) AS BIGINT) AS n_epochs_milli,
+  (target_tokens * 1000000) // greatest(n_tokens, 1) > 1000000 AS oversampled
+FROM plan
+""",
         "robots_delta": r"""
 -- both rule snapshots evaluated with the robots_rfc precedence (longest
 -- pattern, ties → Allow), then the per-host transition rollup

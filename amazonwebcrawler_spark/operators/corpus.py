@@ -1073,3 +1073,55 @@ def psi_drift(
     return out.crossJoin(F.broadcast(total)).select(
         "bin", "n_old", "n_new", "psi_term_micro", "psi_total_micro"
     )
+
+
+def mixture_plan(
+    strata: DataFrame,
+    total_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "weight_milli",
+) -> DataFrame:
+    """Token-budget mixture plan — the arithmetic that turns a published
+    mixture spec ("15% code, 4.5% books, ...") plus per-source
+    inventories into per-source sampling rates and EPOCH counts, the
+    numbers a training run is actually configured with. The flag that
+    matters is oversampling: a source whose target exceeds its
+    inventory repeats (epochs > 1), and small high-weight sources
+    repeating many epochs is the classic memorization/contamination
+    amplifier a data card must disclose.
+
+    Exact integer arithmetic throughout: weights renormalize against
+    their own sum (a spec that sums to 997 milli still plans the full
+    budget), ``target_tokens = total·w DIV Σw``,
+    ``sample_rate_ppm = target·1e6 DIV inventory`` (> 1e6 ⇔
+    oversampling), ``n_epochs_milli = target·1000 DIV inventory``.
+
+    Scale shape: runs on the strata table (dozens of rows — sources,
+    not documents); the one aggregate is the weight-sum broadcast back
+    via a 1-row cross join. Inventories come from upstream map-side
+    counts (corpus_stats / temperature_weights territory). Returns
+    (source, n_tokens, weight_milli, target_tokens, sample_rate_ppm,
+    n_epochs_milli, oversampled)."""
+    tot = strata.agg(F.sum(weight_col).alias("_wsum"))
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(source_col).alias("source"),
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.col(weight_col).cast("long").alias("weight_milli"),
+            F.expr(f"(CAST({total_tokens} AS BIGINT) * {weight_col}) DIV _wsum")
+            .alias("target_tokens"),
+        )
+        .select(
+            "*",
+            F.expr(f"(target_tokens * 1000000) DIV greatest({tokens_col}, 1)")
+            .alias("sample_rate_ppm"),
+            F.expr(f"(target_tokens * 1000) DIV greatest({tokens_col}, 1)")
+            .alias("n_epochs_milli"),
+        )
+        .select(
+            "*",
+            (F.col("sample_rate_ppm") > 1_000_000).alias("oversampled"),
+        )
+    )

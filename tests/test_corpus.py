@@ -758,3 +758,40 @@ class TestPsiDrift:
         # low bins emptied in new (min new score 300 → bin 2) → smoothing
         # kept every term finite
         assert all(out[b]["n_new"] == 0 for b in range(2))
+
+
+class TestMixturePlan:
+    """operators/corpus.mixture_plan — renormalization, oversampling
+    flags, exact arithmetic."""
+
+    def test_plan_arithmetic(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import mixture_plan
+
+        strata = spark.createDataFrame(
+            [
+                ("web", 1_000_000, 500),
+                ("code", 100_000, 300),  # small + high weight → oversampled
+                ("books", 500_000, 200),
+            ],
+            "source string, n_tokens long, weight_milli long",
+        )
+        out = {r["source"]: r for r in mixture_plan(strata, 1_000_000).collect()}
+        # weights sum to 1000 exactly here
+        assert out["web"]["target_tokens"] == 500_000
+        assert out["code"]["target_tokens"] == 300_000
+        assert out["books"]["target_tokens"] == 200_000
+        assert out["code"]["oversampled"] and out["code"]["n_epochs_milli"] == 3000
+        assert not out["web"]["oversampled"]
+        assert out["web"]["sample_rate_ppm"] == 500_000
+
+    def test_renormalizes_partial_weights(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import mixture_plan
+
+        strata = spark.createDataFrame(
+            [("a", 10_000, 300), ("b", 10_000, 100)],  # sums to 400
+            "source string, n_tokens long, weight_milli long",
+        )
+        out = {r["source"]: r for r in mixture_plan(strata, 40_000).collect()}
+        assert out["a"]["target_tokens"] == 30_000  # 300/400 of budget
+        assert out["b"]["target_tokens"] == 10_000
+        assert out["a"]["n_epochs_milli"] == 3000
