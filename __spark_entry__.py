@@ -4310,6 +4310,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mixture_plan(strata, total_tokens=150_000)
 
+    def q_hard_negatives(spark, sf):
+        """ANN-based hard-negative mining (operators/similarity.
+        hard_negatives): per anchor, the nearest vectors NOT in its
+        positive group — the contrastive-training negatives that carry
+        gradient (DPR); excluding same-group neighbors keeps secret
+        positives out of the loss. Labels here are source-level groups
+        (vec_id % 3 — the exclude-same-source mining mode), so every
+        shortlist provably contains exclusions. Shortlist via the
+        broadcast brute-force top-k (index-agnostic — lsh/ivf/pq swap
+        in at scale), two broadcast label joins, group-inequality
+        filter, per-anchor re-rank. Twin replays cosine, labels and
+        both windows in SQL."""
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 5)
+        labels = e.select(
+            F.col("vec_id"), (F.col("vec_id") % 3).cast("long").alias("group_id")
+        )
+        return similarity.hard_negatives(
+            e, qs, labels, "vec_id", "embedding", k_neg=5, shortlist=30
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4526,6 +4547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "robots_delta": q_robots_delta,
         "mix_plan": q_mix_plan,
+        "hard_negatives": q_hard_negatives,
         }.items()
     }
 
@@ -7927,6 +7949,47 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "hard_negatives": """
+-- brute-force shortlist (the ann_topk cosine), vec_id%3 source groups,
+-- exclusion count + filtered re-rank — both windows replayed
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(round(
+      list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+      * 1000000) AS BIGINT) AS cos_sim_micro
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+short AS (
+  SELECT query_id, neighbor_id, cos_sim_micro,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim_micro DESC, neighbor_id) AS rank
+  FROM scored QUALIFY rank <= 30
+),
+lab AS (
+  SELECT query_id, neighbor_id, cos_sim_micro,
+    query_id % 3 AS gq, neighbor_id % 3 AS gn
+  FROM short
+),
+excl AS (
+  SELECT query_id, CAST(SUM(CASE WHEN gq = gn THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_excluded
+  FROM lab GROUP BY query_id
+),
+negs AS (
+  SELECT query_id, neighbor_id, cos_sim_micro,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim_micro DESC, neighbor_id) AS neg_rank
+  FROM lab WHERE gq <> gn
+  QUALIFY neg_rank <= 5
+)
+SELECT n.query_id, n.neighbor_id, CAST(n.neg_rank AS INT) AS neg_rank,
+  n.cos_sim_micro, e.n_excluded
+FROM negs n JOIN excl e USING (query_id)
+""",
         "mix_plan": r"""
 -- same weight spec (sums to 997 — renormalization exercised), same
 -- char-count inventories, exact integer plan arithmetic

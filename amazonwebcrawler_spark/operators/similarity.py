@@ -1027,3 +1027,67 @@ def rrf_fusion(
     return fused.withColumn("fused_rank", F.row_number().over(w_out)).filter(
         F.col("fused_rank") <= topk
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_neg: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """ANN-based hard-negative mining — the contrastive-training data
+    op random sampling can't replace: for each anchor, the NEAREST
+    vectors that are NOT its positives make the negatives that carry
+    gradient (Karpukhin et al., DPR 2020 — in-batch randoms quickly
+    become trivial; BM25/ANN hard negatives drive retriever quality).
+    ``labels`` is any (id, group_id) dedup/cluster output: same-group
+    neighbors are positives/duplicates and must be EXCLUDED, or the
+    "hard negatives" are secretly positives and the loss teaches the
+    encoder to push duplicates apart.
+
+    Shape: shortlist via :func:`brute_force_topk` (broadcast queries —
+    swap in lsh/ivf/pq_topk at scale, the mining stage is index-
+    agnostic), then two broadcast-able label joins (anchor + neighbor;
+    unlabeled ids are their own singleton group), a group-inequality
+    filter, and a per-anchor re-rank cut to ``k_neg``. The ``shortlist``
+    must exceed ``k_neg`` by the expected positive count — shortlist
+    entries consumed by positives surface in ``n_excluded``.
+
+    Returns (query_id, neighbor_id, neg_rank, cos_sim_micro) plus the
+    per-anchor ``n_excluded`` repeated on each row."""
+    short = brute_force_topk(corpus, queries, id_col, vec_col, k=shortlist)
+
+    def grp(side_id, alias):
+        lab = labels.select(
+            F.col(labels.columns[0]).alias(side_id),
+            F.col("group_id").alias(alias),
+        )
+        return lab
+
+    j = (
+        short.join(F.broadcast(grp("query_id", "_gq")), "query_id", "left")
+        .join(F.broadcast(grp("neighbor_id", "_gn")), "neighbor_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim_micro",
+            F.coalesce(F.col("_gq"), F.col("query_id")).alias("_gq"),
+            F.coalesce(F.col("_gn"), F.col("neighbor_id")).alias("_gn"),
+        )
+    )
+    excl = j.groupBy("query_id").agg(
+        F.sum((F.col("_gq") == F.col("_gn")).cast("long")).alias("n_excluded")
+    )
+    negs = j.filter(F.col("_gq") != F.col("_gn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_micro").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .join(F.broadcast(excl), "query_id")
+        .select("query_id", "neighbor_id", "neg_rank", "cos_sim_micro", "n_excluded")
+    )

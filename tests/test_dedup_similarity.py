@@ -1579,3 +1579,49 @@ class TestPhashBitStats:
         out = {r["bit"]: r for r in dedup.phash_bit_stats(df).collect()}
         assert (out[0]["balance_milli"], out[0]["is_degenerate"]) == (100, False)
         assert (out[1]["balance_milli"], out[1]["is_degenerate"]) == (90, True)
+
+
+class TestHardNegatives:
+    """operators/similarity.hard_negatives — positive exclusion, rank
+    compaction, singleton default on hand-built geometry."""
+
+    def test_positives_excluded_and_ranks_compact(self, spark):
+        import numpy as np
+
+        from amazonwebcrawler_spark.operators.similarity import hard_negatives
+
+        # 1D-ish geometry on the unit circle: angles order similarity.
+        def vec(angle):
+            return [float(np.cos(angle)), float(np.sin(angle))]
+
+        rows = [
+            (0, vec(0.00)),   # anchor
+            (1, vec(0.01)),   # nearest — same group → excluded
+            (2, vec(0.02)),   # next — negative rank 1
+            (3, vec(0.03)),   # same group → excluded
+            (4, vec(0.04)),   # negative rank 2
+            (5, vec(1.50)),   # far negative rank 3
+        ]
+        e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        labels = spark.createDataFrame(
+            [(0, 100), (1, 100), (3, 100)], "vec_id long, group_id long"
+        )
+        out = hard_negatives(
+            e, e.filter("vec_id = 0"), labels, k_neg=3, shortlist=5
+        ).collect()
+        got = [(r["neg_rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["neg_rank"])]
+        assert got == [(1, 2), (2, 4), (3, 5)]
+        assert all(r["n_excluded"] == 2 for r in out)
+
+    def test_unlabeled_ids_are_singletons(self, spark):
+        from amazonwebcrawler_spark.operators.similarity import hard_negatives
+
+        e = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        empty = spark.createDataFrame([], "vec_id long, group_id long")
+        out = hard_negatives(e, e.filter("vec_id = 0"), empty, k_neg=2, shortlist=3).collect()
+        # nobody shares a group → nothing excluded, both others are negatives
+        assert sorted(r["neighbor_id"] for r in out) == [1, 2]
+        assert all(r["n_excluded"] == 0 for r in out)
