@@ -4331,6 +4331,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, labels, "vec_id", "embedding", k_neg=5, shortlist=30
         )
 
+    def q_video_pipeline(spark, sf):
+        """End-to-end video curation composition: ONE fused Arrow decode
+        (frame_quality_kernel) → sharpest-frame-per-shot keyframes
+        (keyframe_select, joined back to the quality table for the
+        winners' pHashes) → pigeonhole hamming containment
+        (keyframe_containment_pairs — the video_dedup back half,
+        factored to accept any keyframe policy) → per-video verdict
+        (best match by containment, ties to the lexicographically
+        first match). Proves the session-17 media stages COMPOSE with
+        the proven dedup machinery on a single decode pass. World: 10
+        multi-scene originals + 3 trims (prefix scenes — exact frames,
+        contained 1000‰ from the trim side) + 2 brightness-shifted
+        re-encodes + a corrupt row. Committed golden; the capture
+        checker replays decode→quality→cuts→argmax→hamming→containment
+        →verdict in Python and pins every planted relation."""
+        from amazonwebcrawler_spark.functions import media
+
+        LENS = [(5, 4, 3), (4, 4, 4), (6, 3, 3), (5, 5, 2), (3, 4, 5),
+                (4, 3, 5), (5, 3, 4), (6, 4, 2), (3, 5, 4), (4, 5, 3)]
+        rows = []
+        for i, lens in enumerate(LENS):
+            rows.append((f"orig-{i}", bytearray(media.synth_video_scenes(100 + i, lens))))
+        for i in (0, 3, 7):
+            rows.append((f"trim-{i}", bytearray(media.synth_video_scenes(100 + i, LENS[i][:2]))))
+        for i in (1, 5):
+            rows.append((f"re-{i}", bytearray(media.synth_video_scenes(100 + i, LENS[i], shift=4))))
+        rows.append(("vp-corrupt", bytearray(b"NOTAVIDEO")))
+        df = spark.createDataFrame(rows, "video_id string, bytes binary")
+        fq = df.repartition(8).mapInPandas(
+            media.frame_quality_kernel(1), media.FRAME_QUALITY_SCHEMA
+        )
+        sel = media.keyframe_select(fq, threshold=12)
+        kf = sel.join(fq, ["video_id", "frame_idx"]).select(
+            "video_id", "frame_idx", "phash"
+        )
+        pairs = media.keyframe_containment_pairs(kf, max_hamming=2)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("video_a").orderBy(
+            F.col("containment_milli").desc(), F.col("video_b").asc()
+        )
+        best = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("video_a").alias("video_id"),
+                F.col("video_b").alias("matched_video"),
+                "containment_milli",
+                "is_dup",
+            )
+        )
+        per_vid = sel.groupBy("video_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_shots"),
+            F.sum("n_frames").cast("long").alias("n_frames"),
+        )
+        return per_vid.join(best, "video_id", "left").select(
+            "video_id",
+            "n_shots",
+            "n_frames",
+            F.coalesce("matched_video", F.lit("")).alias("matched_video"),
+            F.coalesce("containment_milli", F.lit(0)).cast("long").alias("containment_milli"),
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+
     def _warmed(fn):
         def wrapper(spark, sf):
             _ensure_warm(spark)
@@ -4548,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_delta": q_robots_delta,
         "mix_plan": q_mix_plan,
         "hard_negatives": q_hard_negatives,
+        "video_pipeline": q_video_pipeline,
         }.items()
     }
 

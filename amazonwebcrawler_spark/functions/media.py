@@ -289,11 +289,27 @@ def video_neardup_pairs(
     Exact integers end to end. Returns (video_a, video_b, n_keyframes_a,
     n_matched, containment_milli, is_dup).
     """
+    kf = video_keyframes(frames_df, threshold)
+    return keyframe_containment_pairs(kf, max_hamming, containment_milli, max_bucket)
+
+
+def keyframe_containment_pairs(
+    kf,
+    max_hamming: int = 2,
+    containment_milli: int = 600,
+    max_bucket: int | None = None,
+):
+    """Containment scoring over an ALREADY-SELECTED keyframe table
+    (video_id, frame_idx, phash) — the back half of
+    :func:`video_neardup_pairs`, factored out so any keyframe policy
+    feeds it: first-frame-per-shot (:func:`video_keyframes`),
+    sharpest-frame-per-shot (:func:`keyframe_select` joined back to its
+    quality table), or an externally supplied signature set. Same exact
+    pigeonhole hamming join + ordered-pair containment rollup."""
     from pyspark.sql import functions as F
 
     from amazonwebcrawler_spark.operators.dedup import hamming_neardup_pairs
 
-    kf = video_keyframes(frames_df, threshold)
     keyed = kf.select(
         F.concat_ws("#", "video_id", F.col("frame_idx").cast("string")).alias("_kid"),
         "video_id",

@@ -148,6 +148,11 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "const3_milli": "BIGINT", "const4_milli": "BIGINT",
         "upscale_k": "INTEGER", "is_upscaled": "BOOLEAN",
     },
+    "video_pipeline": {
+        "video_id": "VARCHAR", "n_shots": "BIGINT", "n_frames": "BIGINT",
+        "matched_video": "VARCHAR", "containment_milli": "BIGINT",
+        "is_dup": "BOOLEAN",
+    },
     "audio_gate": {
         "audio_id": "VARCHAR", "duration_us": "BIGINT",
         "clipped_ppm": "BIGINT", "silence_ppm": "BIGINT",
@@ -1169,6 +1174,87 @@ def _check_upscale_detect(rows, ctx):
     assert "diag-corrupt" not in got_rows
 
 
+def _check_video_pipeline(rows, ctx):
+    """Full Python replay of the composition — decode → per-frame
+    pHash/lap_var → cut detection → sharpest-per-shot argmax → all-pairs
+    hamming ≤2 keyframe matching → ordered containment → best-match
+    verdict — plus closed-form pins: every trim contained 1000‰ from
+    its side, every planted pair flagged dup both ways, no orig↔orig
+    match, corrupt row absent."""
+    from amazonwebcrawler_spark.functions import media
+    from amazonwebcrawler_spark.functions.images import blur_stats, hamming64, phash64
+
+    LENS = [(5, 4, 3), (4, 4, 4), (6, 3, 3), (5, 5, 2), (3, 4, 5),
+            (4, 3, 5), (5, 3, 4), (6, 4, 2), (3, 5, 4), (4, 5, 3)]
+    worlds = {f"orig-{i}": media.synth_video_scenes(100 + i, lens)
+              for i, lens in enumerate(LENS)}
+    for i in (0, 3, 7):
+        worlds[f"trim-{i}"] = media.synth_video_scenes(100 + i, LENS[i][:2])
+    for i in (1, 5):
+        worlds[f"re-{i}"] = media.synth_video_scenes(100 + i, LENS[i], shift=4)
+
+    kf = {}
+    shots_frames = {}
+    for vid, data in worlds.items():
+        frames = list(media.iter_frames(data))
+        ph = [phash64(p) for p in frames]
+        lv = [blur_stats(p)["lap_var"] for p in frames]
+        shot, per_shot = 0, {0: []}
+        for i in range(len(frames)):
+            if i > 0 and hamming64(ph[i], ph[i - 1]) > 12:
+                shot += 1
+                per_shot[shot] = []
+            per_shot[shot].append(i)
+        winners = []
+        for s in sorted(per_shot):
+            idxs = per_shot[s]
+            best = max(idxs, key=lambda i: (lv[i] if lv[i] is not None else -1, -i))
+            winners.append((best, ph[best]))
+        kf[vid] = winners
+        shots_frames[vid] = (len(per_shot), len(frames))
+
+    expected = {}
+    for va, ka in kf.items():
+        best = None
+        for vb, kb in kf.items():
+            if vb == va:
+                continue
+            matched = sum(
+                1 for ia, pa in ka if any(hamming64(pa, pb) <= 2 for _, pb in kb)
+            )
+            if matched == 0:
+                continue
+            cont = matched * 1000 // len(ka)
+            if best is None or cont > best[0] or (cont == best[0] and vb < best[1]):
+                best = (cont, vb)
+        ns, nf = shots_frames[va]
+        if best is None:
+            expected[va] = (ns, nf, "", 0, False)
+        else:
+            expected[va] = (ns, nf, best[1], best[0], best[0] >= 600)
+
+    # closed-form pins
+    for i in (0, 3, 7):
+        assert expected[f"trim-{i}"][2:] == (f"orig-{i}", 1000, True)
+        assert expected[f"orig-{i}"][2] == f"trim-{i}" and expected[f"orig-{i}"][4]
+    for i in (1, 5):
+        assert expected[f"re-{i}"][2] == f"orig-{i}" and expected[f"re-{i}"][4]
+        assert expected[f"orig-{i}"][2] == f"re-{i}" and expected[f"orig-{i}"][4]
+    unplanted = {f"orig-{i}" for i in range(10)} - {"orig-0", "orig-1", "orig-3", "orig-5", "orig-7"}
+    assert all(expected[v][2] == "" for v in unplanted)
+
+    got = {
+        r["video_id"]: (r["n_shots"], r["n_frames"], r["matched_video"],
+                        r["containment_milli"], r["is_dup"])
+        for r in rows
+    }
+    assert got == expected, (
+        sorted(set(got) ^ set(expected))[:3],
+        [k for k in got if k in expected and got[k] != expected[k]][:3],
+    )
+    assert "vp-corrupt" not in got
+
+
 def _check_audio_gate(rows, ctx):
     """Independent DSP replay: rebuild every PCM stream the query built,
     recount clipped/quiet samples and the longest quiet run with a
@@ -1790,6 +1876,7 @@ CHECKERS = {
     "keyframe_select": _check_keyframe_select,
     "upscale_detect": _check_upscale_detect,
     "audio_gate": _check_audio_gate,
+    "video_pipeline": _check_video_pipeline,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 
