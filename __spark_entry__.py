@@ -4331,6 +4331,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, labels, "vec_id", "embedding", k_neg=5, shortlist=30
         )
 
+    def q_drain_plan(spark, sf):
+        """Frontier drain forecast (operators/politeness.drain_plan):
+        per host ⌈queued/rate⌉ waves under the politeness budget, with
+        the max-wave bottleneck hosts flagged — the number that
+        justifies raising a budget, splitting a shard or truncating a
+        queue BEFORE the crawl runs. One frontier count agg + broadcast
+        rate table + 1-row broadcast max. World: the three-tier skewed
+        host mix with a rate table that covers only some hosts
+        (default-rate path exercised); twin replays count, ceil-DIV
+        and the max flag in SQL — sf-dependent."""
+        from amazonwebcrawler_spark.operators.politeness import drain_plan
+
+        o = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        host = (
+            F.when(k % 5 < 3, F.concat(F.lit("h"), (k % 20).cast("string")))
+            .when(k % 5 == 3, F.concat(F.lit("h"), (k % 400 + 100).cast("string")))
+            .otherwise(F.concat(F.lit("h"), (k % 4000 + 1000).cast("string")))
+        )
+        frontier = o.select(host.alias("host"))
+        rates = spark.createDataFrame(
+            [(f"h{i}", 64 + 32 * (i % 3)) for i in range(20)],
+            "host string, tokens_per_wave long",
+        )
+        return drain_plan(frontier, rates)
+
     def q_video_pipeline(spark, sf):
         """End-to-end video curation composition: ONE fused Arrow decode
         (frame_quality_kernel) → sharpest-frame-per-shot keyframes
@@ -4613,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_plan": q_mix_plan,
         "hard_negatives": q_hard_negatives,
         "video_pipeline": q_video_pipeline,
+        "drain_plan": q_drain_plan,
         }.items()
     }
 
@@ -8014,6 +8041,33 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "drain_plan": r"""
+-- same skewed frontier + partial rate table; ceil-DIV waves, max flag
+WITH fr AS (
+  SELECT CASE
+    WHEN o_orderkey % 5 < 3 THEN 'h' || (o_orderkey % 20)::VARCHAR
+    WHEN o_orderkey % 5 = 3 THEN 'h' || (o_orderkey % 400 + 100)::VARCHAR
+    ELSE 'h' || (o_orderkey % 4000 + 1000)::VARCHAR
+  END AS host
+  FROM orders
+),
+q AS (SELECT host, COUNT(*) AS n_queued FROM fr GROUP BY host),
+rates AS (
+  SELECT 'h' || i::VARCHAR AS host, CAST(64 + 32 * (i % 3) AS BIGINT) AS tokens_per_wave
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+),
+j AS (
+  SELECT q.host, CAST(q.n_queued AS BIGINT) AS n_queued,
+    COALESCE(r.tokens_per_wave, 32) AS tokens_per_wave,
+    (q.n_queued + COALESCE(r.tokens_per_wave, 32) - 1)
+      // COALESCE(r.tokens_per_wave, 32) AS n_waves
+  FROM q LEFT JOIN rates r USING (host)
+),
+mx AS (SELECT MAX(n_waves) AS m FROM j)
+SELECT host, n_queued, tokens_per_wave, CAST(n_waves AS BIGINT) AS n_waves,
+  n_waves = mx.m AS is_bottleneck
+FROM j CROSS JOIN mx
+""",
         "hard_negatives": """
 -- brute-force shortlist (the ann_topk cosine), vec_id%3 source groups,
 -- exclusion count + filtered re-rank — both windows replayed

@@ -666,3 +666,54 @@ def host_fairness(
         F.expr("(_t1 * 1000000) DIV n_fetches").alias("top1pct_share_ppm"),
         F.expr("(_t10 * 1000000) DIV n_fetches").alias("top10pct_share_ppm"),
     )
+
+
+def drain_plan(
+    frontier: DataFrame,
+    rates: DataFrame,
+    host_col: str = "host",
+    rate_col: str = "tokens_per_wave",
+    default_rate: int = 32,
+) -> DataFrame:
+    """Frontier drain forecast — the scheduling arithmetic behind "how
+    many waves until host X is exhausted, and which hosts gate the
+    crawl's tail": per host, ``n_waves = ⌈queued / rate⌉`` under the
+    politeness budget (the AIMD/token-bucket rate table), plus each
+    host's share of the globally slowest drain. A host with 10^7 queued
+    URLs at 32/wave needs ~312 k waves — the number that justifies
+    raising its budget (aimd_rate), splitting its shard (salted
+    sharding), or truncating its queue (budget_allocate) BEFORE the
+    crawl runs, not after.
+
+    Exact integers: ``n_waves = (n_queued + rate − 1) DIV rate``;
+    ``is_bottleneck`` marks the max-wave hosts (ties all flagged —
+    they jointly gate the tail). Scale shape: one host-keyed count
+    collapses the frontier; the rate table is host-cardinality and
+    joins broadcast; the global max arrives via a 1-row broadcast
+    cross join — the frontier itself is never joined or shuffled
+    beyond the one count agg. Hosts absent from ``rates`` take
+    ``default_rate``. Returns (host, n_queued, tokens_per_wave,
+    n_waves, is_bottleneck)."""
+    q = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queued")
+    )
+    r = rates.select(
+        F.col(host_col).alias("host"),
+        F.col(rate_col).cast("long").alias("tokens_per_wave"),
+    )
+    j = q.join(F.broadcast(r), "host", "left").select(
+        "host",
+        "n_queued",
+        F.coalesce("tokens_per_wave", F.lit(default_rate)).alias("tokens_per_wave"),
+    ).select(
+        "*",
+        F.expr("(n_queued + tokens_per_wave - 1) DIV tokens_per_wave").alias("n_waves"),
+    )
+    mx = j.agg(F.max("n_waves").alias("_mx"))
+    return j.crossJoin(F.broadcast(mx)).select(
+        "host",
+        "n_queued",
+        "tokens_per_wave",
+        "n_waves",
+        (F.col("n_waves") == F.col("_mx")).alias("is_bottleneck"),
+    )

@@ -411,3 +411,34 @@ class TestHostFairness:
         assert r["top1pct_share_ppm"] == top1 * 1_000_000 // tot
         assert r["top10pct_share_ppm"] == top10 * 1_000_000 // tot
         assert r["top1pct_share_ppm"] == 700000  # 'big' alone
+
+
+class TestDrainPlan:
+    """operators/politeness.drain_plan — ceil arithmetic, default rate,
+    bottleneck ties."""
+
+    def test_waves_and_bottleneck(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import drain_plan
+
+        frontier = spark.createDataFrame(
+            [("a",)] * 100 + [("b",)] * 65 + [("c",)] * 10, "host string"
+        )
+        rates = spark.createDataFrame(
+            [("a", 32), ("b", 32)], "host string, tokens_per_wave long"
+        )
+        out = {r["host"]: r for r in drain_plan(frontier, rates, default_rate=5).collect()}
+        assert (out["a"]["n_waves"], out["a"]["is_bottleneck"]) == (4, True)  # ceil(100/32)
+        assert (out["b"]["n_waves"], out["b"]["is_bottleneck"]) == (3, False)  # ceil(65/32)
+        # c has no rate row → default 5 → ceil(10/5)=2
+        assert (out["c"]["tokens_per_wave"], out["c"]["n_waves"]) == (5, 2)
+
+    def test_bottleneck_ties_all_flagged(self, spark):
+        from amazonwebcrawler_spark.operators.politeness import drain_plan
+
+        frontier = spark.createDataFrame([("a",)] * 64 + [("b",)] * 33, "host string")
+        rates = spark.createDataFrame(
+            [("a", 32), ("b", 17)], "host string, tokens_per_wave long"
+        )
+        out = {r["host"]: r for r in drain_plan(frontier, rates).collect()}
+        assert out["a"]["n_waves"] == 2 and out["b"]["n_waves"] == 2
+        assert out["a"]["is_bottleneck"] and out["b"]["is_bottleneck"]
