@@ -4331,6 +4331,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, labels, "vec_id", "embedding", k_neg=5, shortlist=30
         )
 
+    def q_hamming_certify(spark, sf):
+        """Blocker certification (operators/dedup.hamming_certify):
+        per-distance recall of the pigeonhole hamming join vs an
+        exhaustive broadcast bit_count truth — run on a SAMPLE (the
+        lsh_eval discipline), turning the blocker's by-construction
+        exactness into a driver-visible audit row; every recall_milli
+        must read 1000. World: md5-derived 60-bit fingerprints over
+        documents + planted companions at EXACT distances 1-4
+        (contiguous nibble-aligned bit masks — d ones flipped
+        regardless of the base). Twin replays hashes, masks, the n²
+        truth and the distance rollup in SQL — sf-dependent."""
+        d = _t(spark, sf, "documents")
+        h = F.expr(
+            "CAST(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        base = d.select(F.col("doc_id").alias("id"), h.alias("fp"))
+        comp = (
+            d.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                (F.col("doc_id") + 1_000_000).alias("id"),
+                F.expr(
+                    "CAST(conv(substring(md5(cast(cast(doc_id AS string) AS binary)), 1, 15),"
+                    " 16, 10) AS BIGINT)"
+                    " ^ shiftleft(CAST(shiftleft(1, CAST(doc_id % 4 + 1 AS INT)) - 1 AS BIGINT),"
+                    " CAST((doc_id % 14) * 4 AS INT))"
+                ).alias("fp"),
+            )
+        )
+        return dedup.hamming_certify(base.unionByName(comp), "id", "fp", max_hamming=4)
+
     def q_drain_plan(spark, sf):
         """Frontier drain forecast (operators/politeness.drain_plan):
         per host ⌈queued/rate⌉ waves under the politeness budget, with
@@ -4640,6 +4671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "video_pipeline": q_video_pipeline,
         "drain_plan": q_drain_plan,
+        "hamming_certify": q_hamming_certify,
         }.items()
     }
 
@@ -8041,6 +8073,36 @@ FROM withp, z
 """,
         "caption_conflicts": _caption_conflicts_sql(),
         "freeze_detect": _freeze_detect_sql(),
+        "hamming_certify": r"""
+-- same md5 60-bit world + exact-distance companions; exhaustive n²
+-- bit_count truth vs the same truth restricted... the BLOCKED side is
+-- replayed as truth too (the blocker is exact — the Spark side must
+-- agree with ground truth at every distance or the row goes red)
+WITH base AS (
+  SELECT doc_id AS id,
+    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) AS fp
+  FROM documents
+),
+comp AS (
+  SELECT doc_id + 1000000 AS id,
+    xor(CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT),
+        ((1::BIGINT << (doc_id % 4 + 1)) - 1) << ((doc_id % 14) * 4)) AS fp
+  FROM documents WHERE doc_id % 5 = 0
+),
+keyed AS (SELECT * FROM base UNION ALL SELECT * FROM comp),
+truth AS (
+  SELECT bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM keyed a JOIN keyed b ON a.id < b.id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 4
+),
+th AS (SELECT hamming, COUNT(*) AS n FROM truth GROUP BY hamming),
+grid AS (SELECT unnest(generate_series(0, 4)) AS hamming)
+SELECT CAST(g.hamming AS INT) AS hamming,
+  CAST(COALESCE(th.n, 0) AS BIGINT) AS n_true_pairs,
+  CAST(COALESCE(th.n, 0) AS BIGINT) AS n_blocked_pairs,
+  CAST(1000 AS BIGINT) AS recall_milli
+FROM grid g LEFT JOIN th ON th.hamming = g.hamming
+""",
         "drain_plan": r"""
 -- same skewed frontier + partial rate table; ceil-DIV waves, max flag
 WITH fr AS (

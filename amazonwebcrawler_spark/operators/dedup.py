@@ -1550,3 +1550,60 @@ def phash_bit_stats(
             ).alias("is_degenerate"),
         )
     )
+
+
+def hamming_certify(
+    keyed: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Per-distance certification of the pigeonhole hamming blocker
+    against exhaustive ground truth — the eval-on-a-sample discipline
+    (lsh_eval's sibling): the blocker is exact BY CONSTRUCTION
+    (a pair within hamming ≤ t differs in at most t of the t+1 chunks),
+    and this op turns that proof into DATA — a per-distance
+    recall row the pipeline's audit record carries, re-verified on
+    every sample instead of trusted from a docstring.
+
+    Truth is a broadcast O(n²) bit_count self-join — which is exactly
+    why this runs on a SAMPLE (hash_sample upstream), never the corpus:
+    the certified property transfers because the blocker's chunking
+    logic is input-independent. Returns one row per distance
+    d ∈ 0..max_hamming: (hamming, n_true_pairs, n_blocked_pairs,
+    recall_milli) — recall_milli must read 1000 at every distance, and
+    a silent blocker regression (chunk-width bug, radix change) is a
+    red row here before it is a recall cliff downstream."""
+    ids = keyed.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
+    a, b = ids.alias("a"), ids.alias("b")
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    )
+    blocked = (
+        hamming_neardup_pairs(keyed, id_col, fp_col, max_hamming=max_hamming)
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_blocked_pairs"))
+    )
+    grid = keyed.sparkSession.range(max_hamming + 1).select(
+        F.col("id").cast("int").alias("hamming")
+    )
+    return (
+        grid.join(truth, "hamming", "left")
+        .join(blocked, "hamming", "left")
+        .select(
+            "hamming",
+            F.coalesce("n_true_pairs", F.lit(0)).cast("long").alias("n_true_pairs"),
+            F.coalesce("n_blocked_pairs", F.lit(0)).cast("long").alias("n_blocked_pairs"),
+            F.expr(
+                "CASE WHEN coalesce(n_true_pairs, 0) = 0 THEN 1000 "
+                "ELSE (coalesce(n_blocked_pairs, 0) * 1000) DIV n_true_pairs END"
+            ).alias("recall_milli"),
+        )
+    )

@@ -1625,3 +1625,28 @@ class TestHardNegatives:
         # nobody shares a group → nothing excluded, both others are negatives
         assert sorted(r["neighbor_id"] for r in out) == [1, 2]
         assert all(r["n_excluded"] == 0 for r in out)
+
+
+class TestHammingCertify:
+    """operators/dedup.hamming_certify — per-distance recall 1000 on
+    planted exact distances, empty-distance default."""
+
+    def test_planted_distances_certified(self, spark):
+        from amazonwebcrawler_spark.operators import dedup
+
+        base = 0x123456789ABCD
+        rows = [(0, base)]
+        # companions at exact distances 1..4 (contiguous masks)
+        for d in range(1, 5):
+            rows.append((d, base ^ (((1 << d) - 1) << (8 * d))))
+        # a far row: contributes nothing ≤4
+        rows.append((99, base ^ ((1 << 20) - 1)))
+        df = spark.createDataFrame(rows, "id long, fp long")
+        out = {r["hamming"]: r for r in dedup.hamming_certify(df, "id", "fp", max_hamming=4).collect()}
+        assert set(out) == {0, 1, 2, 3, 4}
+        for dist in (1, 2, 3, 4):
+            r = out[dist]
+            assert r["n_true_pairs"] >= 1 and r["n_true_pairs"] == r["n_blocked_pairs"]
+            assert r["recall_milli"] == 1000
+        # distance 0 has no pairs → vacuous 1000
+        assert (out[0]["n_true_pairs"], out[0]["recall_milli"]) == (0, 1000)
