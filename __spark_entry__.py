@@ -4331,6 +4331,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, labels, "vec_id", "embedding", k_neg=5, shortlist=30
         )
 
+    def q_image_probe(spark, sf):
+        """Image-side model-scored gate (functions/images.
+        probe_score_kernel): classifier_score's sibling for the image
+        axis — decode once, grid-mean embed, sequential-dot a broadcast
+        linear probe head (deterministic stand-in weights; swap for a
+        trained aesthetic/NSFW head and nothing else changes), emit one
+        micro BIGINT logit; keep = logit ≥ 0 is pure JVM (sign ≡
+        sigmoid ≥ 0.5, no exp to drift). Bias sits at the world's score
+        center so BOTH verdict classes occur. World: 24 product shots +
+        a flat card + a corrupt row (zero rows). Committed golden; the
+        capture checker replays decode→embed→dot in Python and pins
+        both classes and the corrupt drop."""
+        from amazonwebcrawler_spark.functions import images as fi
+        from amazonwebcrawler_spark.sources import synthetic_world as world
+
+        rows = []
+        for i in range(1, 25):
+            rec = world.image_record(world.asin_for("probe gate", 1, i))
+            rows.append((rec["image_id"], bytearray(rec["bytes"])))
+        import numpy as np
+
+        rows.append(("probe-flat", bytearray(fi.encode_png(np.full((16, 16, 3), 128, np.uint8)))))
+        rows.append(("probe-corrupt", bytearray(b"NOTANIMAGE")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        scored = df.repartition(8).mapInPandas(
+            fi.probe_score_kernel(fi.probe_weights(), bias_micro=-1_183_000),
+            fi.PROBE_SCHEMA,
+        )
+        return scored.select(
+            "image_id", "logit_micro", (F.col("logit_micro") >= 0).alias("keep")
+        )
+
     def q_hamming_certify(spark, sf):
         """Blocker certification (operators/dedup.hamming_certify):
         per-distance recall of the pigeonhole hamming join vs an
@@ -4672,6 +4704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_pipeline": q_video_pipeline,
         "drain_plan": q_drain_plan,
         "hamming_certify": q_hamming_certify,
+        "image_probe": q_image_probe,
         }.items()
     }
 

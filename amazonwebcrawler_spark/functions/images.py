@@ -921,3 +921,49 @@ def upscale_stats_kernel():
             yield out
 
     return gen
+
+
+# ------------------------------------------------------ linear probe gate
+PROBE_SCHEMA = "image_id string, logit_micro long"
+
+
+def probe_weights(dim: int = 48, seed: int = 424242) -> list:
+    """Deterministic stand-in probe weights (seeded, 6dp-rounded — the
+    same bit-stability discipline as similarity._hyperplanes): in
+    deployment these are a trained aesthetic/NSFW/quality head's
+    weights; here they pin the plumbing end to end."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [round(float(x), 6) for x in rng.standard_normal(dim) * 0.8]
+
+
+def probe_score_kernel(weights: list, bias_micro: int):
+    """ONE Arrow pass ``(image_id, bytes) → (image_id, logit_micro)`` —
+    the image-side model-scored gate (classifier_score's sibling for
+    the image axis): decode once, grid-mean embed (:func:`embed_image`
+    — swap for a real encoder and nothing else changes), then a
+    SEQUENTIAL float dot (fixed order, IEEE deterministic — never
+    BLAS) against the broadcast probe weights; emitted as one
+    micro-rounded BIGINT logit. The keep verdict compares the logit
+    against ZERO JVM-side — sign(logit) ≡ sigmoid ≥ 0.5 with no exp
+    to drift. Undecodable bytes yield zero rows (validate owns the
+    corrupt signal)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    px = decode_image(bytes(data))
+                except Exception:
+                    continue
+                emb = embed_image(px, grid=4)
+                s = 0.0
+                for a, b in zip(weights, emb):
+                    s += a * b
+                rows.append({"image_id": iid, "logit_micro": round(s * 1e6) + bias_micro})
+            yield pd.DataFrame(rows, columns=["image_id", "logit_micro"])
+
+    return gen

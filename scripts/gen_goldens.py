@@ -148,6 +148,9 @@ GOLDEN_QUERIES: dict[str, dict[str, str]] = {
         "const3_milli": "BIGINT", "const4_milli": "BIGINT",
         "upscale_k": "INTEGER", "is_upscaled": "BOOLEAN",
     },
+    "image_probe": {
+        "image_id": "VARCHAR", "logit_micro": "BIGINT", "keep": "BOOLEAN",
+    },
     "video_pipeline": {
         "video_id": "VARCHAR", "n_shots": "BIGINT", "n_frames": "BIGINT",
         "matched_video": "VARCHAR", "containment_milli": "BIGINT",
@@ -1174,6 +1177,45 @@ def _check_upscale_detect(rows, ctx):
     assert "diag-corrupt" not in got_rows
 
 
+def _check_image_probe(rows, ctx):
+    """Replay decode → grid-mean embed → the SAME sequential dot in
+    Python (fixed summation order — the determinism contract) and pin
+    both verdict classes present, the flat-card row, and the corrupt
+    drop."""
+    import numpy as np
+
+    from amazonwebcrawler_spark.functions import images as fi
+    from amazonwebcrawler_spark.sources import synthetic_world as world
+
+    w = fi.probe_weights()
+    imgs = {}
+    for i in range(1, 25):
+        rec = world.image_record(world.asin_for("probe gate", 1, i))
+        imgs[rec["image_id"]] = rec["bytes"]
+    imgs["probe-flat"] = fi.encode_png(np.full((16, 16, 3), 128, np.uint8))
+
+    expected = {}
+    for iid, data in imgs.items():
+        emb = fi.embed_image(fi.decode_image(data), grid=4)
+        s = 0.0
+        for a, b in zip(w, emb):
+            s += a * b
+        logit = round(s * 1e6) - 1_183_000
+        expected[iid] = (logit, logit >= 0)
+
+    got = {r["image_id"]: (r["logit_micro"], r["keep"]) for r in rows}
+    assert got == expected, (
+        sorted(set(got) ^ set(expected))[:3],
+        [k for k in got if k in expected and got[k] != expected[k]][:3],
+    )
+    keeps = {v[1] for v in expected.values()}
+    assert keeps == {True, False}  # both verdict classes occur
+    assert "probe-corrupt" not in got
+    # flat card: all-equal pixels embed to the zero-centered vector →
+    # the dot collapses to ~0 and the bias decides
+    assert not expected["probe-flat"][1]
+
+
 def _check_video_pipeline(rows, ctx):
     """Full Python replay of the composition — decode → per-frame
     pHash/lap_var → cut detection → sharpest-per-shot argmax → all-pairs
@@ -1877,6 +1919,7 @@ CHECKERS = {
     "upscale_detect": _check_upscale_detect,
     "audio_gate": _check_audio_gate,
     "video_pipeline": _check_video_pipeline,
+    "image_probe": _check_image_probe,
 }
 assert set(CHECKERS) == set(GOLDEN_QUERIES), "every golden needs a capture-time checker"
 

@@ -734,3 +734,28 @@ class TestColorStats:
                 df.mapInPandas(color_stats_kernel(), COLOR_SCHEMA).collect()}
         assert rows["s"]["dom_milli"] == 1000
         assert rows["bad"]["dom_milli"] is None  # quarantined, not dropped
+
+
+class TestProbeScore:
+    """functions/images.probe_score_kernel — determinism across
+    partitionings and the corrupt-quarantine path."""
+
+    def test_deterministic_and_quarantine(self, spark):
+        import numpy as np
+
+        from amazonwebcrawler_spark.functions import images as fi
+
+        px = ((np.arange(16 * 16 * 3) * 11 + 5) % 251).reshape(16, 16, 3).astype(np.uint8)
+        rows = [(f"p{i}", bytearray(fi.encode_png((px + i) % 251))) for i in range(6)]
+        rows.append(("bad", bytearray(b"JUNK")))
+        df = spark.createDataFrame(rows, "image_id string, bytes binary")
+        k = fi.probe_score_kernel(fi.probe_weights(), bias_micro=0)
+        a = sorted(map(tuple, df.repartition(2).mapInPandas(k, fi.PROBE_SCHEMA).collect()))
+        b = sorted(map(tuple, df.repartition(5).mapInPandas(k, fi.PROBE_SCHEMA).collect()))
+        assert a == b and len(a) == 6  # corrupt dropped, layout-invariant
+        # replay one score sequentially
+        emb = fi.embed_image(fi.decode_image(bytes(rows[0][1])), grid=4)
+        s = 0.0
+        for wv, ev in zip(fi.probe_weights(), emb):
+            s += wv * ev
+        assert dict(a)["p0"] == round(s * 1e6)

@@ -41,7 +41,7 @@ POST_FREEZE = (
     "freeze_detect", "oov_rate", "url_spam", "dedup_cluster_stats",
     "host_fairness", "phash_bit_stats", "wds_shards", "boilerplate_strip",
     "psi_drift", "robots_delta", "mix_plan", "hard_negatives",
-    "video_pipeline", "drain_plan", "hamming_certify",
+    "video_pipeline", "drain_plan", "hamming_certify", "image_probe",
 )
 
 
