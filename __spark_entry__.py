@@ -4331,6 +4331,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, labels, "vec_id", "embedding", k_neg=5, shortlist=30
         )
 
+    def q_drop_reasons(spark, sf):
+        """Drop-reason bitmask audit (operators/corpus.drop_reasons over
+        three REAL gates): bit0 = exact duplicate (not the min-id
+        keeper of its md5-text group), bit1 = contaminated (≥10% eval
+        3-gram overlap, the decontaminate report), bit2 = too short
+        (n_chars < 60). One integer per doc says WHY it fell — the
+        per-reason rollup and co-occurrence audit are one groupBy over
+        the mask, no gate re-runs. Twin recomposes md5 window +
+        shingle contamination + length floor and the same Σ2^i mask in
+        SQL — sf-dependent."""
+        from amazonwebcrawler_spark.operators import corpus
+
+        d = _t(spark, sf, "documents")
+        tr = d.filter(F.col("doc_id") % 97 != 0)
+        ev = d.filter(F.col("doc_id") % 97 == 0)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+        dup = tr.select(
+            "doc_id",
+            "n_chars",
+            (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+        )
+        rep = corpus.decontaminate(tr, ev, "text", "doc_id", n=3).select(
+            "doc_id", (F.col("contamination_micro") >= 100_000).alias("_hot")
+        )
+        flags = (
+            dup.join(rep, "doc_id", "left")
+            .select(
+                "doc_id",
+                "is_duplicate",
+                F.coalesce("_hot", F.lit(False)).alias("is_contaminated"),
+                (F.col("n_chars") < 60).alias("is_too_short"),
+            )
+        )
+        return corpus.drop_reasons(
+            flags, ["is_duplicate", "is_contaminated", "is_too_short"]
+        )
+
     def q_image_probe(spark, sf):
         """Image-side model-scored gate (functions/images.
         probe_score_kernel): classifier_score's sibling for the image
@@ -4705,6 +4744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_plan": q_drain_plan,
         "hamming_certify": q_hamming_certify,
         "image_probe": q_image_probe,
+        "drop_reasons": q_drop_reasons,
         }.items()
     }
 
@@ -7021,6 +7061,41 @@ SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
   CAST((SUM(CAST(n_chars AS BIGINT)) * 1000000) // COUNT(*) AS BIGINT) AS avg_chars_micro,
   CAST(round(median(n_chars) * 2) AS BIGINT) AS median_chars_x2
 FROM tk GROUP BY lang
+""",
+        "drop_reasons": rf"""
+-- three real gates recomposed: md5-group dup election, 3-gram eval
+-- contamination ≥10%, length floor; mask = Σ 2^i·flag
+WITH {shingle_cte},
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 97 <> 0),
+trsh AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM trsh GROUP BY doc_id),
+hits AS (
+  SELECT trsh.doc_id, COUNT(*) AS n_hits
+  FROM trsh JOIN ev ON ev.s = trsh.s GROUP BY trsh.doc_id
+),
+contam AS (
+  SELECT h.doc_id
+  FROM hits h JOIN sizes sz ON sz.doc_id = h.doc_id
+  WHERE (h.n_hits * 1000000) // sz.n_grams >= 100000
+),
+dup AS (
+  SELECT doc_id, n_chars,
+    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+  FROM tr
+),
+flags AS (
+  SELECT d.doc_id, d.is_duplicate,
+    c.doc_id IS NOT NULL AS is_contaminated,
+    d.n_chars < 60 AS is_too_short
+  FROM dup d LEFT JOIN contam c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, is_duplicate, is_contaminated, is_too_short,
+  CAST(CASE WHEN is_duplicate THEN 1 ELSE 0 END
+     + CASE WHEN is_contaminated THEN 2 ELSE 0 END
+     + CASE WHEN is_too_short THEN 4 ELSE 0 END AS BIGINT) AS reason_mask,
+  NOT (is_duplicate OR is_contaminated OR is_too_short) AS keep
+FROM flags
 """,
         "decontaminate": rf"""
 WITH {shingle_cte},

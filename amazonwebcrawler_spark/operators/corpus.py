@@ -1125,3 +1125,31 @@ def mixture_plan(
             (F.col("sample_rate_ppm") > 1_000_000).alias("oversampled"),
         )
     )
+
+
+def drop_reasons(
+    flags: DataFrame, reason_cols: list, id_col: str = "doc_id"
+) -> DataFrame:
+    """Generic drop-reason bitmask combiner — the audit column every
+    production curation pipeline logs beside its keep decision: ONE
+    integer that says WHY a document fell (bit i set ⇔
+    ``reason_cols[i]`` fired), so the per-reason rollup, the
+    reasons-co-occurrence matrix, and the "what would keeping
+    reason-X-only docs add back" counterfactual are all one groupBy
+    over the mask — no re-running the gates. A keep/drop boolean alone
+    loses exactly this (two gates firing together vs either alone is
+    the difference between "tighten the gate" and "fix the crawler").
+
+    Pure column math over already-computed flags (the gates themselves
+    ran upstream — this op never recomputes them): ``reason_mask =
+    Σ 2^i·flag_i``, ``keep = mask == 0``. Bit order is the caller's
+    list order — stable, documented, append-only by convention."""
+    mask = F.lit(0)
+    for i, c in enumerate(reason_cols):
+        mask = mask + F.coalesce(F.col(c).cast("int"), F.lit(0)) * (1 << i)
+    return flags.select(
+        id_col,
+        *reason_cols,
+        mask.cast("long").alias("reason_mask"),
+        (mask.cast("long") == 0).alias("keep"),
+    )

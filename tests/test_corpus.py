@@ -795,3 +795,27 @@ class TestMixturePlan:
         assert out["a"]["target_tokens"] == 30_000  # 300/400 of budget
         assert out["b"]["target_tokens"] == 10_000
         assert out["a"]["n_epochs_milli"] == 3000
+
+
+class TestDropReasons:
+    """operators/corpus.drop_reasons — bit order, NULL coalescing, keep."""
+
+    def test_mask_arithmetic(self, spark):
+        from amazonwebcrawler_spark.operators.corpus import drop_reasons
+
+        rows = [
+            (1, False, False, False),
+            (2, True, False, False),
+            (3, False, True, True),
+            (4, True, True, True),
+            (5, None, False, None),  # NULL flags count as not-fired
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, a boolean, b boolean, c boolean"
+        )
+        out = {r["doc_id"]: r for r in drop_reasons(df, ["a", "b", "c"]).collect()}
+        assert (out[1]["reason_mask"], out[1]["keep"]) == (0, True)
+        assert (out[2]["reason_mask"], out[2]["keep"]) == (1, False)
+        assert (out[3]["reason_mask"], out[3]["keep"]) == (6, False)
+        assert (out[4]["reason_mask"], out[4]["keep"]) == (7, False)
+        assert (out[5]["reason_mask"], out[5]["keep"]) == (0, True)
