@@ -4331,6 +4331,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e, qs, labels, "vec_id", "embedding", k_neg=5, shortlist=30
         )
 
+    def q_bloom_plan(spark, sf):
+        """Bloom sizing advisor (operators/bloom.bloom_plan): per
+        (n_items, target_fpr) config the textbook m/k optima, the
+        re-predicted FPR at the integer (m, k), and total bytes — the
+        capacity plan a 10^10-URL seen-filter commits to BEFORE the
+        crawl (bloom_stats is the live measured counterpart). Config
+        world: 21 distinct (n, fpr) cells derived from orders
+        (n ∈ 10^4..10^10 scaled ×1..3, fpr 100..400 ppm). Float-borne
+        columns (ln/exp/pow) land as single-rounded BIGINTs with
+        identical literals on both engine sides — the lm_score log
+        discipline."""
+        from amazonwebcrawler_spark.operators.bloom import bloom_plan
+
+        o = _t(spark, sf, "orders")
+        j = (F.col("o_orderkey") % 21).cast("int")
+        cfg = o.select(
+            (F.pow(F.lit(10.0), (4 + j % 7).cast("double")).cast("long")
+             * (1 + F.floor(j / 7)).cast("long")).alias("n_items"),
+            (100 * (1 + j % 4)).cast("long").alias("target_fpr_ppm"),
+        ).distinct()
+        return bloom_plan(cfg)
+
     def q_drop_reasons(spark, sf):
         """Drop-reason bitmask audit (operators/corpus.drop_reasons over
         three REAL gates): bit0 = exact duplicate (not the min-id
@@ -4745,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_certify": q_hamming_certify,
         "image_probe": q_image_probe,
         "drop_reasons": q_drop_reasons,
+        "bloom_plan": q_bloom_plan,
         }.items()
     }
 
@@ -7061,6 +7084,34 @@ SELECT lang, COUNT(*) AS n_docs, SUM(n_tok) AS total_tokens,
   CAST((SUM(CAST(n_chars AS BIGINT)) * 1000000) // COUNT(*) AS BIGINT) AS avg_chars_micro,
   CAST(round(median(n_chars) * 2) AS BIGINT) AS median_chars_x2
 FROM tk GROUP BY lang
+""",
+        "bloom_plan": f"""
+-- same 21 config cells; identical double literals (ln²2 = {0.6931471805599453 * 0.6931471805599453!r},
+-- ln2 = {0.6931471805599453!r}) so the float path is bit-shared
+WITH cfg AS (
+  SELECT DISTINCT
+    CAST(pow(10.0, CAST(4 + (o_orderkey % 21) % 7 AS DOUBLE)) AS BIGINT)
+      * (1 + (o_orderkey % 21) // 7) AS n_items,
+    CAST(100 * (1 + (o_orderkey % 21) % 4) AS BIGINT) AS target_fpr_ppm
+  FROM orders
+),
+plan AS (
+  SELECT n_items, target_fpr_ppm,
+    CAST(ceil(-(CAST(n_items AS DOUBLE) * ln(CAST(target_fpr_ppm AS DOUBLE) / 1e6))
+              / {0.6931471805599453 * 0.6931471805599453!r}) AS BIGINT) AS m_bits
+  FROM cfg
+),
+k AS (
+  SELECT *, GREATEST(1, CAST(round(CAST(m_bits AS DOUBLE) / CAST(n_items AS DOUBLE)
+    * {0.6931471805599453!r}) AS BIGINT)) AS k_hashes
+  FROM plan
+)
+SELECT n_items, target_fpr_ppm, m_bits, k_hashes,
+  CAST(round(pow(1.0 - exp(-(CAST(k_hashes AS DOUBLE) * CAST(n_items AS DOUBLE))
+                           / CAST(m_bits AS DOUBLE)), CAST(k_hashes AS DOUBLE))
+             * 1e6) AS BIGINT) AS predicted_fpr_micro,
+  CAST(floor((CAST(m_bits AS DOUBLE) + 7) / 8) AS BIGINT) AS bytes_total
+FROM k
 """,
         "drop_reasons": rf"""
 -- three real gates recomposed: md5-group dup election, 3-gram eval

@@ -251,3 +251,38 @@ def probe_shards(
         .cogroup(shards.groupBy("bucket"))
         .applyInPandas(probe, out_schema)
     )
+
+
+def bloom_plan(configs, n_col: str = "n_items", fpr_col: str = "target_fpr_ppm"):
+    """Bloom sizing advisor — the capacity arithmetic that decides the
+    URL-seen filter's shape BEFORE a 10^10-URL crawl commits to it
+    (resizing a live filter means a full rebuild, operators/bloom's COW
+    shards notwithstanding): for each (n_items, target_fpr) row,
+    the textbook optima ``m = ⌈−n·ln p / ln²2⌉`` bits and
+    ``k = max(1, round(m/n · ln 2))`` hashes, the re-predicted FPR at
+    that integer (m, k) — ``(1 − e^{−kn/m})^k``, micro-rounded once —
+    and the bytes per shard under the store's bucket count. Runs on a
+    handful of config rows (pure column math, no data side); the
+    MEASURED counterpart is bloom_stats' live false-negative/occupancy
+    audit — plan here, verify there.
+
+    Returns (n_items, target_fpr_ppm, m_bits, k_hashes,
+    predicted_fpr_micro, bytes_total)."""
+    from pyspark.sql import functions as F
+
+    n = F.col(n_col).cast("double")
+    p = F.col(fpr_col).cast("double") / 1e6
+    ln2 = 0.6931471805599453
+    m = F.ceil(-(n * F.log(p)) / F.lit(ln2 * ln2)).cast("long")
+    k = F.greatest(F.lit(1), F.round(m.cast("double") / n * ln2).cast("long"))
+    pred = F.pow(
+        F.lit(1.0) - F.exp(-(k.cast("double") * n) / m.cast("double")), k.cast("double")
+    )
+    return configs.select(
+        F.col(n_col).cast("long").alias("n_items"),
+        F.col(fpr_col).cast("long").alias("target_fpr_ppm"),
+        m.alias("m_bits"),
+        k.alias("k_hashes"),
+        F.round(pred * 1e6).cast("long").alias("predicted_fpr_micro"),
+        F.floor((m + 7) / 8).cast("long").alias("bytes_total"),
+    )

@@ -138,3 +138,34 @@ def test_track_keys_merge_rejects_keyless_state(spark):
         exact=True,
     )
     assert probed.filter(~F.col("exact_seen")).count() == 0
+
+
+class TestBloomPlan:
+    """operators/bloom.bloom_plan — textbook optima replayed in Python."""
+
+    def test_textbook_values(self, spark):
+        import math
+
+        from amazonwebcrawler_spark.operators.bloom import bloom_plan
+
+        cfg = spark.createDataFrame(
+            [(1_000_000, 100), (10_000_000_000, 100), (1_000_000, 10_000)],
+            "n_items long, target_fpr_ppm long",
+        )
+        out = {r["n_items"] * 1_000_000 + r["target_fpr_ppm"]: r
+               for r in bloom_plan(cfg).collect()}
+        ln2 = 0.6931471805599453
+        for (n, fppm) in ((1_000_000, 100), (10_000_000_000, 100), (1_000_000, 10_000)):
+            r = out[n * 1_000_000 + fppm]
+            p = fppm / 1e6
+            m = math.ceil(-(n * math.log(p)) / (ln2 * ln2))
+            k = max(1, round(m / n * ln2))
+            assert r["m_bits"] == m and r["k_hashes"] == k
+            pred = (1.0 - math.exp(-(k * n) / m)) ** k
+            assert r["predicted_fpr_micro"] == round(pred * 1e6)
+            assert r["bytes_total"] == (m + 7) // 8
+            # the integer plan must roughly hit the target
+            assert abs(pred - p) / p < 0.2
+        # the 10^10-URL / 100 ppm cell: the filter the crawl actually sizes
+        big = out[10_000_000_000 * 1_000_000 + 100]
+        assert 20 < big["bytes_total"] / 2**30 < 30  # ~25 GiB
