@@ -145,6 +145,39 @@ def _freeze_world_rows() -> list[tuple[str, int, int]]:
     return rows
 
 
+def _gate_flags(d: DataFrame) -> DataFrame:
+    """The three real curation gates shared by drop_reasons and
+    data_card (single source of truth with their DuckDB twins):
+    md5-group duplicate election, ≥10% eval 3-gram contamination
+    (every-97th-doc eval split), and the 60-char length floor — over
+    the training split, carrying (lang, n_chars) through for the
+    card's totals."""
+    from pyspark.sql import Window
+
+    from amazonwebcrawler_spark.operators import corpus
+
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
+    dup = tr.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+    rep = corpus.decontaminate(tr, ev, "text", "doc_id", n=3).select(
+        "doc_id", (F.col("contamination_micro") >= 100_000).alias("_hot")
+    )
+    return dup.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "is_duplicate",
+        F.coalesce("_hot", F.lit(False)).alias("is_contaminated"),
+        (F.col("n_chars") < 60).alias("is_too_short"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from amazonwebcrawler_spark.functions.rank import (
         best_seller_rank_extract,
@@ -4365,31 +4398,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         SQL — sf-dependent."""
         from amazonwebcrawler_spark.operators import corpus
 
-        d = _t(spark, sf, "documents")
-        tr = d.filter(F.col("doc_id") % 97 != 0)
-        ev = d.filter(F.col("doc_id") % 97 == 0)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy(F.md5(F.col("text").cast("binary")))
-        dup = tr.select(
-            "doc_id",
-            "n_chars",
-            (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
-        )
-        rep = corpus.decontaminate(tr, ev, "text", "doc_id", n=3).select(
-            "doc_id", (F.col("contamination_micro") >= 100_000).alias("_hot")
-        )
-        flags = (
-            dup.join(rep, "doc_id", "left")
-            .select(
-                "doc_id",
-                "is_duplicate",
-                F.coalesce("_hot", F.lit(False)).alias("is_contaminated"),
-                (F.col("n_chars") < 60).alias("is_too_short"),
-            )
-        )
+        flags = _gate_flags(_t(spark, sf, "documents"))
         return corpus.drop_reasons(
-            flags, ["is_duplicate", "is_contaminated", "is_too_short"]
+            flags.drop("lang", "n_chars"),
+            ["is_duplicate", "is_contaminated", "is_too_short"],
+        )
+
+    def q_data_card(spark, sf):
+        """Data-card rollup — the one-row corpus documentation artifact
+        a release ships: totals, language breadth, and per-gate drop
+        shares (exact ppm) from the SAME three real gates as
+        drop_reasons, plus the keep rate — assembled in one aggregate
+        over the flag table (the gates run once; the card is a
+        groupBy). Twin recomposes the gate CTEs and the final
+        aggregate in SQL — sf-dependent, 1 row."""
+        flags = _gate_flags(_t(spark, sf, "documents"))
+        return flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("n_dup"),
+            F.sum(F.col("is_contaminated").cast("long")).alias("n_contaminated"),
+            F.sum(F.col("is_too_short").cast("long")).alias("n_too_short"),
+            F.sum(
+                (~(F.col("is_duplicate") | F.col("is_contaminated") | F.col("is_too_short")))
+                .cast("long")
+            ).alias("n_keep"),
+        ).select(
+            "*",
+            F.expr("(n_keep * 1000000) DIV n_docs").alias("keep_ppm"),
         )
 
     def q_image_probe(spark, sf):
@@ -4768,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_probe": q_image_probe,
         "drop_reasons": q_drop_reasons,
         "bloom_plan": q_bloom_plan,
+        "data_card": q_data_card,
         }.items()
     }
 
@@ -7112,6 +7150,41 @@ SELECT n_items, target_fpr_ppm, m_bits, k_hashes,
              * 1e6) AS BIGINT) AS predicted_fpr_micro,
   CAST(floor((CAST(m_bits AS DOUBLE) + 7) / 8) AS BIGINT) AS bytes_total
 FROM k
+""",
+        "data_card": rf"""
+-- the drop_reasons gates re-composed into the one-row card
+WITH {shingle_cte},
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 97 <> 0),
+trsh AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM trsh GROUP BY doc_id),
+hits AS (
+  SELECT trsh.doc_id, COUNT(*) AS n_hits
+  FROM trsh JOIN ev ON ev.s = trsh.s GROUP BY trsh.doc_id
+),
+contam AS (
+  SELECT h.doc_id FROM hits h JOIN sizes sz ON sz.doc_id = h.doc_id
+  WHERE (h.n_hits * 1000000) // sz.n_grams >= 100000
+),
+flags AS (
+  SELECT t.doc_id, t.lang, t.n_chars,
+    t.doc_id <> MIN(t.doc_id) OVER (PARTITION BY md5(t.text)) AS is_duplicate,
+    c.doc_id IS NOT NULL AS is_contaminated,
+    t.n_chars < 60 AS is_too_short
+  FROM tr t LEFT JOIN contam c ON c.doc_id = t.doc_id
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    CAST(SUM(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+    CAST(SUM(CASE WHEN is_contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+    CAST(SUM(CASE WHEN is_too_short THEN 1 ELSE 0 END) AS BIGINT) AS n_too_short,
+    CAST(SUM(CASE WHEN NOT (is_duplicate OR is_contaminated OR is_too_short)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM flags
+)
+SELECT *, CAST((n_keep * 1000000) // n_docs AS BIGINT) AS keep_ppm FROM agg
 """,
         "drop_reasons": rf"""
 -- three real gates recomposed: md5-group dup election, 3-gram eval

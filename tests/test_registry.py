@@ -42,7 +42,7 @@ POST_FREEZE = (
     "host_fairness", "phash_bit_stats", "wds_shards", "boilerplate_strip",
     "psi_drift", "robots_delta", "mix_plan", "hard_negatives",
     "video_pipeline", "drain_plan", "hamming_certify", "image_probe",
-    "drop_reasons", "bloom_plan",
+    "drop_reasons", "bloom_plan", "data_card",
 )
 
 
