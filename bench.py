@@ -218,6 +218,9 @@ BENCH_QUERIES = (
     # boilerplate removal — block split + higher-order density filter, all
     # codegen over synthetic pages from orders; the scan-rate claim's number
     "boilerplate_strip",
+    # the release-card composition — dup election + gram contamination +
+    # length floor folded to one row; times the whole gate chain
+    "data_card",
 )
 
 N_SERP = int(os.environ.get("BENCH_N_SERP", "32768"))
