@@ -1249,7 +1249,15 @@ def train_linear_probe(
         "_id",
         (F.col("_zn") - F.lit(d_scale) * (F.lit(2) * F.col("_y") - F.lit(1))).alias("_r"),
     )
-    g2 = keyed.join(resid, "_id").groupBy("bucket").agg(F.sum("_r").alias("_g2"))
+    # resid is one row per LABELED doc — the bounded training sample (see
+    # scale note below) — so broadcast it instead of shuffling the whole
+    # feature table by _id (measured: removes the one remaining data-sized
+    # exchange of the g² pass; guide §3.1 broadcast-the-small-side)
+    g2 = (
+        keyed.join(F.broadcast(resid), "_id")
+        .groupBy("bucket")
+        .agg(F.sum("_r").alias("_g2"))
+    )
     out = g1.join(g2, "bucket").select(
         F.col("bucket"),
         F.col("n_pos").cast("long").alias("n_pos"),

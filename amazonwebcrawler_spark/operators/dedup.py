@@ -519,37 +519,46 @@ def connected_components(
     the documented upgrade path if a pathological corpus produces long
     chains at 100 TB.
     """
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
-    )
     converged = False
-    for _ in range(max_iter):
-        # neighbor minimum: dst inherits the smallest label seen at any src
-        prop = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lbl").alias("_nbr"))
-        )
-        new_labels = (
-            labels.join(prop, "id", "left")
-            .select("id", F.least("lbl", F.coalesce("_nbr", "lbl")).alias("lbl"),
-                    (F.least("lbl", F.coalesce("_nbr", "lbl")) != F.col("lbl")).alias("_chg"))
-        ).localCheckpoint()
-        changed = new_labels.filter("_chg").limit(1).count()
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
+    # LAZY per-round checkpoints + AQE coalescing scoped to the label loop
+    # (the _exec.coalesced_stages rationale — the label table is the pair
+    # sliver, byte-tiny): the per-round convergence probe is the forcing
+    # action, so each round is one action instead of checkpoint + probe.
+    try:
+        with coalesced_stages(pairs.sparkSession):
+            labels = (
+                edges.select(F.col("src").alias("id"))
+                .distinct()
+                .withColumn("lbl", F.col("id"))
+                .localCheckpoint(eager=False)
+            )
+            for _ in range(max_iter):
+                # neighbor minimum: dst inherits the smallest label at any src
+                prop = (
+                    edges.join(labels.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("lbl").alias("_nbr"))
+                )
+                new_labels = (
+                    labels.join(prop, "id", "left")
+                    .select("id", F.least("lbl", F.coalesce("_nbr", "lbl")).alias("lbl"),
+                            (F.least("lbl", F.coalesce("_nbr", "lbl")) != F.col("lbl")).alias("_chg"))
+                ).localCheckpoint(eager=False)
+                changed = new_labels.filter("_chg").limit(1).count()
+                labels = new_labels.drop("_chg")
+                if changed == 0:
+                    converged = True
+                    break
+    finally:
+        edges.unpersist()
     if not converged:
         # partial labels are WRONG group ids — never return them silently
         # (the DuckDB twin computes the exact transitive closure and would

@@ -18,9 +18,13 @@ Scale shape (per iteration, the whole loop is K ≈ 10-30 iterations):
   * dangling mass is a 1-row aggregate crossJoined back (Spark plans a
     BroadcastNestedLoopJoin over a single row — no driver collect in the
     hot loop, no per-iteration scalar round-trip).
-  * lineage is truncated every iteration with an eager localCheckpoint,
-    the same idiom as connected_components — without it, iteration K
-    re-derives all K-1 predecessors on every action.
+  * lineage is truncated every iteration with a LAZY localCheckpoint
+    (plan becomes a LogicalRDD at call time; the RDD is marked persistent
+    and caches on first compute) — without truncation, iteration K
+    re-derives all K-1 predecessors on every action. Only the final
+    iteration checkpoints eagerly, so the whole power iteration runs as
+    ONE job instead of one per round (job-submit overhead dominated the
+    leg on small graphs).
 At 10^10 nodes nothing here collects to the driver except the single
 `nodes.count()` scalar (one long). Doubles only — no Python UDFs.
 """
@@ -71,15 +75,26 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .persist()
     )
-    w_edges.count()  # materialize before the loop so every iteration reuses it
     dangling = nodes.join(deg, "node", "left_anti").persist()
 
-    ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
-    for _ in range(iters):
-        ranks = _iterate(nodes, w_edges, dangling, ranks, n, damping).localCheckpoint()
-    nodes.unpersist()
-    w_edges.unpersist()
-    dangling.unpersist()
+    # LAZY per-iteration checkpoints + AQE coalescing scoped to the power
+    # iteration (the _exec.coalesced_stages rationale): only the LAST
+    # iteration materializes eagerly, so the whole loop runs as ONE action
+    # with the persisted w_edges/dangling cached at first use inside it
+    # (no pre-count needed), and the unpersists below stay safe.
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
+    try:
+        with coalesced_stages(edges.sparkSession):
+            ranks = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=False)
+            for it in range(iters):
+                ranks = _iterate(nodes, w_edges, dangling, ranks, n, damping).localCheckpoint(
+                    eager=(it == iters - 1)
+                )
+    finally:
+        nodes.unpersist()
+        w_edges.unpersist()
+        dangling.unpersist()
     return ranks
 
 
@@ -173,7 +188,6 @@ def personalized_pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
         .persist()
     )
-    w_edges.count()
     dangling = nodes.join(deg, "node", "left_anti").persist()
     tele_nodes = (
         nodes.join(seed_nodes.withColumn("_s", F.lit(1)), "node", "left")
@@ -183,35 +197,46 @@ def personalized_pagerank(
         )
         .persist()
     )
-    ranks = tele_nodes.select("node", F.col("tele").alias("pr")).localCheckpoint()
-    for _ in range(iters):
-        contrib = (
-            w_edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
-        )
-        mass = (
-            ranks.join(dangling, "node", "left_semi")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass"))
-        )
-        ranks = (
-            tele_nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(mass))
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * F.col("tele")
-                    + F.lit(damping)
-                    * (F.coalesce("contrib", F.lit(0.0)) + F.col("mass") * F.col("tele"))
-                ).alias("pr"),
+    # LAZY per-iteration checkpoints + AQE coalescing, last one eager
+    # (pagerank rationale): one action runs the whole seed-teleport
+    # iteration with the persisted tables cached at first use, then the
+    # unpersists below are safe.
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
+    try:
+        with coalesced_stages(edges.sparkSession):
+            ranks = tele_nodes.select("node", F.col("tele").alias("pr")).localCheckpoint(
+                eager=False
             )
-            .localCheckpoint()
-        )
-    nodes.unpersist()
-    seed_nodes.unpersist()
-    w_edges.unpersist()
-    dangling.unpersist()
-    tele_nodes.unpersist()
+            for it in range(iters):
+                contrib = (
+                    w_edges.join(ranks.withColumnRenamed("node", "src"), "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
+                )
+                mass = (
+                    ranks.join(dangling, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass"))
+                )
+                ranks = (
+                    tele_nodes.join(contrib, "node", "left")
+                    .crossJoin(F.broadcast(mass))
+                    .select(
+                        "node",
+                        (
+                            F.lit(1.0 - damping) * F.col("tele")
+                            + F.lit(damping)
+                            * (F.coalesce("contrib", F.lit(0.0)) + F.col("mass") * F.col("tele"))
+                        ).alias("pr"),
+                    )
+                    .localCheckpoint(eager=(it == iters - 1))
+                )
+    finally:
+        nodes.unpersist()
+        seed_nodes.unpersist()
+        w_edges.unpersist()
+        dangling.unpersist()
+        tele_nodes.unpersist()
     return ranks
 
 
@@ -284,7 +309,8 @@ def opic_priority(
     cash table onto the persisted (src, dst, outdeg) edge table + one
     map-side-combinable sum by dst; remainders/dangling collapse into a
     1-row aggregate that crossJoins back as a broadcast (never a driver
-    collect); lineage truncated by eager localCheckpoint. The only
+    collect); lineage truncated by per-round lazy localCheckpoint (one
+    eager checkpoint at the end materializes all rounds as one job). The only
     driver-side scalar is ``nodes.count()``.
 
     Returns ``(node, cash, hist, imp_ppm)`` — all BIGINT; ``imp_ppm`` is
@@ -311,43 +337,53 @@ def opic_priority(
         .select("src", "dst", "outdeg")
         .persist()
     )
-    e_deg.count()
     node_deg = nodes.join(deg, "node", "left").persist()  # outdeg NULL = dangling
 
-    state = nodes.select(
-        "node",
-        F.lit(int(init_cash)).cast("long").alias("cash"),
-        F.lit(0).cast("long").alias("hist"),
-    ).localCheckpoint()
-    root = state.sparkSession.createDataFrame([(0,)], "carry long").localCheckpoint()
-    for _ in range(iters):
-        new_state, r_total = _opic_round(state, root, e_deg, node_deg, n)
-        # 1-row purse, evaluated once — the state build and the carry reuse it
-        r_total = r_total.localCheckpoint()
-        state = (
-            new_state.crossJoin(F.broadcast(r_total))
-            .select(
+    # LAZY per-round checkpoints + AQE coalescing scoped to the cash
+    # rounds (the _exec.coalesced_stages rationale): the eager checkpoint
+    # of the final projection runs all rounds as ONE action, with the
+    # persisted edge tables cached at first use (no pre-count needed).
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
+    try:
+        with coalesced_stages(edges.sparkSession):
+            state = nodes.select(
                 "node",
-                (F.col("cash_recv") + F.expr(f"r DIV {n}")).alias("cash"),
-                "hist",
+                F.lit(int(init_cash)).cast("long").alias("cash"),
+                F.lit(0).cast("long").alias("hist"),
+            ).localCheckpoint(eager=False)
+            root = state.sparkSession.createDataFrame([(0,)], "carry long").localCheckpoint(
+                eager=False
             )
-            .localCheckpoint()
-        )
-        root = r_total.select((F.col("r") % n).alias("carry"))
-    total = state.agg(F.sum(F.col("hist") + F.col("cash")).alias("total"))
-    out = (
-        state.crossJoin(F.broadcast(total))
-        .select(
-            "node",
-            "cash",
-            "hist",
-            F.expr("((hist + cash) * 1000000L) DIV total").alias("imp_ppm"),
-        )
-        .localCheckpoint()
-    )
-    nodes.unpersist()
-    e_deg.unpersist()
-    node_deg.unpersist()
+            for _ in range(iters):
+                new_state, r_total = _opic_round(state, root, e_deg, node_deg, n)
+                # 1-row purse, evaluated once — state build and carry reuse it
+                r_total = r_total.localCheckpoint(eager=False)
+                state = (
+                    new_state.crossJoin(F.broadcast(r_total))
+                    .select(
+                        "node",
+                        (F.col("cash_recv") + F.expr(f"r DIV {n}")).alias("cash"),
+                        "hist",
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                root = r_total.select((F.col("r") % n).alias("carry"))
+            total = state.agg(F.sum(F.col("hist") + F.col("cash")).alias("total"))
+            out = (
+                state.crossJoin(F.broadcast(total))
+                .select(
+                    "node",
+                    "cash",
+                    "hist",
+                    F.expr("((hist + cash) * 1000000L) DIV total").alias("imp_ppm"),
+                )
+                .localCheckpoint()
+            )
+    finally:
+        nodes.unpersist()
+        e_deg.unpersist()
+        node_deg.unpersist()
     return out
 
 

@@ -307,6 +307,62 @@ def _subspace_bounds(dim: int, m: int) -> list[tuple[int, int]]:
     return list(zip(offsets, widths))
 
 
+def _fold_dots(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, w) × (n_codes, w) → (n, n_codes) dot products accumulated one
+    component at a time in ascending index order — the EXACT IEEE op
+    sequence ``_dot`` compiles to (``acc = acc + x_i·c_i`` left to right),
+    so the Arrow encode path is bit-identical to the literal column math.
+    A plain ``X @ C.T`` would use pairwise/SIMD summation and drift in the
+    last ulp, which can flip an argmax tie and change emitted rows."""
+    acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+    for i in range(C.shape[1]):
+        acc += X[:, i : i + 1] * C[None, :, i]
+    return acc
+
+
+def _pq_encode_udfs(books: list, bounds: list):
+    """Arrow-batched PQ encode/LUT kernels against broadcast codebooks —
+    the scale path where embedding every centroid as literal column math
+    blows up the plan (m·n_codes literal dot expressions defeat codegen:
+    measured 14.9 s vs ~1 s at m=8, n_codes=32 over 2k vectors). One
+    numpy pass per batch; every arithmetic step replays the literal
+    path's op order exactly (``_fold_dots``), so codes and LUTs — and
+    therefore every emitted row — are bit-identical (tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = [np.ascontiguousarray(b, dtype=np.float64) for b in books]
+    # the SAME driver-side constant the literal path embeds as F.lit
+    halves = [
+        np.array([float((c**2).sum() / 2.0) for c in b], dtype=np.float64) for b in B
+    ]
+    m = len(B)
+    bounds_l = list(bounds)
+
+    @pandas_udf("array<int>")
+    def pq_codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((X.shape[0], m), dtype=np.int32)
+        for j, (lo, w) in enumerate(bounds_l):
+            S = _fold_dots(X[:, lo : lo + w], B[j]) - halves[j][None, :]
+            # first-max index == array_position(scores, array_max(scores))-1
+            out[:, j] = S.argmax(1).astype(np.int32)
+        return pd.Series(list(out))
+
+    @pandas_udf("array<array<double>>")
+    def pq_luts(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        per = [_fold_dots(X[:, lo : lo + w], B[j]) for j, (lo, w) in enumerate(bounds_l)]
+        return pd.Series(
+            [[per[j][i].tolist() for j in range(m)] for i in range(X.shape[0])]
+        )
+
+    return pq_codes, pq_luts
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -318,6 +374,7 @@ def pq_topk(
     rerank: int = 8,
     seed: int = 42,
     sample_size: int = 1024,
+    encode: str = "auto",
 ) -> DataFrame:
     """Product-quantization approximate top-k (Jégou, Douze & Schmid,
     TPAMI 2011): split the vector into ``m`` contiguous subspaces, k-means
@@ -336,10 +393,20 @@ def pq_topk(
     cosine); the top ``rerank·k`` ADC candidates per query re-rank by
     EXACT cosine, so emitted values are exact micro-integers and only
     candidate selection is approximate — the same contract as lsh_topk /
-    ivf_topk. Codebooks ride the plan as literals (the IVF 'literal'
-    path; swap in a broadcast-matrix pandas kernel past ~10³ codes, the
-    `_cell_assign_udfs` precedent). Returns
-    ``(query_id, neighbor_id, cos_sim_micro, rank)``, rank ≤ k.
+    ivf_topk. Encoding has two forms with bit-identical results (tested —
+    the ivf_topk dual-path precedent):
+
+    * ``encode='literal'`` — codebooks ride the plan as literal column
+      math (m·n_codes literal dot expressions; fine for tiny codebooks
+      but the expression tree defeats whole-stage codegen fast);
+    * ``encode='pandas'`` — one Arrow kernel per side against broadcast
+      codebook matrices (``_pq_encode_udfs``): plan size O(1), the
+      ``_cell_assign_udfs`` precedent, replaying the literal path's IEEE
+      op order exactly so emitted rows cannot drift;
+    * ``encode='auto'`` (default) — pandas when ``m·n_codes > 64``
+      (measured: the literal plan is 10× slower already at 8×32).
+
+    Returns ``(query_id, neighbor_id, cos_sim_micro, rank)``, rank ≤ k.
     """
     sample = np.array(
         [r[0] for r in corpus.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()],
@@ -358,6 +425,10 @@ def pq_topk(
         _kmeans(np.ascontiguousarray(sample[:, lo : lo + w]), n_codes, seed + 101 * j)
         for j, (lo, w) in enumerate(bounds)
     ]
+
+    if encode not in ("auto", "literal", "pandas"):
+        raise ValueError(f"pq_topk: unknown encode mode {encode!r}")
+    use_pandas = encode == "pandas" or (encode == "auto" and m * n_codes > 64)
 
     def sub(vec, lo: int, w: int):
         return F.slice(vec, lo + 1, w)
@@ -381,16 +452,35 @@ def pq_topk(
             *[_dot(sub(vec, lo, w), F.array(*[F.lit(float(x)) for x in c])) for c in books[j]]
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        *[code_expr(F.col(vec_col), j).alias(f"_code{j}") for j in range(m)],
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        *[lut_expr(F.col(vec_col), j).alias(f"_lut{j}") for j in range(m)],
-    )
+    if use_pandas:
+        pq_codes, pq_luts = _pq_encode_udfs(books, bounds)
+        c = (
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+            .withColumn("_codes", pq_codes(F.col("_cv")))
+            .select(
+                "neighbor_id", "_cv",
+                *[F.element_at("_codes", j + 1).alias(f"_code{j}") for j in range(m)],
+            )
+        )
+        q = (
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+            .withColumn("_luts", pq_luts(F.col("_qv")))
+            .select(
+                "query_id", "_qv",
+                *[F.element_at("_luts", j + 1).alias(f"_lut{j}") for j in range(m)],
+            )
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            *[code_expr(F.col(vec_col), j).alias(f"_code{j}") for j in range(m)],
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            *[lut_expr(F.col(vec_col), j).alias(f"_lut{j}") for j in range(m)],
+        )
     adc = sum(
         (F.element_at(F.col(f"_lut{j}"), F.col(f"_code{j}") + 1) for j in range(1, m)),
         F.element_at(F.col("_lut0"), F.col("_code0") + 1),

@@ -57,31 +57,40 @@ def resolve_redirects(
     Each doubling round joins the map against itself on the successor
     key — ``ceil(log2(max_hops))`` shuffles total, never a per-hop loop.
     """
-    f = edges.select(
-        F.col(src_col).alias("node"),
-        F.col(dst_col).alias("nxt"),
-        F.lit(1).cast("long").alias("hops"),
-    ).localCheckpoint()
-    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
-        g = f.select(
-            F.col("node").alias("g_node"),
-            F.col("nxt").alias("g_nxt"),
-            F.col("hops").alias("g_hops"),
-        )
-        f = (
-            f.join(g, f["nxt"] == g["g_node"], "left")
-            .select(
-                "node",
-                F.coalesce("g_nxt", "nxt").alias("nxt"),
-                (F.col("hops") + F.coalesce("g_hops", F.lit(0).cast("long"))).alias("hops"),
+    # LAZY checkpoints + AQE coalescing scoped to the doubling rounds (the
+    # _exec.coalesced_stages rationale): the plan is truncated at call time
+    # either way (LogicalRDD), eager=False lets the final eager checkpoint
+    # run all rounds as one action with the round RDDs cached where ``f``
+    # appears twice (guide §1.2: remove passes).
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
+    with coalesced_stages(edges.sparkSession):
+        f = edges.select(
+            F.col(src_col).alias("node"),
+            F.col(dst_col).alias("nxt"),
+            F.lit(1).cast("long").alias("hops"),
+        ).localCheckpoint(eager=False)
+        for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+            g = f.select(
+                F.col("node").alias("g_node"),
+                F.col("nxt").alias("g_nxt"),
+                F.col("hops").alias("g_hops"),
             )
-            .localCheckpoint()
-        )
-    return f.select(
-        F.col("node").alias("src"),
-        F.col("nxt").alias("final_url"),
-        F.col("hops").cast("long").alias("hops"),
-    )
+            f = (
+                f.join(g, f["nxt"] == g["g_node"], "left")
+                .select(
+                    "node",
+                    F.coalesce("g_nxt", "nxt").alias("nxt"),
+                    (F.col("hops") + F.coalesce("g_hops", F.lit(0).cast("long"))).alias("hops"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        out = f.select(
+            F.col("node").alias("src"),
+            F.col("nxt").alias("final_url"),
+            F.col("hops").cast("long").alias("hops"),
+        ).localCheckpoint()
+    return out
 
 
 def hits(
@@ -368,6 +377,12 @@ def mirror_pairs(
         hf.withColumn("_nh", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(F.col("_nh") <= max_hosts_per_fp)
         .drop("_nh")
+        # materialize the (host, fp) table ONCE: it feeds the size table
+        # and BOTH sides of the self-join — without this the upstream scan
+        # + content fingerprinting re-runs three times (r6, guide §1.2).
+        # Rows are two narrow keys (the page payload never enters), the
+        # same footprint the minhash shingle persist already accepts.
+        .localCheckpoint(eager=True)
     )
     sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fps"))
     a = hf.select(F.col("host").alias("host_a"), "fp")
@@ -448,26 +463,38 @@ def label_propagation(
         .persist()
     )
     nodes = sym.select("node").distinct().persist()
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(iters):
-        cnt = (
-            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
-            .groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        pick = (
-            cnt.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label")
-        )
-        labels = (
-            nodes.join(pick.withColumnRenamed("label", "_new"), "node", "left")
-            .select("node", F.coalesce("_new", F.col("node")).alias("label"))
-            .localCheckpoint()
-        )
-    sym.unpersist()
-    nodes.unpersist()
+    # LAZY per-round checkpoints + AQE coalescing scoped to the sweep (the
+    # _exec.coalesced_stages rationale): only the LAST round materializes
+    # eagerly, running the whole iteration as one action with cached round
+    # intermediates, then the persisted sym/nodes release safely. iters is
+    # part of the result contract (synchronous sweep) — never early-exited.
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
+    try:
+        with coalesced_stages(edges.sparkSession):
+            labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+                eager=False
+            )
+            w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+            for it in range(iters):
+                cnt = (
+                    sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                    .groupBy("node", "label")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                )
+                pick = (
+                    cnt.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("node", "label")
+                )
+                labels = (
+                    nodes.join(pick.withColumnRenamed("label", "_new"), "node", "left")
+                    .select("node", F.coalesce("_new", F.col("node")).alias("label"))
+                    .localCheckpoint(eager=(it == iters - 1))
+                )
+    finally:
+        sym.unpersist()
+        nodes.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -548,23 +575,40 @@ def kcore(
         .unionByName(und.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .persist()
     )
-    alive = sym.select("node").distinct().localCheckpoint()
-    for _ in range(iters):
-        deg = (
-            sym.join(alive, "node", "left_semi")
-            .join(alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
-    out = (
-        sym.join(alive, "node", "left_semi")
-        .join(alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
-        .localCheckpoint()
-    )
-    sym.unpersist()
+    # LAZY per-round checkpoints + AQE partition coalescing scoped to the
+    # peel (see _exec.coalesced_stages): each round's count doubles as the
+    # forcing action AND an exact early exit — peeling is monotone, so an
+    # unchanged alive count means fixpoint and every further round is a
+    # no-op by the docstring's own argument.
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
+    try:
+        with coalesced_stages(edges.sparkSession):
+            alive = sym.select("node").distinct().localCheckpoint(eager=False)
+            n_alive = None
+            for _ in range(iters):
+                deg = (
+                    sym.join(alive, "node", "left_semi")
+                    .join(alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+                    .groupBy("node")
+                    .agg(F.count(F.lit(1)).alias("deg"))
+                )
+                alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint(
+                    eager=False
+                )
+                n_now = alive.count()
+                if n_now == n_alive:
+                    break
+                n_alive = n_now
+            out = (
+                sym.join(alive, "node", "left_semi")
+                .join(alive.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).alias("core_degree"))
+                .localCheckpoint()
+            )
+    finally:
+        sym.unpersist()
     return out
 
 
@@ -635,42 +679,53 @@ def random_walks(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    cur = nodes.select(
-        F.col("node").alias("start"), F.col("node").alias("cur")
-    ).localCheckpoint()
-    out = cur.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
-    for t in range(1, walk_len + 1):
-        h = F.md5(
-            F.concat(
-                F.lit(f"walk{seed}|"),
-                F.col("start").cast("string"),
-                F.lit("|"),
-                F.lit(str(t)),
-                F.lit("|"),
-                F.col("cur").cast("string"),
-            )
-        )
-        choice = (
-            cur.join(deg, deg["src"] == cur["cur"])
-            .select(
-                "start",
-                "cur",
-                (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.col("outdeg"))
-                .cast("int")
-                .alias("choice"),
-            )
-        )
-        cur = (
-            choice.join(nbr, (nbr["src"] == choice["cur"]) & (nbr["idx"] == choice["choice"]))
-            .select("start", F.col("dst").alias("cur"))
-            .localCheckpoint()
-        )
-        out = out.unionByName(
-            cur.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
-        )
-    out = out.localCheckpoint()
-    nbr.unpersist()
-    deg.unpersist()
+    # LAZY per-step checkpoints + AQE coalescing scoped to the walk (the
+    # _exec.coalesced_stages rationale): the final eager checkpoint of
+    # ``out`` runs all steps as ONE action with cached intermediates
+    # before nbr/deg are released.
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
+    try:
+        with coalesced_stages(edges.sparkSession):
+            cur = nodes.select(
+                F.col("node").alias("start"), F.col("node").alias("cur")
+            ).localCheckpoint(eager=False)
+            out = cur.select("start", F.lit(0).alias("step"), F.col("cur").alias("node"))
+            for t in range(1, walk_len + 1):
+                h = F.md5(
+                    F.concat(
+                        F.lit(f"walk{seed}|"),
+                        F.col("start").cast("string"),
+                        F.lit("|"),
+                        F.lit(str(t)),
+                        F.lit("|"),
+                        F.col("cur").cast("string"),
+                    )
+                )
+                choice = (
+                    cur.join(deg, deg["src"] == cur["cur"])
+                    .select(
+                        "start",
+                        "cur",
+                        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.col("outdeg"))
+                        .cast("int")
+                        .alias("choice"),
+                    )
+                )
+                cur = (
+                    choice.join(
+                        nbr, (nbr["src"] == choice["cur"]) & (nbr["idx"] == choice["choice"])
+                    )
+                    .select("start", F.col("dst").alias("cur"))
+                    .localCheckpoint(eager=False)
+                )
+                out = out.unionByName(
+                    cur.select("start", F.lit(t).alias("step"), F.col("cur").alias("node"))
+                )
+            out = out.localCheckpoint()
+    finally:
+        nbr.unpersist()
+        deg.unpersist()
     return out
 
 
@@ -785,10 +840,12 @@ def scc(
     against the DEFINITION — transitive-closure mutual reachability —
     an independent derivation, not a replay.
 
-    Budgets are static (no convergence probes inside the loop — the
-    label_propagation discipline); one bounded scalar at the end checks
-    every node was assigned and raises otherwise, the dedup_groups
-    non-convergence contract. ``prop_iters`` must cover the largest SCC
+    Budgets are static; one bounded scalar per OUTER round (the remaining
+    count) both early-exits the loop when everything is assigned — an
+    exact no-op skip, since every piece a later round could emit is empty
+    once ``remaining`` is — and, at loop end, checks every node was
+    assigned (raises otherwise, the dedup_groups non-convergence
+    contract). ``prop_iters`` must cover the largest SCC
     diameter + the color class's reach depth; ``rounds`` must cover the
     longest chain of mutually-entangled color classes (2 suffices for
     any fixture whose nontrivial SCCs are entered from at most one
@@ -801,6 +858,8 @@ def scc(
     truncated per sub-round via localCheckpoint. Returns
     ``(node BIGINT, scc_id BIGINT)`` for every distinct endpoint.
     """
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
     e_all = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     ).distinct()
@@ -810,66 +869,118 @@ def scc(
         .distinct()
     )
     e = e_all.filter(F.col("src") != F.col("dst")).persist()
-    remaining = nodes.localCheckpoint()
-    pieces: list[DataFrame] = []
-    for _ in range(rounds):
-        for _ in range(trim_iters):
-            er = e.join(
-                remaining.withColumnRenamed("node", "src"), "src", "left_semi"
-            ).join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            # survivors need BOTH an in- and an out-edge in the induced graph
-            keep = (
-                er.select(F.col("src").alias("node"))
-                .distinct()
-                .join(er.select(F.col("dst").alias("node")).distinct(), "node", "left_semi")
-            )
-            trimmed = remaining.join(keep, "node", "left_anti")
-            pieces.append(
-                trimmed.select("node", F.col("node").alias("scc_id")).localCheckpoint()
-            )
-            remaining = remaining.join(keep, "node", "left_semi").localCheckpoint()
-        er = (
-            e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
-            .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
-            .localCheckpoint()
-        )
-        f = remaining.select("node", F.col("node").alias("f")).localCheckpoint()
-        for _ in range(prop_iters):
-            cand = er.join(
-                f.select(F.col("node").alias("src"), F.col("f").alias("fs")), "src"
-            ).select(F.col("dst").alias("node"), F.col("fs").alias("f"))
-            f = (
-                f.unionByName(cand)
-                .groupBy("node")
-                .agg(F.min("f").alias("f"))
-                .localCheckpoint()
-            )
-        marked = f.filter(F.col("f") == F.col("node")).select("node").localCheckpoint()
-        for _ in range(prop_iters):
-            new = (
-                er.join(marked.withColumnRenamed("node", "dst"), "dst", "left_semi")
-                .join(f.select(F.col("node").alias("src"), F.col("f").alias("fu")), "src")
-                .join(f.select(F.col("node").alias("dst"), F.col("f").alias("fw")), "dst")
-                .filter(F.col("fu") == F.col("fw"))
-                .select(F.col("src").alias("node"))
-            )
-            marked = marked.unionByName(new).distinct().localCheckpoint()
-        pieces.append(
-            f.join(marked, "node", "left_semi")
-            .select("node", F.col("f").alias("scc_id"))
-            .localCheckpoint()
-        )
-        remaining = remaining.join(marked, "node", "left_anti").localCheckpoint()
-    leftover = remaining.count()
-    e.unpersist()
-    if leftover:
-        raise RuntimeError(
-            f"scc did not converge: {leftover} nodes unassigned after "
-            f"{rounds} rounds (raise rounds/trim_iters/prop_iters)"
-        )
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+    # LAZY checkpoints throughout (plan truncation is identical — see
+    # resolve_redirects): ONE ``remaining.count()`` per outer round is the
+    # only action, materializing every sub-round checkpoint of that round
+    # as a single job instead of ~18 — and it doubles as a RESULT-IDENTICAL
+    # early exit: once ``remaining`` is empty, every later round's trim and
+    # confirm pieces are empty by construction, so skipping them changes
+    # nothing (the budget-raise contract reads the same count). ``keep`` is
+    # checkpointed too so the trim pieces' anti-join tails replay from
+    # cached inputs after ``e`` is released, never from the raw scan.
+    try:
+        with coalesced_stages(edges.sparkSession):
+            remaining = nodes.localCheckpoint(eager=False)
+            pieces: list[DataFrame] = []
+            leftover = None
+            n_remaining = None
+            for _ in range(rounds):
+                for _ in range(trim_iters):
+                    er = e.join(
+                        remaining.withColumnRenamed("node", "src"), "src", "left_semi"
+                    ).join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                    # survivors need BOTH an in- and an out-edge in the induced
+                    # graph — ONE union+aggregate instead of two distincts + a
+                    # semi-join (same set; two fewer exchanges per sub-round)
+                    keep = (
+                        er.select(F.col("src").alias("node"), F.lit(1).alias("_o"), F.lit(0).alias("_i"))
+                        .unionByName(
+                            er.select(F.col("dst").alias("node"), F.lit(0).alias("_o"), F.lit(1).alias("_i"))
+                        )
+                        .groupBy("node")
+                        .agg(F.max("_o").alias("_o"), F.max("_i").alias("_i"))
+                        .filter((F.col("_o") == 1) & (F.col("_i") == 1))
+                        .select("node")
+                        .localCheckpoint(eager=False)
+                    )
+                    trimmed = remaining.join(keep, "node", "left_anti")
+                    pieces.append(
+                        trimmed.select("node", F.col("node").alias("scc_id")).localCheckpoint(
+                            eager=False
+                        )
+                    )
+                    remaining = remaining.join(keep, "node", "left_semi").localCheckpoint(
+                        eager=False
+                    )
+                    # trim fixpoint → every later trim piece is empty by the
+                    # monotone-peel argument: skipping them is an exact no-op.
+                    # The count doubles as the round's forcing action.
+                    n_now = remaining.count()
+                    if n_now == n_remaining:
+                        break
+                    n_remaining = n_now
+                er = (
+                    e.join(remaining.withColumnRenamed("node", "src"), "src", "left_semi")
+                    .join(remaining.withColumnRenamed("node", "dst"), "dst", "left_semi")
+                    .localCheckpoint(eager=False)
+                )
+                f = remaining.select("node", F.col("node").alias("f")).localCheckpoint(
+                    eager=False
+                )
+                for _ in range(prop_iters):
+                    cand = er.join(
+                        f.select(F.col("node").alias("src"), F.col("f").alias("fs")), "src"
+                    ).select(F.col("dst").alias("node"), F.col("fs").alias("f"))
+                    f = (
+                        f.unionByName(cand)
+                        .groupBy("node")
+                        .agg(F.min("f").alias("f"))
+                        .localCheckpoint(eager=False)
+                    )
+                marked = f.filter(F.col("f") == F.col("node")).select("node").localCheckpoint(
+                    eager=False
+                )
+                # f is FIXED during the backward sweep — attach fu/fw and the
+                # same-color filter ONCE instead of re-joining f twice per
+                # sub-round (two fewer broadcast stages × prop_iters)
+                er_same = (
+                    er.join(f.select(F.col("node").alias("src"), F.col("f").alias("fu")), "src")
+                    .join(f.select(F.col("node").alias("dst"), F.col("f").alias("fw")), "dst")
+                    .filter(F.col("fu") == F.col("fw"))
+                    .select("src", "dst")
+                    .localCheckpoint(eager=False)
+                )
+                for _ in range(prop_iters):
+                    new = er_same.join(
+                        marked.withColumnRenamed("node", "dst"), "dst", "left_semi"
+                    ).select(F.col("src").alias("node"))
+                    marked = marked.unionByName(new).distinct().localCheckpoint(eager=False)
+                pieces.append(
+                    f.join(marked, "node", "left_semi")
+                    .select("node", F.col("f").alias("scc_id"))
+                    .localCheckpoint(eager=False)
+                )
+                remaining = remaining.join(marked, "node", "left_anti").localCheckpoint(
+                    eager=False
+                )
+                leftover = n_remaining = remaining.count()
+                if leftover == 0:
+                    break
+            if leftover is None:  # rounds == 0 — degenerate but keep the contract
+                leftover = remaining.count()
+            if leftover:
+                raise RuntimeError(
+                    f"scc did not converge: {leftover} nodes unassigned after "
+                    f"{rounds} rounds (raise rounds/trim_iters/prop_iters)"
+                )
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionByName(p)
+            # materialize INSIDE the coalesced scope (conf is read at action
+            # time) — the caller's first action then scans tiny cached RDDs
+            out = out.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
     return out
 
 

@@ -66,6 +66,9 @@ KEYWORDS = [
     ("lined notebook a5", "jmcl"),
     ("dotted notebook", "jmcl"),
 ]
+#: keyword → product_type lookup, built once (fetch() is the hot loop of
+#: the crawl wave — rebuilding this dict per SERP fetch was measurable)
+_KEYWORD_TYPES = dict(KEYWORDS)
 
 GENERIC_WORDS = [
     "Premium", "Classic", "Pro", "Ultra", "Eco", "Soft", "Durable", "Portable",
@@ -163,11 +166,19 @@ def n_serp_pages(keyword: str) -> int:
     return 3 + h64("npages", keyword) % 7
 
 
+#: product_type → own-catalog DIMS rows, built once per type (hot loop:
+#: _item_title runs per SERP item — the filter re-scan was per-item work)
+_OWN_ROWS: dict = {}
+
+
 def _item_title(keyword: str, page: int, pos: int, product_type: str) -> tuple[str, bool, bool]:
     """→ (title, is_sponsored, has_title_node). Deterministically injects
     own-catalog titles so classification (J1/J2/P4) has hits."""
     r = h64("item", keyword, page, pos)
-    own_rows = [d for d in DIMS if d[0] == product_type]
+    own_rows = _OWN_ROWS.get(product_type)
+    if own_rows is None:
+        own_rows = [d for d in DIMS if d[0] == product_type]
+        _OWN_ROWS[product_type] = own_rows
     is_sponsored = (r >> 8) % 5 == 0  # ~20% ads, like a real SERP
     has_title_node = (r >> 16) % 19 != 0  # occasional missing node → P2 default
     if (r >> 24) % 11 == 0:  # ~9% own-product injection
@@ -264,47 +275,70 @@ def detail_page(asin: str) -> dict:
 
 
 # ------------------------------------------------------------------ images
-def image_record(asin: str) -> dict:
+#: gradient base per (w, h) — a pure function of the dimensions (two
+#: variants exist), so cache it instead of re-running mgrid+stack per
+#: image. READ-ONLY: consumers add noise into a fresh array (np.clip
+#: allocates), never mutate the cached base.
+_GRADIENT_BASE: dict = {}
+
+
+def _gradient_base(w: int, h: int) -> np.ndarray:
+    base = _GRADIENT_BASE.get((w, h))
+    if base is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                ((xx + yy) * 255 // max(w + h - 2, 1)),
+            ],
+            axis=-1,
+        ).astype(np.int32)
+        _GRADIENT_BASE[(w, h)] = base
+    return base
+
+
+def image_record(asin: str, full: bool = True) -> dict:
     """Deterministic image+caption payload for a product (input_hint schema).
 
     Pixel content is a smooth gradient + hash-seeded pattern so phash is
     non-trivial and JPEG quantization error is realistic.
+
+    ``full=False`` skips the jpeg re-decode + phash and omits the
+    ``phash``/``_pixels`` keys — the :func:`fetch` fast path, which only
+    ships ``bytes`` (consumers decode downstream; computing the canonical
+    phash here was pure waste in the fetch hot loop). The bytes are
+    byte-identical in both modes.
     """
     r = h64("img", asin)
     w, h = (32, 32) if r % 3 else (64, 48)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
-        [
-            (xx * 255 // max(w - 1, 1)),
-            (yy * 255 // max(h - 1, 1)),
-            ((xx + yy) * 255 // max(w + h - 2, 1)),
-        ],
-        axis=-1,
-    ).astype(np.int32)
+    base = _gradient_base(w, h)
     rng = np.random.default_rng(r % (2**32))  # seeded by url-hash → deterministic
     noise = rng.integers(-20, 21, size=(h, w, 3), dtype=np.int32)
     pixels = np.clip(base + noise, 0, 255).astype(np.uint8)
     fmt = "jpeg" if r % 2 else "png"
-    if fmt == "jpeg":
-        from amazonwebcrawler_spark.functions.images import decode_jpeg
-
-        data = encode_jpeg(pixels)
-        decoded = decode_jpeg(data)  # canonical phash is of DECODED pixels —
-        # lossy codecs shift pixels, so "the" phash is what any consumer of
-        # the bytes column computes, not the pre-encode original
-    else:
-        data = encode_png(pixels)
-        decoded = pixels
-    return {
+    data = encode_jpeg(pixels) if fmt == "jpeg" else encode_png(pixels)
+    rec = {
         "image_id": f"img-{asin}",
         "bytes": data,
         "w": w,
         "h": h,
         "fmt": fmt,
         "caption": detail_page(asin)["title"],
-        "phash": phash64(decoded),
-        "_pixels": pixels,  # oracle-side ORIGINAL pixels for the PSNR check
     }
+    if not full:
+        return rec
+    if fmt == "jpeg":
+        from amazonwebcrawler_spark.functions.images import decode_jpeg
+
+        decoded = decode_jpeg(data)  # canonical phash is of DECODED pixels —
+        # lossy codecs shift pixels, so "the" phash is what any consumer of
+        # the bytes column computes, not the pre-encode original
+    else:
+        decoded = pixels
+    rec["phash"] = phash64(decoded)
+    rec["_pixels"] = pixels  # oracle-side ORIGINAL pixels for the PSNR check
+    return rec
 
 
 def block_image_record(img_id: str, flip_cells: int = 0, fmt: str = "png") -> dict:
@@ -413,12 +447,14 @@ def fetch(canonical_url: str) -> dict:
         q = _qs(canonical_url)
         kw = q.get("field-keywords", "")
         page = int(q.get("page", "1"))
-        ptype = dict(KEYWORDS).get(kw, "yogamat")
+        ptype = _KEYWORD_TYPES.get(kw, "yogamat")
         return {"status": 200, "content": json.dumps(serp_page(kw, page, ptype)), "image_bytes": None}
     if kind == "detail":
         asin = canonical_url.rsplit("/dp/", 1)[1].split("/")[0].split("?")[0]
         rec = detail_page(asin)
-        img = image_record(asin)
+        # bytes-only image build: the canonical phash/_pixels are consumer-
+        # side derivations of the bytes, never shipped by the network
+        img = image_record(asin, full=False)
         return {"status": 200, "content": json.dumps(rec), "image_bytes": img["bytes"]}
     if kind == "category":
         cat = canonical_url.rsplit("/gp/new-releases/", 1)[1].split("?")[0]

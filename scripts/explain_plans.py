@@ -199,8 +199,13 @@ CHECKS = {
     "postings_build": ["ObjectHashAggregate", "Window", "[codegen id :"],
     # PQ ANN: queries broadcast (BNLJ cross, the brute_force/ivf idiom);
     # ADC is pure element_at column math; both rank windows are
-    # query-partitioned (NEG forbids SinglePartition and Python)
-    "ann_pq": ["BroadcastNestedLoopJoin", "Window", "[codegen id :"],
+    # query-partitioned. r6: encoding runs through ONE Arrow kernel per
+    # side against broadcast codebooks (ArrowEvalPython — the
+    # _cell_assign_udfs precedent; the literal-plan form defeated codegen
+    # at 14.9 s/leg), so exactly one vectorized Python crossing per side
+    # is the asserted shape (NEG still forbids row-at-a-time Python and
+    # SinglePartition)
+    "ann_pq": ["ArrowEvalPython", "BroadcastNestedLoopJoin", "Window", "[codegen id :"],
     # compaction plan: two PARTITIONED windows, zero joins, zero Python,
     # never a single-partition exchange (NEG)
     "compaction_plan": ["Window", "[codegen id :"],
@@ -220,10 +225,13 @@ CHECKS = {
     # the 1-row total agg's SinglePartition exchange is the accepted
     # bounded shape (budget_allocate precedent), so not forbidden
     "ppl_buckets": ["Window", "BroadcastNestedLoopJoin", "HashAggregate", "[codegen id :"],
-    # mirror detection: fp-PARTITIONED guard window + fp equi self-join +
-    # map-side-combinable pair counts — never host×host (NEG forbids
-    # nested-loop/cartesian), no Python, no single-partition exchange
-    "mirror_detect": ["Window", "HashAggregate", "partial_count", "[codegen id :"],
+    # mirror detection: fp equi self-join + map-side-combinable pair
+    # counts — never host×host (NEG forbids nested-loop/cartesian), no
+    # Python, no single-partition exchange. r6: the (host, fp) table is
+    # eagerly checkpointed after the fp-partitioned guard window (it feeds
+    # three consumers; the window now lives inside the RDD scan and is no
+    # longer visible in the final plan — the label_prop precedent)
+    "mirror_detect": ["HashAggregate", "partial_count", "[codegen id :"],
     # blur detection: exactly ONE Python crossing (the Arrow decode
     # kernel); no join anywhere (NEG)
     "blur_detect": ["MapInPandas"],
@@ -515,7 +523,7 @@ NEG_CHECKS = {
         "Exchange SinglePartition",
     ],
     "ann_pq": [
-        "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+        "BatchEvalPython", "MapInPandas",
         "SortMergeJoin", "Exchange SinglePartition",
     ],
     "compaction_plan": [

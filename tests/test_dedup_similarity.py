@@ -191,6 +191,22 @@ class TestIVFAssignPaths:
         assert rows_lit == rows_pan
 
 
+class TestPQEncodePaths:
+    def test_literal_and_pandas_encode_agree(self, spark, sf_dir):
+        """The Arrow codebook encode (plan-size O(1) scale path, r6) must
+        reproduce the literal-column-math path EXACTLY — codes, LUTs and
+        therefore every emitted (pair, cosine, rank). _fold_dots replays
+        _dot's left-to-right IEEE accumulation, so this holds bitwise,
+        not just approximately."""
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        lit = similarity.pq_topk(e, qs, "vec_id", "embedding", k=10, encode="literal")
+        pan = similarity.pq_topk(e, qs, "vec_id", "embedding", k=10, encode="pandas")
+        rows_lit = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim_micro) for r in lit.collect())
+        rows_pan = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim_micro) for r in pan.collect())
+        assert rows_lit == rows_pan
+
+
 class TestSimhashPlanHygiene:
     def test_simhash_plan_has_no_python_eval(self, spark, sf_dir):
         """The relational SimHash path (explode → md5 → per-bit vote
