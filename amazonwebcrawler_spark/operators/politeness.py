@@ -219,8 +219,17 @@ def allocate_budget(
     Rows with non-positive demand are dropped (they get no quota and
     would poison the integer division).
     """
-    d = demand.filter(F.col(demand_col) > 0).select(
-        F.col(key_col).alias("domain"), F.col(demand_col).cast("long").alias("demand")
+    d = (
+        demand.filter(F.col(demand_col) > 0)
+        .select(
+            F.col(key_col).alias("domain"), F.col(demand_col).cast("long").alias("demand")
+        )
+        # FIVE consumers read this table (D total, leftover, the shard-count
+        # collect, the rank window, the final projection) — without a
+        # materialization the caller's whole demand pipeline re-executes per
+        # consumer (r6: novelty_budget re-ran gram_novelty ~4×, guide §1.2).
+        # The table is domain-cardinality and two narrow columns.
+        .localCheckpoint(eager=True)
     )
     tot = d.agg(F.sum("demand").alias("_D"))
     b = d.crossJoin(F.broadcast(tot)).select(

@@ -140,8 +140,10 @@ CHECKS = {
     "capture_novelty": ["Window", "[codegen id :"],
     # Hamilton budget apportionment: the global remainder rank arrives via
     # value-range shards (partitioned window) + broadcast totals — the
-    # NEG check forbids the single-partition window it replaces
-    "budget_allocate": ["Window", "HashAggregate", "partial_count", "[codegen id :"],
+    # NEG check forbids the single-partition window it replaces. r6: the
+    # demand table is checkpointed once for its five consumers, so the
+    # upstream partial_count now lives inside the RDD scan
+    "budget_allocate": ["Window", "HashAggregate", "[codegen id :"],
     # exact substring dedup: positional gram explode + map-side-combinable
     # gram count + gram-keyed equi join + DOC-partitioned islands window —
     # the relational replacement for a suffix array; no Python, no global
@@ -241,11 +243,14 @@ CHECKS = {
     # kernel; the merge table is a closure constant) — no join, no
     # window, no shuffle beyond the round-robin repartition (NEG)
     "bpe_encode": ["MapInPandas"],
-    # novelty budget composition: the gram-keyed min agg (partial_min)
-    # feeds the SHARD-partitioned Hamilton remainder window — no Python
-    # anywhere (NEG; the 1-row D/leftover broadcasts are the accepted
-    # budget_allocate shapes)
-    "novelty_budget": ["Window", "HashAggregate", "partial_min", "[codegen id :"],
+    # novelty budget composition: the gram-novelty rollup feeds the
+    # SHARD-partitioned Hamilton remainder window — no Python anywhere
+    # (NEG; the 1-row D/leftover broadcasts are the accepted
+    # budget_allocate shapes). r6: allocate_budget checkpoints its demand
+    # input (five consumers — the gram_novelty chain used to re-execute
+    # per consumer), so the gram-keyed partial_min now lives inside the
+    # RDD scan rather than the final plan
+    "novelty_budget": ["Window", "HashAggregate", "[codegen id :"],
     # channel normalization: ONE Arrow decode crossing + a 3-group hash
     # aggregate with map-side partials; no join (NEG)
     "channel_stats": ["MapInPandas", "HashAggregate", "partial_sum"],
