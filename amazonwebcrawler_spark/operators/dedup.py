@@ -348,7 +348,12 @@ def lsh_candidate_eval(
         .repartition(n_part, "_id")
     )
     sh = shingle_rows(docs, "_t", "_id", shingle_n).persist()
-    cand = _lsh_candidates(sh, k, n_bands, rows_per_band, max_bucket)
+    # both pair slivers feed TWO consumers each (their own count + the hit
+    # join) — checkpoint them once so the banding chain and the exact-truth
+    # chain execute once instead of per consumer (r6, guide §1.2)
+    cand = _lsh_candidates(sh, k, n_bands, rows_per_band, max_bucket).localCheckpoint(
+        eager=True
+    )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     sh_a = sh.select(F.col("_id").alias("id_a"), "_s")
     sh_b = sh.select(F.col("_id").alias("id_b"), "_s")
@@ -367,6 +372,7 @@ def lsh_candidate_eval(
             F.expr("(_ni * 1000000L) DIV (_na + _nb - _ni)") >= threshold_micro
         )
         .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     hit = truth.join(cand, ["id_a", "id_b"])
     n_true = truth.agg(F.count("*").alias("n_true"))

@@ -269,6 +269,8 @@ def triangle_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
     integer ``(2·T·10^6) DIV (deg·(deg−1))`` (0 where degree < 2) —
     rational arithmetic, never a DOUBLE.
     """
+    from amazonwebcrawler_spark.operators._exec import coalesced_stages
+
     u, v = F.col(src_col), F.col(dst_col)
     und = (
         edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
@@ -310,29 +312,36 @@ def triangle_stats(edges: DataFrame, src_col: str = "src", dst_col: str = "dst")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
-    out = (
-        deg.join(cnt, "node", "left")
-        .select(
-            "node",
-            F.col("degree").cast("long").alias("degree"),
-            t.alias("n_triangles"),
-            F.when(
-                F.col("degree") >= 2,
-                F.expr(
-                    "(2 * coalesce(n_triangles, 0) * 1000000L)"
-                    " DIV (degree * (degree - 1))"
-                ),
+    try:
+        # AQE coalescing scoped to the materialization (_exec rationale):
+        # the distinct'd undirected edge table is byte-tiny relative to
+        # the stage count, so the wedge/closing stages were pure 64-task
+        # scheduling overhead at host-graph sizes
+        with coalesced_stages(edges.sparkSession):
+            out = (
+                deg.join(cnt, "node", "left")
+                .select(
+                    "node",
+                    F.col("degree").cast("long").alias("degree"),
+                    t.alias("n_triangles"),
+                    F.when(
+                        F.col("degree") >= 2,
+                        F.expr(
+                            "(2 * coalesce(n_triangles, 0) * 1000000L)"
+                            " DIV (degree * (degree - 1))"
+                        ),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    .alias("clustering_micro"),
+                )
+                # node-scale result: materialize (the hits/pagerank
+                # discipline) so the persisted edge tables release below
+                .localCheckpoint(eager=True)
             )
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("clustering_micro"),
-        )
-        # node-scale result: materialize (the hits/pagerank discipline) so
-        # the two persisted edge tables can be released immediately
-        .localCheckpoint(eager=True)
-    )
-    und.unpersist()
-    o.unpersist()
+    finally:
+        und.unpersist()
+        o.unpersist()
     return out
 
 
