@@ -45,29 +45,10 @@ def _scoped_conf(spark, overrides: dict):
 
 @contextmanager
 def coalesced_stages(spark):
+    # (an AQE-off variant of this scope was prototyped and REJECTED —
+    # static planning loses the tiny-side broadcasts and pays
+    # 64-partition sort-merge exchanges; measured in OPTIMIZATION_r06.md)
     with _scoped_conf(
         spark, {"spark.sql.adaptive.coalescePartitions.enabled": "true"}
     ):
-        yield
-
-
-@contextmanager
-def iterative_exec(spark):
-    """Plan/execute an iterative operator's sub-rounds WITHOUT AQE.
-
-    Under AQE every exchange and broadcast materializes as its own
-    stage-job — an scc build was measured at 156 jobs of ~60-90 ms fixed
-    overhead each, pure scheduling on a byte-tiny graph. With AQE off the
-    per-round plans compile statically, the checkpointed LogicalRDDs
-    preserve their ``outputPartitioning`` (so consecutive rounds keyed on
-    ``node`` skip re-exchanges entirely), and ONE action runs the whole
-    chain as a single job. Scale note: nothing here is tuned to local
-    mode — the rounds' join/agg shapes are identical, only the adaptive
-    re-planning loop (whose value is skew/broadcast discovery on
-    UNKNOWN-sized inputs) is skipped where the operator already knows the
-    shape of every per-round table. Conf is restored on exit; reads
-    happen at plan-compile time (localCheckpoint calls toRdd), which is
-    why operators compile AND materialize inside this scope.
-    """
-    with _scoped_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
         yield

@@ -51,13 +51,20 @@ def main() -> None:
 
     qs = entrymod.queries()
     tracker = spark.sparkContext.statusTracker()
+
+    def _max_job_id() -> int:
+        # count jobs by MAX id, not list length — the status tracker's
+        # retained-job window evicts old entries mid-run
+        ids = tracker.getJobIdsForGroup(None) or []
+        return max(ids) if ids else -1
+
     out: dict = {"sf": sf_dir, "cpus": cpus, "reps": reps, "noop": use_noop, "queries": {}}
     for name in names:
         fn = qs[name]
         samples, job_counts = [], []
         for _ in range(reps):
             spark.sparkContext.setJobDescription(f"bench_extra:{name}")
-            jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+            jobs_before = _max_job_id()
             t0 = time.time()
             df = fn(spark, sf_dir)
             if use_noop:
@@ -65,7 +72,7 @@ def main() -> None:
             else:
                 df.count()
             samples.append(round(time.time() - t0, 3))
-            job_counts.append(len(tracker.getJobIdsForGroup(None) or []) - jobs_before)
+            job_counts.append(_max_job_id() - jobs_before)
             spark.sparkContext.setJobDescription(None)
         out["queries"][name] = {
             "best": min(samples),
