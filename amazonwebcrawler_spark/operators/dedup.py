@@ -265,27 +265,18 @@ def minhash_lsh_pairs(
     # intersection counts, and the sizes (cheap: (id, short-string) rows)
     sh = shingle_rows(docs, "_t", "_id", shingle_n).persist()
 
-    # the candidate sliver is read three times below (verify broadcast +
-    # both prefilters) — materialize it once (r6)
-    cand = _lsh_candidates(sh, k, n_bands, rows_per_band, max_bucket).localCheckpoint(
-        eager=True
-    )
+    cand = _lsh_candidates(sh, k, n_bands, rows_per_band, max_bucket)
     # exact-Jaccard verify, relationally: |A∩B| by joining the candidate set
     # (small — broadcast) against the shingle rows twice; |A|,|B| from a
     # per-doc count. Pairs with zero intersection fall out of the inner join
-    # — correct for any threshold > 0. guide §3.2 (r6): only CANDIDATE
-    # docs' shingles enter the verify exchanges — broadcast-semi prefilter
-    # the persisted shingle table first (exact: the verify joins are inner
-    # on those same ids, so dropped rows never matched).
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
-    sizes = sh_cand.groupBy("_id").agg(F.count("*").alias("_n"))
-    sh_a = sh_cand.select(F.col("_id").alias("id_a"), "_s")
-    sh_b = sh_cand.select(F.col("_id").alias("id_b"), "_s")
+    # — correct for any threshold > 0. (r6 note: a broadcast-semi
+    # candidate-doc prefilter of the verify exchanges was measured and
+    # REVERTED — at every tested density the extra materialization +
+    # probe passes cost more than the shrunken exchange saved; see
+    # OPTIMIZATION_r06.md.)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    sh_a = sh.select(F.col("_id").alias("id_a"), "_s")
+    sh_b = sh.select(F.col("_id").alias("id_b"), "_s")
     inter = (
         sh_a.join(F.broadcast(cand), "id_a")
         .join(sh_b, ["id_b", "_s"])
@@ -460,9 +451,7 @@ def containment_pairs(
     post-blocking semantic (the ngram_jaccard caveat), mirrored exactly
     in the DuckDB twin. Verification is exact over ALL shared shingles
     (not just rare ones): the candidate sliver broadcasts back onto the
-    shingle table, PREFILTERED to candidate docs by a broadcast semi-join
-    so only the candidate sliver's shingles ever shuffle (guide §3.2;
-    the minhash_lsh_pairs verify idiom).
+    full shingle table twice (the minhash_lsh_pairs verify idiom).
 
     Emits ``(id_a, id_b, n_inter, cont_a_micro, cont_b_micro)`` with
     ``id_a < id_b``, kept when ``greatest(cont_a, cont_b) ≥ threshold``
@@ -488,23 +477,14 @@ def containment_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        # the pair sliver is read three times below (verify broadcast +
-        # both prefilters) — materialize it once (r6)
-        .localCheckpoint(eager=True)
     )
-    # guide §3.2: only CANDIDATE docs' shingles enter the verify exchanges
-    # — prefilter the (persisted) shingle table with broadcast semi-joins
-    # on the candidate id sets before anything shuffles. Exact: the verify
-    # joins are inner on those same ids, so dropped rows never matched.
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_id"))
-        .unionByName(cand.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(F.broadcast(cand_ids), "_id", "left_semi")
-    sizes_cand = sh_cand.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    sh_a = sh_cand.select(F.col("_id").alias("id_a"), "_s")
-    sh_b = sh_cand.select(F.col("_id").alias("id_b"), "_s")
+    # (r6 note: a broadcast-semi candidate-doc prefilter of the verify
+    # exchanges was measured here and in minhash_lsh_pairs and REVERTED —
+    # the extra materialization + probe passes cost more than the
+    # shrunken exchange saved at every tested density; OPTIMIZATION_r06.md.)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    sh_a = sh.select(F.col("_id").alias("id_a"), "_s")
+    sh_b = sh.select(F.col("_id").alias("id_b"), "_s")
     inter = (
         sh_a.join(F.broadcast(cand), "id_a")
         .join(sh_b, ["id_b", "_s"])
@@ -512,8 +492,8 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("_ni"))
     )
     pairs = (
-        inter.join(sizes_cand.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes_cand.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
             "id_a",
             "id_b",
