@@ -463,36 +463,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from amazonwebcrawler_spark.operators import corpus
 
         d = _t(spark, sf, "documents")
-        staged = d.select(
-            "doc_id", "text", "n_chars",
-            ((F.col("doc_id") % 97) == 0).alias("_is_eval"),
-            quality_filter(F.col("text"))["keep"].alias("_q_ok"),
-        )
-        qdocs = staged.filter((~F.col("_is_eval")) & F.col("_q_ok"))
+        is_eval = (F.col("doc_id") % 97) == 0
+        qdocs = d.filter((~is_eval) & quality_filter(F.col("text"))["keep"])
         pairs = dedup.minhash_lsh_pairs(
             qdocs, "text", "doc_id", k=16, n_bands=4, threshold=0.5, shingle_n=3, max_bucket=200
         )
-        decision = dedup.keep_canonical(qdocs, pairs)
+        # r6 recompute removal (guide §1.2): the old form re-derived the
+        # quality_filter cascade ~5× per action (keep_canonical's corpus
+        # passes, the survivor join, and a full `staged` re-scan for the
+        # final labels). Instead: (1) checkpoint the NARROW quality-survivor
+        # metadata once (doc_id + n_chars — never the text payload, the
+        # mirror_detect footprint discipline) and feed it to the dedup
+        # election; (2) checkpoint the 3-col decision sliver, which covers
+        # ALL survivors by keep_canonical's contract (decided ∪ singletons),
+        # so `decision IS NULL` ⟺ quality_drop for non-eval docs and the
+        # final pass labels straight off doc_id joins — no text read, no
+        # quality re-derivation. Stage precedence and values are unchanged.
+        qmeta = qdocs.select("doc_id", "n_chars").localCheckpoint(eager=True)
+        decision = dedup.keep_canonical(qmeta, pairs).localCheckpoint(eager=True)
         survivors = qdocs.join(
             decision.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
         )
-        contam = corpus.decontaminate(survivors, staged.filter("_is_eval"), "text", "doc_id")
+        contam = corpus.decontaminate(
+            survivors, d.filter(is_eval), "text", "doc_id"
+        )
         contaminated = (
             contam.filter(F.col("contamination_micro") >= 50_000)
             .select("doc_id").withColumn("_contam", F.lit(True))
         )
-        dup_drop = (
-            decision.filter(F.col("keep") == 0)
-            .select("doc_id").withColumn("_dup", F.lit(True))
-        )
         return (
-            staged.join(dup_drop, "doc_id", "left")
+            d.select("doc_id", is_eval.alias("_is_eval"))
+            .join(decision.select("doc_id", "keep"), "doc_id", "left")
             .join(contaminated, "doc_id", "left")
             .select(
                 "doc_id",
                 F.when(F.col("_is_eval"), F.lit("eval_holdout"))
-                .when(~F.col("_q_ok"), F.lit("quality_drop"))
-                .when(F.coalesce(F.col("_dup"), F.lit(False)), F.lit("dup_drop"))
+                .when(F.col("keep").isNull(), F.lit("quality_drop"))
+                .when(F.col("keep") == 0, F.lit("dup_drop"))
                 .when(F.coalesce(F.col("_contam"), F.lit(False)), F.lit("contaminated"))
                 .otherwise(F.lit("kept"))
                 .alias("stage"),
@@ -2087,9 +2094,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).otherwise(F.lit("")),
             F.lit("</div>"),
         )
-        links = extract_links(html, F.lit("https://www.amazon.com"))
+        # r6: explode BEFORE canonicalizing. extract_links runs
+        # canonicalize_url (the regex-heavy step) inside an array
+        # ``transform`` lambda — higher-order functions evaluate
+        # interpreted, outside whole-stage codegen. Splitting the same
+        # primitives at the explode boundary (resolve+filter array-side,
+        # canonicalize per exploded ROW) keeps positions and values
+        # identical — the filtered resolved array IS extract_links'
+        # element order — while the expensive regexes compile into the
+        # codegen stage (guide §1.2: per-task work, after shape).
+        from amazonwebcrawler_spark.functions.urls import _resolve_href, canonicalize_url
+
+        base = F.lit("https://www.amazon.com")
+        resolved = F.filter(
+            F.transform(
+                F.regexp_extract_all(html, F.lit(r'href="([^"]*)"'), 1),
+                lambda h: _resolve_href(h, base),
+            ),
+            lambda u: u.isNotNull(),
+        )
         return o.select(
-            "o_orderkey", F.posexplode(links).alias("link_pos", "canonical_url")
+            "o_orderkey", F.posexplode(resolved).alias("link_pos", "_raw")
+        ).select(
+            "o_orderkey", "link_pos",
+            canonicalize_url(F.col("_raw")).alias("canonical_url"),
         ).select(
             "o_orderkey", "link_pos", "canonical_url",
             url_host(F.col("canonical_url")).alias("host"),

@@ -1212,22 +1212,30 @@ def keep_canonical(
     else:
         labels = connected_components(pairs)
     corpus = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q"))
-    labelled = corpus.join(labels, "doc_id")
-    winners = labelled.groupBy("group_id").agg(
+    winners = corpus.join(labels, "doc_id").groupBy("group_id").agg(
         # min over (-quality, id): highest quality wins, ties to smallest id
         # — negating quality (numeric by contract) instead of id keeps the
         # election valid for ANY orderable id type (string image ids too)
         F.min_by("doc_id", F.struct(-F.col("_q"), F.col("doc_id"))).alias("_keep_id")
     )
-    decided = labelled.join(winners, "group_id").select(
-        "doc_id",
-        "group_id",
-        (F.col("doc_id") == F.col("_keep_id")).cast("int").alias("keep"),
+    # ONE merged output pass instead of decided ∪ singletons (r6): the old
+    # three-branch form scanned ``docs`` three times per action (labelled,
+    # its reuse under winners, and the singleton anti-join). A left join
+    # against the label sliver + the winner sliver folds both branches into
+    # one projection — a null group_id can never equi-match ``winners``, so
+    # singletons surface with _keep_id null and take the keep=1 arm; rows
+    # and values are identical (same election, same singleton policy).
+    return (
+        corpus.join(labels, "doc_id", "left")
+        .join(winners, "group_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("group_id", "doc_id").alias("group_id"),
+            F.when(F.col("group_id").isNull(), F.lit(1))
+            .otherwise((F.col("doc_id") == F.col("_keep_id")).cast("int"))
+            .alias("keep"),
+        )
     )
-    singletons = corpus.join(labels, "doc_id", "left_anti").select(
-        "doc_id", F.col("doc_id").alias("group_id"), F.lit(1).alias("keep")
-    )
-    return decided.unionByName(singletons)
 
 
 # -------------------------------------------- exact substring (span) dedup

@@ -54,6 +54,27 @@ def cosine_micro(a, b):
     return F.round(cosine(a, b) * F.lit(1_000_000.0)).cast("long")
 
 
+def cosine_micro_prenorm(a, b, na, nb):
+    """``cosine_micro`` with the two vector norms precomputed as columns.
+
+    Scoring paths pair each corpus row against many queries (and vice
+    versa): inlining ``cosine_micro`` re-folds BOTH norms per PAIR, so a
+    64-dim corpus row scored against q queries pays 3q folds where q+1
+    suffice. Computing ``_norm`` once per row before the pair join and
+    passing it here drops two thirds of the per-pair array math (guide
+    §1.2: don't recompute per pair what is constant per row).
+
+    Bit-identical by construction: ``na``/``nb`` are the SAME
+    ``sqrt(fold(v,v))`` doubles the inline form produces (same IEEE ops on
+    the same values, just evaluated once), and the ``na*nb`` product keeps
+    the inline form's operand order — so denom, cosine, and the rounded
+    micro value cannot drift. ``na`` MUST be the norm of ``a`` (the inline
+    form multiplies norm(a)·norm(b) in that order)."""
+    denom = na * nb
+    cos = F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+    return F.round(cos * F.lit(1_000_000.0)).cast("long")
+
+
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int = 10
 ) -> DataFrame:
@@ -65,15 +86,19 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cos_sim_micro"),
+            cosine_micro_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -125,32 +150,57 @@ def lsh_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    c_buckets, q_probes = [], []
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    # materialize each table's base bucket as a NAMED column first (r6):
+    # a probe list built directly off ``bucket_expr`` repeats the whole
+    # n_planes-dot expression TREE per probe — n_tables × (n_planes+1)
+    # copies × n_planes dim-wide literal dots blew the plan to ~150 KB and
+    # defeated codegen (the ann_pq literal-plan lesson, same disease,
+    # smaller dose). Hoisted behind a projection boundary the dots are
+    # computed once per row per table and every probe is one cheap XOR of
+    # the column; values are identical by construction.
+    all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    c = c.select(
+        "neighbor_id", "_cv", "_cn",
+        *[bucket_expr(F.col("_cv"), p).alias(f"_b{t}") for t, p in enumerate(all_planes)],
+    )
+    q = q.select(
+        "query_id", "_qv", "_qn",
+        *[bucket_expr(F.col("_qv"), p).alias(f"_b{t}") for t, p in enumerate(all_planes)],
+    )
+    c_buckets = [
+        F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("b")) for t in range(n_tables)
+    ]
+    q_probes = []
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
-        c_buckets.append(
-            F.struct(F.lit(t).alias("t"), bucket_expr(F.col("_cv"), planes).alias("b"))
-        )
-        b0 = bucket_expr(F.col("_qv"), planes)
+        b0 = F.col(f"_b{t}")
         probe_list = [b0] + (
             [b0.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)] if multiprobe else []
         )
         q_probes.extend(F.struct(F.lit(t).alias("t"), p.alias("b")) for p in probe_list)
 
-    c = c.select("neighbor_id", "_cv", F.explode(F.array(*c_buckets)).alias("bk"))
-    q = q.select("query_id", "_qv", F.explode(F.array(*q_probes)).alias("bk"))
+    c = c.select("neighbor_id", "_cv", "_cn", F.explode(F.array(*c_buckets)).alias("bk"))
+    q = q.select("query_id", "_qv", "_qn", F.explode(F.array(*q_probes)).alias("bk"))
 
     scored = (
         c.join(F.broadcast(q), "bk")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "_qv", "_cv")
+        # norms ride the dedup as payload — duplicate candidate rows carry
+        # identical (_qv,_cv,_qn,_cn), so which one dropDuplicates keeps
+        # cannot matter
+        .select("query_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cos_sim_micro"),
+            cosine_micro_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim_micro"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -252,12 +302,18 @@ def ivf_topk(
         )
     centroids = _kmeans(sample, n_centroids, seed)
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
     if assign == "pandas":
         best_cell, probe_cells = _cell_assign_udfs(centroids, n_probe)
         c = c.withColumn("cell", best_cell(F.col("_cv")))
-        q = q.select("query_id", "_qv", F.explode(probe_cells(F.col("_qv"))).alias("cell"))
+        q = q.select(
+            "query_id", "_qv", "_qn", F.explode(probe_cells(F.col("_qv"))).alias("cell")
+        )
     else:
         c = (
             c.withColumn("_s", _nearest_centroid_scores(F.col("_cv"), centroids))
@@ -270,7 +326,7 @@ def ivf_topk(
         # top n_probe cells per query: explode scores with index, rank
         q = (
             q.select(
-                "query_id", "_qv",
+                "query_id", "_qv", "_qn",
                 F.posexplode(F.col("_s")).alias("cell", "score"),
             )
             .withColumn(
@@ -280,14 +336,16 @@ def ivf_topk(
                 ),
             )
             .filter(F.col("_r") <= n_probe)
-            .select("query_id", "_qv", "cell")
+            .select("query_id", "_qv", "_qn", "cell")
         )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            cosine_micro(F.col("_qv"), F.col("_cv")).alias("cos_sim_micro"),
+            cosine_micro_prenorm(
+                F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+            ).alias("cos_sim_micro"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -520,8 +578,13 @@ def embedding_neardup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    keyed = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
-        "bucket", bucket_expr(F.col("_v"), planes)
+    keyed = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("bucket", bucket_expr(F.col("_v"), planes))
+        # norm once per ROW before the self-join — each row scores against
+        # every bucket partner, so the inline re-fold is per PAIR (see
+        # cosine_micro_prenorm)
+        .withColumn("_n", _norm(F.col("_v")))
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -529,7 +592,9 @@ def embedding_neardup_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine_micro(F.col("a._v"), F.col("b._v")).alias("cos_sim_micro"),
+            cosine_micro_prenorm(
+                F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+            ).alias("cos_sim_micro"),
         )
         .filter(F.col("cos_sim_micro") >= int(round(threshold * 1_000_000)))
     )
@@ -748,7 +813,8 @@ def semantic_dedup_keep(
         .withColumn("_cent_sim", F.array_max(F.col("_s")))
         .drop("_s")
     )
-    cl = keyed.select("_id", "_v", "cell")
+    # norm once per ROW before the in-cell self-join (cosine_micro_prenorm)
+    cl = keyed.select("_id", "_v", "cell", _norm(F.col("_v")).alias("_n"))
     if max_cluster is not None:
         ok = cl.groupBy("cell").count().filter(F.col("count") <= max_cluster).drop("count")
         cl = cl.join(ok, "cell")
@@ -759,7 +825,9 @@ def semantic_dedup_keep(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            cosine_micro(F.col("a._v"), F.col("b._v")).alias("cos_sim_micro"),
+            cosine_micro_prenorm(
+                F.col("a._v"), F.col("b._v"), F.col("a._n"), F.col("b._n")
+            ).alias("cos_sim_micro"),
         )
         .filter(F.col("cos_sim_micro") >= thr_micro)
     )
@@ -794,7 +862,18 @@ def recall_at_k(approx: DataFrame, exact: DataFrame, k: int = 10) -> DataFrame:
     (query_id, neighbor_id) / query_id — natural keys, no skew pile-up
     (every group is ≤ k rows by construction).
     """
-    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    # The exact sliver feeds BOTH the hit join and the spine aggregate —
+    # without a checkpoint the (expensive) exact top-k subtree executes
+    # twice per action (measured: ann_recall ≈ lsh + 2× brute). The sliver
+    # is ≤ queries×k rows by the callers' top-k windows, so the eager
+    # materialization is O(queries), never O(corpus) — the lsh_eval
+    # sliver-checkpoint idiom (guide §1.2: don't recompute what you
+    # already paid for).
+    e = (
+        exact.filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     a = approx.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     hits = (
         a.join(e, ["query_id", "neighbor_id"])
