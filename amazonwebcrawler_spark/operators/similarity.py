@@ -138,6 +138,7 @@ def lsh_topk(
     n_tables: int = 3,
     multiprobe: bool = True,
     seed: int = 42,
+    encode: str = "auto",
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -146,9 +147,21 @@ def lsh_topk(
     ``multiprobe`` additionally probes every hamming-1 neighbor bucket.
     Candidates are re-ranked by exact cosine. Recall/cost knob:
     candidate fraction ≈ n_tables * (n_planes+1) / 2**n_planes.
+
+    Bucket encoding has two forms with bit-identical results (the
+    pq_topk/ivf_topk dual-path precedent): ``'literal'`` embeds the
+    hyperplanes as literal column dots (n_tables·n_planes dim-wide
+    expressions per row — defeats codegen as tables grow), ``'pandas'``
+    runs one Arrow kernel per side against the broadcast plane matrices
+    (:func:`_lsh_bucket_udf` — ``_fold_dots`` replays the literal path's
+    IEEE op order, so every sign bit and bucket id is identical);
+    ``'auto'`` picks pandas when ``n_tables · n_planes > 16``.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    if encode not in ("auto", "literal", "pandas"):
+        raise ValueError(f"lsh_topk: unknown encode mode {encode!r}")
+    use_pandas = encode == "pandas" or (encode == "auto" and n_tables * n_planes > 16)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
@@ -165,14 +178,25 @@ def lsh_topk(
     # computed once per row per table and every probe is one cheap XOR of
     # the column; values are identical by construction.
     all_planes = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
-    c = c.select(
-        "neighbor_id", "_cv", "_cn",
-        *[bucket_expr(F.col("_cv"), p).alias(f"_b{t}") for t, p in enumerate(all_planes)],
-    )
-    q = q.select(
-        "query_id", "_qv", "_qn",
-        *[bucket_expr(F.col("_qv"), p).alias(f"_b{t}") for t, p in enumerate(all_planes)],
-    )
+    if use_pandas:
+        bk_udf = _lsh_bucket_udf(all_planes)
+        c = c.withColumn("_bks", bk_udf(F.col("_cv"))).select(
+            "neighbor_id", "_cv", "_cn",
+            *[F.element_at("_bks", t + 1).alias(f"_b{t}") for t in range(n_tables)],
+        )
+        q = q.withColumn("_bks", bk_udf(F.col("_qv"))).select(
+            "query_id", "_qv", "_qn",
+            *[F.element_at("_bks", t + 1).alias(f"_b{t}") for t in range(n_tables)],
+        )
+    else:
+        c = c.select(
+            "neighbor_id", "_cv", "_cn",
+            *[bucket_expr(F.col("_cv"), p).alias(f"_b{t}") for t, p in enumerate(all_planes)],
+        )
+        q = q.select(
+            "query_id", "_qv", "_qn",
+            *[bucket_expr(F.col("_qv"), p).alias(f"_b{t}") for t, p in enumerate(all_planes)],
+        )
     c_buckets = [
         F.struct(F.lit(t).alias("t"), F.col(f"_b{t}").alias("b")) for t in range(n_tables)
     ]
@@ -236,6 +260,38 @@ def _nearest_centroid_scores(vec, centroids: np.ndarray):
     return F.array(
         *[_dot(vec, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
     )
+
+
+def _lsh_bucket_udf(planes_all: list):
+    """Arrow-batched sign-bucket encoder against broadcast hyperplane
+    matrices — the scale path where embedding every table's planes as
+    literal column dots blows up the plan (the ``_pq_encode_udfs``
+    rationale applied to LSH). Returns ``array<int>`` of one bucket per
+    table. Bit-identical to :func:`bucket_expr`: ``_fold_dots`` replays
+    ``_dot``'s left-to-right IEEE accumulation, so every ``dot > 0`` sign
+    decision — and therefore every bucket id — matches the literal path
+    exactly (tested)."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = [np.ascontiguousarray(p, dtype=np.float64) for p in planes_all]
+
+    @pandas_udf("array<int>")
+    def lsh_buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        out = np.empty((X.shape[0], len(P)), dtype=np.int32)
+        for t, M in enumerate(P):
+            S = _fold_dots(X, M)  # (n, n_planes)
+            vals = np.zeros(X.shape[0], dtype=np.int64)
+            for i in range(M.shape[0]):
+                # bit i set iff dot > 0 — the bucket_expr sum of 1<<i over
+                # distinct bits equals this OR
+                vals |= (S[:, i] > 0).astype(np.int64) << i
+            out[:, t] = vals.astype(np.int32)
+        return pd.Series(list(out))
+
+    return lsh_buckets
 
 
 def _cell_assign_udfs(centroids: np.ndarray, n_probe: int):

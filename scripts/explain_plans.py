@@ -171,9 +171,11 @@ CHECKS = {
     # combinable hash aggs; no Python (NEG)
     "dsir_weights": ["BroadcastHashJoin", "HashAggregate", "partial_count", "[codegen id :"],
     # recall@k eval: the hit join + per-query aggregate over two top-k
-    # result sets — map-side partials, no Python anywhere (NEG; the LSH
-    # and brute-force inputs are pure column math by construction)
-    "ann_recall": ["HashAggregate", "[codegen id :"],
+    # result sets — map-side partials. The LSH side's bucket encode is the
+    # Arrow kernel at the default table count (r6, the ann_pq precedent —
+    # literal hyperplane dots defeat codegen), positively asserted;
+    # row-at-a-time Python stays forbidden (NEG)
+    "ann_recall": ["ArrowEvalPython", "HashAggregate", "[codegen id :"],
     # epoch shuffle: SHARD-partitioned row_number windows + broadcast
     # offsets — never a global sort (NEG forbids SinglePartition), no
     # Python (triangle_count has no entry: its output is eagerly
@@ -494,7 +496,7 @@ NEG_CHECKS = {
     # both top-k inputs are pure column math; the brute-force side's
     # broadcast-queries crossJoin renders as BroadcastNestedLoopJoin (the
     # accepted broadcast-small-side idiom), so only Cartesian is forbidden
-    "ann_recall": ["ArrowEvalPython", "BatchEvalPython", "MapInPandas", "Cartesian"],
+    "ann_recall": ["BatchEvalPython", "MapInPandas", "Cartesian"],
     "epoch_shuffle": [
         "ArrowEvalPython", "BatchEvalPython", "MapInPandas",
         "Exchange SinglePartition", "NestedLoop", "Cartesian",

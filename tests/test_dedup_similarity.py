@@ -207,6 +207,22 @@ class TestPQEncodePaths:
         assert rows_lit == rows_pan
 
 
+class TestLSHEncodePaths:
+    def test_literal_and_pandas_buckets_agree(self, spark, sf_dir):
+        """The Arrow bucket encode (r6, the pq_topk dual-path precedent)
+        must reproduce the literal hyperplane-dot path EXACTLY — every
+        sign bit, bucket id, candidate set and emitted (pair, cosine,
+        rank). _fold_dots replays _dot's left-to-right IEEE accumulation,
+        so the dot > 0 sign decisions cannot drift."""
+        e = _emb(spark, sf_dir)
+        qs = e.filter(F.col("vec_id") < 5)
+        lit = similarity.lsh_topk(e, qs, "vec_id", "embedding", k=10, dim=64, encode="literal")
+        pan = similarity.lsh_topk(e, qs, "vec_id", "embedding", k=10, dim=64, encode="pandas")
+        rows_lit = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim_micro) for r in lit.collect())
+        rows_pan = sorted((r.query_id, r.neighbor_id, r.rank, r.cos_sim_micro) for r in pan.collect())
+        assert rows_lit == rows_pan
+
+
 class TestSimhashPlanHygiene:
     def test_simhash_plan_has_no_python_eval(self, spark, sf_dir):
         """The relational SimHash path (explode → md5 → per-bit vote
