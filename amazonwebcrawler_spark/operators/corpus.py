@@ -46,17 +46,33 @@ def decontaminate(
     side is never shuffled when the eval side broadcasts.
     """
     train_sh = shingle_rows(train, text_col, id_col, n)
-    eval_grams = shingle_rows(eval_df, text_col, id_col, n).select("_s").distinct()
+    eval_grams = (
+        shingle_rows(eval_df, text_col, id_col, n)
+        .select("_s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    sizes = train_sh.groupBy("_id").agg(F.count("*").alias("n_grams"))
-    hits = (
-        train_sh.join(eval_grams, "_s")
+    # ONE pass over the training shingles (r6): the former sizes/hits
+    # branches each re-derived the train-side scan + shingle distinct —
+    # for a composed caller (corpus_pipeline feeds the post-dedup
+    # SURVIVOR cascade in here) that doubled the expensive upstream. A
+    # left join against the broadcast eval grams + one per-doc aggregate
+    # computes both counts in a single scan and ONE doc-keyed exchange;
+    # `count(_hit)` skips nulls, so the pair (n_grams,
+    # n_contaminated_grams) — and the contaminated-only inner semantics
+    # via the > 0 filter — are value-identical to the two-branch form.
+    agg = (
+        train_sh.join(eval_grams, "_s", "left")
         .groupBy("_id")
-        .agg(F.count("*").alias("n_contaminated_grams"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated_grams"),
+        )
     )
     return (
-        hits.join(sizes, "_id")
+        agg.filter(F.col("n_contaminated_grams") > 0)
         .select(
             F.col("_id").alias(id_col),
             "n_contaminated_grams",
